@@ -1,0 +1,149 @@
+"""Atomic-commit parquet warehouse (Iceberg-shaped, jar-free).
+
+The north_rule asks for Iceberg tables with per-round snapshots; the
+sandbox has no Iceberg runtime jar, so this module provides the same
+contract on plain parquet:
+
+- every append/overwrite is a *commit*: data is written to a staging
+  directory, then a manifest JSON is atomically swapped (write tmp +
+  ``os.replace``), so readers never observe a half-written table and a
+  killed crawl resumes from the last committed round (Iceberg snapshot
+  semantics, reference analog: at-least-once SQS + idempotent writes,
+  SURVEY.md §2.10);
+- commits carry key/value properties (e.g. ``round``) — reading "just
+  round N" prunes to that commit's files without touching the rest
+  (Iceberg snapshot/partition pruning analog);
+- ``merge`` implements MERGE INTO (upsert) as overwrite-with-join, the
+  rendition of the reference's Postgres upserts
+  (`workers/writer/repositories/db_repository.go:70-118`) and DynamoDB
+  UpdateItem (`dynamo_client.go:56-106`).
+
+On a real cluster this module swaps for ``df.writeTo(tbl).append()`` on
+an Iceberg catalog; every call site goes through this API only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import TABLES
+
+_MANIFEST = "_manifest.json"
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # --- manifest plumbing -------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), _MANIFEST)
+
+    def _read_manifest(self, table: str) -> dict:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return {"commits": []}
+        with open(path) as f:
+            return json.load(f)
+
+    def _swap_manifest(self, table: str, manifest: dict) -> None:
+        path = self._manifest_path(table)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic on POSIX
+
+    # --- write paths -------------------------------------------------------
+    def _stage(self, table: str, df: DataFrame) -> str:
+        """Write df to a new staging dir; return its relative name."""
+        rel = f"commit-{uuid.uuid4().hex}"
+        out = os.path.join(self._table_dir(table), rel)
+        df.write.mode("errorifexists").parquet(out)
+        return rel
+
+    def append(self, table: str, df: DataFrame, props: dict | None = None) -> None:
+        """Atomic append: stage data, then swap manifest."""
+        os.makedirs(self._table_dir(table), exist_ok=True)
+        rel = self._stage(table, df)
+        manifest = self._read_manifest(table)
+        manifest["commits"].append({"dir": rel, "props": props or {}})
+        self._swap_manifest(table, manifest)
+
+    def overwrite(self, table: str, df: DataFrame, props: dict | None = None) -> None:
+        """Atomic overwrite: manifest points only at the new commit."""
+        os.makedirs(self._table_dir(table), exist_ok=True)
+        rel = self._stage(table, df)
+        old = [c["dir"] for c in self._read_manifest(table)["commits"]]
+        self._swap_manifest(table, {"commits": [{"dir": rel, "props": props or {}}]})
+        for d in old:  # orphans are safe to GC after the swap
+            shutil.rmtree(os.path.join(self._table_dir(table), d), ignore_errors=True)
+
+    def merge(self, table: str, updates: DataFrame, keys: list[str]) -> None:
+        """MERGE INTO table USING updates ON keys: matched→update, else insert.
+
+        Updates win column-wise via coalesce(update, current) so partial
+        updates (e.g. a summary arriving for an existing page,
+        `db_repository.go:101-118`) preserve untouched columns.
+        """
+        current = self.read(table)
+        upd = updates
+        non_keys = [c for c in current.columns if c not in keys]
+        joined = current.alias("t").join(upd.alias("u"), keys, "full_outer")
+        merged = joined.select(
+            *[F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k) for k in keys],
+            *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in non_keys],
+        )
+        # full_outer keeps unmatched current rows (no-op), matched rows
+        # (update wins per column), and new rows (insert).
+        self.overwrite(table, merged)
+
+    def delete_where(self, table: str, predicate: str) -> None:
+        """Predicate delete (Iceberg DELETE FROM analog; SURVEY.md J9)."""
+        self.overwrite(table, self.read(table).filter(f"NOT ({predicate})"))
+
+    # --- read paths --------------------------------------------------------
+    def read(self, table: str, props_filter: dict | None = None) -> DataFrame:
+        """Read committed data; props_filter prunes to matching commits
+        (e.g. {'round': 3} reads only round 3's files)."""
+        manifest = self._read_manifest(table)
+        commits = manifest["commits"]
+        if props_filter:
+            commits = [
+                c
+                for c in commits
+                if all(c["props"].get(k) == v for k, v in props_filter.items())
+            ]
+        paths = [os.path.join(self._table_dir(table), c["dir"]) for c in commits]
+        if not paths:
+            schema = TABLES.get(table, (None, None))[0]
+            if schema is None:
+                schema = T.StructType([])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def commit_props(self, table: str) -> list[dict]:
+        return [c["props"] for c in self._read_manifest(table)["commits"]]
+
+    def last_prop(self, table: str, key: str, default=None):
+        vals = [p[key] for p in self.commit_props(table) if key in p]
+        return vals[-1] if vals else default
+
+    def exists(self, table: str) -> bool:
+        return bool(self._read_manifest(table)["commits"])
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._table_dir(table), ignore_errors=True)
