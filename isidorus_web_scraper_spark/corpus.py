@@ -1,0 +1,269 @@
+"""Deterministic synthetic web corpus (FIXTURES.md §1-2).
+
+Two forms, same page function:
+
+1. **Materialized**: ``generate_documents(spark, ...)`` builds the
+   `documents` table (input_hint schema) for tests/bench.
+2. **Generator-backed** ("the web as a function"): ``page_spans(url)``
+   derives a page purely from the URL string, so the crawl engine can
+   resolve fetches for a 10^10-URL address space via ``mapInPandas``
+   without ever materializing the corpus (SURVEY.md §7 stage 5).
+
+Host sizes follow zipf(s) — the hot-host skew the salted repartition
+and politeness machinery exist for. All randomness is
+``random.Random(xxhash-of-url)``-seeded: same URL ⇒ same page, on any
+executor, forever.
+
+Golden raw-HTML fixtures re-encode the reference's e2e mock website
+(`tests/e2e/mock_website/*.html`) and unit-test snippets
+(`workers/scraper/services/scraper_service_test.go`) verbatim.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.html_tokenize import tokenize_html
+from .schema import DOCUMENTS
+
+# ---------------------------------------------------------------------------
+# Synthetic web: URL space + pure page function
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "spark crawl frontier fetch parse extract link image span host page "
+    "queue filter bloom shuffle partition salt skew depth round seed web "
+    "graph index summary politeness robots budget token text media data"
+).split()
+
+
+def _seed_for(url: str) -> int:
+    return int.from_bytes(hashlib.sha256(url.encode()).digest()[:8], "big")
+
+
+def pages_per_host(host_idx: int, base: int = 64, s: float = 1.2) -> int:
+    """Zipf-ish host size: host 0 is hot, tail hosts are tiny."""
+    return max(1, int(base / ((host_idx + 1) ** s)))
+
+
+def host_name(host_idx: int) -> str:
+    return f"h{host_idx}.test"
+
+
+def page_url(host_idx: int, page_idx: int) -> str:
+    return f"http://{host_name(host_idx)}/p{page_idx}.html"
+
+
+def seed_url(n_hosts: int = 20) -> str:
+    return page_url(0, 0)
+
+
+def page_spans(
+    url: str,
+    n_hosts: int = 20,
+    links_out: int = 8,
+    big_page_every: int = 1000,
+) -> list[dict] | None:
+    """The page behind ``url``, or None (404) if outside the address space.
+
+    Pure function of the URL — deterministic across executors/runs.
+    Span stream mimics reference tokenizer output: interleaved text,
+    link (10% relative/non-http) and image spans with document-order
+    offsets.
+    """
+    if not url.startswith("http://h") or ".test/p" not in url:
+        return None
+    try:
+        hpart, ppart = url[len("http://h") :].split(".test/p")
+        h = int(hpart)
+        p = int(ppart.removesuffix(".html"))
+    except ValueError:
+        return None
+    if h < 0 or h >= n_hosts or p < 0 or p >= pages_per_host(h):
+        return None
+
+    rng = random.Random(_seed_for(url))
+    spans: list[dict] = []
+    off = 0
+
+    def emit(kind, text=None, media_ref=None):
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": off})
+        off += 1
+
+    # one oversized page per big_page_every exercises the 100KB cap path
+    if big_page_every and rng.randrange(big_page_every) == 0:
+        emit("text", "x" * 100_005)
+    for _ in range(rng.randint(1, 20)):
+        emit("text", " ".join(rng.choices(_WORDS, k=rng.randint(3, 12))))
+    n_links = rng.randint(0, links_out)
+    for _ in range(n_links):
+        r = rng.random()
+        if r < 0.10:  # recorded but never crawled (scraper_service.go:264)
+            emit(
+                "link",
+                media_ref=rng.choice(
+                    ["/relative/x", "#anchor", "mailto:a@b.test", "javascript:void(0)"]
+                ),
+            )
+        else:
+            # mostly same-host links, some cross-host toward hot hosts
+            if r < 0.75:
+                th = h
+            else:
+                th = rng.randrange(n_hosts)
+                th = min(th, rng.randrange(n_hosts))  # bias to hot hosts
+            tp = rng.randrange(pages_per_host(th))
+            emit("link", media_ref=page_url(th, tp))
+    for _ in range(rng.randint(0, 3)):
+        emit("image", media_ref=f"http://img{h}.test/i{rng.randrange(50)}.png")
+    return spans
+
+
+def all_urls(n_hosts: int = 20) -> list[str]:
+    return [
+        page_url(h, p) for h in range(n_hosts) for p in range(pages_per_host(h))
+    ]
+
+
+def generate_documents(
+    spark: SparkSession, n_hosts: int = 20, partitions: int = 8
+) -> DataFrame:
+    """Materialize the synthetic web as a `documents` DataFrame
+    (distributed generation: URLs are parallelized, pages derived on
+    executors via the pure page function)."""
+    urls = all_urls(n_hosts)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "spans": pdf["doc_id"].map(
+                        lambda u: page_spans(u, n_hosts=n_hosts)
+                    ),
+                }
+            )
+
+    base = spark.createDataFrame(
+        [(u,) for u in urls], "doc_id string"
+    ).repartition(partitions)
+    return base.mapInPandas(gen, DOCUMENTS)
+
+
+# ---------------------------------------------------------------------------
+# Golden raw-HTML fixtures (reference-verbatim; FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+MOCK_BASE = "http://mock-website:8000"
+
+GOLDEN_HTML: dict[str, str] = {
+    # tests/e2e/mock_website/index.html
+    f"{MOCK_BASE}/index.html": """<!DOCTYPE html>
+<html>
+
+<head>
+    <title>Mock Website - Home</title>
+</head>
+
+<body>
+    <h1>Welcome to the Mock Website</h1>
+    <p>We are learning about LocalStack and Kubernetes.</p>
+    <p>Here is a link to the <a href="http://mock-website:8000/page2.html">Second Page</a>.</p>
+    <img src="http://mock-website:8000/darth.png" alt="Darth Vader">
+</body>
+
+</html>""",
+    # tests/e2e/mock_website/page2.html
+    f"{MOCK_BASE}/page2.html": """<!DOCTYPE html>
+<html>
+
+<head>
+    <title>Mock Website - Page 2</title>
+</head>
+
+<body>
+    <h1>This is Page 2</h1>
+    <p>This page talks about Cloud Computing and Serverless architectures.</p>
+    <p>Go back <a href="http://mock-website:8000/index.html">Home</a>.</p>
+</body>
+
+</html>""",
+    # tests/e2e/mock_website/cycle_a.html
+    f"{MOCK_BASE}/cycle_a.html": """<html>
+
+<body>
+    <h1>Cycle Page A</h1>
+    <p>This page links to Cycle Page B.</p>
+    <a href="http://mock-website:8000/cycle_b.html">Go to Page B</a>
+</body>
+
+</html>""",
+    # tests/e2e/mock_website/cycle_b.html
+    f"{MOCK_BASE}/cycle_b.html": """<html>
+
+<body>
+    <h1>Cycle Page B</h1>
+    <p>This page links back to Cycle Page A (Cycle!).</p>
+    <a href="http://mock-website:8000/cycle_a.html">Go back to Page A</a>
+</body>
+
+</html>""",
+    # scraper_service_test.go:97-105 (full-flow snippet)
+    "http://site1.com": (
+        '<html><body><p>Hello World</p><a href="http://site2.com">Link</a>'
+        '<img src="http://img.com/a.jpg"/></body></html>'
+    ),
+    # scraper_service_test.go:422-427 (non-HTTP links)
+    "http://nonhttp.test": (
+        '<html><body><a href="/relative">R</a><a href="#anchor">A</a>'
+        '<a href="mailto:a@b.c">M</a><a href="javascript:void(0)">J</a></body></html>'
+    ),
+    # scraper_service_test.go:608-622 (script/style suppression)
+    "http://scriptstyle.test": """<html>
+\t\t<head>
+\t\t\t<style>
+\t\t\t\tbody { color: red; }
+\t\t\t\t.hidden { display: none; }
+\t\t\t</style>
+\t\t\t<script>
+\t\t\t\tvar secret = "sensitive_variable";
+\t\t\t\tconsole.log("runtime_code");
+\t\t\t</script>
+\t\t</head>
+\t\t<body>
+\t\t\t<p>Visible content</p>
+\t\t</body>
+\t</html>""",
+    # scraper_service_test.go:746-750 (self-closing tags)
+    "http://selfclosing.test": """<html><body>
+\t\t<img src="http://img.com/1.jpg" />
+\t\t<a href="http://site2.com" />
+\t\t<script src="test.js" />
+\t</body></html>""",
+    # scraper_service_test.go:713-715 (100KB cap)
+    "http://large.test": "<html><body><p>" + "a" * 100_005 + "</p></body></html>",
+    # scraper_service_test.go:802 (empty page)
+    "http://empty.test": "<html></html>",
+}
+
+
+def golden_documents(spark: SparkSession) -> DataFrame:
+    """Golden fixtures as a span-ized `documents` DataFrame (via the
+    tokenizer port — golden *expectations* in tests are hand-coded)."""
+    rows = [
+        (
+            url,
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for (k, t, m, o) in tokenize_html(html)
+            ],
+        )
+        for url, html in GOLDEN_HTML.items()
+    ]
+    return spark.createDataFrame(rows, DOCUMENTS)

@@ -1,0 +1,108 @@
+"""Per-host politeness: robots rules, crawl-delay, fetch budget.
+
+The reference has ZERO politeness — a bare ``http.Get`` with no
+robots.txt, no rate limit, no timeout
+(`workers/scraper/repositories/page_fetcher.go:14-20`). The north_rule
+mandates it, so this is an addition: a per-host priority queue enforced
+inside ``groupBy(host).applyInPandas``, with robots rules broadcast as
+a small config table.
+
+Semantics per round:
+- robots: a URL whose path starts with any disallow prefix for its host
+  is dropped (action='robots_blocked') — it was already claimed into
+  the seen set at discovery (matching the reference where SAdd precedes
+  enqueue), so it is never re-attempted;
+- crawl-delay: a host with ``crawl_delay_rounds=d`` fetches only on
+  rounds where ``round % (d+1) == 0``; off-rounds defer the whole host;
+- budget: at most ``max_fetches_per_round`` URLs per host per round,
+  priority = (depth DESC, url ASC) — deeper remaining budget means
+  discovered earlier (BFS), so first-discovered wins ties
+  deterministically; the remainder is deferred to the next round's
+  frontier *without re-claiming* (SURVEY.md §7 hard-parts).
+
+Deferral keeps the URL's remaining ``depth`` unchanged — politeness
+delays the fetch, it does not consume crawl depth.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.url import host_col
+
+DEFAULT_BUDGET = 8  # FIXTURES.md §4 default
+
+ACTION_FETCH = "fetch"
+ACTION_DEFER = "defer"
+ACTION_ROBOTS = "robots_blocked"
+
+
+def schedule_round(
+    frontier: DataFrame,
+    politeness: DataFrame | None,
+    round_no: int,
+    default_budget: int = DEFAULT_BUDGET,
+) -> DataFrame:
+    """Tag each frontier row with action ∈ {fetch, defer, robots_blocked}.
+
+    ``politeness`` is the small per-host config table (broadcast); hosts
+    absent from it get the permissive default (budget=default, no
+    robots, no delay) — the reference-parity configuration.
+    """
+    f = frontier.withColumn("host", host_col("url")).withColumn(
+        "path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    )
+    if politeness is not None:
+        f = f.join(F.broadcast(politeness), "host", "left")
+    else:
+        f = (
+            f.withColumn("max_fetches_per_round", F.lit(None).cast("int"))
+            .withColumn("robots_disallow", F.lit(None).cast("array<string>"))
+            .withColumn("crawl_delay_rounds", F.lit(None).cast("int"))
+        )
+    f = (
+        f.withColumn(
+            "budget", F.coalesce("max_fetches_per_round", F.lit(default_budget))
+        )
+        .withColumn("delay", F.coalesce("crawl_delay_rounds", F.lit(0)))
+        .withColumn(
+            "blocked",
+            F.exists(
+                F.coalesce("robots_disallow", F.array()),
+                lambda p: F.col("path").startswith(p),
+            ),
+        )
+    )
+
+    out_schema = (
+        "scraping_id long, user_id long, url string, depth int, round int, "
+        "host string, action string"
+    )
+
+    def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        # priority queue: first-discovered first (depth desc, url asc)
+        pdf = pdf.sort_values(["depth", "url"], ascending=[False, True])
+        budget = int(pdf["budget"].iloc[0])
+        delay = int(pdf["delay"].iloc[0])
+        blocked = pdf["blocked"].fillna(False).to_numpy()
+        action = pd.Series(ACTION_DEFER, index=pdf.index)
+        if round_no % (delay + 1) == 0:
+            eligible = ~blocked
+            fetch_idx = pdf.index[eligible][:budget]
+            action.loc[fetch_idx] = ACTION_FETCH
+        action[blocked] = ACTION_ROBOTS
+        return pd.DataFrame(
+            {
+                "scraping_id": pdf["scraping_id"],
+                "user_id": pdf["user_id"],
+                "depth": pdf["depth"],
+                "round": pdf["round"],
+                "url": pdf["url"],
+                "host": pdf["host"],
+                "action": action,
+            }
+        )
+
+    return f.groupBy("host").applyInPandas(per_host, out_schema)

@@ -1,0 +1,454 @@
+"""The crawl plan: iterative BFS DataFrame rounds with atomic commits.
+
+Spark rendition of the reference's event loop (SURVEY.md §3.1):
+one round = one generation of the SQS frontier queue; the Redis pending
+counter disappears (loop runs until the frontier is empty); every
+round's outputs are committed atomically to the warehouse, so a killed
+crawl resumes byte-identically from the last committed round.
+
+Round pipeline (reference stage → Spark op):
+  frontier_r                      SQS poll loop          warehouse read
+  → politeness gate               (absent in reference)  applyInPandas per host
+  → fetch                         http.Get               join vs documents / generator resolver
+  → parse                         Go tokenizer walk      columnar span expressions
+  → pages/links/images/index      4-queue fan-out        4 DataFrame appends
+  → candidates (http*, depth>0)   filter + SAdd loop     filter + first-wins agg
+  → new = anti-join seen          Redis SAdd batch       Bloom pre-filter + left-anti
+  → seen += new; frontier_{r+1}   SQS sends              2 appends, commit round
+
+Scale design decisions (each with its 100-TB rationale):
+- fetch-join broadcasts whichever side is small (a crawl round is
+  usually ≪ corpus; AQE handles the flip) and the parsed round is
+  repartitioned by xxhash64(canonical url) so hot-host pages spread
+  across executors (salting, SURVEY.md §4.2);
+- the seen-set anti-join only shuffles Bloom-positive candidates; the
+  Bloom bitmap is maintained incrementally (OR of per-round builds) —
+  no full seen-table rescan per round;
+- per-round warehouse writes double as lineage truncation (iterative
+  loops otherwise accrete unbounded plans);
+- all row-level logic is columnar or Arrow-vectorized; zero per-row
+  Python UDFs.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.spans import content_col, images_col, links_col
+from ..functions.spark_udfs import make_explain_image_udf, make_summarize_udf
+from ..functions.url import url_hash_col
+from ..operators.bloom import BloomFilter, build_bloom, optimal_params, prefiltered_anti_join
+from ..operators.politeness import (
+    ACTION_DEFER,
+    ACTION_FETCH,
+    ACTION_ROBOTS,
+    schedule_round,
+)
+from ..schema import FRONTIER, SEEN
+from ..sources.warehouse import Warehouse
+
+
+@dataclass
+class CrawlConfig:
+    default_budget: int = 8
+    use_bloom: bool = True
+    bloom_expected_urls: int = 1 << 20
+    bloom_fpp: float = 1e-3
+    max_rounds: int = 64
+    summarizer_enabled: bool = True       # WithFeatureFlags (scraper_service.go:217-256)
+    image_extractor_enabled: bool = True
+    indexer_enabled: bool = True
+    llm_provider: str = "mock"
+    repartition_parsed: int | None = None  # salt/spread heavy parse rounds
+
+
+@dataclass
+class RoundStats:
+    round: int
+    urls_in: int
+    fetched: int
+    fetch_errors: int
+    links_extracted: int
+    new_urls: int
+    deferred: int
+    robots_blocked: int
+    wall_ms: int
+
+
+@dataclass
+class CrawlEngine:
+    """One engine instance = one warehouse (may host many scrapings)."""
+
+    spark: SparkSession
+    warehouse_root: str
+    documents: DataFrame | None = None       # materialized corpus (doc_id, spans)
+    resolver: object | None = None           # or: callable(to_fetch DF) -> DF with spans
+    politeness: DataFrame | None = None
+    config: CrawlConfig = field(default_factory=CrawlConfig)
+
+    def __post_init__(self):
+        self.wh = Warehouse(self.spark, self.warehouse_root)
+        self._bloom: BloomFilter | None = None
+        self._summarize = make_summarize_udf(self.config.llm_provider)
+        self._explain = make_explain_image_udf(self.config.llm_provider)
+
+    # ------------------------------------------------------------------ init
+    def start(self, seeds: list[tuple[int, int, str, int]]) -> None:
+        """seeds: (scraping_id, user_id, url, depth). Mirrors POST /scrape:
+        crawls row + PENDING job + seed frontier message + seed self-mark
+        into seen (`api/services/scraper_service.py:50-85`; SAdd
+        `scraper_service.go:93-94`)."""
+        crawls = self.spark.createDataFrame(
+            [(s, u, url, d) for (s, u, url, d) in seeds],
+            "scraping_id long, user_id long, url string, depth int",
+        )
+        self.wh.append("crawls", crawls)
+        self.wh.append(
+            "jobs",
+            crawls.select(
+                "scraping_id",
+                "url",
+                "depth",
+                F.lit("PENDING").alias("status"),
+                F.lit(0).cast("long").alias("links_count"),
+                F.lit(0).alias("created_round"),
+                F.lit(None).cast("int").alias("completed_round"),
+            ),
+        )
+        frontier0 = crawls.select(
+            "scraping_id",
+            "user_id",
+            "url",
+            "depth",
+            F.lit(0).alias("round"),
+        )
+        self.wh.append("frontier", frontier0, {"round": 0})
+        self.wh.append(
+            "seen",
+            frontier0.select(
+                "scraping_id",
+                "url",
+                url_hash_col("url").alias("url_hash"),
+                F.col("depth").alias("first_depth"),
+                F.lit(0).alias("round"),
+            ),
+            {"round": 0},
+        )
+
+    # ----------------------------------------------------------------- fetch
+    def _fetch(self, to_fetch: DataFrame) -> DataFrame:
+        """frontier ⋈ documents (J1). Missing doc = the fetch-error path
+        (`scraper_service.go:117-127`). In resolver mode the web is a
+        deterministic function — no join, no materialized corpus."""
+        if self.resolver is not None:
+            return self.resolver(to_fetch)
+        docs = self.documents.select(
+            F.col("doc_id").alias("url"), "spans"
+        )
+        return to_fetch.join(docs, "url", "left")
+
+    # ----------------------------------------------------------------- round
+    def run_round(self, round_no: int) -> RoundStats:
+        t0 = time.monotonic()
+        cfg = self.config
+        frontier = self.wh.read("frontier", {"round": round_no})
+
+        scheduled = schedule_round(
+            frontier, self.politeness, round_no, cfg.default_budget
+        ).persist()
+        to_fetch = scheduled.filter(F.col("action") == ACTION_FETCH).drop(
+            "action", "host"
+        )
+
+        fetched = self._fetch(to_fetch)
+        if cfg.repartition_parsed:
+            fetched = fetched.repartition(
+                cfg.repartition_parsed, url_hash_col("url")
+            )
+        parsed = (
+            fetched.withColumn("ok", F.col("spans").isNotNull())
+            .withColumn("content", F.when(F.col("ok"), content_col("spans")))
+            .withColumn("links", F.when(F.col("ok"), links_col("spans")))
+            .withColumn("images", F.when(F.col("ok"), images_col("spans")))
+            .drop("spans")
+            .persist()
+        )
+
+        # fetch log (status 404 = missing doc; non-200 drop, P5)
+        self.wh.append(
+            "fetch_log",
+            parsed.select(
+                "scraping_id",
+                "url",
+                F.lit(round_no).alias("round"),
+                F.when(F.col("ok"), F.lit(200)).otherwise(F.lit(404)).alias("status"),
+                F.when(F.col("ok"), F.lit(None).cast("string"))
+                .otherwise(F.lit("fetch error"))
+                .alias("error"),
+            ),
+            {"round": round_no},
+        )
+
+        ok = parsed.filter("ok")
+
+        pages = ok.select(
+            "scraping_id",
+            "url",
+            "content",
+            F.when(
+                (F.length("content") > 0) & F.lit(cfg.summarizer_enabled),
+                self._summarize("content"),
+            ).alias("summary"),
+            F.lit(round_no).alias("round"),
+        )
+        self.wh.append("pages", pages, {"round": round_no})
+
+        links = ok.select(
+            "scraping_id",
+            F.col("url").alias("source_url"),
+            F.explode_outer("links").alias("target_url"),
+            F.lit(round_no).alias("round"),
+        ).filter(F.col("target_url").isNotNull())
+        self.wh.append("links", links, {"round": round_no})
+
+        if cfg.image_extractor_enabled:
+            images = (
+                ok.select(
+                    "scraping_id",
+                    F.col("url").alias("page_url"),
+                    F.explode("images").alias("image_url"),
+                )
+                .withColumn(
+                    "ext",  # P9 extension inference (extractor_service.go:109-129)
+                    F.coalesce(
+                        F.nullif(
+                            F.regexp_extract(
+                                "image_url", r"\.([A-Za-z0-9]{1,5})(?:\?|$)", 1
+                            ),
+                            F.lit(""),
+                        ),
+                        F.lit("bin"),
+                    ),
+                )
+                .select(
+                    "scraping_id",
+                    "page_url",
+                    "image_url",
+                    self._explain("image_url").alias("explanation"),
+                    F.concat_ws(
+                        "/",
+                        F.col("scraping_id").cast("string"),
+                        F.concat(F.sha2(F.col("image_url"), 256), F.lit("."), F.col("ext")),
+                    ).alias("s3_path"),  # deterministic key replaces uuid (extractor_service.go:66)
+                    F.lit(round_no).alias("round"),
+                )
+            )
+            self.wh.append("images", images, {"round": round_no})
+
+        if cfg.indexer_enabled:
+            self.wh.append(
+                "index_docs",
+                ok.select(
+                    "url",
+                    "content",
+                    F.lit(None).cast("string").alias("summary"),
+                    "scraping_id",
+                    "user_id",
+                    F.lit(round_no).alias("round"),
+                ),
+                {"round": round_no},
+            )
+
+        # ---- recursion: candidates → first-wins → anti-join seen (J2) ----
+        candidates = (
+            ok.filter(F.col("depth") > 0)  # depth gate (P6)
+            .select(
+                "scraping_id",
+                "user_id",
+                F.col("url").alias("parent_url"),
+                (F.col("depth") - 1).alias("child_depth"),
+                F.explode("links").alias("url"),
+            )
+            .filter(F.col("url").startswith("http"))  # P4
+        )
+        # intra-round first-wins: FIFO parity = earliest-discovered parent
+        # wins ⇒ max remaining depth; provenance = min parent (deterministic
+        # aggregate, never dropDuplicates — SURVEY.md §7 hard-parts)
+        claims = candidates.groupBy("scraping_id", "url").agg(
+            F.max("child_depth").alias("depth"),
+            F.min("parent_url").alias("via"),
+            F.max("user_id").alias("user_id"),
+        )
+        claims = claims.withColumn("url_hash", url_hash_col("url"))
+
+        seen = self.wh.read("seen")
+        new_urls = prefiltered_anti_join(
+            claims,
+            seen,
+            ["scraping_id", "url"],
+            "url_hash",
+            self._bloom if self.config.use_bloom else None,
+        ).persist()
+
+        self.wh.append(
+            "seen",
+            new_urls.select(
+                "scraping_id",
+                "url",
+                "url_hash",
+                F.col("depth").alias("first_depth"),
+                F.lit(round_no + 1).alias("round"),
+            ),
+            {"round": round_no + 1},
+        )
+        if self.config.use_bloom:
+            self._or_into_bloom(new_urls)
+
+        deferred = scheduled.filter(F.col("action") == ACTION_DEFER)
+        next_frontier = new_urls.select(
+            "scraping_id",
+            "user_id",
+            "url",
+            "depth",
+            F.lit(round_no + 1).alias("round"),
+        ).unionByName(
+            deferred.select(
+                "scraping_id",
+                "user_id",
+                "url",
+                "depth",
+                F.lit(round_no + 1).alias("round"),
+            )
+        )
+        self.wh.append("frontier", next_frontier, {"round": round_no + 1})
+
+        stats = RoundStats(
+            round=round_no,
+            urls_in=frontier.count(),
+            fetched=ok.count(),
+            fetch_errors=parsed.filter(~F.col("ok")).count(),
+            links_extracted=links.count(),
+            new_urls=new_urls.count(),
+            deferred=deferred.count(),
+            robots_blocked=scheduled.filter(
+                F.col("action") == ACTION_ROBOTS
+            ).count(),
+            wall_ms=int((time.monotonic() - t0) * 1000),
+        )
+        self.wh.append(
+            "metrics",
+            self.spark.createDataFrame(
+                [
+                    (
+                        -1,
+                        stats.round,
+                        stats.urls_in,
+                        stats.fetched,
+                        stats.fetch_errors,
+                        stats.links_extracted,
+                        stats.new_urls,
+                        stats.deferred,
+                        stats.robots_blocked,
+                        stats.wall_ms,
+                    )
+                ],
+                "scraping_id long, round int, urls_in long, fetched long, "
+                "fetch_errors long, links_extracted long, new_urls long, "
+                "deferred long, robots_blocked long, wall_ms long",
+            ),
+            {"round": round_no},
+        )
+        scheduled.unpersist()
+        parsed.unpersist()
+        new_urls.unpersist()
+        return stats
+
+    def _or_into_bloom(self, new_urls: DataFrame) -> None:
+        import numpy as np
+
+        add = build_bloom(
+            new_urls,
+            "url_hash",
+            self.config.bloom_expected_urls,
+            self.config.bloom_fpp,
+        )
+        if self._bloom is None:
+            self._bloom = add
+        else:
+            self._bloom.bits = np.bitwise_or(self._bloom.bits, add.bits)
+
+    # ------------------------------------------------------------------ loop
+    def run(self, start_round: int | None = None) -> list[RoundStats]:
+        cfg = self.config
+        r = self._next_round() if start_round is None else start_round
+        self._rollback_partial(r)
+        if cfg.use_bloom and self._bloom is None and self.wh.exists("seen"):
+            self._bloom = build_bloom(
+                self.wh.read("seen"), "url_hash", cfg.bloom_expected_urls, cfg.bloom_fpp
+            )
+        all_stats: list[RoundStats] = []
+        while r < cfg.max_rounds:
+            if self.wh.read("frontier", {"round": r}).isEmpty():
+                break
+            all_stats.append(self.run_round(r))
+            r += 1
+        self._finalize()
+        return all_stats
+
+    def resume(self) -> list[RoundStats]:
+        """Resume from the last committed round: rebuild the Bloom from
+        the committed seen table and continue (reference analog: SQS
+        redelivery after worker crash, made exactly-once by the atomic
+        per-round commits — SURVEY.md §2.10)."""
+        return self.run(start_round=None)
+
+    def _next_round(self) -> int:
+        done = [
+            p["round"] for p in self.wh.commit_props("metrics") if "round" in p
+        ]
+        return (max(done) + 1) if done else 0
+
+    def _rollback_partial(self, next_round: int) -> None:
+        """Drop commits from a partially-executed round so re-running it
+        is idempotent (the metrics commit is the round's completion
+        marker; anything tagged beyond it is partial)."""
+        for table in ("fetch_log", "pages", "links", "images", "index_docs", "metrics"):
+            self.wh.remove_commits(
+                table, lambda p: p.get("round", -1) >= next_round
+            )
+        for table in ("seen", "frontier"):
+            # round r writes seen/frontier tagged r+1; start() tags 0
+            self.wh.remove_commits(
+                table, lambda p: p.get("round", -1) >= next_round + 1
+            )
+
+    # -------------------------------------------------------------- finalize
+    def _finalize(self) -> None:
+        """Job completion: status=COMPLETED + links_count (A2) — the
+        Spark MERGE replacing the Redis pending-counter protocol
+        (`dynamo_client.go:56-106`, `writer_service.go:57-63`)."""
+        last_round = self._next_round() - 1
+        counts = (
+            self.wh.read("links")
+            .groupBy("scraping_id")
+            .agg(F.count("*").alias("links_count"))
+        )
+        jobs = self.wh.read("jobs")
+        updates = (
+            jobs.select("scraping_id", "url", "depth", "created_round")
+            .join(counts, "scraping_id", "left")
+            .select(
+                "scraping_id",
+                "url",
+                "depth",
+                F.lit("COMPLETED").alias("status"),
+                F.coalesce("links_count", F.lit(0)).alias("links_count"),
+                "created_round",
+                F.lit(max(last_round, 0)).alias("completed_round"),
+            )
+        )
+        self.wh.merge("jobs", updates, ["scraping_id"])

@@ -142,6 +142,21 @@ class Warehouse:
         vals = [p[key] for p in self.commit_props(table) if key in p]
         return vals[-1] if vals else default
 
+    def remove_commits(self, table: str, pred) -> None:
+        """Drop commits whose props match ``pred`` (atomic manifest swap,
+        then GC the orphaned staging dirs) — used for partial-round
+        rollback on resume."""
+        manifest = self._read_manifest(table)
+        keep = [c for c in manifest["commits"] if not pred(c["props"])]
+        drop = [c for c in manifest["commits"] if pred(c["props"])]
+        if not drop:
+            return
+        self._swap_manifest(table, {"commits": keep})
+        for c in drop:
+            shutil.rmtree(
+                os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True
+            )
+
     def exists(self, table: str) -> bool:
         return bool(self._read_manifest(table)["commits"])
 

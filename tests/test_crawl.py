@@ -1,0 +1,236 @@
+"""Crawl-loop end-state equality vs the pure-Python reference simulator
+(FIXTURES.md §3/§5): fixture jobs from the reference's own e2e + unit
+tests, plus a synthetic-corpus crawl, politeness deferral, and
+resume-from-checkpoint."""
+
+from __future__ import annotations
+
+import pytest
+
+from isidorus_web_scraper_spark.corpus import (
+    GOLDEN_HTML,
+    golden_documents,
+    generate_documents,
+    page_spans,
+    all_urls,
+)
+from isidorus_web_scraper_spark.functions.html_tokenize import tokenize_html
+from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+from .reference_sim import MOCK_EXPLANATION, MOCK_SUMMARY, crawl_sim
+
+MOCK = "http://mock-website:8000"
+
+
+def golden_corpus_dict():
+    return {
+        url: [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in tokenize_html(html)
+        ]
+        for url, html in GOLDEN_HTML.items()
+    }
+
+
+def run_engine(spark, tmp_path, seeds, documents, config=None, politeness=None):
+    # reference-parity config: permissive budget (the reference has no
+    # politeness, FIXTURES.md §4) so BFS round == hop count
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "wh"),
+        documents=documents,
+        politeness=politeness,
+        config=config
+        or CrawlConfig(bloom_expected_urls=4096, default_budget=1_000_000_000),
+    )
+    eng.start(seeds)
+    stats = eng.run()
+    return eng, stats
+
+
+def spark_end_state(eng):
+    pages = {
+        (r.scraping_id, r.url): (r.content, r.summary, r.round)
+        for r in eng.wh.read("pages").collect()
+    }
+    seen = {(r.scraping_id, r.url) for r in eng.wh.read("seen").collect()}
+    links = sorted(
+        (r.scraping_id, r.source_url, r.target_url)
+        for r in eng.wh.read("links").collect()
+    )
+    images = sorted(
+        (r.scraping_id, r.page_url, r.image_url, r.explanation)
+        for r in eng.wh.read("images").collect()
+    )
+    jobs = {
+        r.scraping_id: (r.status, r.links_count) for r in eng.wh.read("jobs").collect()
+    }
+    return pages, seen, links, images, jobs
+
+
+def assert_matches_sim(eng, sim, seed_depths):
+    pages, seen, links, images, jobs = spark_end_state(eng)
+    sim_pages = {(s, u): (c, d) for (s, u, c, d) in sim.pages}
+    assert set(pages) == set(sim_pages), (
+        f"page sets differ: only-spark={set(pages) - set(sim_pages)} "
+        f"only-sim={set(sim_pages) - set(pages)}"
+    )
+    for key, (content, summary, rnd) in pages.items():
+        sim_content, sim_depth = sim_pages[key]
+        assert content == sim_content, f"content differs for {key}"
+        # BFS round == hops == seed_depth - remaining_depth
+        assert rnd == seed_depths[key[0]] - sim_depth, f"round differs for {key}"
+        expected_summary = sim.summaries.get(key)
+        assert summary == expected_summary, f"summary differs for {key}"
+    assert seen == sim.seen
+    assert links == sorted(sim.links)
+    assert images == sorted(sim.images)
+    assert jobs == sim.jobs
+
+
+# ---------------------------------------------------------------------------
+# Fixture job 1: mock/index depth 2 — e2e runner.py:229-246 (2 pages, 1 image)
+# ---------------------------------------------------------------------------
+def test_mock_site_depth2(spark, tmp_path):
+    seeds = [(1, 10, f"{MOCK}/index.html", 2)]
+    eng, _ = run_engine(spark, tmp_path, seeds, golden_documents(spark))
+    sim = crawl_sim(golden_corpus_dict(), [(1, f"{MOCK}/index.html", 2)])
+    assert_matches_sim(eng, sim, {1: 2})
+    pages, _, _, images, jobs = spark_end_state(eng)
+    assert len(pages) == 2  # index + page2 (cycle back to index deduped)
+    assert len(images) == 1
+    assert images[0][2] == f"{MOCK}/darth.png"
+    assert images[0][3] == MOCK_EXPLANATION
+    assert all(p[1] == MOCK_SUMMARY for p in pages.values())
+    assert jobs[1][0] == "COMPLETED"
+
+
+# ---------------------------------------------------------------------------
+# Fixture job 2: cycle_a depth 5 — exactly 2 pages (runner.py:282-315)
+# ---------------------------------------------------------------------------
+def test_cycle_detection_depth5(spark, tmp_path):
+    seeds = [(2, 10, f"{MOCK}/cycle_a.html", 5)]
+    eng, stats = run_engine(spark, tmp_path, seeds, golden_documents(spark))
+    sim = crawl_sim(golden_corpus_dict(), [(2, f"{MOCK}/cycle_a.html", 5)])
+    assert_matches_sim(eng, sim, {2: 5})
+    pages, seen, _, _, _ = spark_end_state(eng)
+    assert len(pages) == 2
+    assert seen == {(2, f"{MOCK}/cycle_a.html"), (2, f"{MOCK}/cycle_b.html")}
+    # loop terminated by dedup, not by depth exhaustion
+    assert len(stats) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Fixture job 3: fetch-error seed — 0 pages, job still COMPLETED
+# (scraper_service_test.go:642-668)
+# ---------------------------------------------------------------------------
+def test_fetch_error_seed(spark, tmp_path):
+    seeds = [(3, 10, "http://missing.test/404.html", 2)]
+    eng, _ = run_engine(spark, tmp_path, seeds, golden_documents(spark))
+    sim = crawl_sim(golden_corpus_dict(), [(3, "http://missing.test/404.html", 2)])
+    assert_matches_sim(eng, sim, {3: 2})
+    pages, _, _, _, jobs = spark_end_state(eng)
+    assert pages == {}
+    assert jobs[3] == ("COMPLETED", 0)
+    log = eng.wh.read("fetch_log").collect()
+    assert [(r.status, r.error) for r in log] == [(404, "fetch error")]
+
+
+# ---------------------------------------------------------------------------
+# Fixture job 4: depth 0 — 1 page, no recursion (scraper_service_test.go:338-371)
+# ---------------------------------------------------------------------------
+def test_depth0_no_recursion(spark, tmp_path):
+    seeds = [(4, 10, f"{MOCK}/index.html", 0)]
+    eng, _ = run_engine(spark, tmp_path, seeds, golden_documents(spark))
+    sim = crawl_sim(golden_corpus_dict(), [(4, f"{MOCK}/index.html", 0)])
+    assert_matches_sim(eng, sim, {4: 0})
+    pages, seen, links, _, _ = spark_end_state(eng)
+    assert set(pages) == {(4, f"{MOCK}/index.html")}
+    # depth-0 page: links recorded, but NOT claimed into seen
+    assert seen == {(4, f"{MOCK}/index.html")}
+    assert len(links) == 1
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus crawl (zipf hosts) vs simulator — multi-round BFS
+# with dedup over a real link graph, plus a second concurrent scraping.
+# ---------------------------------------------------------------------------
+def test_synthetic_corpus_crawl(spark, tmp_path):
+    n_hosts = 6
+    docs = generate_documents(spark, n_hosts=n_hosts).persist()
+    corpus = {u: page_spans(u, n_hosts=n_hosts) for u in all_urls(n_hosts)}
+    seeds = [
+        (10, 1, "http://h0.test/p0.html", 3),
+        (11, 2, "http://h1.test/p0.html", 2),
+    ]
+    eng, stats = run_engine(spark, tmp_path, seeds, docs)
+    sim = crawl_sim(corpus, [(10, "http://h0.test/p0.html", 3), (11, "http://h1.test/p0.html", 2)])
+    assert_matches_sim(eng, sim, {10: 3, 11: 2})
+    assert len(stats) >= 3
+
+
+# ---------------------------------------------------------------------------
+# Politeness: budget=1 host defers without re-claiming; robots blocks.
+# ---------------------------------------------------------------------------
+def test_politeness_deferral_and_robots(spark, tmp_path):
+    n_hosts = 4
+    docs = generate_documents(spark, n_hosts=n_hosts).persist()
+    politeness = spark.createDataFrame(
+        [("h0.test", 1, [], 0), ("h1.test", 8, ["/p1.html"], 0)],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "wh"),
+        documents=docs,
+        politeness=politeness,
+        config=CrawlConfig(bloom_expected_urls=4096, max_rounds=40),
+    )
+    eng.start([(20, 1, "http://h0.test/p0.html", 3)])
+    stats = eng.run()
+    pages, seen, _, _, _ = spark_end_state(eng)
+    # budget forces h0 fetches to spread: no round fetched >1 h0 page
+    per_round_h0 = {}
+    for r in eng.wh.read("pages").collect():
+        if r.url.startswith("http://h0.test"):
+            per_round_h0[r.round] = per_round_h0.get(r.round, 0) + 1
+    assert per_round_h0 and all(v == 1 for v in per_round_h0.values())
+    # robots: blocked path never fetched even if discovered
+    blocked = [u for (_s, u) in seen if u == "http://h1.test/p1.html"]
+    fetched_blocked = [k for k in pages if k[1] == "http://h1.test/p1.html"]
+    assert fetched_blocked == []
+    # every page fetched exactly once (deferral never double-claims)
+    urls = [r.url for r in eng.wh.read("pages").collect()]
+    assert len(urls) == len(set(urls))
+    assert sum(s.deferred for s in stats) > 0
+
+
+# ---------------------------------------------------------------------------
+# Resume-from-checkpoint: kill after round 0, resume with a NEW engine,
+# end state must equal an uninterrupted run.
+# ---------------------------------------------------------------------------
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    n_hosts = 5
+    docs = generate_documents(spark, n_hosts=n_hosts).persist()
+    seeds = [(30, 1, "http://h0.test/p0.html", 3)]
+
+    cfg = lambda: CrawlConfig(bloom_expected_urls=4096, default_budget=1_000_000_000)
+    full = CrawlEngine(
+        spark, str(tmp_path / "wh_full"), documents=docs, config=cfg()
+    )
+    full.start(seeds)
+    full.run()
+
+    part = CrawlEngine(
+        spark, str(tmp_path / "wh_part"), documents=docs, config=cfg()
+    )
+    part.start(seeds)
+    part.run_round(0)  # "crash" after round 0's commit
+
+    resumed = CrawlEngine(  # fresh engine: bloom must rebuild from seen
+        spark, str(tmp_path / "wh_part"), documents=docs, config=cfg()
+    )
+    resumed.resume()
+
+    assert spark_end_state(resumed) == spark_end_state(full)
