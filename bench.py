@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Components:
+- ``crawl``: the flagship metric — URLs fetched+deduped over a
+  generator-backed synthetic web (zipf hot-host skew, politeness budget
+  enforced, Bloom seen-set pre-filter on), reported as
+  ``extra.crawl_urls_per_sec``;
+- three representative driver-contract queries at $SPARK_GRAFT_SF_DIR.
+
+Scaling-efficiency evidence (north_rule N vs 4N executors) is produced
+by ``bench/scaling.py``, which runs THIS workload at local[8] vs
+local[32] — see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from isidorus_web_scraper_spark.corpus import make_resolver, page_url  # noqa: E402
+from isidorus_web_scraper_spark.driver_queries import QUERIES  # noqa: E402
+from isidorus_web_scraper_spark.plans.crawl import (  # noqa: E402
+    CrawlConfig,
+    CrawlEngine,
+)
+from isidorus_web_scraper_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "8192"))
+DEPTH = int(os.environ.get("SPARK_GRAFT_CRAWL_DEPTH", "3"))
+N_HOSTS = 65536
+HOST_BASE = 65536  # host0 has 64k pages; zipf address space ≈ 320k pages
+BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "4096"))
+BENCH_QUERIES = ["flagship_doc_stats", "crawl_bfs_depth3", "latest_page_pick"]
+
+
+def crawl_bench(spark) -> tuple[float, dict]:
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="iws-bench-"),
+        resolver=make_resolver(n_hosts=N_HOSTS, base=HOST_BASE),
+        politeness=spark.createDataFrame(
+            # explicit budget row for the hot host + permissive default
+            [("h0.test", BUDGET, [], 0)],
+            "host string, max_fetches_per_round int, "
+            "robots_disallow array<string>, crawl_delay_rounds int",
+        ),
+        config=CrawlConfig(
+            default_budget=BUDGET,
+            bloom_expected_urls=1 << 18,
+            max_rounds=DEPTH + 6,
+        ),
+    )
+    seeds = [
+        (h, 1, page_url(h % 4096, h // 4096), DEPTH) for h in range(N_SEEDS)
+    ]
+    eng.start(seeds)
+    t0 = time.monotonic()
+    stats = eng.run()
+    wall = time.monotonic() - t0
+    fetched = sum(s.fetched for s in stats)
+    deduped = sum(s.new_urls for s in stats)
+    return wall, {
+        "crawl_rounds": len(stats),
+        "crawl_urls_fetched": fetched,
+        "crawl_urls_deduped": deduped,
+        "crawl_urls_per_sec": round(fetched / wall, 1) if wall else 0.0,
+    }
+
+
+def main() -> None:
+    spark = get_spark("iws-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    timings: dict[str, float] = {}
+    t0 = time.monotonic()
+    wall, extra = crawl_bench(spark)
+    timings["crawl"] = round(wall, 3)
+
+    for name in BENCH_QUERIES:
+        t = time.monotonic()
+        QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.monotonic() - t, 3)
+
+    total = round(time.monotonic() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

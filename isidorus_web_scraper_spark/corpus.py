@@ -68,6 +68,7 @@ def page_spans(
     n_hosts: int = 20,
     links_out: int = 8,
     big_page_every: int = 1000,
+    base: int = 64,
 ) -> list[dict] | None:
     """The page behind ``url``, or None (404) if outside the address space.
 
@@ -84,7 +85,7 @@ def page_spans(
         p = int(ppart.removesuffix(".html"))
     except ValueError:
         return None
-    if h < 0 or h >= n_hosts or p < 0 or p >= pages_per_host(h):
+    if h < 0 or h >= n_hosts or p < 0 or p >= pages_per_host(h, base):
         return None
 
     rng = random.Random(_seed_for(url))
@@ -118,16 +119,18 @@ def page_spans(
             else:
                 th = rng.randrange(n_hosts)
                 th = min(th, rng.randrange(n_hosts))  # bias to hot hosts
-            tp = rng.randrange(pages_per_host(th))
+            tp = rng.randrange(pages_per_host(th, base))
             emit("link", media_ref=page_url(th, tp))
     for _ in range(rng.randint(0, 3)):
         emit("image", media_ref=f"http://img{h}.test/i{rng.randrange(50)}.png")
     return spans
 
 
-def all_urls(n_hosts: int = 20) -> list[str]:
+def all_urls(n_hosts: int = 20, base: int = 64) -> list[str]:
     return [
-        page_url(h, p) for h in range(n_hosts) for p in range(pages_per_host(h))
+        page_url(h, p)
+        for h in range(n_hosts)
+        for p in range(pages_per_host(h, base))
     ]
 
 
@@ -154,6 +157,42 @@ def generate_documents(
         [(u,) for u in urls], "doc_id string"
     ).repartition(partitions)
     return base.mapInPandas(gen, DOCUMENTS)
+
+
+def make_resolver(
+    n_hosts: int = 20, base: int = 64, links_out: int = 8, big_page_every: int = 1000
+):
+    """Generator-backed fetch: resolve frontier URLs to spans *on the
+    executors* with the pure page function — no corpus scan, no join.
+    This is the 10^10-address-space path (SURVEY.md §7 stage 5): fetch
+    cost is O(|frontier round|) regardless of the web's size."""
+    import pyspark.sql.types as T
+
+    from .schema import SPAN
+
+    def resolve(to_fetch):
+        out_schema = T.StructType(
+            list(to_fetch.schema.fields)
+            + [T.StructField("spans", T.ArrayType(SPAN), True)]
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["spans"] = pdf["url"].map(
+                    lambda u: page_spans(
+                        u,
+                        n_hosts=n_hosts,
+                        links_out=links_out,
+                        big_page_every=big_page_every,
+                        base=base,
+                    )
+                )
+                yield pdf
+
+        return to_fetch.mapInPandas(gen, out_schema)
+
+    return resolve
 
 
 # ---------------------------------------------------------------------------

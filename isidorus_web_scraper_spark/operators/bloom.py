@@ -43,6 +43,18 @@ class BloomFilter:
     num_hashes: int
     bits: np.ndarray  # uint8 bitmap, length num_bits/8
 
+    def insert_vec(self, hashes: np.ndarray) -> None:
+        """Driver-side vectorized insert — cheaper than a distributed
+        build when the batch is small (crawl rounds are often ≪ the
+        seen set; a Spark job per round just to OR 1k hashes is waste)."""
+        if len(hashes) == 0:
+            return
+        h = hashes.astype(np.uint64)
+        pos = _positions(h, self.num_hashes, self.num_bits).ravel()
+        np.bitwise_or.at(
+            self.bits, pos >> np.uint64(3), (1 << (pos & np.uint64(7))).astype(np.uint8)
+        )
+
     def contains_vec(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership for an int64/uint64 hash array."""
         if len(hashes) == 0:

@@ -44,12 +44,22 @@ def schedule_round(
     politeness: DataFrame | None,
     round_no: int,
     default_budget: int = DEFAULT_BUDGET,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Tag each frontier row with action ∈ {fetch, defer, robots_blocked}.
 
     ``politeness`` is the small per-host config table (broadcast); hosts
     absent from it get the permissive default (budget=default, no
     robots, no delay) — the reference-parity configuration.
+
+    Two implementations with identical semantics (equivalence-tested):
+    - ``vectorized`` (default): repartition+sort by host, then ONE
+      ``mapInPandas`` pass per partition with per-host counts carried
+      across Arrow batches. One Python call per ~10k-row batch.
+    - ``grouped``: the literal ``groupBy(host).applyInPandas`` priority
+      queue. Same answer, but per-group pandas overhead makes it ~10×
+      slower when rounds span thousands of hosts — kept as the
+      executable spec of the per-host queue semantics.
     """
     f = frontier.withColumn("host", host_col("url")).withColumn(
         "path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
@@ -76,10 +86,67 @@ def schedule_round(
         )
     )
 
+    f = f.withColumn(
+        "delay_ok", F.lit(round_no) % (F.col("delay") + 1) == 0
+    )
+
     out_schema = (
         "scraping_id long, user_id long, url string, depth int, round int, "
         "host string, action string"
     )
+
+    if impl == "vectorized":
+        n_parts = int(f.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        pre = f.repartition(n_parts, "host").sortWithinPartitions(
+            "host", F.desc("depth"), "url"  # priority: first-discovered first
+        )
+
+        def sched(batches):
+            import numpy as np
+
+            # eligible (non-blocked) rows already taken per host —
+            # carried across Arrow batches within the partition
+            taken: dict[str, int] = {}
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                blocked = pdf["blocked"].fillna(False).to_numpy(dtype=bool)
+                delay_ok = pdf["delay_ok"].to_numpy(dtype=bool)
+                budget = pdf["budget"].to_numpy()
+                elig = pd.Series(~blocked, index=pdf.index)
+                # eligible-rank = prior batches' count + eligible rows
+                # above this one in priority order within the batch
+                start = pdf["host"].map(taken).fillna(0).to_numpy()
+                cum_elig = (
+                    elig.groupby(pdf["host"], sort=False).cumsum().to_numpy()
+                    - elig.to_numpy()
+                )
+                rank = start + cum_elig
+                action = np.where(
+                    blocked,
+                    ACTION_ROBOTS,
+                    np.where(
+                        delay_ok & (rank < budget), ACTION_FETCH, ACTION_DEFER
+                    ),
+                )
+                for host, cnt in (
+                    elig.groupby(pdf["host"], sort=False).sum().items()
+                ):
+                    taken[host] = taken.get(host, 0) + int(cnt)
+                yield pd.DataFrame(
+                    {
+                        "scraping_id": pdf["scraping_id"],
+                        "user_id": pdf["user_id"],
+                        "url": pdf["url"],
+                        "depth": pdf["depth"],
+                        "round": pdf["round"],
+                        "host": pdf["host"],
+                        "action": action,
+                    }
+                )
+
+        return pre.mapInPandas(sched, out_schema)
 
     def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
         # priority queue: first-discovered first (depth desc, url asc)

@@ -32,6 +32,7 @@ Scale design decisions (each with its 100-TB rationale):
 
 from __future__ import annotations
 
+import contextlib
 import time
 from dataclasses import dataclass, field
 
@@ -41,7 +42,12 @@ from pyspark.sql import functions as F
 from ..functions.spans import content_col, images_col, links_col
 from ..functions.spark_udfs import make_explain_image_udf, make_summarize_udf
 from ..functions.url import url_hash_col
-from ..operators.bloom import BloomFilter, build_bloom, optimal_params, prefiltered_anti_join
+from ..operators.bloom import (
+    BloomFilter,
+    build_bloom,
+    prefiltered_anti_join,
+    with_bloom_flag,
+)
 from ..operators.politeness import (
     ACTION_DEFER,
     ACTION_FETCH,
@@ -64,6 +70,17 @@ class CrawlConfig:
     indexer_enabled: bool = True
     llm_provider: str = "mock"
     repartition_parsed: int | None = None  # salt/spread heavy parse rounds
+    # adaptive round sizing: small rounds run with few partitions (a
+    # 200-row round on 32 shuffle partitions is pure task overhead);
+    # big rounds scale back up to the cluster's parallelism
+    target_rows_per_task: int = 4000
+    # fetch/parse is compute-heavy (Arrow UDF + span folds): spread it
+    # wider than the shuffle sizing would suggest
+    target_rows_per_fetch_task: int = 512
+    max_parallelism: int | None = None
+    bloom_driver_insert_max: int = 200_000
+    politeness_impl: str = "vectorized"   # or "grouped" (applyInPandas spec)
+    debug_timing: bool = False
 
 
 @dataclass
@@ -101,11 +118,15 @@ class CrawlEngine:
         """seeds: (scraping_id, user_id, url, depth). Mirrors POST /scrape:
         crawls row + PENDING job + seed frontier message + seed self-mark
         into seen (`api/services/scraper_service.py:50-85`; SAdd
-        `scraper_service.go:93-94`)."""
+        `scraper_service.go:93-94`). One seed per scraping_id, as in the
+        reference (jobs are keyed by scraping_id alone)."""
+        ids = [s for (s, _u, _url, _d) in seeds]
+        if len(set(ids)) != len(ids):
+            raise ValueError("scraping_id must be unique per seed")
         crawls = self.spark.createDataFrame(
             [(s, u, url, d) for (s, u, url, d) in seeds],
             "scraping_id long, user_id long, url string, depth int",
-        )
+        ).coalesce(self._round_parallelism(len(seeds)))
         self.wh.append("crawls", crawls)
         self.wh.append(
             "jobs",
@@ -151,18 +172,56 @@ class CrawlEngine:
         )
         return to_fetch.join(docs, "url", "left")
 
+    @contextlib.contextmanager
+    def _timed(self, label: str):
+        t = time.monotonic()
+        yield
+        if self.config.debug_timing:
+            print(f"      [{label}] {time.monotonic() - t:.2f}s", flush=True)
+
+    def _round_parallelism(self, urls_in: int) -> int:
+        cfg = self.config
+        max_par = cfg.max_parallelism or self.spark.sparkContext.defaultParallelism
+        return max(1, min(max_par, -(-urls_in // cfg.target_rows_per_task)))
+
     # ----------------------------------------------------------------- round
     def run_round(self, round_no: int) -> RoundStats:
         t0 = time.monotonic()
         cfg = self.config
         frontier = self.wh.read("frontier", {"round": round_no})
+        urls_in = frontier.count()
+        parts = self._round_parallelism(urls_in)
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
-        scheduled = schedule_round(
-            frontier, self.politeness, round_no, cfg.default_budget
-        ).persist()
+        if self.politeness is None and cfg.default_budget >= 10**9:
+            # permissive fast path (reference parity: no politeness at
+            # all) — skips the per-host applyInPandas shuffle entirely
+            scheduled = frontier.select(
+                "scraping_id",
+                "user_id",
+                "depth",
+                "round",
+                "url",
+                F.lit(None).cast("string").alias("host"),
+                F.lit(ACTION_FETCH).alias("action"),
+            ).persist()
+        else:
+            scheduled = schedule_round(
+                frontier,
+                self.politeness,
+                round_no,
+                cfg.default_budget,
+                impl=cfg.politeness_impl,
+            ).persist()
         to_fetch = scheduled.filter(F.col("action") == ACTION_FETCH).drop(
             "action", "host"
         )
+        max_par = cfg.max_parallelism or self.spark.sparkContext.defaultParallelism
+        fetch_parts = max(
+            1, min(max_par, -(-urls_in // cfg.target_rows_per_fetch_task))
+        )
+        if fetch_parts > parts:
+            to_fetch = to_fetch.repartition(fetch_parts)
 
         fetched = self._fetch(to_fetch)
         if cfg.repartition_parsed:
@@ -179,19 +238,20 @@ class CrawlEngine:
         )
 
         # fetch log (status 404 = missing doc; non-200 drop, P5)
-        self.wh.append(
-            "fetch_log",
-            parsed.select(
-                "scraping_id",
-                "url",
-                F.lit(round_no).alias("round"),
-                F.when(F.col("ok"), F.lit(200)).otherwise(F.lit(404)).alias("status"),
-                F.when(F.col("ok"), F.lit(None).cast("string"))
-                .otherwise(F.lit("fetch error"))
-                .alias("error"),
-            ),
-            {"round": round_no},
-        )
+        with self._timed("fetch+parse+fetch_log"):
+            self.wh.append(
+                "fetch_log",
+                parsed.select(
+                    "scraping_id",
+                    "url",
+                    F.lit(round_no).alias("round"),
+                    F.when(F.col("ok"), F.lit(200)).otherwise(F.lit(404)).alias("status"),
+                    F.when(F.col("ok"), F.lit(None).cast("string"))
+                    .otherwise(F.lit("fetch error"))
+                    .alias("error"),
+                ),
+                {"round": round_no},
+            )
 
         ok = parsed.filter("ok")
 
@@ -205,7 +265,8 @@ class CrawlEngine:
             ).alias("summary"),
             F.lit(round_no).alias("round"),
         )
-        self.wh.append("pages", pages, {"round": round_no})
+        with self._timed("write pages"):
+            self.wh.append("pages", pages, {"round": round_no})
 
         links = ok.select(
             "scraping_id",
@@ -213,7 +274,8 @@ class CrawlEngine:
             F.explode_outer("links").alias("target_url"),
             F.lit(round_no).alias("round"),
         ).filter(F.col("target_url").isNotNull())
-        self.wh.append("links", links, {"round": round_no})
+        with self._timed("write links"):
+            self.wh.append("links", links, {"round": round_no})
 
         if cfg.image_extractor_enabled:
             images = (
@@ -247,9 +309,11 @@ class CrawlEngine:
                     F.lit(round_no).alias("round"),
                 )
             )
-            self.wh.append("images", images, {"round": round_no})
+            with self._timed("write images"):
+                self.wh.append("images", images, {"round": round_no})
 
         if cfg.indexer_enabled:
+          with self._timed("write index_docs"):
             self.wh.append(
                 "index_docs",
                 ok.select(
@@ -286,15 +350,25 @@ class CrawlEngine:
         claims = claims.withColumn("url_hash", url_hash_col("url"))
 
         seen = self.wh.read("seen")
-        new_urls = prefiltered_anti_join(
-            claims,
-            seen,
-            ["scraping_id", "url"],
-            "url_hash",
-            self._bloom if self.config.use_bloom else None,
-        ).persist()
+        to_unpersist = []
+        if cfg.use_bloom and self._bloom is not None:
+            flagged = with_bloom_flag(claims, "url_hash", self._bloom).persist()
+            to_unpersist.append(flagged)
+            definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            checked = maybe.join(
+                seen.select("scraping_id", "url"), ["scraping_id", "url"], "left_anti"
+            )
+            new_urls = definite_new.unionByName(checked).persist()
+        else:
+            new_urls = claims.join(
+                seen.select("scraping_id", "url"), ["scraping_id", "url"], "left_anti"
+            ).persist()
+        with self._timed("materialize new_urls"):
+            n_new = new_urls.count()
 
-        self.wh.append(
+        with self._timed("write seen"):
+          self.wh.append(
             "seen",
             new_urls.select(
                 "scraping_id",
@@ -306,7 +380,8 @@ class CrawlEngine:
             {"round": round_no + 1},
         )
         if self.config.use_bloom:
-            self._or_into_bloom(new_urls)
+            with self._timed("bloom or-in"):
+                self._or_into_bloom(new_urls, n_new)
 
         deferred = scheduled.filter(F.col("action") == ACTION_DEFER)
         next_frontier = new_urls.select(
@@ -324,21 +399,35 @@ class CrawlEngine:
                 F.lit(round_no + 1).alias("round"),
             )
         )
-        self.wh.append("frontier", next_frontier, {"round": round_no + 1})
+        with self._timed("write frontier"):
+            self.wh.append("frontier", next_frontier, {"round": round_no + 1})
 
+        # consolidated stats: one aggregate job per persisted round DF
+        _t_stats = time.monotonic()
+        sched_agg = scheduled.agg(
+            F.sum((F.col("action") == ACTION_DEFER).cast("long")).alias("deferred"),
+            F.sum((F.col("action") == ACTION_ROBOTS).cast("long")).alias("robots"),
+        ).first()
+        parsed_agg = parsed.agg(
+            F.sum(F.col("ok").cast("long")).alias("fetched"),
+            F.sum((~F.col("ok")).cast("long")).alias("errors"),
+            F.sum(
+                F.when(F.col("ok"), F.size("links")).otherwise(F.lit(0))
+            ).alias("links"),
+        ).first()
         stats = RoundStats(
             round=round_no,
-            urls_in=frontier.count(),
-            fetched=ok.count(),
-            fetch_errors=parsed.filter(~F.col("ok")).count(),
-            links_extracted=links.count(),
-            new_urls=new_urls.count(),
-            deferred=deferred.count(),
-            robots_blocked=scheduled.filter(
-                F.col("action") == ACTION_ROBOTS
-            ).count(),
+            urls_in=urls_in,
+            fetched=parsed_agg["fetched"] or 0,
+            fetch_errors=parsed_agg["errors"] or 0,
+            links_extracted=parsed_agg["links"] or 0,
+            new_urls=n_new,
+            deferred=sched_agg["deferred"] or 0,
+            robots_blocked=sched_agg["robots"] or 0,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
+        if cfg.debug_timing:
+            print(f"      [stats] {time.monotonic() - _t_stats:.2f}s", flush=True)
         self.wh.append(
             "metrics",
             self.spark.createDataFrame(
@@ -365,11 +454,20 @@ class CrawlEngine:
         scheduled.unpersist()
         parsed.unpersist()
         new_urls.unpersist()
+        for df in to_unpersist:
+            df.unpersist()
         return stats
 
-    def _or_into_bloom(self, new_urls: DataFrame) -> None:
+    def _or_into_bloom(self, new_urls: DataFrame, n_new: int) -> None:
         import numpy as np
 
+        if self._bloom is not None and n_new <= self.config.bloom_driver_insert_max:
+            # small batch: one collect beats a distributed build+merge
+            hashes = (
+                new_urls.select("url_hash").toPandas()["url_hash"].to_numpy()
+            )
+            self._bloom.insert_vec(hashes)
+            return
         add = build_bloom(
             new_urls,
             "url_hash",
@@ -391,11 +489,15 @@ class CrawlEngine:
                 self.wh.read("seen"), "url_hash", cfg.bloom_expected_urls, cfg.bloom_fpp
             )
         all_stats: list[RoundStats] = []
-        while r < cfg.max_rounds:
-            if self.wh.read("frontier", {"round": r}).isEmpty():
-                break
-            all_stats.append(self.run_round(r))
-            r += 1
+        orig_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            while r < cfg.max_rounds:
+                if self.wh.read("frontier", {"round": r}).isEmpty():
+                    break
+                all_stats.append(self.run_round(r))
+                r += 1
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", orig_shuffle)
         self._finalize()
         return all_stats
 

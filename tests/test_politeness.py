@@ -1,0 +1,69 @@
+"""Scheduler implementation equivalence: the vectorized mapInPandas
+scheduler must produce exactly the same actions as the literal
+groupBy(host).applyInPandas priority queue."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from isidorus_web_scraper_spark.operators.politeness import schedule_round
+
+
+def _frontier(spark, n=500, hosts=23):
+    rows = [
+        (1, 1, f"http://h{i % hosts}.test/p{i}.html", 1 + i % 3, 0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "scraping_id long, user_id long, url string, depth int, round int"
+    )
+
+
+def _politeness(spark):
+    return spark.createDataFrame(
+        [
+            ("h0.test", 3, ["/p1"], 0),
+            ("h1.test", 1, [], 1),      # crawl_delay: fetch only on even rounds
+            ("h2.test", 100, ["/"], 0),  # fully robots-blocked
+        ],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+
+
+def _collect(df):
+    return sorted(
+        (r.url, r.action) for r in df.select("url", "action").collect()
+    )
+
+
+def test_vectorized_equals_grouped(spark):
+    frontier = _frontier(spark)
+    pol = _politeness(spark)
+    for round_no in (0, 1):
+        a = _collect(schedule_round(frontier, pol, round_no, 4, impl="vectorized"))
+        b = _collect(schedule_round(frontier, pol, round_no, 4, impl="grouped"))
+        assert a == b, f"impl mismatch at round {round_no}"
+
+
+def test_budget_and_robots_semantics(spark):
+    frontier = _frontier(spark, n=200, hosts=4)
+    pol = _politeness(spark)
+    out = schedule_round(frontier, pol, 0, 4, impl="vectorized")
+    per = (
+        out.groupBy("host", "action").count().collect()
+    )
+    d = {(r.host, r.action): r["count"] for r in per}
+    assert d.get(("h0.test", "fetch"), 0) <= 3          # budget
+    assert ("h2.test", "fetch") not in d                 # robots blocks all
+    assert d.get(("h2.test", "robots_blocked"), 0) == 50
+    assert d.get(("h3.test", "fetch"), 0) == 4           # default budget
+    # delay host: round 0 fetches (0 % 2 == 0)
+    assert d.get(("h1.test", "fetch"), 0) == 1
+    out1 = schedule_round(frontier, pol, 1, 4, impl="vectorized")
+    d1 = {
+        (r.host, r.action): r["count"]
+        for r in out1.groupBy("host", "action").count().collect()
+    }
+    assert ("h1.test", "fetch") not in d1                # delayed round
+    assert d1.get(("h1.test", "defer"), 0) == 50
