@@ -23,7 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from isidorus_web_scraper_spark.corpus import make_resolver, page_url  # noqa: E402
+from isidorus_web_scraper_spark.corpus import (  # noqa: E402
+    make_html_resolver,
+    make_resolver,
+    page_url,
+)
 from isidorus_web_scraper_spark.driver_queries import QUERIES  # noqa: E402
 from isidorus_web_scraper_spark.plans.crawl import (  # noqa: E402
     CrawlConfig,
@@ -38,6 +42,11 @@ DEPTH = int(os.environ.get("SPARK_GRAFT_CRAWL_DEPTH", "3"))
 N_HOSTS = 65536
 HOST_BASE = 65536  # host0 has 64k pages; zipf address space ≈ 320k pages
 BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "4096"))
+SKEW = os.environ.get("SPARK_GRAFT_SKEW", "0") == "1"      # all seeds on the hot host
+SALT = os.environ.get("SPARK_GRAFT_CRAWL_SALT", "0") == "1"  # salted repartition of parse
+# "html" = fetch returns raw HTML, tokenized by the real parser UDF
+# (realistic, compute-bound); "spans" = pre-tokenized corpus
+MODE = os.environ.get("SPARK_GRAFT_CRAWL_MODE", "html")
 BENCH_QUERIES = ["flagship_doc_stats", "crawl_bfs_depth3", "latest_page_pick"]
 
 
@@ -45,7 +54,11 @@ def crawl_bench(spark) -> tuple[float, dict]:
     eng = CrawlEngine(
         spark,
         tempfile.mkdtemp(prefix="iws-bench-"),
-        resolver=make_resolver(n_hosts=N_HOSTS, base=HOST_BASE),
+        resolver=(
+            make_html_resolver(n_hosts=N_HOSTS, base=HOST_BASE)
+            if MODE == "html"
+            else make_resolver(n_hosts=N_HOSTS, base=HOST_BASE)
+        ),
         politeness=spark.createDataFrame(
             # explicit budget row for the hot host + permissive default
             [("h0.test", BUDGET, [], 0)],
@@ -56,11 +69,16 @@ def crawl_bench(spark) -> tuple[float, dict]:
             default_budget=BUDGET,
             bloom_expected_urls=1 << 18,
             max_rounds=DEPTH + 6,
+            repartition_parsed=CPUS if SALT else None,
         ),
     )
-    seeds = [
-        (h, 1, page_url(h % 4096, h // 4096), DEPTH) for h in range(N_SEEDS)
-    ]
+    if SKEW:
+        # hot-host stress: every seed on host 0 (zipf head)
+        seeds = [(h, 1, page_url(0, h), DEPTH) for h in range(N_SEEDS)]
+    else:
+        seeds = [
+            (h, 1, page_url(h % 4096, h // 4096), DEPTH) for h in range(N_SEEDS)
+        ]
     eng.start(seeds)
     t0 = time.monotonic()
     stats = eng.run()

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling measurement (BASELINE.md protocol).
+
+Runs the identical crawl workload via ``spark-submit --py-files`` at
+local[8] (N) and local[32] (4N) on the same seeded input, 3 trials
+each, and reports median URLs/s plus scaling efficiency
+``(thr_4N / thr_N) / 4`` (pass ≥ 0.8). Also runs the hot-host skew
+stress (all seeds on the zipf head host) with and without salted
+repartitioning of the parse stage.
+
+Usage: python bench/scaling.py [--trials 3] [--seeds 8192]
+Writes results to stdout; BENCH/BASELINE.md records the numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+def make_zip() -> str:
+    pkg = os.path.join(REPO, "isidorus_web_scraper_spark")
+    out = "/tmp/iws_pkg.zip"
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _d, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(
+                        full,
+                        os.path.join(
+                            "isidorus_web_scraper_spark",
+                            os.path.relpath(full, pkg),
+                        ),
+                    )
+    return out
+
+
+def run_once(cpus: int, seeds: int, extra_env: dict | None = None) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": str(cpus),
+            "SPARK_GRAFT_CRAWL_SEEDS": str(seeds),
+        }
+    )
+    env.update(extra_env or {})
+    cmd = [
+        SPARK_SUBMIT,
+        "--master",
+        f"local[{cpus}]",
+        # driver-memory must be set at JVM launch — builder-time
+        # spark.driver.memory is ignored under spark-submit
+        "--driver-memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "--py-files",
+        make_zip(),
+        os.path.join(REPO, "bench.py"),
+    ]
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=1800
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from bench: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--seeds", type=int, default=8192)
+    ap.add_argument("--skip-skew", action="store_true")
+    args = ap.parse_args()
+
+    results: dict[int, list[float]] = {8: [], 32: []}
+    for trial in range(args.trials):
+        for cpus in (8, 32):
+            r = run_once(cpus, args.seeds)
+            thr = r["extra"]["crawl_urls_per_sec"]
+            results[cpus].append(thr)
+            print(
+                f"trial {trial} local[{cpus}]: {thr} urls/s "
+                f"({r['extra']['crawl_urls_fetched']} urls, "
+                f"{r['queries']['crawl']}s)",
+                flush=True,
+            )
+    med8 = statistics.median(results[8])
+    med32 = statistics.median(results[32])
+    eff = (med32 / med8) / 4
+    summary = {
+        "local8_median_urls_per_sec": med8,
+        "local32_median_urls_per_sec": med32,
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        "pass": eff >= 0.8,
+        "trials": args.trials,
+        "seeds": args.seeds,
+    }
+
+    if not args.skip_skew:
+        skew = {}
+        for salt in ("0", "1"):
+            r = run_once(
+                32,
+                4096,
+                {"SPARK_GRAFT_SKEW": "1", "SPARK_GRAFT_CRAWL_SALT": salt,
+                 "SPARK_GRAFT_CRAWL_DEPTH": "1"},
+            )
+            skew["salted" if salt == "1" else "unsalted"] = {
+                "crawl_sec": r["queries"]["crawl"],
+                "urls_per_sec": r["extra"]["crawl_urls_per_sec"],
+            }
+        summary["skew_stress"] = skew
+
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -195,6 +195,81 @@ def make_resolver(
     return resolve
 
 
+def page_html(
+    url: str,
+    n_hosts: int = 20,
+    links_out: int = 8,
+    big_page_every: int = 1000,
+    base: int = 64,
+    fatness: int = 8,
+) -> str | None:
+    """Render the synthetic page as raw HTML (the realistic-bench form:
+    the engine then runs the actual tokenizer UDF over it, like the
+    reference parses fetched bytes). ``fatness`` multiplies text volume
+    so page sizes land in the real-web 5–30 KB range."""
+    spans = page_spans(
+        url, n_hosts=n_hosts, links_out=links_out,
+        big_page_every=big_page_every, base=base,
+    )
+    if spans is None:
+        return None
+    rng = random.Random(_seed_for(url) ^ 0xBEEF)
+    parts = ["<html><head><title>", url, "</title></head><body>"]
+    for s in spans:
+        if s["kind"] == "text":
+            parts.append("<p>")
+            parts.append(s["text"])
+            # pad with extra deterministic sentences for realistic size
+            for _ in range(fatness):
+                parts.append(" " + " ".join(rng.choices(_WORDS, k=12)))
+            parts.append("</p>")
+        elif s["kind"] == "link":
+            parts.append(f'<a href="{s["media_ref"]}">')
+            parts.append(" ".join(rng.choices(_WORDS, k=3)))
+            parts.append("</a>")
+        else:
+            parts.append(f'<img src="{s["media_ref"]}"/>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def make_html_resolver(
+    n_hosts: int = 20,
+    base: int = 64,
+    links_out: int = 8,
+    big_page_every: int = 1000,
+    fatness: int = 8,
+):
+    """Generator-backed fetch returning RAW HTML — the engine tokenizes
+    it with parse_html_udf, exercising the real parse path at scale."""
+    import pyspark.sql.types as T
+
+    def resolve(to_fetch):
+        out_schema = T.StructType(
+            list(to_fetch.schema.fields)
+            + [T.StructField("html", T.StringType(), True)]
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["html"] = pdf["url"].map(
+                    lambda u: page_html(
+                        u,
+                        n_hosts=n_hosts,
+                        base=base,
+                        links_out=links_out,
+                        big_page_every=big_page_every,
+                        fatness=fatness,
+                    )
+                )
+                yield pdf
+
+        return to_fetch.mapInPandas(gen, out_schema)
+
+    return resolve
+
+
 # ---------------------------------------------------------------------------
 # Golden raw-HTML fixtures (reference-verbatim; FIXTURES.md §2)
 # ---------------------------------------------------------------------------

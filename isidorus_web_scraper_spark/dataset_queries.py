@@ -1,0 +1,593 @@
+"""Training-data-pipeline operators over documents/embeddings.
+
+Beyond the reference's own surface (SURVEY.md §2), these are the
+operations a large-scale training-data pipeline needs — each expressed
+Spark-first with a DuckDB oracle where SQL-expressible:
+
+- deduplication: exact (hash-groupBy), MinHash+LSH banding, SimHash,
+  n-gram Jaccard, embedding-cosine near-dup;
+- similarity search: brute-force cosine top-k; sign-LSH bucketed ANN;
+- text analysis: language-ID heuristic, quality scoring, token
+  counting, document fingerprinting;
+- events: tumbling-window aggregation, JSON prop extraction.
+
+Hash functions are md5-based so Spark and DuckDB agree bit-for-bit
+(md5 is standardized; xxhash64 is Spark-private). Cross-engine float
+compares round to 5 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .driver_queries import query
+from .sources.testdata import load
+
+# ---------------------------------------------------------------------------
+# shared column builders
+# ---------------------------------------------------------------------------
+
+
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a bigint — engine-portable hash.
+    DuckDB twin: ('0x' || substr(md5(x),1,15))::BIGINT"""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def words(c: Column) -> Column:
+    return F.split(F.lower(c), " ", -1)
+
+
+def word_ngrams(arr: Column, n: int) -> Column:
+    """Word n-grams via slice-comprehension (JVM-side).
+    DuckDB twin: [array_to_string(s[i:i+n-1], ' ') for i in range(...)]"""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+    return dot / (na * nb)
+
+
+_STOPWORDS = "the a of and to in is for on with"  # fixed tiny list
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           count(*) AS n_dups,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) >= 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, deterministic min-id winner (never
+    dropDuplicates — nondeterministic winner under parallelism)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sub AS (
+      SELECT doc_id, lang,
+             list_distinct([array_to_string(s[i:i+2], ' ')
+                            for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS grams
+      FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS s
+            FROM documents WHERE doc_id % 25 = 0)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))), 5) AS jaccard
+    FROM sub a JOIN sub b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) > 0
+      AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams))) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word trigram=2+1? word bigram) Jaccard near-dup pairs on
+    a same-lang blocked subset. At 100 TB the blocking key is the LSH
+    band (see dedup_minhash_lsh); the lang block keeps the oracle
+    cross-checkable."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    sub = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_ngrams(words(F.col("text")), 3)).alias("grams"),
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((inter > 0) & (jac >= 0.2))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 5).alias("jaccard"),
+        )
+    )
+
+
+_MINHASH_K = 8
+_LSH_BANDS = 4  # 4 bands × 2 rows
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(s[i:i+2], ' ')
+                            for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS grams
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents)
+    ),
+    minhash AS (
+      SELECT doc_id,
+             [list_min([('0x' || substr(md5(g || '#' || seed::VARCHAR), 1, 15))::BIGINT
+                        for g in grams])
+              for seed in range({_MINHASH_K})] AS sig
+      FROM shingled WHERE len(grams) > 0
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) AS bucket
+      FROM minhash, (SELECT unnest(range({_LSH_BANDS})) AS band)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band) AS shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-based permutations) + banded LSH:
+    candidate pairs are docs sharing a band bucket — the scale path for
+    near-dup at 10^10 docs (shuffle is per-bucket, never all-pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(words(F.col("text")), 3)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    sig = grams.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "grams",
+                        lambda g: F.conv(
+                            F.substring(
+                                F.md5(F.concat(g, F.lit(f"#{seed}"))), 1, 15
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                    )
+                )
+                for seed in range(_MINHASH_K)
+            ]
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).cast("long").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[band * 2 + i].cast("string")
+                                    for i in range(2)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for band in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.countDistinct("a.band").alias("shared_bands"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wh AS (
+      SELECT doc_id, word, count(*) AS cnt,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+      FROM w GROUP BY doc_id, word
+    ),
+    sums AS (
+      SELECT doc_id,
+             sum(CASE WHEN (h >> 0) & 1 = 1 THEN cnt ELSE -cnt END) AS b0,\n             sum(CASE WHEN (h >> 1) & 1 = 1 THEN cnt ELSE -cnt END) AS b1,\n             sum(CASE WHEN (h >> 2) & 1 = 1 THEN cnt ELSE -cnt END) AS b2,\n             sum(CASE WHEN (h >> 3) & 1 = 1 THEN cnt ELSE -cnt END) AS b3,\n             sum(CASE WHEN (h >> 4) & 1 = 1 THEN cnt ELSE -cnt END) AS b4,\n             sum(CASE WHEN (h >> 5) & 1 = 1 THEN cnt ELSE -cnt END) AS b5,\n             sum(CASE WHEN (h >> 6) & 1 = 1 THEN cnt ELSE -cnt END) AS b6,\n             sum(CASE WHEN (h >> 7) & 1 = 1 THEN cnt ELSE -cnt END) AS b7,\n             sum(CASE WHEN (h >> 8) & 1 = 1 THEN cnt ELSE -cnt END) AS b8,\n             sum(CASE WHEN (h >> 9) & 1 = 1 THEN cnt ELSE -cnt END) AS b9,\n             sum(CASE WHEN (h >> 10) & 1 = 1 THEN cnt ELSE -cnt END) AS b10,\n             sum(CASE WHEN (h >> 11) & 1 = 1 THEN cnt ELSE -cnt END) AS b11,\n             sum(CASE WHEN (h >> 12) & 1 = 1 THEN cnt ELSE -cnt END) AS b12,\n             sum(CASE WHEN (h >> 13) & 1 = 1 THEN cnt ELSE -cnt END) AS b13,\n             sum(CASE WHEN (h >> 14) & 1 = 1 THEN cnt ELSE -cnt END) AS b14,\n             sum(CASE WHEN (h >> 15) & 1 = 1 THEN cnt ELSE -cnt END) AS b15
+      FROM wh GROUP BY doc_id
+    )
+    SELECT doc_id,
+           [CASE WHEN b0 > 0 THEN 1 ELSE 0 END, CASE WHEN b1 > 0 THEN 1 ELSE 0 END, CASE WHEN b2 > 0 THEN 1 ELSE 0 END, CASE WHEN b3 > 0 THEN 1 ELSE 0 END, CASE WHEN b4 > 0 THEN 1 ELSE 0 END, CASE WHEN b5 > 0 THEN 1 ELSE 0 END, CASE WHEN b6 > 0 THEN 1 ELSE 0 END, CASE WHEN b7 > 0 THEN 1 ELSE 0 END, CASE WHEN b8 > 0 THEN 1 ELSE 0 END, CASE WHEN b9 > 0 THEN 1 ELSE 0 END, CASE WHEN b10 > 0 THEN 1 ELSE 0 END, CASE WHEN b11 > 0 THEN 1 ELSE 0 END, CASE WHEN b12 > 0 THEN 1 ELSE 0 END, CASE WHEN b13 > 0 THEN 1 ELSE 0 END, CASE WHEN b14 > 0 THEN 1 ELSE 0 END, CASE WHEN b15 > 0 THEN 1 ELSE 0 END] AS simhash_bits
+    FROM sums
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc (weighted word hashes); near-dups share
+    most bits. Kept SQL-small (16 bits) so the oracle stays exact; the
+    Spark path generalizes to 64 bits by widening the range."""
+    docs = load(spark, sf_dir, "documents")
+    wh = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", md5_long(F.col("word")))
+    )
+    bit_sums = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"b{b}")
+            for b in range(16)
+        ]
+    )
+    return bit_sums.select(
+        "doc_id",
+        F.array(
+            *[
+                F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+                for b in range(16)
+            ]
+        ).alias("simhash_bits"),
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH sub AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.8
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a subsample. At scale the
+    all-pairs join is replaced by the LSH bucketing of ann_lsh_topk."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos > 0.8)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )
+
+
+# ===========================================================================
+# Similarity search (ANN)
+# ===========================================================================
+
+
+@query(
+    "ann_bruteforce_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS cos
+      FROM q JOIN embeddings e ON e.vec_id != q.qid
+    )
+    SELECT qid, vec_id AS neighbor, round(cos, 4) AS cos
+    FROM (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the correctness baseline): broadcast
+    the query set, score JVM-side, window top-k per query."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = F.broadcast(q).join(emb, F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", F.col("vec_id").alias("neighbor"), F.round("cos", 4).alias("cos"))
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS cos
+      FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id != q.qid
+    )
+    SELECT qid, vec_id AS neighbor, round(cos, 4) AS cos
+    FROM (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path): candidates restricted to
+    the query's hyperplane-sign bucket — per-bucket shuffle instead of
+    all-pairs. Bucket = sign bits of the first 3 dims (a fixed, known
+    hyperplane set keeps the oracle exact; random projections are a
+    config away)."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.col("embedding")[0] > 0, 4).otherwise(0)
+        + F.when(F.col("embedding")[1] > 0, 2).otherwise(0)
+        + F.when(F.col("embedding")[2] > 0, 1).otherwise(0)
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b, ["bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", F.col("vec_id").alias("neighbor"), F.round("cos", 4).alias("cos"))
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                      w -> list_contains({_STOPWORDS.split()!r}, w)))
+                      AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1), 5) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 5) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: word count, stopword ratio, punctuation ratio —
+    the usual pretraining heuristics, all JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(F.split(F.col("text"), " ", -1))
+    stop = F.size(
+        F.filter(
+            ws,
+            lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in _STOPWORDS.split()]), w
+            ),
+        )
+    )
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.round(stop.cast("double") / F.greatest(n_words, F.lit(1)), 5).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 5
+        ).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters / digits / single punctuation)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_langid",
+    f"""
+    SELECT doc_id, lang AS tagged_lang,
+           CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                          w -> list_contains({_STOPWORDS.split()!r}, w)))
+                     AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS detected_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-density n-gram-free classifier
+    (deterministic, engine-portable). Real model would be a pandas UDF;
+    the plumbing (per-doc classification column) is identical."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(F.split(F.col("text"), " ", -1))
+    stop_ratio = F.size(
+        F.filter(
+            ws,
+            lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in _STOPWORDS.split()]), w
+            ),
+        )
+    ).cast("double") / F.greatest(n_words, F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("tagged_lang"),
+        F.when(stop_ratio >= 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("detected_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct word set
+    (order-insensitive near-exact dedup key)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(words(F.col("text")))))
+        ).alias("fingerprint"),
+    )
+
+
+# ===========================================================================
+# Events: windowed aggregation + JSON props
+# ===========================================================================
+
+
+@query(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch twin of the
+    Structured Streaming query in streaming/ (same plan shape)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON prop extraction + aggregation."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod")
+    ).agg(F.count("*").alias("n"))

@@ -323,3 +323,187 @@ def crawl_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen = seen.unionAll(frontier)
     result = seen.groupBy("url_id").agg(F.min("first_depth").alias("first_depth"))
     return result
+
+
+# ---------------------------------------------------------------------------
+# P9 extension inference (extractor_service.go:109-129): URL-suffix
+# regex, ≤5 alnum chars, query string stripped, fallback 'bin'.
+# ---------------------------------------------------------------------------
+@query(
+    "ext_inference",
+    """
+    WITH refs AS (
+      SELECT doc_id,
+             'http://img.test/i' || (doc_id % 97)::VARCHAR ||
+             CASE doc_id % 4 WHEN 0 THEN '.png' WHEN 1 THEN '.jpg?s=1'
+                             WHEN 2 THEN '.tiff' ELSE '' END AS media_ref
+      FROM documents
+    )
+    SELECT coalesce(nullif(regexp_extract(media_ref,
+             '\\.([A-Za-z0-9]{1,5})(\\?|$)', 1), ''), 'bin') AS ext,
+           count(*) AS n
+    FROM refs GROUP BY 1
+    """,
+)
+def ext_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ref = F.concat(
+        F.lit("http://img.test/i"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".png"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(".jpg?s=1"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(".tiff"))
+        .otherwise(F.lit("")),
+    )
+    ext = F.coalesce(
+        F.nullif(
+            F.regexp_extract(ref, r"\.([A-Za-z0-9]{1,5})(?:\?|$)", 1), F.lit("")
+        ),
+        F.lit("bin"),
+    )
+    return docs.select(ext.alias("ext")).groupBy("ext").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# P8/F9 s3:// path parse (explainer_service.py:49-54): bucket/key split.
+# ---------------------------------------------------------------------------
+@query(
+    "s3_path_parse",
+    """
+    WITH paths AS (
+      SELECT doc_id,
+             's3://bucket-' || (doc_id % 5)::VARCHAR || '/' ||
+             (doc_id % 13)::VARCHAR || '/obj.png' AS s3_path
+      FROM documents
+    )
+    SELECT regexp_extract(s3_path, 's3://([^/]+)/(.*)', 1) AS bucket,
+           regexp_extract(s3_path, 's3://([^/]+)/(.*)', 2) AS key,
+           count(*) AS n
+    FROM paths GROUP BY 1, 2
+    """,
+)
+def s3_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("s3://bucket-"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("/obj.png"),
+    )
+    return (
+        docs.select(
+            F.regexp_extract(path, r"s3://([^/]+)/(.*)", 1).alias("bucket"),
+            F.regexp_extract(path, r"s3://([^/]+)/(.*)", 2).alias("key"),
+        )
+        .groupBy("bucket", "key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations: the seen-set union-with-dedup + except/intersect.
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops",
+    """
+    WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM a UNION SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    b = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    rows = [
+        ("union", a.union(b).distinct().count()),
+        ("intersect", a.intersect(b).count()),
+        ("except", a.exceptAll(b).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long")
+
+
+# ---------------------------------------------------------------------------
+# Classic scan→filter→agg (pricing summary) — decimal-exact sums so the
+# oracle hash matches bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-dim join + top-k (shipping-priority shape): customer ⋈
+# orders ⋈ lineitem, revenue top-10, deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "top_orders_by_revenue",
+    """
+    SELECT o.o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           min(o.o_orderdate) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.min("o_orderdate").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# training-data-pipeline operators register themselves into the same
+# QUERIES/ORACLE maps (import side effect, kept last to avoid cycles)
+from . import dataset_queries  # noqa: E402,F401

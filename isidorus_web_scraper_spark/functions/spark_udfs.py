@@ -35,8 +35,12 @@ SUMMARIZER_WORD_CAP = 1500                        # summarizer_factory.py:72-77
 
 @F.pandas_udf(SPAN_ARRAY_TYPE)
 def parse_html_udf(html: pd.Series) -> pd.Series:
+    # null html (fetch-error rows) must pass through: pandas UDFs see
+    # the whole Arrow batch even when wrapped in F.when(...)
     return html.map(
-        lambda h: [
+        lambda h: None
+        if h is None
+        else [
             {"kind": k, "text": t, "media_ref": m, "offset": o}
             for (k, t, m, o) in tokenize_html(h)
         ]

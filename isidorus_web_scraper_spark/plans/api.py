@@ -1,0 +1,195 @@
+"""Read-side API plans: the Spark renditions of the reference's
+FastAPI endpoints (SURVEY.md §3.2-3.3).
+
+Each function is a single DataFrame expression over the warehouse —
+the N+1 per-row DynamoDB gets and ORM prefetches of the reference
+collapse into broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.warehouse import Warehouse
+
+# ---------------------------------------------------------------------------
+# GET /scraping/{id} — status + metadata merge (J6, J8;
+# api/services/scraper_service.py:87-138)
+# ---------------------------------------------------------------------------
+
+
+def get_full_scraping(wh: Warehouse, scraping_id: int | None = None) -> DataFrame:
+    """crawls ⋈ jobs (Dynamo-metadata merge, coalesce per field) ⋈
+    seed-page summary (J8: pages at the seed url)."""
+    crawls = wh.read("crawls")
+    jobs = wh.read("jobs").select(
+        "scraping_id", "status", "links_count", "completed_round"
+    )
+    seed_pages = wh.read("pages").select(
+        "scraping_id", "url", F.col("summary").alias("seed_summary")
+    )
+    out = (
+        crawls.join(F.broadcast(jobs), "scraping_id", "left")
+        .join(seed_pages, ["scraping_id", "url"], "left")
+        .select(
+            "scraping_id",
+            "user_id",
+            "url",
+            "depth",
+            F.coalesce("status", F.lit("PENDING")).alias("status"),  # defaulting :121-134
+            F.coalesce("links_count", F.lit(0)).alias("links_count"),
+            "completed_round",
+            "seed_summary",
+        )
+    )
+    if scraping_id is not None:
+        out = out.filter(F.col("scraping_id") == scraping_id)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GET /scraping/{id} results — pages with nested images, url-sorted
+# (J7/O1; api/repositories/db_repository.py:80-104)
+# ---------------------------------------------------------------------------
+
+
+def get_scraping_results(wh: Warehouse, scraping_id: int) -> DataFrame:
+    pages = wh.read("pages").filter(F.col("scraping_id") == scraping_id)
+    images = wh.read("images").filter(F.col("scraping_id") == scraping_id)
+    img_lists = (
+        images.groupBy(F.col("page_url").alias("url"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("image_url", "explanation"))
+            ).alias("images")
+        )
+    )
+    return (
+        pages.join(img_lists, "url", "left")
+        .select(
+            "url",
+            "summary",
+            F.coalesce("images", F.array()).alias("images"),
+            "round",
+        )
+        .orderBy("url")  # API order is url-sorted, not crawl-ordered (O1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# GET /scrapings — newest-first pagination (O2; db_repository.py:61)
+# ---------------------------------------------------------------------------
+
+
+def list_scrapings(
+    wh: Warehouse, user_id: int, offset: int = 0, limit: int = 20
+) -> DataFrame:
+    return (
+        get_full_scraping(wh)
+        .filter(F.col("user_id") == user_id)
+        .orderBy(F.desc("scraping_id"))
+        .offset(offset)
+        .limit(limit)
+    )
+
+
+# ---------------------------------------------------------------------------
+# GET /search?t= — term search with naive TF rank + top-3 highlights
+# (§2.9/O4; api/services/search_service.py:17-59)
+# ---------------------------------------------------------------------------
+
+
+def search_pages(wh: Warehouse, term: str, user_id: int) -> DataFrame:
+    """Filter on content OR summary (multi_match analog) + user term,
+    TF-scored, with up to 3 highlight snippets around the term.
+    Set-of-matching-URLs parity is the goal; BM25 scores are not
+    (different engine, SURVEY.md §2.9)."""
+    t = term.lower()
+    docs = wh.read("index_docs")
+    pages = wh.read("pages").select(
+        "scraping_id", "url", F.col("summary").alias("page_summary")
+    )
+    matched = (
+        docs.join(pages, ["scraping_id", "url"], "left")
+        .filter(F.col("user_id") == user_id)
+        .filter(
+            F.lower("content").contains(t)
+            | F.lower(F.coalesce("page_summary", F.lit(""))).contains(t)
+        )
+    )
+    tf = F.size(
+        F.filter(
+            F.split(F.lower("content"), " ", -1), lambda w: w == F.lit(t)
+        )
+    )
+    highlights = F.slice(
+        F.regexp_extract_all(
+            F.col("content"),
+            F.lit(f"(?i).{{0,30}}{t}.{{0,30}}"),
+            0,
+        ),
+        1,
+        3,  # highlights[:3] (search_service.py:55)
+    )
+    return matched.select(
+        "url",
+        "scraping_id",
+        tf.alias("score"),
+        highlights.alias("highlights"),
+    ).orderBy(F.desc("score"), "url")
+
+
+# ---------------------------------------------------------------------------
+# DELETE /scraping/{id} — ownership check + cascading predicate deletes
+# (J9/J10; deletion_service.py:30-58; batching unnecessary in Spark)
+# ---------------------------------------------------------------------------
+
+_DELETE_TABLES = [
+    "pages",
+    "links",
+    "images",
+    "index_docs",
+    "seen",
+    "fetch_log",
+    "jobs",
+    "media_store",
+    "crawls",
+]
+
+
+def delete_scraping(wh: Warehouse, scraping_id: int, user_id: int) -> None:
+    owner = (
+        wh.read("crawls")
+        .filter(F.col("scraping_id") == scraping_id)
+        .select("user_id")
+        .first()
+    )
+    if owner is None:
+        raise KeyError(f"scraping {scraping_id} not found")
+    if owner["user_id"] != user_id:
+        raise PermissionError("403: not the owner")  # J10 (scraper_service.py:196-203)
+    for table in _DELETE_TABLES:
+        if wh.exists(table):
+            wh.delete_where(table, f"scraping_id = {scraping_id}")
+
+
+# ---------------------------------------------------------------------------
+# A4 (optional/legacy): term-frequency table — schema exists in the
+# reference with no remaining writer (init.sql:15-21); resurrected here
+# as the classic hash-aggregate.
+# ---------------------------------------------------------------------------
+
+
+def term_frequency(wh: Warehouse) -> DataFrame:
+    pages = wh.read("pages")
+    return (
+        pages.select(
+            "scraping_id",
+            "url",
+            F.explode(F.split(F.lower("content"), r"\s+", -1)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("scraping_id", "url", "term")
+        .agg(F.count("*").alias("frequency"))
+    )

@@ -166,11 +166,26 @@ class CrawlEngine:
         (`scraper_service.go:117-127`). In resolver mode the web is a
         deterministic function — no join, no materialized corpus."""
         if self.resolver is not None:
-            return self.resolver(to_fetch)
-        docs = self.documents.select(
-            F.col("doc_id").alias("url"), "spans"
-        )
-        return to_fetch.join(docs, "url", "left")
+            fetched = self.resolver(to_fetch)
+        else:
+            cols = self.documents.columns
+            payload = "spans" if "spans" in cols else "html"
+            docs = self.documents.select(
+                F.col("doc_id").alias("url"), payload
+            )
+            fetched = to_fetch.join(docs, "url", "left")
+        if "html" in fetched.columns:
+            # raw-HTML corpus: tokenize with the real parser UDF
+            # (the reference's per-byte parse path, scraper_service.go:129-202)
+            from ..functions.spark_udfs import parse_html_udf
+
+            fetched = fetched.withColumn(
+                "spans",
+                F.when(
+                    F.col("html").isNotNull(), parse_html_udf(F.col("html"))
+                ),
+            ).drop("html")
+        return fetched
 
     @contextlib.contextmanager
     def _timed(self, label: str):

@@ -234,3 +234,33 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     resumed.resume()
 
     assert spark_end_state(resumed) == spark_end_state(full)
+
+
+# ---------------------------------------------------------------------------
+# Raw-HTML resolver mode: the engine tokenizes fetched HTML with the
+# real parser UDF; end state must match the simulator run over the
+# tokenizer's own output for the same pages.
+# ---------------------------------------------------------------------------
+def test_html_resolver_mode(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import make_html_resolver, page_html
+
+    n_hosts = 4
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "wh"),
+        resolver=make_html_resolver(n_hosts=n_hosts, fatness=1),
+        config=CrawlConfig(bloom_expected_urls=4096, default_budget=1_000_000_000),
+    )
+    seeds = [(40, 1, "http://h0.test/p0.html", 2)]
+    eng.start(seeds)
+    eng.run()
+
+    corpus = {}
+    for u in all_urls(n_hosts):
+        html = page_html(u, n_hosts=n_hosts, fatness=1)
+        corpus[u] = [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in tokenize_html(html)
+        ]
+    sim = crawl_sim(corpus, [(40, "http://h0.test/p0.html", 2)])
+    assert_matches_sim(eng, sim, {40: 2})
