@@ -78,12 +78,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--seeds", type=int, default=8192)
+    ap.add_argument("--small", type=int, default=8, help="N cores")
+    ap.add_argument("--big", type=int, default=32, help="4N cores")
     ap.add_argument("--skip-skew", action="store_true")
     args = ap.parse_args()
 
-    results: dict[int, list[float]] = {8: [], 32: []}
+    results: dict[int, list[float]] = {args.small: [], args.big: []}
     for trial in range(args.trials):
-        for cpus in (8, 32):
+        for cpus in (args.small, args.big):
             r = run_once(cpus, args.seeds)
             thr = r["extra"]["crawl_urls_per_sec"]
             results[cpus].append(thr)
@@ -93,12 +95,13 @@ def main() -> None:
                 f"{r['queries']['crawl']}s)",
                 flush=True,
             )
-    med8 = statistics.median(results[8])
-    med32 = statistics.median(results[32])
-    eff = (med32 / med8) / 4
+    med_small = statistics.median(results[args.small])
+    med_big = statistics.median(results[args.big])
+    ratio = args.big / args.small
+    eff = (med_big / med_small) / ratio
     summary = {
-        "local8_median_urls_per_sec": med8,
-        "local32_median_urls_per_sec": med32,
+        f"local{args.small}_median_urls_per_sec": med_small,
+        f"local{args.big}_median_urls_per_sec": med_big,
         "scaling_efficiency_N_to_4N": round(eff, 3),
         "pass": eff >= 0.8,
         "trials": args.trials,

@@ -113,9 +113,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram (word trigram=2+1? word bigram) Jaccard near-dup pairs on
-    a same-lang blocked subset. At 100 TB the blocking key is the LSH
-    band (see dedup_minhash_lsh); the lang block keeps the oracle
+    """Word-trigram Jaccard near-dup pairs on a same-lang blocked
+    subset. At 100 TB the blocking key is the LSH band (see
+    dedup_minhash_lsh); the lang block keeps the oracle
     cross-checkable."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     sub = docs.select(
@@ -591,3 +591,30 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(
         (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod")
     ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A4 term frequency (legacy page_terms table, init.sql:15-21 — schema
+# with no remaining writer; resurrected as the classic hash aggregate).
+# ---------------------------------------------------------------------------
+@query(
+    "term_frequency",
+    """
+    SELECT word AS term, count(*) AS frequency, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+    WHERE word != ''
+    GROUP BY word
+    """,
+)
+def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("frequency"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

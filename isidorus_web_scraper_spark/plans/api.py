@@ -106,9 +106,11 @@ def search_pages(wh: Warehouse, term: str, user_id: int) -> DataFrame:
     Set-of-matching-URLs parity is the goal; BM25 scores are not
     (different engine, SURVEY.md §2.9)."""
     t = term.lower()
-    docs = wh.read("index_docs")
+    # index_docs carries identity+acl; content/summary live in `pages`
+    # (normalized store — the join replaces OpenSearch's materialized doc)
+    docs = wh.read("index_docs").select("scraping_id", "url", "user_id")
     pages = wh.read("pages").select(
-        "scraping_id", "url", F.col("summary").alias("page_summary")
+        "scraping_id", "url", "content", F.col("summary").alias("page_summary")
     )
     matched = (
         docs.join(pages, ["scraping_id", "url"], "left")

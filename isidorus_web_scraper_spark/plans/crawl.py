@@ -280,8 +280,6 @@ class CrawlEngine:
             ).alias("summary"),
             F.lit(round_no).alias("round"),
         )
-        with self._timed("write pages"):
-            self.wh.append("pages", pages, {"round": round_no})
 
         links = ok.select(
             "scraping_id",
@@ -289,8 +287,6 @@ class CrawlEngine:
             F.explode_outer("links").alias("target_url"),
             F.lit(round_no).alias("round"),
         ).filter(F.col("target_url").isNotNull())
-        with self._timed("write links"):
-            self.wh.append("links", links, {"round": round_no})
 
         if cfg.image_extractor_enabled:
             images = (
@@ -324,23 +320,24 @@ class CrawlEngine:
                     F.lit(round_no).alias("round"),
                 )
             )
-            with self._timed("write images"):
-                self.wh.append("images", images, {"round": round_no})
+        else:
+            images = None
 
-        if cfg.indexer_enabled:
-          with self._timed("write index_docs"):
-            self.wh.append(
-                "index_docs",
-                ok.select(
-                    "url",
-                    "content",
-                    F.lit(None).cast("string").alias("summary"),
-                    "scraping_id",
-                    "user_id",
-                    F.lit(round_no).alias("round"),
-                ),
-                {"round": round_no},
+        # index_docs is normalized: content lives once, in `pages` —
+        # the search plan joins it back (plans/api.py). Duplicating the
+        # content column doubled the round's write volume for nothing.
+        index_docs = (
+            ok.select(
+                "url",
+                F.lit(None).cast("string").alias("content"),
+                F.lit(None).cast("string").alias("summary"),
+                "scraping_id",
+                "user_id",
+                F.lit(round_no).alias("round"),
             )
+            if cfg.indexer_enabled
+            else None
+        )
 
         # ---- recursion: candidates → first-wins → anti-join seen (J2) ----
         candidates = (
@@ -379,8 +376,40 @@ class CrawlEngine:
             new_urls = claims.join(
                 seen.select("scraping_id", "url"), ["scraping_id", "url"], "left_anti"
             ).persist()
-        with self._timed("materialize new_urls"):
-            n_new = new_urls.count()
+        # the fan-out writes, the claim pipeline and the stats aggregates
+        # are independent given the cached `parsed` — submit them as
+        # concurrent Spark jobs from driver threads (the serial
+        # plan-compile + commit wall was the scaling bottleneck; each
+        # table has its own manifest, so commits don't contend)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w(table, df):
+            if df is not None:
+                self.wh.append(table, df, {"round": round_no})
+
+        with self._timed("parallel fan-out + claims"):
+            with ThreadPoolExecutor(max_workers=6) as pool:
+                futs = [
+                    pool.submit(_w, "pages", pages),
+                    pool.submit(_w, "links", links),
+                    pool.submit(_w, "images", images),
+                    pool.submit(_w, "index_docs", index_docs),
+                    pool.submit(new_urls.count),
+                    pool.submit(
+                        lambda: parsed.agg(
+                            F.sum(F.col("ok").cast("long")).alias("fetched"),
+                            F.sum((~F.col("ok")).cast("long")).alias("errors"),
+                            F.sum(
+                                F.when(F.col("ok"), F.size("links")).otherwise(
+                                    F.lit(0)
+                                )
+                            ).alias("links"),
+                        ).first()
+                    ),
+                ]
+                results = [f.result() for f in futs]
+        n_new = results[4]
+        parsed_agg = results[5]
 
         with self._timed("write seen"):
           self.wh.append(
@@ -417,18 +446,11 @@ class CrawlEngine:
         with self._timed("write frontier"):
             self.wh.append("frontier", next_frontier, {"round": round_no + 1})
 
-        # consolidated stats: one aggregate job per persisted round DF
+        # remaining stats: one aggregate on the cached scheduled DF
         _t_stats = time.monotonic()
         sched_agg = scheduled.agg(
             F.sum((F.col("action") == ACTION_DEFER).cast("long")).alias("deferred"),
             F.sum((F.col("action") == ACTION_ROBOTS).cast("long")).alias("robots"),
-        ).first()
-        parsed_agg = parsed.agg(
-            F.sum(F.col("ok").cast("long")).alias("fetched"),
-            F.sum((~F.col("ok")).cast("long")).alias("errors"),
-            F.sum(
-                F.when(F.col("ok"), F.size("links")).otherwise(F.lit(0))
-            ).alias("links"),
         ).first()
         stats = RoundStats(
             round=round_no,
