@@ -60,9 +60,18 @@ def canonical_url(urls: pd.Series) -> pd.Series:
 
 
 def host_col(url: Column | str) -> Column:
-    """JVM-side host extraction (politeness grouping / skew salting)."""
+    """JVM-side host extraction (politeness grouping / skew salting).
+    try_parse_url: ANSI mode makes parse_url THROW on malformed URLs —
+    a single bad href must not kill a crawl round (the reference's
+    fetcher just errors that one URL, page_fetcher.go:14-20)."""
     c = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.parse_url(c, F.lit("HOST")))
+    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+
+
+def path_col(url: Column | str) -> Column:
+    """Null-safe path extraction (robots prefix matching)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit("/"))
 
 
 def url_hash_col(url: Column | str) -> Column:

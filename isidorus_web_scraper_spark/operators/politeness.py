@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.url import host_col
+from ..functions.url import host_col, path_col
 
 DEFAULT_BUDGET = 8  # FIXTURES.md §4 default
 
@@ -61,9 +61,14 @@ def schedule_round(
       slower when rounds span thousands of hosts — kept as the
       executable spec of the per-host queue semantics.
     """
-    f = frontier.withColumn("host", host_col("url")).withColumn(
-        "path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    )
+    # null hosts (malformed-but-http-prefixed hrefs) get a sentinel:
+    # pandas groupby drops null keys, which would defer such URLs
+    # FOREVER (livelock); with the sentinel they take the default
+    # budget, fetch once, and die on the 404 path like the reference's
+    # http.Get error (page_fetcher.go:14-20).
+    f = frontier.withColumn(
+        "host", F.coalesce(host_col("url"), F.lit("\x00invalid"))
+    ).withColumn("path", path_col("url"))
     if politeness is not None:
         f = f.join(F.broadcast(politeness), "host", "left")
     else:

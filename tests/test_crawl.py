@@ -264,3 +264,37 @@ def test_html_resolver_mode(spark, tmp_path):
         ]
     sim = crawl_sim(corpus, [(40, "http://h0.test/p0.html", 2)])
     assert_matches_sim(eng, sim, {40: 2})
+
+
+# ---------------------------------------------------------------------------
+# Malformed-but-http-prefixed hrefs must not kill a round: they get
+# claimed (startswith "http"), fail to fetch (404 path), crawl completes
+# (ANSI parse_url would otherwise throw — pinned regression).
+# ---------------------------------------------------------------------------
+def test_malformed_href_survives(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(
+            "http://ok.test/p0",
+            [
+                {"kind": "text", "text": "hello", "media_ref": None, "offset": 0},
+                {"kind": "link", "text": None, "media_ref": "http://[bad-url", "offset": 1},
+            ],
+        )],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    politeness = spark.createDataFrame(
+        [("ok.test", 8, [], 0)],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), documents=docs, politeness=politeness,
+        config=CrawlConfig(bloom_expected_urls=1024),
+    )
+    eng.start([(60, 1, "http://ok.test/p0", 2)])
+    stats = eng.run()
+    assert sum(s.fetch_errors for s in stats) == 1  # the malformed link 404s
+    pages, seen, _, _, jobs = spark_end_state(eng)
+    assert set(pages) == {(60, "http://ok.test/p0")}
+    assert (60, "http://[bad-url") in seen  # claimed with its raw string
+    assert jobs[60][0] == "COMPLETED"
