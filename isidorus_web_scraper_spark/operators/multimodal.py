@@ -165,3 +165,16 @@ def decode_features(
     return media.select(
         "media_ref", "kind", "payload"
     ).mapInPandas(decode, FEATURES_SCHEMA)
+
+
+def data_url_col(payload: F.Column | str, content_type: F.Column | str) -> F.Column:
+    """F7: base64 data-URL for LLM image prompts
+    (`workers/image_explainer/services/explainer_service.py:64-65`)."""
+    p = F.col(payload) if isinstance(payload, str) else payload
+    ct = F.col(content_type) if isinstance(content_type, str) else content_type
+    return F.concat(
+        F.lit("data:"),
+        F.coalesce(ct, F.lit("application/octet-stream")),
+        F.lit(";base64,"),
+        F.base64(p),
+    )

@@ -80,6 +80,7 @@ class CrawlConfig:
     max_parallelism: int | None = None
     bloom_driver_insert_max: int = 200_000
     politeness_impl: str = "vectorized"   # or "grouped" (applyInPandas spec)
+    media_store_enabled: bool = False     # S6: persist media payloads (extractor_service.go:55-107)
     debug_timing: bool = False
 
 
@@ -323,6 +324,28 @@ class CrawlEngine:
         else:
             images = None
 
+        media = None
+        if cfg.image_extractor_enabled and cfg.media_store_enabled and images is not None:
+            # S6 blob sink: payload bytes under the deterministic
+            # content-hash key (replaces uuid S3 keys,
+            # extractor_service.go:65-75; fake download — no network)
+            from ..operators.multimodal import media_table
+
+            media = (
+                media_table(
+                    images.select(F.col("image_url").alias("media_ref")).distinct()
+                )
+                .join(
+                    images.select(
+                        "scraping_id",
+                        F.col("image_url").alias("media_ref"),
+                        "s3_path",
+                    ).distinct(),
+                    "media_ref",
+                )
+                .select("scraping_id", "media_ref", "s3_path", "content_type", "payload")
+            )
+
         # index_docs is normalized: content lives once, in `pages` —
         # the search plan joins it back (plans/api.py). Duplicating the
         # content column doubled the round's write volume for nothing.
@@ -394,6 +417,7 @@ class CrawlEngine:
                     pool.submit(_w, "links", links),
                     pool.submit(_w, "images", images),
                     pool.submit(_w, "index_docs", index_docs),
+                    pool.submit(_w, "media_store", media),
                     pool.submit(new_urls.count),
                     pool.submit(
                         lambda: parsed.agg(
@@ -408,8 +432,8 @@ class CrawlEngine:
                     ),
                 ]
                 results = [f.result() for f in futs]
-        n_new = results[4]
-        parsed_agg = results[5]
+        n_new = results[5]
+        parsed_agg = results[6]
 
         with self._timed("write seen"):
           self.wh.append(

@@ -61,3 +61,39 @@ def test_decode_features_fake(spark, refs):
 def test_decode_real_is_stubbed(spark, refs):
     with pytest.raises(NotImplementedError):
         decode_features(media_table(refs), mode="real")
+
+
+def test_data_url(spark, refs):
+    from isidorus_web_scraper_spark.operators.multimodal import data_url_col
+
+    media = media_table(refs)
+    row = (
+        media.filter("ext = 'png'")
+        .select(data_url_col("payload", "content_type").alias("durl"))
+        .first()
+    )
+    assert row.durl.startswith("data:image/png;base64,")
+
+
+def test_media_store_written_by_crawl(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import golden_documents
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "wh"),
+        documents=golden_documents(spark),
+        config=CrawlConfig(
+            bloom_expected_urls=1024,
+            default_budget=10**9,
+            media_store_enabled=True,
+        ),
+    )
+    eng.start([(1, 10, "http://mock-website:8000/index.html", 2)])
+    eng.run()
+    media = eng.wh.read("media_store").collect()
+    assert len(media) == 1
+    m = media[0]
+    assert m.media_ref == "http://mock-website:8000/darth.png"
+    assert m.s3_path.startswith("1/") and m.s3_path.endswith(".png")
+    assert m.content_type == "image/png" and len(m.payload) == 256
