@@ -1,0 +1,97 @@
+"""spark-submit entry point: run a crawl from the command line.
+
+The cluster deployment path (north_rule: ``spark-submit --py-files``):
+
+    spark-submit --master <cluster> --py-files iws_pkg.zip crawl_cli.py \\
+        --warehouse /data/crawl1 --seed http://h0.test/p0.html --depth 3 \\
+        --corpus /data/corpus_parquet --budget 64
+
+Corpus modes: --corpus <partitioned parquet path> (point-lookup fetch),
+or --synthetic-hosts N (generator-backed synthetic web). Resume by
+rerunning with the same --warehouse (picks up after the last committed
+round).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+
+from isidorus_web_scraper_spark.corpus import make_html_resolver  # noqa: E402
+from isidorus_web_scraper_spark.plans.crawl import (  # noqa: E402
+    CrawlConfig,
+    CrawlEngine,
+)
+from isidorus_web_scraper_spark.session import get_spark  # noqa: E402
+from isidorus_web_scraper_spark.sources.corpus_store import (  # noqa: E402
+    make_partitioned_fetcher,
+)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--seed", action="append", default=[],
+                    help="seed URL (repeatable); scraping ids are assigned 1..n")
+    ap.add_argument("--depth", type=int, default=1)
+    ap.add_argument("--user-id", type=int, default=1)
+    ap.add_argument("--corpus", help="bucket-partitioned corpus parquet path")
+    ap.add_argument("--corpus-buckets", type=int, default=64)
+    ap.add_argument("--synthetic-hosts", type=int,
+                    help="generator-backed synthetic web instead of --corpus")
+    ap.add_argument("--budget", type=int, default=8,
+                    help="per-host fetches per round")
+    ap.add_argument("--max-rounds", type=int, default=64)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an existing warehouse (no new seeds)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("iws-crawl", master=args.master)
+    if args.synthetic_hosts:
+        resolver = make_html_resolver(
+            n_hosts=args.synthetic_hosts, base=args.synthetic_hosts
+        )
+    elif args.corpus:
+        resolver = make_partitioned_fetcher(args.corpus, args.corpus_buckets)
+    else:
+        ap.error("one of --corpus / --synthetic-hosts is required")
+
+    eng = CrawlEngine(
+        spark,
+        args.warehouse,
+        resolver=resolver,
+        config=CrawlConfig(
+            default_budget=args.budget, max_rounds=args.max_rounds
+        ),
+    )
+    if args.resume:
+        stats = eng.resume()
+    else:
+        if not args.seed:
+            ap.error("--seed required unless --resume")
+        eng.start(
+            [(i + 1, args.user_id, url, args.depth) for i, url in enumerate(args.seed)]
+        )
+        stats = eng.run()
+
+    print(
+        json.dumps(
+            {
+                "rounds": len(stats),
+                "fetched": sum(s.fetched for s in stats),
+                "new_urls": sum(s.new_urls for s in stats),
+                "fetch_errors": sum(s.fetch_errors for s in stats),
+                "deferred": sum(s.deferred for s in stats),
+                "wall_ms": sum(s.wall_ms for s in stats),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -618,3 +618,50 @@ def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Politeness budget as a relational operator: ≤K fetches per host per
+# round, priority (depth DESC, url ASC) — the window-function rendition
+# of the per-host priority queue (operators/politeness.py), here made
+# DuckDB-checkable.
+# ---------------------------------------------------------------------------
+@query(
+    "politeness_budget_topk",
+    """
+    WITH frontier AS (
+      SELECT 'h' || (doc_id % 37)::VARCHAR || '.test' AS host,
+             'http://h' || (doc_id % 37)::VARCHAR || '.test/p' ||
+               doc_id::VARCHAR AS url,
+             (doc_id % 3)::INTEGER AS depth
+      FROM documents
+    )
+    SELECT host, url, depth,
+           CASE WHEN rn <= 4 THEN 'fetch' ELSE 'defer' END AS action
+    FROM (
+      SELECT host, url, depth,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY depth DESC, url) AS rn
+      FROM frontier
+    )
+    """,
+)
+def politeness_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"), F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".test/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("depth"), F.asc("url"))
+    return frontier.withColumn("rn", F.row_number().over(w)).select(
+        "host",
+        "url",
+        "depth",
+        F.when(F.col("rn") <= 4, F.lit("fetch")).otherwise(F.lit("defer")).alias("action"),
+    )
