@@ -258,14 +258,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wh GROUP BY doc_id
     )
     SELECT doc_id,
-           [CASE WHEN b0 > 0 THEN 1 ELSE 0 END, CASE WHEN b1 > 0 THEN 1 ELSE 0 END, CASE WHEN b2 > 0 THEN 1 ELSE 0 END, CASE WHEN b3 > 0 THEN 1 ELSE 0 END, CASE WHEN b4 > 0 THEN 1 ELSE 0 END, CASE WHEN b5 > 0 THEN 1 ELSE 0 END, CASE WHEN b6 > 0 THEN 1 ELSE 0 END, CASE WHEN b7 > 0 THEN 1 ELSE 0 END, CASE WHEN b8 > 0 THEN 1 ELSE 0 END, CASE WHEN b9 > 0 THEN 1 ELSE 0 END, CASE WHEN b10 > 0 THEN 1 ELSE 0 END, CASE WHEN b11 > 0 THEN 1 ELSE 0 END, CASE WHEN b12 > 0 THEN 1 ELSE 0 END, CASE WHEN b13 > 0 THEN 1 ELSE 0 END, CASE WHEN b14 > 0 THEN 1 ELSE 0 END, CASE WHEN b15 > 0 THEN 1 ELSE 0 END] AS simhash_bits
+           CAST(CASE WHEN b0 > 0 THEN 1 ELSE 0 END + CASE WHEN b1 > 0 THEN 2 ELSE 0 END + CASE WHEN b2 > 0 THEN 4 ELSE 0 END + CASE WHEN b3 > 0 THEN 8 ELSE 0 END + CASE WHEN b4 > 0 THEN 16 ELSE 0 END + CASE WHEN b5 > 0 THEN 32 ELSE 0 END + CASE WHEN b6 > 0 THEN 64 ELSE 0 END + CASE WHEN b7 > 0 THEN 128 ELSE 0 END + CASE WHEN b8 > 0 THEN 256 ELSE 0 END + CASE WHEN b9 > 0 THEN 512 ELSE 0 END + CASE WHEN b10 > 0 THEN 1024 ELSE 0 END + CASE WHEN b11 > 0 THEN 2048 ELSE 0 END + CASE WHEN b12 > 0 THEN 4096 ELSE 0 END + CASE WHEN b13 > 0 THEN 8192 ELSE 0 END + CASE WHEN b14 > 0 THEN 16384 ELSE 0 END + CASE WHEN b15 > 0 THEN 32768 ELSE 0 END AS BIGINT) AS simhash
     FROM sums
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc (weighted word hashes); near-dups share
-    most bits. Kept SQL-small (16 bits) so the oracle stays exact; the
-    Spark path generalizes to 64 bits by widening the range."""
+    """16-bit SimHash per doc (weighted word hashes) packed into one
+    BIGINT — sortable/hashable for the driver compare and how simhash
+    is stored in practice. Kept SQL-small (16 bits) so the oracle stays
+    exact; the Spark path generalizes to 64 bits by widening the range."""
     docs = load(spark, sf_dir, "documents")
     wh = (
         docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
@@ -283,15 +284,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(16)
         ]
     )
-    return bit_sums.select(
-        "doc_id",
-        F.array(
-            *[
-                F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0))
-                for b in range(16)
-            ]
-        ).alias("simhash_bits"),
-    )
+    packed = None
+    for b in range(16):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return bit_sums.select("doc_id", packed.cast("long").alias("simhash"))
 
 
 @query(

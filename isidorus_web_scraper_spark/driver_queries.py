@@ -50,7 +50,7 @@ def query(name: str, sql: str | None):
     """
     SELECT source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(DISTINCT lang) AS n_langs,
            max(n_chars) AS max_chars
     FROM documents
@@ -89,9 +89,16 @@ def flagship_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    n = docs.count()
-    frontier = spark.range(200).select(
-        ((F.col("id") * 7) % (2 * n)).alias("url_id"), F.lit(2).alias("depth")
+    # Corpus size as a broadcast scalar (one-row cross join), mirroring
+    # the oracle's scalar subquery — no eager count() at plan build.
+    n_df = docs.agg(F.count("*").alias("n"))
+    frontier = (
+        spark.range(200)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            ((F.col("id") * 7) % (2 * F.col("n"))).alias("url_id"),
+            F.lit(2).alias("depth"),
+        )
     )
     fetched = F.broadcast(frontier).join(
         docs, frontier.url_id == docs.doc_id, "left"
@@ -145,12 +152,17 @@ _EDGES_SQL = """
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    n = docs.count()
-    e1 = docs.select(
-        F.col("doc_id").alias("src"), ((2 * F.col("doc_id") + 1) % n).alias("dst")
+    # Scalar-subquery shape (as the DuckDB twin does): corpus size joins
+    # in as a broadcast one-row aggregate, keeping plan build lazy.
+    n_df = docs.agg(F.count("*").alias("n"))
+    with_n = docs.crossJoin(F.broadcast(n_df))
+    e1 = with_n.select(
+        F.col("doc_id").alias("src"),
+        ((2 * F.col("doc_id") + 1) % F.col("n")).alias("dst"),
     )
-    e2 = docs.select(
-        F.col("doc_id").alias("src"), ((3 * F.col("doc_id") + 7) % n).alias("dst")
+    e2 = with_n.select(
+        F.col("doc_id").alias("src"),
+        ((3 * F.col("doc_id") + 7) % F.col("n")).alias("dst"),
     )
     return e1.unionAll(e2)
 
@@ -417,15 +429,22 @@ def s3_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lazy plan (union of three one-row aggregates) — no driver-side
+    # counts; all three set ops run in a single job when the driver acts.
     docs = load(spark, sf_dir, "documents")
     a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
     b = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
-    rows = [
-        ("union", a.union(b).distinct().count()),
-        ("intersect", a.intersect(b).count()),
-        ("except", a.exceptAll(b).distinct().count()),
-    ]
-    return spark.createDataFrame(rows, "op string, n long")
+
+    def tagged(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("op"), F.col("n")
+        )
+
+    return (
+        tagged("union", a.union(b).distinct())
+        .unionAll(tagged("intersect", a.intersect(b)))
+        .unionAll(tagged("except", a.exceptAll(b).distinct()))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -17,11 +17,21 @@ negatives by construction, false positives re-checked exactly).
 
 Scale note (10^10 seen URLs): a single bitmap at fpp=1e-3 would be
 ~2 GB — too big to broadcast. The scale path shards the seen table by
-``pmod(url_hash, B)`` buckets and builds one bloom per bucket
-(bits sized by bucket count), applying each bloom only to candidates in
-its bucket; ``bucketed`` below implements exactly that with the same
-build/apply primitives. Hashing is JVM-side ``xxhash64`` feeding
-numpy double-hashing (h1 + i*h2 mod m).
+``url_hash % B`` buckets and builds one bloom per bucket (bits sized
+per bucket): ``BucketedBloom`` / ``build_bucketed_bloom`` below. Two
+apply modes:
+
+- broadcast (``with_bloom_flag`` — ``BucketedBloom`` is API-compatible
+  with ``BloomFilter``): fine while the total bitmap budget fits an
+  executor;
+- cogrouped (``with_bloom_flag_cogrouped``): bitmaps live in a
+  ``(bucket, bits)`` DataFrame, candidates cogroup with it per bucket,
+  so each task holds exactly ONE bucket's bitmap — no driver collect,
+  no global broadcast; this is the 10^10-URL path (total bitmap bytes
+  spread across B tasks instead of resident everywhere).
+
+Hashing is JVM-side ``xxhash64`` feeding numpy double-hashing
+(h1 + i*h2 mod m).
 """
 
 from __future__ import annotations
@@ -120,8 +130,184 @@ def build_bloom(
     return BloomFilter(num_bits=m, num_hashes=k, bits=np.asarray(merged, dtype=np.uint8))
 
 
+@dataclass
+class BucketedBloom:
+    """B independent Bloom filters sharded by ``hash % B`` — the
+    10^10-URL seen-set design (reference analog: the sharded Redis
+    cluster a crawl of that size would need, `redis_client.go:44-50`).
+    API-compatible with :class:`BloomFilter` (insert_vec/contains_vec)
+    so every apply path accepts either."""
+
+    num_buckets: int
+    filters: list[BloomFilter]
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f.bits.nbytes for f in self.filters)
+
+    def _bucket_of(self, h: np.ndarray) -> np.ndarray:
+        return (h.astype(np.uint64) % np.uint64(self.num_buckets)).astype(np.int64)
+
+    def insert_vec(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        h = np.asarray(hashes).astype(np.uint64)
+        b = self._bucket_of(h)
+        # one vectorized insert per *present* bucket (≤ B passes)
+        for bucket in np.unique(b):
+            self.filters[bucket].insert_vec(h[b == bucket])
+
+    def contains_vec(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        h = np.asarray(hashes).astype(np.uint64)
+        b = self._bucket_of(h)
+        out = np.zeros(len(h), dtype=bool)
+        for bucket in np.unique(b):
+            mask = b == bucket
+            out[mask] = self.filters[bucket].contains_vec(h[mask])
+        return out
+
+
+def empty_bucketed(
+    num_buckets: int, expected_items: int, fpp: float = 1e-3
+) -> BucketedBloom:
+    """B empty filters, each sized for its expected shard (items/B) —
+    total bits ≈ the single-bitmap budget, but no single 2 GB object."""
+    per = max(1, expected_items // num_buckets)
+    m, k = optimal_params(per, fpp)
+    return BucketedBloom(
+        num_buckets=num_buckets,
+        filters=[
+            BloomFilter(num_bits=m, num_hashes=k, bits=np.zeros(m // 8, dtype=np.uint8))
+            for _ in range(num_buckets)
+        ],
+    )
+
+
+def build_bucketed_bloom(
+    df: DataFrame,
+    hash_col: str,
+    num_buckets: int,
+    expected_items: int,
+    fpp: float = 1e-3,
+) -> BucketedBloom:
+    """Distributed sharded build: each partition emits (bucket, bits)
+    rows for the buckets it saw; per-bucket OR-merge via reduceByKey —
+    the shuffle moves only bitmaps (B × m/8 bytes), never rows."""
+    per = max(1, expected_items // num_buckets)
+    m, k = optimal_params(per, fpp)
+    nbytes = m // 8
+    B = num_buckets
+
+    def per_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        local: dict[int, np.ndarray] = {}
+        for batch in batches:
+            h = batch.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(h) == 0:
+                continue
+            b = (h % np.uint64(B)).astype(np.int64)
+            for bucket in np.unique(b):
+                bits = local.setdefault(
+                    int(bucket), np.zeros(nbytes, dtype=np.uint8)
+                )
+                pos = _positions(h[b == bucket], k, m).ravel()
+                np.bitwise_or.at(
+                    bits,
+                    pos >> np.uint64(3),
+                    (1 << (pos & np.uint64(7))).astype(np.uint8),
+                )
+        if local:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(local.keys()), type=pa.int32()),
+                    pa.array([v.tobytes() for v in local.values()]),
+                ],
+                ["bucket", "bits"],
+            )
+
+    parts = df.select(F.col(hash_col).alias("h")).mapInArrow(
+        per_partition, "bucket int, bits binary"
+    )
+    merged = dict(
+        parts.rdd.map(
+            lambda r: (r.bucket, np.frombuffer(r.bits, dtype=np.uint8))
+        ).reduceByKey(np.bitwise_or).collect()
+    )
+    return BucketedBloom(
+        num_buckets=B,
+        filters=[
+            BloomFilter(
+                num_bits=m,
+                num_hashes=k,
+                bits=np.array(
+                    merged.get(i, np.zeros(nbytes, dtype=np.uint8)), dtype=np.uint8
+                ),
+            )
+            for i in range(B)
+        ],
+    )
+
+
+def bloom_bits_df(bloom: BucketedBloom, spark) -> DataFrame:
+    """Materialize a BucketedBloom as a (bucket, num_bits, num_hashes,
+    bits) DataFrame — the form the cogrouped apply (and an Iceberg-backed
+    persistent seen-sketch table) consumes."""
+    rows = [
+        (i, f.num_bits, f.num_hashes, bytes(f.bits.tobytes()))
+        for i, f in enumerate(bloom.filters)
+    ]
+    return spark.createDataFrame(
+        rows, "bucket int, num_bits long, num_hashes int, bits binary"
+    )
+
+
+def with_bloom_flag_cogrouped(
+    df: DataFrame,
+    hash_col: str,
+    bits_df: DataFrame,
+    num_buckets: int,
+    flag: str = "maybe_seen",
+) -> DataFrame:
+    """Per-bucket Bloom apply with NO broadcast and NO driver collect:
+    candidates cogroup with the (bucket, bits) table, so each task holds
+    exactly one bucket's bitmap. At 10^10 URLs the 2 GB of total bitmap
+    lives as B shards across tasks instead of resident on every
+    executor. Cost: one shuffle of the candidates by bucket — which the
+    downstream seen anti-join (also keyed by url) would pay anyway."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(flag, T.BooleanType(), False)]
+    )
+    with_bucket = df.withColumn(
+        "__bucket",
+        F.pmod(F.col(hash_col), F.lit(num_buckets)).cast("int"),
+    )
+    grouped = with_bucket.groupBy("__bucket").cogroup(
+        bits_df.groupBy("bucket")
+    )
+
+    def apply(cand: pd.DataFrame, blm: pd.DataFrame) -> pd.DataFrame:
+        cand = cand.drop(columns=["__bucket"])
+        if cand.empty:
+            return cand.assign(**{flag: pd.Series([], dtype=bool)})
+        if blm.empty:  # no bitmap for this bucket ⇒ nothing seen
+            return cand.assign(**{flag: False})
+        row = blm.iloc[0]
+        filt = BloomFilter(
+            num_bits=int(row.num_bits),
+            num_hashes=int(row.num_hashes),
+            bits=np.frombuffer(row.bits, dtype=np.uint8),
+        )
+        h = cand[hash_col].to_numpy().astype(np.uint64)
+        return cand.assign(**{flag: filt.contains_vec(h)})
+
+    return grouped.applyInPandas(apply, out_schema)
+
+
 def with_bloom_flag(
-    df: DataFrame, hash_col: str, bloom: BloomFilter, flag: str = "maybe_seen"
+    df: DataFrame, hash_col: str, bloom: "BloomFilter | BucketedBloom", flag: str = "maybe_seen"
 ) -> DataFrame:
     """Add a boolean ``flag`` column: True ⇒ possibly in the seen set
     (must anti-join), False ⇒ definitely new (skips the shuffle)."""
@@ -151,14 +337,23 @@ def prefiltered_anti_join(
     seen: DataFrame,
     keys: list[str],
     hash_col: str,
-    bloom: BloomFilter | None,
+    bloom: "BloomFilter | BucketedBloom | None",
+    persist_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """candidates LEFT ANTI seen, with the Bloom pre-filter routing
     definite-news around the shuffle. Falls back to a plain anti-join
-    when no bloom is supplied."""
+    when no bloom is supplied.
+
+    ``persist_handles``: when given, the flagged intermediate is
+    persisted (it feeds both the definite-new and the maybe branch —
+    without a cache the Arrow flag pass runs twice) and appended to the
+    list so the caller can unpersist after materializing."""
     if bloom is None:
         return candidates.join(seen.select(keys), keys, "left_anti")
     flagged = with_bloom_flag(candidates, hash_col, bloom)
+    if persist_handles is not None:
+        flagged = flagged.persist()
+        persist_handles.append(flagged)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(seen.select(keys), keys, "left_anti")

@@ -91,8 +91,10 @@ def schedule_round(
         )
     )
 
+    # round comes from the frontier rows, not a plan literal — keeps the
+    # generated stage code identical across rounds (codegen cache hit)
     f = f.withColumn(
-        "delay_ok", F.lit(round_no) % (F.col("delay") + 1) == 0
+        "delay_ok", F.col("round") % (F.col("delay") + 1) == 0
     )
 
     out_schema = (
@@ -109,9 +111,14 @@ def schedule_round(
         def sched(batches):
             import numpy as np
 
-            # eligible (non-blocked) rows already taken per host —
-            # carried across Arrow batches within the partition
-            taken: dict[str, int] = {}
+            # O(1) carried state: rows are host-sorted within the
+            # partition, so a host's rows are CONTIGUOUS — the only host
+            # that can span an Arrow-batch boundary is the previous
+            # batch's tail. Carrying (tail_host, tail_count) instead of
+            # a per-host dict keeps scheduler memory flat even at
+            # 10^7-host rounds (BENCH §6 item 3).
+            last_host: str | None = None
+            last_count = 0
 
             for pdf in batches:
                 if pdf.empty:
@@ -119,15 +126,21 @@ def schedule_round(
                 blocked = pdf["blocked"].fillna(False).to_numpy(dtype=bool)
                 delay_ok = pdf["delay_ok"].to_numpy(dtype=bool)
                 budget = pdf["budget"].to_numpy()
+                hosts = pdf["host"].to_numpy()
                 elig = pd.Series(~blocked, index=pdf.index)
-                # eligible-rank = prior batches' count + eligible rows
-                # above this one in priority order within the batch
-                start = pdf["host"].map(taken).fillna(0).to_numpy()
+                # eligible-rank = carry-in (head rows continuing the
+                # previous batch's tail host) + eligible rows above this
+                # one in priority order within the batch
                 cum_elig = (
                     elig.groupby(pdf["host"], sort=False).cumsum().to_numpy()
                     - elig.to_numpy()
                 )
-                rank = start + cum_elig
+                carry = (
+                    np.where(hosts == last_host, last_count, 0)
+                    if last_host is not None
+                    else 0
+                )
+                rank = carry + cum_elig
                 action = np.where(
                     blocked,
                     ACTION_ROBOTS,
@@ -135,10 +148,12 @@ def schedule_round(
                         delay_ok & (rank < budget), ACTION_FETCH, ACTION_DEFER
                     ),
                 )
-                for host, cnt in (
-                    elig.groupby(pdf["host"], sort=False).sum().items()
-                ):
-                    taken[host] = taken.get(host, 0) + int(cnt)
+                tail_host = hosts[-1]
+                tail_total = int(elig.to_numpy()[hosts == tail_host].sum())
+                last_count = (
+                    last_count + tail_total if tail_host == last_host else tail_total
+                )
+                last_host = tail_host
                 yield pd.DataFrame(
                     {
                         "scraping_id": pdf["scraping_id"],
@@ -160,7 +175,7 @@ def schedule_round(
         delay = int(pdf["delay"].iloc[0])
         blocked = pdf["blocked"].fillna(False).to_numpy()
         action = pd.Series(ACTION_DEFER, index=pdf.index)
-        if round_no % (delay + 1) == 0:
+        if int(pdf["round"].iloc[0]) % (delay + 1) == 0:
             eligible = ~blocked
             fetch_idx = pdf.index[eligible][:budget]
             action.loc[fetch_idx] = ACTION_FETCH

@@ -125,10 +125,15 @@ def search_pages(wh: Warehouse, term: str, user_id: int) -> DataFrame:
             F.split(F.lower("content"), " ", -1), lambda w: w == F.lit(t)
         )
     )
+    # \Q...\E makes the user term literal (reference treats terms
+    # literally; raw interpolation of e.g. 'c++' would be an invalid
+    # or wrong pattern). \E inside the term is the only escape hole —
+    # close it by splitting the quote around it.
+    quoted = "\\Q" + t.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     highlights = F.slice(
         F.regexp_extract_all(
             F.col("content"),
-            F.lit(f"(?i).{{0,30}}{t}.{{0,30}}"),
+            F.lit(f"(?i).{{0,30}}{quoted}.{{0,30}}"),
             0,
         ),
         1,

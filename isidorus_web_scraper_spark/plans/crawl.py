@@ -44,9 +44,10 @@ from ..functions.spark_udfs import make_explain_image_udf, make_summarize_udf
 from ..functions.url import url_hash_col
 from ..operators.bloom import (
     BloomFilter,
+    BucketedBloom,
     build_bloom,
+    build_bucketed_bloom,
     prefiltered_anti_join,
-    with_bloom_flag,
 )
 from ..operators.politeness import (
     ACTION_DEFER,
@@ -64,6 +65,10 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_expected_urls: int = 1 << 20
     bloom_fpp: float = 1e-3
+    # >1 ⇒ sharded seen-sketch: one bloom per url_hash%B bucket. At
+    # 10^10 URLs a single bitmap is ~2 GB (unbroadcastable); bucketing
+    # keeps every bitmap shard small (operators/bloom.py scale note).
+    bloom_buckets: int = 8
     max_rounds: int = 64
     summarizer_enabled: bool = True       # WithFeatureFlags (scraper_service.go:217-256)
     image_extractor_enabled: bool = True
@@ -110,7 +115,7 @@ class CrawlEngine:
 
     def __post_init__(self):
         self.wh = Warehouse(self.spark, self.warehouse_root)
-        self._bloom: BloomFilter | None = None
+        self._bloom: BloomFilter | BucketedBloom | None = None
         self._summarize = make_summarize_udf(self.config.llm_provider)
         self._explain = make_explain_image_udf(self.config.llm_provider)
 
@@ -201,11 +206,17 @@ class CrawlEngine:
         return max(1, min(max_par, -(-urls_in // cfg.target_rows_per_task)))
 
     # ----------------------------------------------------------------- round
-    def run_round(self, round_no: int) -> RoundStats:
+    def run_round(self, round_no: int, urls_in: int | None = None) -> RoundStats:
+        """One BFS round. ``urls_in`` is the exact frontier size carried
+        forward from the previous round (new_urls + deferred) — passing
+        it skips the per-round count() action (part of the constant-plan
+        driver-floor fix, BENCH §6 item 1); None ⇒ count once (first
+        round / resume)."""
         t0 = time.monotonic()
         cfg = self.config
         frontier = self.wh.read("frontier", {"round": round_no})
-        urls_in = frontier.count()
+        if urls_in is None:
+            urls_in = frontier.count()
         parts = self._round_parallelism(urls_in)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
@@ -253,21 +264,20 @@ class CrawlEngine:
             .persist()
         )
 
-        # fetch log (status 404 = missing doc; non-200 drop, P5)
-        with self._timed("fetch+parse+fetch_log"):
-            self.wh.append(
-                "fetch_log",
-                parsed.select(
-                    "scraping_id",
-                    "url",
-                    F.lit(round_no).alias("round"),
-                    F.when(F.col("ok"), F.lit(200)).otherwise(F.lit(404)).alias("status"),
-                    F.when(F.col("ok"), F.lit(None).cast("string"))
-                    .otherwise(F.lit("fetch error"))
-                    .alias("error"),
-                ),
-                {"round": round_no},
-            )
+        # NOTE constant-plan rounds: every output tags its round from the
+        # frontier rows' `round` COLUMN, never a per-round literal — the
+        # generated stage code is byte-identical across rounds, so the
+        # JVM codegen cache hits instead of recompiling every round
+        # (BENCH §6 item 1; the commit props dict is driver-side only).
+        fetch_log = parsed.select(
+            "scraping_id",
+            "url",
+            "round",
+            F.when(F.col("ok"), F.lit(200)).otherwise(F.lit(404)).alias("status"),
+            F.when(F.col("ok"), F.lit(None).cast("string"))
+            .otherwise(F.lit("fetch error"))
+            .alias("error"),
+        )
 
         ok = parsed.filter("ok")
 
@@ -279,14 +289,14 @@ class CrawlEngine:
                 (F.length("content") > 0) & F.lit(cfg.summarizer_enabled),
                 self._summarize("content"),
             ).alias("summary"),
-            F.lit(round_no).alias("round"),
+            "round",
         )
 
         links = ok.select(
             "scraping_id",
             F.col("url").alias("source_url"),
             F.explode_outer("links").alias("target_url"),
-            F.lit(round_no).alias("round"),
+            "round",
         ).filter(F.col("target_url").isNotNull())
 
         if cfg.image_extractor_enabled:
@@ -295,6 +305,7 @@ class CrawlEngine:
                     "scraping_id",
                     F.col("url").alias("page_url"),
                     F.explode("images").alias("image_url"),
+                    "round",
                 )
                 .withColumn(
                     "ext",  # P9 extension inference (extractor_service.go:109-129)
@@ -318,7 +329,7 @@ class CrawlEngine:
                         F.col("scraping_id").cast("string"),
                         F.concat(F.sha2(F.col("image_url"), 256), F.lit("."), F.col("ext")),
                     ).alias("s3_path"),  # deterministic key replaces uuid (extractor_service.go:66)
-                    F.lit(round_no).alias("round"),
+                    "round",
                 )
             )
         else:
@@ -356,7 +367,7 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("summary"),
                 "scraping_id",
                 "user_id",
-                F.lit(round_no).alias("round"),
+                "round",
             )
             if cfg.indexer_enabled
             else None
@@ -368,6 +379,7 @@ class CrawlEngine:
             .select(
                 "scraping_id",
                 "user_id",
+                "round",
                 F.col("url").alias("parent_url"),
                 (F.col("depth") - 1).alias("child_depth"),
                 F.explode("links").alias("url"),
@@ -381,44 +393,88 @@ class CrawlEngine:
             F.max("child_depth").alias("depth"),
             F.min("parent_url").alias("via"),
             F.max("user_id").alias("user_id"),
+            F.max("round").alias("round"),  # constant within a round
         )
         claims = claims.withColumn("url_hash", url_hash_col("url"))
 
         seen = self.wh.read("seen")
-        to_unpersist = []
-        if cfg.use_bloom and self._bloom is not None:
-            flagged = with_bloom_flag(claims, "url_hash", self._bloom).persist()
-            to_unpersist.append(flagged)
-            definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-            checked = maybe.join(
-                seen.select("scraping_id", "url"), ["scraping_id", "url"], "left_anti"
+        to_unpersist: list[DataFrame] = []
+        new_urls = prefiltered_anti_join(
+            claims,
+            seen,
+            ["scraping_id", "url"],
+            "url_hash",
+            self._bloom if cfg.use_bloom else None,
+            persist_handles=to_unpersist,
+        ).persist()
+
+        deferred = scheduled.filter(F.col("action") == ACTION_DEFER)
+        next_frontier = new_urls.select(
+            "scraping_id",
+            "user_id",
+            "url",
+            "depth",
+            (F.col("round") + 1).alias("round"),
+        ).unionByName(
+            deferred.select(
+                "scraping_id",
+                "user_id",
+                "url",
+                "depth",
+                (F.col("round") + 1).alias("round"),
             )
-            new_urls = definite_new.unionByName(checked).persist()
-        else:
-            new_urls = claims.join(
-                seen.select("scraping_id", "url"), ["scraping_id", "url"], "left_anti"
-            ).persist()
-        # the fan-out writes, the claim pipeline and the stats aggregates
-        # are independent given the cached `parsed` — submit them as
-        # concurrent Spark jobs from driver threads (the serial
-        # plan-compile + commit wall was the scaling bottleneck; each
-        # table has its own manifest, so commits don't contend)
+        )
+        seen_new = new_urls.select(
+            "scraping_id",
+            "url",
+            "url_hash",
+            F.col("depth").alias("first_depth"),
+            (F.col("round") + 1).alias("round"),
+        )
+
+        # ONE concurrent wall: every fan-out write, the claim pipeline
+        # and both stats aggregates are independent given the cached
+        # `parsed` (per-block cache locks make concurrent first
+        # materialization safe) — submit them all as concurrent Spark
+        # jobs from driver threads. seen/frontier depend on new_urls, so
+        # their chain materializes it first, then writes both in
+        # parallel. The serial plan-compile + commit wall was the
+        # scaling bottleneck (BENCH §5/§6); each table has its own
+        # manifest, so commits don't contend.
         from concurrent.futures import ThreadPoolExecutor
 
         def _w(table, df):
             if df is not None:
                 self.wh.append(table, df, {"round": round_no})
 
-        with self._timed("parallel fan-out + claims"):
-            with ThreadPoolExecutor(max_workers=6) as pool:
+        def _claim_chain() -> int:
+            n = new_urls.count()  # materializes the cache once
+            with ThreadPoolExecutor(max_workers=2) as p2:
+                fs = [
+                    p2.submit(
+                        self.wh.append, "seen", seen_new, {"round": round_no + 1}
+                    ),
+                    p2.submit(
+                        self.wh.append,
+                        "frontier",
+                        next_frontier,
+                        {"round": round_no + 1},
+                    ),
+                ]
+                for f in fs:
+                    f.result()
+            return n
+
+        with self._timed("round fan-out (single wall)"):
+            with ThreadPoolExecutor(max_workers=9) as pool:
                 futs = [
+                    pool.submit(_w, "fetch_log", fetch_log),
                     pool.submit(_w, "pages", pages),
                     pool.submit(_w, "links", links),
                     pool.submit(_w, "images", images),
                     pool.submit(_w, "index_docs", index_docs),
                     pool.submit(_w, "media_store", media),
-                    pool.submit(new_urls.count),
+                    pool.submit(_claim_chain),
                     pool.submit(
                         lambda: parsed.agg(
                             F.sum(F.col("ok").cast("long")).alias("fetched"),
@@ -430,52 +486,26 @@ class CrawlEngine:
                             ).alias("links"),
                         ).first()
                     ),
+                    pool.submit(
+                        lambda: scheduled.agg(
+                            F.sum(
+                                (F.col("action") == ACTION_DEFER).cast("long")
+                            ).alias("deferred"),
+                            F.sum(
+                                (F.col("action") == ACTION_ROBOTS).cast("long")
+                            ).alias("robots"),
+                        ).first()
+                    ),
                 ]
                 results = [f.result() for f in futs]
-        n_new = results[5]
-        parsed_agg = results[6]
+        n_new = results[6]
+        parsed_agg = results[7]
+        sched_agg = results[8]
 
-        with self._timed("write seen"):
-          self.wh.append(
-            "seen",
-            new_urls.select(
-                "scraping_id",
-                "url",
-                "url_hash",
-                F.col("depth").alias("first_depth"),
-                F.lit(round_no + 1).alias("round"),
-            ),
-            {"round": round_no + 1},
-        )
         if self.config.use_bloom:
             with self._timed("bloom or-in"):
                 self._or_into_bloom(new_urls, n_new)
 
-        deferred = scheduled.filter(F.col("action") == ACTION_DEFER)
-        next_frontier = new_urls.select(
-            "scraping_id",
-            "user_id",
-            "url",
-            "depth",
-            F.lit(round_no + 1).alias("round"),
-        ).unionByName(
-            deferred.select(
-                "scraping_id",
-                "user_id",
-                "url",
-                "depth",
-                F.lit(round_no + 1).alias("round"),
-            )
-        )
-        with self._timed("write frontier"):
-            self.wh.append("frontier", next_frontier, {"round": round_no + 1})
-
-        # remaining stats: one aggregate on the cached scheduled DF
-        _t_stats = time.monotonic()
-        sched_agg = scheduled.agg(
-            F.sum((F.col("action") == ACTION_DEFER).cast("long")).alias("deferred"),
-            F.sum((F.col("action") == ACTION_ROBOTS).cast("long")).alias("robots"),
-        ).first()
         stats = RoundStats(
             round=round_no,
             urls_in=urls_in,
@@ -487,8 +517,6 @@ class CrawlEngine:
             robots_blocked=sched_agg["robots"] or 0,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
-        if cfg.debug_timing:
-            print(f"      [stats] {time.monotonic() - _t_stats:.2f}s", flush=True)
         self.wh.append(
             "metrics",
             self.spark.createDataFrame(
@@ -519,24 +547,37 @@ class CrawlEngine:
             df.unpersist()
         return stats
 
+    def _build_bloom(self, df: DataFrame) -> "BloomFilter | BucketedBloom":
+        cfg = self.config
+        if cfg.bloom_buckets > 1:
+            return build_bucketed_bloom(
+                df,
+                "url_hash",
+                cfg.bloom_buckets,
+                cfg.bloom_expected_urls,
+                cfg.bloom_fpp,
+            )
+        return build_bloom(
+            df, "url_hash", cfg.bloom_expected_urls, cfg.bloom_fpp
+        )
+
     def _or_into_bloom(self, new_urls: DataFrame, n_new: int) -> None:
         import numpy as np
 
         if self._bloom is not None and n_new <= self.config.bloom_driver_insert_max:
             # small batch: one collect beats a distributed build+merge
+            # (insert_vec handles both single and bucketed sketches)
             hashes = (
                 new_urls.select("url_hash").toPandas()["url_hash"].to_numpy()
             )
             self._bloom.insert_vec(hashes)
             return
-        add = build_bloom(
-            new_urls,
-            "url_hash",
-            self.config.bloom_expected_urls,
-            self.config.bloom_fpp,
-        )
+        add = self._build_bloom(new_urls)
         if self._bloom is None:
             self._bloom = add
+        elif isinstance(self._bloom, BucketedBloom):
+            for mine, theirs in zip(self._bloom.filters, add.filters):
+                mine.bits = np.bitwise_or(mine.bits, theirs.bits)
         else:
             self._bloom.bits = np.bitwise_or(self._bloom.bits, add.bits)
 
@@ -546,16 +587,24 @@ class CrawlEngine:
         r = self._next_round() if start_round is None else start_round
         self._rollback_partial(r)
         if cfg.use_bloom and self._bloom is None and self.wh.exists("seen"):
-            self._bloom = build_bloom(
-                self.wh.read("seen"), "url_hash", cfg.bloom_expected_urls, cfg.bloom_fpp
-            )
+            self._bloom = self._build_bloom(self.wh.read("seen"))
         all_stats: list[RoundStats] = []
         orig_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
+        # exact frontier size carried between rounds (next frontier =
+        # new_urls ∪ deferred, both unioned without dedup) — replaces the
+        # per-round isEmpty + count actions. None = unknown (first round).
+        urls_in: int | None = None
         try:
             while r < cfg.max_rounds:
-                if self.wh.read("frontier", {"round": r}).isEmpty():
+                if urls_in == 0:
                     break
-                all_stats.append(self.run_round(r))
+                if urls_in is None and self.wh.read(
+                    "frontier", {"round": r}
+                ).isEmpty():
+                    break
+                stats = self.run_round(r, urls_in)
+                all_stats.append(stats)
+                urls_in = stats.new_urls + stats.deferred
                 r += 1
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", orig_shuffle)
@@ -579,7 +628,15 @@ class CrawlEngine:
         """Drop commits from a partially-executed round so re-running it
         is idempotent (the metrics commit is the round's completion
         marker; anything tagged beyond it is partial)."""
-        for table in ("fetch_log", "pages", "links", "images", "index_docs", "metrics"):
+        for table in (
+            "fetch_log",
+            "pages",
+            "links",
+            "images",
+            "index_docs",
+            "media_store",
+            "metrics",
+        ):
             self.wh.remove_commits(
                 table, lambda p: p.get("round", -1) >= next_round
             )

@@ -65,3 +65,101 @@ def test_flag_column(spark):
     for r in rows:
         if r.h % 2 == 0:
             assert r.maybe_seen
+
+
+# ---------------------------------------------------------------- bucketed
+
+
+def test_bucketed_no_false_negatives_and_size_bound(spark):
+    from isidorus_web_scraper_spark.operators.bloom import (
+        build_bucketed_bloom,
+        optimal_params,
+    )
+
+    n, B = 40_000, 16
+    df = spark.range(n).select(F.xxhash64("id").alias("h"))
+    bb = build_bucketed_bloom(df, "h", B, expected_items=n, fpp=1e-3)
+    member = df.toPandas()["h"].to_numpy()
+    assert bb.contains_vec(member).all()  # zero false negatives
+    outside = (
+        spark.range(n, 3 * n).select(F.xxhash64("id").alias("h"))
+        .toPandas()["h"].to_numpy()
+    )
+    assert bb.contains_vec(outside).mean() < 0.01
+    # size bound: each shard is sized for n/B items, so no bitmap comes
+    # anywhere near the single-filter size — THE broadcastability claim
+    m_single, _ = optimal_params(n, 1e-3)
+    for f in bb.filters:
+        assert f.bits.nbytes <= (m_single // 8) // B + 64
+    assert bb.total_bytes <= (m_single // 8) + 64 * B
+
+
+def test_bucketed_equals_single_on_anti_join(spark):
+    """The sharded sketch must route EXACTLY like the single bitmap
+    through prefiltered_anti_join (result is exact either way — this
+    pins that the plumbing accepts both)."""
+    from isidorus_web_scraper_spark.operators.bloom import build_bucketed_bloom
+
+    seen = spark.range(1_000).select(
+        F.lit(1).alias("scraping_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    ).withColumn("url_hash", F.xxhash64("url"))
+    candidates = spark.range(500, 2_000).select(
+        F.lit(1).alias("scraping_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    ).withColumn("url_hash", F.xxhash64("url"))
+    single = build_bloom(seen, "url_hash", 1_000, 1e-3)
+    bucketed = build_bucketed_bloom(seen, "url_hash", 8, 1_000, 1e-3)
+    want = sorted(
+        r.url
+        for r in prefiltered_anti_join(
+            candidates, seen, ["scraping_id", "url"], "url_hash", single
+        ).collect()
+    )
+    got = sorted(
+        r.url
+        for r in prefiltered_anti_join(
+            candidates, seen, ["scraping_id", "url"], "url_hash", bucketed
+        ).collect()
+    )
+    assert got == want == sorted(f"u{i}" for i in range(1_000, 2_000))
+
+
+def test_bucketed_driver_insert_matches_distributed(spark):
+    from isidorus_web_scraper_spark.operators.bloom import (
+        build_bucketed_bloom,
+        empty_bucketed,
+    )
+
+    df = spark.range(5_000).select(F.xxhash64("id").alias("h"))
+    dist = build_bucketed_bloom(df, "h", 8, expected_items=5_000, fpp=1e-3)
+    drv = empty_bucketed(8, 5_000, 1e-3)
+    drv.insert_vec(df.toPandas()["h"].to_numpy())
+    for a, b in zip(dist.filters, drv.filters):
+        assert (a.bits == b.bits).all()
+
+
+def test_cogrouped_apply_equals_broadcast(spark):
+    """The no-broadcast cogrouped apply (the 10^10-URL path: each task
+    holds one bucket's bitmap) flags exactly like the broadcast path."""
+    from isidorus_web_scraper_spark.operators.bloom import (
+        bloom_bits_df,
+        build_bucketed_bloom,
+        with_bloom_flag_cogrouped,
+    )
+
+    B = 8
+    seen = spark.range(2_000).select(F.xxhash64("id").alias("h"))
+    bb = build_bucketed_bloom(seen, "h", B, 2_000, 1e-3)
+    cands = spark.range(1_000, 5_000).select(
+        F.col("id").alias("cid"), F.xxhash64("id").alias("h")
+    )
+    broadcast_flags = {
+        r.cid: r.maybe_seen for r in with_bloom_flag(cands, "h", bb).collect()
+    }
+    bits = bloom_bits_df(bb, spark)
+    cogroup_flags = {
+        r.cid: r.maybe_seen
+        for r in with_bloom_flag_cogrouped(cands, "h", bits, B).collect()
+    }
+    assert cogroup_flags == broadcast_flags

@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 from isidorus_web_scraper_spark.operators.politeness import schedule_round
 
 
-def _frontier(spark, n=500, hosts=23):
+def _frontier(spark, n=500, hosts=23, round_no=0):
+    # the scheduler reads the round from the rows (constant-plan rounds)
+    # — the crawl engine always keeps row round == round_no
     rows = [
-        (1, 1, f"http://h{i % hosts}.test/p{i}.html", 1 + i % 3, 0)
+        (1, 1, f"http://h{i % hosts}.test/p{i}.html", 1 + i % 3, round_no)
         for i in range(n)
     ]
     return spark.createDataFrame(
@@ -38,9 +40,9 @@ def _collect(df):
 
 
 def test_vectorized_equals_grouped(spark):
-    frontier = _frontier(spark)
     pol = _politeness(spark)
     for round_no in (0, 1):
+        frontier = _frontier(spark, round_no=round_no)
         a = _collect(schedule_round(frontier, pol, round_no, 4, impl="vectorized"))
         b = _collect(schedule_round(frontier, pol, round_no, 4, impl="grouped"))
         assert a == b, f"impl mismatch at round {round_no}"
@@ -60,7 +62,8 @@ def test_budget_and_robots_semantics(spark):
     assert d.get(("h3.test", "fetch"), 0) == 4           # default budget
     # delay host: round 0 fetches (0 % 2 == 0)
     assert d.get(("h1.test", "fetch"), 0) == 1
-    out1 = schedule_round(frontier, pol, 1, 4, impl="vectorized")
+    frontier1 = _frontier(spark, n=200, hosts=4, round_no=1)
+    out1 = schedule_round(frontier1, pol, 1, 4, impl="vectorized")
     d1 = {
         (r.host, r.action): r["count"]
         for r in out1.groupBy("host", "action").count().collect()
