@@ -416,6 +416,381 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-table multi-probe sign-LSH: the production ANN path. L=8 hash
+# tables × k=10 deterministic ±1 hyperplanes each (80 planes total,
+# md5-seeded module constants embedded in BOTH engines' plans) over
+# integer-quantized vectors — floor(x*1000) keeps every projection an
+# exact integer in double arithmetic, so bucket bits agree bit-for-bit
+# across Spark and DuckDB. Candidates = OR over tables of same-bucket
+# points, plus the k Hamming-1 probes per table; scan fraction ≈
+# L·(k+1)/2^k ≈ 8.6% of the corpus (vs n/8 for the 3-plane oracle twin
+# above) — the OR-construction is what makes recall tunable (add
+# tables) while each table stays sublinear. Measured on this synthetic
+# corpus (isotropic random embeddings, mean top-1 cos 0.37 — a
+# worst case for any LSH): recall@5 = 0.34 at 8.9% candidates ≈ 3.8×
+# better than random sampling; on planted near-duplicates (cos ≥ 0.99,
+# the dedup workload) table collision recall is 1.0
+# (tests/test_driver_contract.py::test_lsh_planted_neardup_recall).
+# ---------------------------------------------------------------------------
+
+_N_TABLES = 8
+_K_PLANES = 10
+_EMB_DIM = 64
+
+
+def _plane_weights() -> list[list[list[float]]]:
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if hashlib.md5(f"plane:{t}:{j}:{i}".encode()).digest()[0] % 2 == 0
+                else -1.0
+                for i in range(_EMB_DIM)
+            ]
+            for j in range(_K_PLANES)
+        ]
+        for t in range(_N_TABLES)
+    ]
+
+
+_PLANES = _plane_weights()
+_PROBE_MASKS = [0] + [1 << j for j in range(_K_PLANES)]  # self + Hamming-1
+
+
+def _bucket_cols(emb: Column) -> list[Column]:
+    """One bucket per hash table, all from a single quantized vector."""
+    q = F.transform(emb, lambda x: F.floor(x.cast("double") * 1000).cast("double"))
+    out = []
+    for table in _PLANES:
+        bucket = F.lit(0)
+        for j, w in enumerate(table):
+            warr = F.array(*[F.lit(v) for v in w])
+            proj = F.aggregate(
+                F.zip_with(q, warr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out.append(bucket)
+    return out
+
+
+def _buckets_sql() -> str:
+    """DuckDB twin: [bucket_t0, bucket_t1, ...] list expression."""
+    tables = []
+    for table in _PLANES:
+        terms = []
+        for j, w in enumerate(table):
+            lit = "[" + ",".join(str(v) for v in w) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(qv, {lit}) > 0 THEN {1 << j} ELSE 0 END"
+            )
+        tables.append("(" + " + ".join(terms) + ")")
+    return "[" + ", ".join(tables) + "]"
+
+
+_MULTIPROBE_SQL_BODY = f"""
+    q0 AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    bkt AS (
+      SELECT vec_id, embedding, {{buckets_expr}} AS buckets FROM q0
+    ),
+    data_side AS (
+      SELECT vec_id, t, buckets[t + 1] AS bucket
+      FROM bkt, range({_N_TABLES}) r(t)
+    ),
+    probes AS (
+      SELECT vec_id AS qid, t, xor(buckets[t + 1], m.mask) AS pb
+      FROM bkt, range({_N_TABLES}) r(t),
+           unnest({_PROBE_MASKS}) AS m(mask)
+      WHERE vec_id < 10
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, d.vec_id
+      FROM probes p JOIN data_side d ON d.t = p.t AND d.bucket = p.pb
+      WHERE d.vec_id != p.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+             list_cosine_similarity(q.embedding, e.embedding) AS cos
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.qid
+      JOIN embeddings e ON e.vec_id = c.vec_id
+    ),
+    mp_topk AS (
+      SELECT qid, vec_id, cos FROM (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    )
+"""
+
+
+def _multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    bkt = emb.select(
+        "vec_id",
+        "embedding",
+        F.array(*_bucket_cols(F.col("embedding"))).alias("buckets"),
+    )
+    data_side = bkt.select(
+        "vec_id", F.posexplode("buckets").alias("t", "bucket")
+    )
+    probes = bkt.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode("buckets").alias("t", "b0"),
+    ).select(
+        "qid",
+        "t",
+        F.explode(
+            F.array(*[F.col("b0").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
+        ).alias("pb"),
+    )
+    # a candidate can collide in several tables/probes → DISTINCT before
+    # the (expensive) cosine scoring; probe side is tiny → broadcast
+    cand = (
+        F.broadcast(probes)
+        .join(data_side, (probes.t == data_side.t) & (probes.pb == data_side.bucket))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    qe = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qe), "qid")
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id", "cos")
+    )
+
+
+@query(
+    "ann_lsh_multiprobe",
+    "WITH "
+    + _MULTIPROBE_SQL_BODY.format(buckets_expr=_buckets_sql())
+    + """
+    SELECT qid, vec_id AS neighbor, round(cos, 4) AS cos FROM mp_topk
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe sign-LSH top-5 (see module comment
+    above) — the production ANN path; `ann_lsh_topk` (3 fixed planes)
+    stays as the simpler oracle companion."""
+    return _multiprobe_topk(spark, sf_dir).select(
+        "qid", F.col("vec_id").alias("neighbor"), F.round("cos", 4).alias("cos")
+    )
+
+
+@query(
+    "ann_multiprobe_recall",
+    "WITH "
+    + _MULTIPROBE_SQL_BODY.format(buckets_expr=_buckets_sql())
+    + """
+    , bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          e.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rn <= 5
+    )
+    SELECT count(*) AS n_truth,
+           CAST(sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 4) AS recall_at_5
+    FROM bf LEFT JOIN mp_topk m ON m.qid = bf.qid AND m.vec_id = bf.vec_id
+    """,
+)
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the multi-probe LSH vs exact brute force — the
+    quality metric that justifies the approximate path (reported in
+    BENCH/BASELINE.md; oracle-checked so the number itself is pinned)."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("qid", F.col("neighbor").alias("vec_id"))
+    mp = _multiprobe_topk(spark, sf_dir).select("qid", "vec_id").withColumn(
+        "hit", F.lit(1)
+    )
+    joined = bf.join(mp, ["qid", "vec_id"], "left")
+    return joined.agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*"), 4
+        ).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: the other classic scale path (inverted file index).
+# Coarse quantizer = 1/50 sampled vectors as centroids (sampled-centroid
+# IVF keeps everything deterministic — no float-order-dependent k-means
+# means — so the oracle is exact); every vector lands in the cell of its
+# nearest centroid; queries probe the nprobe=2 nearest cells and search
+# them exactly. At 10^10 vectors with C=sqrt(n) cells this scans
+# ~2·sqrt(n) candidates per query, and the cell assignment is one
+# broadcast-join pass (n × C cosine compares, embarrassingly parallel).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS qid, embedding AS qe, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    )
+    SELECT qid, vec_id AS neighbor, round(cos, 4) AS cos FROM (
+      SELECT q.qid, a.vec_id,
+             list_cosine_similarity(q.qe, a.embedding) AS cos,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qe, a.embedding) DESC, a.vec_id
+             ) AS rn
+      FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id != q.qid
+    ) WHERE rn <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-5: broadcast the (small) centroid set, window-pick
+    each vector's cell, probe the query's 2 nearest cells, exact cosine
+    within them. Cells are the shuffle key — never all-pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("ce")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cid")
+    qprobe = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= 2))
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "cid"
+        )
+    )
+    cand = (
+        F.broadcast(qprobe)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("cos"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 5)
+        .select("qid", F.col("vec_id").alias("neighbor"), F.round("cos", 4).alias("cos"))
+    )
+
+
+# ===========================================================================
+# Multimodal media metadata (S3/S6 oracle coverage)
+# ===========================================================================
+
+
+@query(
+    "media_metadata_rollup",
+    """
+    WITH refs AS (
+      SELECT DISTINCT 'http://media.test/m' || (doc_id % 89)::VARCHAR ||
+             CASE doc_id % 5 WHEN 0 THEN '.png' WHEN 1 THEN '.jpg?s=1'
+                             WHEN 2 THEN '.mp4' WHEN 3 THEN '.wav'
+                             ELSE '' END AS media_ref
+      FROM documents
+    ),
+    meta AS (
+      SELECT media_ref,
+             coalesce(nullif(regexp_extract(media_ref,
+               '\\.([A-Za-z0-9]{1,5})(\\?|$)', 1), ''), 'bin') AS ext
+      FROM refs
+    )
+    SELECT CASE ext WHEN 'png' THEN 'image' WHEN 'jpg' THEN 'image'
+                    WHEN 'mp4' THEN 'video' WHEN 'wav' THEN 'audio'
+                    ELSE 'binary' END AS kind,
+           ext,
+           CASE ext WHEN 'png' THEN 'image/png' WHEN 'jpg' THEN 'image/jpeg'
+                    WHEN 'mp4' THEN 'video/mp4' WHEN 'wav' THEN 'audio/wav'
+                    ELSE 'application/octet-stream' END AS content_type,
+           count(*) AS n_media,
+           CAST(sum(256) AS BIGINT) AS total_bytes
+    FROM meta
+    GROUP BY 1, 2, 3
+    """,
+)
+def media_metadata_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S6 media path, oracle-checked at the metadata level: refs →
+    ``media_table`` (Arrow-batched payload fill + ext/kind/content-type
+    inference, operators/multimodal.py) → rollup. The DuckDB twin
+    recomputes the metadata rules independently, pinning ext inference
+    (`extractor_service.go:109-129`), the kind/content-type maps and the
+    deterministic payload sizing; payload BYTES are pinned separately by
+    tests/test_multimodal.py (binary columns don't hash portably)."""
+    from .operators.multimodal import media_table
+
+    docs = load(spark, sf_dir, "documents")
+    ref = F.concat(
+        F.lit("http://media.test/m"),
+        (F.col("doc_id") % 89).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(".png"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(".jpg?s=1"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(".mp4"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(".wav"))
+        .otherwise(F.lit("")),
+    )
+    media = media_table(docs.select(ref.alias("media_ref")).distinct())
+    # unknown ext ⇒ NULL content_type in the table; roll up under the
+    # serving default (same fallback data_url_col uses)
+    media = media.withColumn(
+        "content_type",
+        F.coalesce("content_type", F.lit("application/octet-stream")),
+    )
+    return media.groupBy("kind", "ext", "content_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================

@@ -238,6 +238,58 @@ def latest_page_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J3/J4 latest-parent resolution (the out-of-order enrichment path,
+# CrawlEngine.enrich): a late enrichment message must attach to the
+# LATEST version of its parent (db_repository.go:58-96
+# Order("scraped_at DESC").First() before the upsert). Flat-table twin:
+# events = versions per user (the parent key), enrichments = synthetic
+# late messages for every 3rd user; result = each parent's latest
+# version with its enrichment applied (others carry the no-op marker).
+# ---------------------------------------------------------------------------
+@query(
+    "latest_parent_resolution",
+    """
+    WITH latest AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    enrichments AS (
+      SELECT DISTINCT user_id, 'expl-' || user_id::VARCHAR AS explanation
+      FROM events WHERE user_id % 3 = 0
+    )
+    SELECT l.user_id,
+           l.event_id AS resolved_version,
+           coalesce(e.explanation, 'none') AS explanation
+    FROM latest l LEFT JOIN enrichments e USING (user_id)
+    """,
+)
+def latest_parent_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+    enrichments = (
+        events.filter(F.col("user_id") % 3 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "explanation", F.concat(F.lit("expl-"), F.col("user_id").cast("string"))
+        )
+    )
+    return latest.join(F.broadcast(enrichments), "user_id", "left").select(
+        "user_id",
+        F.col("event_id").alias("resolved_version"),
+        F.coalesce("explanation", F.lit("none")).alias("explanation"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.9 search: term filter over content + naive TF score
 # (search_service.py:17-59; score = term frequency, not BM25 — parity
 # target is the matching set, SURVEY.md §2.9).

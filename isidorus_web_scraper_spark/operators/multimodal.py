@@ -75,16 +75,26 @@ def media_table(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     (S3 fetch / HTTP GET with 10s timeout, http_repository.go:22-40) is
     simulated with deterministic bytes."""
     ext = ext_col(ref_col)
+    # bind everything the closure needs as LOCALS so cloudpickle ships
+    # it by value — Python workers must not need this package on their
+    # import path (the external driver may launch from any cwd)
+    kinds, ctypes = dict(_KINDS), dict(_CONTENT_TYPES)
 
     def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def payload_of(r: str, size: int = 256) -> bytes:
+            seed = hashlib.sha256(r.encode()).digest()
+            return (seed * (-(-size // len(seed))))[:size]
+
         for pdf in batches:
-            payload = pdf[ref_col].map(lambda r: fake_payload(r))
+            payload = pdf[ref_col].map(payload_of)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf[ref_col],
-                    "kind": pdf["ext"].map(lambda e: _KINDS.get(e, "binary")),
+                    "kind": pdf["ext"].map(lambda e: kinds.get(e, "binary")),
                     "ext": pdf["ext"],
-                    "content_type": pdf["ext"].map(_CONTENT_TYPES.get),
+                    "content_type": pdf["ext"].map(ctypes.get),
                     "payload": payload,
                     "n_bytes": payload.map(len),
                 }

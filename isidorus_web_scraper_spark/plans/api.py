@@ -176,9 +176,34 @@ def delete_scraping(wh: Warehouse, scraping_id: int, user_id: int) -> None:
         raise KeyError(f"scraping {scraping_id} not found")
     if owner["user_id"] != user_id:
         raise PermissionError("403: not the owner")  # J10 (scraper_service.py:196-203)
+    # commit pruning: the scraping only wrote rows in rounds
+    # [created_round, completed_round (+1 for seen/frontier tags)] —
+    # commits tagged outside that window are kept byte-identical.
+    # This is what keeps a delete from rewriting a 100-TB table.
+    job = (
+        wh.read("jobs")
+        .filter(F.col("scraping_id") == scraping_id)
+        .select("created_round", "completed_round")
+        .first()
+    )
+    if job is not None:
+        lo = job["created_round"] or 0
+        hi = job["completed_round"]
+        hi = (hi + 1) if hi is not None else None  # seen/frontier tag r+1
+
+        def in_window(props: dict) -> bool:
+            r = props.get("round")
+            if r is None:
+                return True  # untagged commit: can't prove unaffected
+            return r >= lo and (hi is None or r <= hi)
+
+    else:
+        in_window = None
     for table in _DELETE_TABLES:
         if wh.exists(table):
-            wh.delete_where(table, f"scraping_id = {scraping_id}")
+            wh.delete_where(
+                table, f"scraping_id = {scraping_id}", commit_pred=in_window
+            )
 
 
 # ---------------------------------------------------------------------------

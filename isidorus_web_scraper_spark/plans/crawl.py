@@ -36,7 +36,7 @@ import contextlib
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.spans import content_col, images_col, links_col
@@ -645,6 +645,73 @@ class CrawlEngine:
             self.wh.remove_commits(
                 table, lambda p: p.get("round", -1) >= next_round + 1
             )
+
+    # ---------------------------------------------------------- enrichment
+    def enrich(
+        self,
+        summaries: DataFrame | None = None,
+        explanations: DataFrame | None = None,
+    ) -> None:
+        """Out-of-order enrichment (J3/J4/J5): late summary /
+        image-explanation messages arriving AFTER their page may have
+        been re-scraped (a newer round appended another row for the same
+        (scraping_id, url)). The reference's writer resolves each
+        message to the LATEST page version before writing
+        (`workers/writer/repositories/db_repository.go:58-96`:
+        ``Order("scraped_at DESC").First()``, then the image upsert on
+        (page_id, s3_path) ``:70-96``). Spark rendition: window top-1
+        over pages by round DESC (J3), then MERGE (J4/J5) keyed to that
+        latest version.
+
+        summaries:    (scraping_id, url, summary)
+        explanations: (scraping_id, page_url, s3_path, image_url,
+                       explanation)
+        """
+        pages = self.wh.read("pages")
+        w = Window.partitionBy("scraping_id", "url").orderBy(F.desc("round"))
+        latest = (
+            pages.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("scraping_id", "url", F.col("round").alias("latest_round"))
+        )
+        # ORDER MATTERS: the images merge reads `latest` (a plan over
+        # the pages files); the pages merge REWRITES those files — so
+        # images must merge first, pages last.
+        if explanations is not None:
+            # J4: image upsert on (page, s3_path) AT the latest page
+            # version — updates that version's row if the extractor
+            # already wrote it, inserts a fresh row bound to the latest
+            # version otherwise (the FirstOrCreate race rendition).
+            upd = (
+                explanations.withColumnRenamed("page_url", "url")
+                .join(F.broadcast(latest), ["scraping_id", "url"])
+                .select(
+                    "scraping_id",
+                    F.col("url").alias("page_url"),
+                    "image_url",
+                    "explanation",
+                    "s3_path",
+                    F.col("latest_round").alias("round"),
+                )
+            )
+            self.wh.merge(
+                "images", upd, ["scraping_id", "page_url", "s3_path", "round"]
+            )
+        if summaries is not None:
+            # J5: summary lands on the latest page version only; older
+            # versions keep theirs. merge coalesces column-wise, so
+            # content stays untouched.
+            upd = (
+                summaries.join(F.broadcast(latest), ["scraping_id", "url"])
+                .select(
+                    "scraping_id",
+                    "url",
+                    F.lit(None).cast("string").alias("content"),
+                    "summary",
+                    F.col("latest_round").alias("round"),
+                )
+            )
+            self.wh.merge("pages", upd, ["scraping_id", "url", "round"])
 
     # -------------------------------------------------------------- finalize
     def _finalize(self) -> None:

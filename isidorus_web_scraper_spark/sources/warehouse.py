@@ -111,9 +111,50 @@ class Warehouse:
         # (update wins per column), and new rows (insert).
         self.overwrite(table, merged)
 
-    def delete_where(self, table: str, predicate: str) -> None:
-        """Predicate delete (Iceberg DELETE FROM analog; SURVEY.md J9)."""
-        self.overwrite(table, self.read(table).filter(f"NOT ({predicate})"))
+    def delete_where(self, table: str, predicate: str, commit_pred=None) -> None:
+        """Predicate delete (Iceberg DELETE FROM analog; SURVEY.md J9),
+        copy-on-write at COMMIT granularity — the Iceberg file-pruning
+        analog that keeps a 100-TB delete from rewriting the table:
+
+        - ``commit_pred(props) == False`` ⇒ the commit provably holds no
+          matching rows (e.g. its round tag is outside the target
+          scraping's [created_round, completed_round] window) and is
+          kept byte-identical with ZERO I/O;
+        - matching commits are filtered and rewritten individually,
+          concurrently, preserving their props (round tags survive, so
+          pruned reads still work after a delete);
+        - one atomic manifest swap publishes all rewrites together.
+        """
+        manifest = self._read_manifest(table)
+        rewrite = [
+            c
+            for c in manifest["commits"]
+            if commit_pred is None or commit_pred(c["props"])
+        ]
+        if not rewrite:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _rewrite(c: dict) -> str:
+            df = self.spark.read.parquet(
+                os.path.join(self._table_dir(table), c["dir"])
+            ).filter(f"NOT ({predicate})")
+            return self._stage(table, df)
+
+        with ThreadPoolExecutor(max_workers=min(8, len(rewrite))) as pool:
+            new_dirs = list(pool.map(_rewrite, rewrite))
+        replaced = {id(c): d for c, d in zip(rewrite, new_dirs)}
+        new_commits = [
+            {"dir": replaced[id(c)], "props": c["props"]}
+            if id(c) in replaced
+            else c
+            for c in manifest["commits"]
+        ]
+        self._swap_manifest(table, {"commits": new_commits})
+        for c in rewrite:  # orphans safe to GC after the swap
+            shutil.rmtree(
+                os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True
+            )
 
     # --- read paths --------------------------------------------------------
     def read(self, table: str, props_filter: dict | None = None) -> DataFrame:

@@ -298,3 +298,73 @@ def test_malformed_href_survives(spark, tmp_path):
     assert set(pages) == {(60, "http://ok.test/p0")}
     assert (60, "http://[bad-url") in seen  # claimed with its raw string
     assert jobs[60][0] == "COMPLETED"
+
+
+# ---------------------------------------------------------------------------
+# J3/J4/J5 out-of-order enrichment: a summary / image explanation
+# arriving AFTER the page was re-scraped must land on the LATEST page
+# version (db_repository.go:58-96 Order("scraped_at DESC").First() +
+# image upsert on (page_id, s3_path)).
+# ---------------------------------------------------------------------------
+def test_out_of_order_enrichment(spark, tmp_path):
+    from isidorus_web_scraper_spark.sources.warehouse import Warehouse
+
+    eng = CrawlEngine(spark, str(tmp_path / "wh"))
+    wh: Warehouse = eng.wh
+    # page re-scraped: round 0 and round 2 versions of the same url
+    wh.append(
+        "pages",
+        spark.createDataFrame(
+            [
+                (1, "http://a.test/p", "old content", "old summary", 0),
+                (1, "http://a.test/p", "new content", None, 2),
+                (1, "http://a.test/q", "other", None, 1),
+            ],
+            "scraping_id long, url string, content string, summary string, round int",
+        ),
+    )
+    # extractor already wrote an image row for the ROUND-2 version, and
+    # one stale row for the round-0 version
+    wh.append(
+        "images",
+        spark.createDataFrame(
+            [
+                (1, "http://a.test/p", "http://a.test/i.png", None, "1/abc.png", 2),
+                (1, "http://a.test/p", "http://a.test/i.png", "stale", "1/abc.png", 0),
+            ],
+            "scraping_id long, page_url string, image_url string, "
+            "explanation string, s3_path string, round int",
+        ),
+    )
+    eng.enrich(
+        summaries=spark.createDataFrame(
+            [(1, "http://a.test/p", "late summary")],
+            "scraping_id long, url string, summary string",
+        ),
+        explanations=spark.createDataFrame(
+            [
+                # update path: (page, s3_path) exists at the latest version
+                (1, "http://a.test/p", "1/abc.png", "http://a.test/i.png", "late expl"),
+                # insert path: fresh s3_path binds to the latest version
+                (1, "http://a.test/p", "1/def.jpg", "http://a.test/j.jpg", "fresh expl"),
+            ],
+            "scraping_id long, page_url string, s3_path string, "
+            "image_url string, explanation string",
+        ),
+    )
+    pages = {
+        (r.url, r.round): (r.content, r.summary)
+        for r in wh.read("pages").collect()
+    }
+    # latest version got the summary, its content untouched
+    assert pages[("http://a.test/p", 2)] == ("new content", "late summary")
+    # the OLD version keeps its own summary (no cross-version bleed)
+    assert pages[("http://a.test/p", 0)] == ("old content", "old summary")
+    assert pages[("http://a.test/q", 1)] == ("other", None)
+    images = {
+        (r.s3_path, r.round): r.explanation for r in wh.read("images").collect()
+    }
+    assert images[("1/abc.png", 2)] == "late expl"   # updated at latest
+    assert images[("1/abc.png", 0)] == "stale"       # old version untouched
+    assert images[("1/def.jpg", 2)] == "fresh expl"  # inserted at latest
+    assert len(images) == 3

@@ -30,6 +30,42 @@ def test_query_vs_oracle(spark, sf_correct, conn, name):
     compare(QUERIES[name](spark, sf_correct), conn, ORACLE[name])
 
 
+def test_lsh_planted_neardup_recall(spark, sf_correct):
+    """The multi-table LSH exists to find near-duplicates. The synthetic
+    embeddings are isotropic random (worst case — recall@5 vs exact
+    brute force is ~0.38 there, pinned by ann_multiprobe_recall); on
+    PLANTED near-dups (cos ≥ 0.99) the tables must collide essentially
+    always. This is the operator's actual workload."""
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.dataset_queries import _bucket_cols
+    from isidorus_web_scraper_spark.sources.testdata import load
+
+    emb = load(spark, sf_correct, "embeddings").filter(F.col("vec_id") < 40)
+    base = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id", F.col("embedding").alias("e1")
+    )
+    other = emb.filter(F.col("vec_id") >= 20).select(
+        (F.col("vec_id") - 20).alias("vec_id"), F.col("embedding").alias("e2")
+    )
+    # perturbed copy: 0.95·orig + 0.05·other ⇒ cos(orig, copy) ≈ 0.999
+    pair = base.join(other, "vec_id").select(
+        "vec_id",
+        "e1",
+        F.zip_with("e1", "e2", lambda a, b: a * 0.95 + b * 0.05).alias("e1p"),
+    )
+    b_orig = F.array(*_bucket_cols(F.col("e1")))
+    b_pert = F.array(*_bucket_cols(F.col("e1p")))
+    collided = pair.select(
+        F.arrays_overlap(
+            F.zip_with(b_orig, b_pert, lambda a, b: F.when(a == b, 1).otherwise(0)),
+            F.array(F.lit(1)),
+        ).alias("hit")
+    )
+    hits = collided.agg(F.sum(F.col("hit").cast("int"))).first()[0]
+    assert hits >= 19, f"planted near-dup collision recall too low: {hits}/20"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_query_runs(spark, sf_correct, name):
     # No-oracle queries (non-SQL-expressible) must at least run and

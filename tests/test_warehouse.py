@@ -76,3 +76,40 @@ def test_overwrite_gc_and_empty_read(spark, tmp_path):
     assert wh.read("frontier").count() == 0
     # unknown-but-schema'd table reads as empty with the right schema
     assert wh.read("seen").columns[0] == "scraping_id"
+
+
+def test_delete_where_commit_pruning(spark, tmp_path):
+    """delete_where with commit_pred must leave non-matching commits
+    byte-identical (zero I/O — same staging dirs in the manifest) and
+    rewrite only the matching ones, preserving their props."""
+    from isidorus_web_scraper_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for rnd, sid in [(0, 1), (1, 1), (2, 2), (3, 2)]:
+        wh.append(
+            "pages",
+            spark.createDataFrame(
+                [(sid, f"http://s{sid}.test/r{rnd}", "c", None, rnd)],
+                "scraping_id long, url string, content string, "
+                "summary string, round int",
+            ),
+            {"round": rnd},
+        )
+    before = {
+        c["props"]["round"]: c["dir"]
+        for c in wh._read_manifest("pages")["commits"]
+    }
+    # delete scraping 1, which only wrote in rounds 0-1
+    wh.delete_where(
+        "pages", "scraping_id = 1", commit_pred=lambda p: p.get("round", 99) <= 1
+    )
+    after = {
+        c["props"]["round"]: c["dir"]
+        for c in wh._read_manifest("pages")["commits"]
+    }
+    assert after[2] == before[2] and after[3] == before[3]  # untouched dirs
+    assert after[0] != before[0] and after[1] != before[1]  # rewritten
+    rows = wh.read("pages").collect()
+    assert sorted(r.scraping_id for r in rows) == [2, 2]
+    # round props survived the rewrite: pruned reads still work
+    assert wh.read("pages", {"round": 2}).count() == 1
