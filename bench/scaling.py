@@ -74,6 +74,47 @@ def run_once(cpus: int, seeds: int, extra_env: dict | None = None) -> dict:
     raise RuntimeError(f"no JSON from bench: {out.stdout[-2000:]} {out.stderr[-2000:]}")
 
 
+def run_purepy_control(procs: int, n_pages: int = 40000) -> float:
+    """The crawl's own fetch+parse workload (generate HTML + tokenize)
+    in plain multiprocessing — NO Spark. This is the host's achievable
+    ceiling for the workload itself: if Spark matches this control's
+    N→4N efficiency, the plan adds no serial overhead and the residual
+    gap is the shared memory subsystem, not the engine."""
+    import multiprocessing as mp
+    import time
+
+    sys.path.insert(0, REPO)
+
+    chunks = [
+        (i * n_pages // procs, (i + 1) * n_pages // procs) for i in range(procs)
+    ]
+    t = time.monotonic()
+    with mp.Pool(procs) as pool:
+        pool.map(_purepy_chunk, chunks)
+    return n_pages / (time.monotonic() - t)
+
+
+def _purepy_chunk(args: tuple) -> int:
+    lo, hi = args
+    sys.path.insert(0, REPO)
+    from isidorus_web_scraper_spark.corpus import page_html, page_url
+    from isidorus_web_scraper_spark.functions.html_tokenize import tokenize_html
+
+    n = 0
+    for h in range(lo, hi):
+        html = page_html(
+            page_url(h % 4096, h // 4096),
+            n_hosts=65536,
+            base=65536,
+            links_out=8,
+            big_page_every=1000,
+            fatness=8,
+        )
+        if html is not None:
+            n += len(tokenize_html(html))
+    return n
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=3)
@@ -107,6 +148,20 @@ def main() -> None:
         "trials": args.trials,
         "seeds": args.seeds,
     }
+
+    # workload-ceiling control: same fetch+parse work, no Spark
+    ctrl = {
+        c: statistics.median(
+            run_purepy_control(c) for _ in range(args.trials)
+        )
+        for c in (args.small, args.big)
+    }
+    ctrl_eff = (ctrl[args.big] / ctrl[args.small]) / ratio
+    summary["purepy_control_pages_per_sec"] = {
+        str(c): round(v, 1) for c, v in ctrl.items()
+    }
+    summary["purepy_control_efficiency"] = round(ctrl_eff, 3)
+    summary["spark_vs_control_efficiency_ratio"] = round(eff / ctrl_eff, 3)
 
     if not args.skip_skew:
         skew = {}

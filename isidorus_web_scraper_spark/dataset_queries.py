@@ -114,9 +114,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs on a same-lang blocked
-    subset. At 100 TB the blocking key is the LSH band (see
-    dedup_minhash_lsh); the lang block keeps the oracle
-    cross-checkable."""
+    subset — the ORACLE COMPANION for the Jaccard arithmetic only. The
+    enforced scale path is `dedup_lsh_verified_jaccard` below (LSH-band
+    candidates → exact verify); this all-pairs variant exists so the
+    verify formula is pinned independently of the candidate generator."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     sub = docs.select(
         "doc_id",
@@ -240,6 +241,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_SQL_CTES = f"""
+    shingled AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(s[i:i+2], ' ')
+                            for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS grams
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents)
+    ),
+    minhash AS (
+      SELECT doc_id,
+             [list_min([('0x' || substr(md5(g || '#' || seed::VARCHAR), 1, 15))::BIGINT
+                        for g in grams])
+              for seed in range({_MINHASH_K})] AS sig
+      FROM shingled WHERE len(grams) > 0
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) AS bucket
+      FROM minhash, (SELECT unnest(range({_LSH_BANDS})) AS band)
+    )
+"""
+
+
+@query(
+    "dedup_lsh_verified_jaccard",
+    f"""
+    WITH {_MINHASH_SQL_CTES},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / (len(ga.grams) + len(gb.grams)
+                - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+      FROM cands c
+      JOIN shingled ga ON ga.doc_id = c.doc_a
+      JOIN shingled gb ON gb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(jaccard, 5) AS jaccard
+    FROM verified WHERE jaccard >= 0.2
+    """,
+)
+def dedup_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dup pipeline shape, end to end: MinHash-LSH
+    banding generates candidates (per-bucket shuffle, never all-pairs),
+    exact trigram Jaccard verifies only those candidates. This is the
+    enforced scale path that `dedup_ngram_jaccard` (all-pairs on a
+    blocked subset) oracle-checks the verify arithmetic for — at 10^10
+    docs ONLY this composition runs."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(words(F.col("text")), 3)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    cands = (
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
+    )
+
+
 @query(
     "dedup_simhash",
     """
@@ -304,8 +377,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs over a subsample. At scale the
-    all-pairs join is replaced by the LSH bucketing of ann_lsh_topk."""
+    """Embedding-cosine near-dup pairs over a subsample — oracle
+    companion for the cosine threshold arithmetic. The enforced scale
+    path is the multi-table LSH (`ann_lsh_multiprobe` buckets; planted
+    near-dups collide with recall 1.0 —
+    tests/test_driver_contract.py::test_lsh_planted_neardup_recall)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     a, b = emb.alias("a"), emb.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))

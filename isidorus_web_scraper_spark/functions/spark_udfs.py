@@ -62,6 +62,22 @@ def _summarize_one(content: str, provider: str) -> str | None:
 
 
 def make_summarize_udf(provider: str = "mock"):
+    """Returns a callable(column) -> Column.
+
+    The mock provider (the only one any verification path uses — its
+    output is a constant string) compiles to a PURE JVM expression: the
+    page content never crosses the Arrow boundary and no Python worker
+    runs, which removes a full content pass per crawl round. Real
+    providers get the pandas UDF (Arrow-batched; the 1500-word
+    truncation prepares the provider prompt, summarizer_factory.py:72-77).
+    """
+    if provider == "mock":
+        def summarize_mock(content) -> F.Column:
+            c = F.col(content) if isinstance(content, str) else content
+            return F.when(F.length(c) > 0, F.lit(MOCK_SUMMARY))
+
+        return summarize_mock
+
     @F.pandas_udf(T.StringType())
     def summarize_udf(content: pd.Series) -> pd.Series:
         return content.map(lambda c: _summarize_one(c, provider))
@@ -70,10 +86,16 @@ def make_summarize_udf(provider: str = "mock"):
 
 
 def make_explain_image_udf(provider: str = "mock"):
+    """Same contract and same JVM fast path as make_summarize_udf."""
+    if provider == "mock":
+        def explain_mock(media_ref) -> F.Column:
+            c = F.col(media_ref) if isinstance(media_ref, str) else media_ref
+            return F.when(c.isNotNull(), F.lit(MOCK_EXPLANATION))
+
+        return explain_mock
+
     @F.pandas_udf(T.StringType())
     def explain_image_udf(media_ref: pd.Series) -> pd.Series:
-        if provider == "mock":
-            return pd.Series([MOCK_EXPLANATION] * len(media_ref))
         return pd.Series([EXPLANATION_UNAVAILABLE] * len(media_ref))
 
     return explain_image_udf

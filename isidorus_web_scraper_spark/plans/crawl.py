@@ -89,6 +89,17 @@ class CrawlConfig:
     debug_timing: bool = False
 
 
+def _round_pred(updates: DataFrame):
+    """Commit-pruning predicate for round-keyed merges: updates only
+    carry specific round values, so commits tagged with any OTHER round
+    provably match nothing and stay byte-identical (enrichment messages
+    are small — the collect is bounded by the batch size)."""
+    rounds = {
+        r["round"] for r in updates.select("round").distinct().collect()
+    }
+    return lambda props: props.get("round", None) is None or props["round"] in rounds
+
+
 @dataclass
 class RoundStats:
     round: int
@@ -445,10 +456,22 @@ class CrawlEngine:
 
         def _w(table, df):
             if df is not None:
+                t = time.monotonic()
                 self.wh.append(table, df, {"round": round_no})
+                if cfg.debug_timing:
+                    print(
+                        f"        [write {table}] {time.monotonic() - t:.2f}s",
+                        flush=True,
+                    )
 
         def _claim_chain() -> int:
+            t = time.monotonic()
             n = new_urls.count()  # materializes the cache once
+            if cfg.debug_timing:
+                print(
+                    f"        [claims count] {time.monotonic() - t:.2f}s",
+                    flush=True,
+                )
             with ThreadPoolExecutor(max_workers=2) as p2:
                 fs = [
                     p2.submit(
@@ -695,7 +718,10 @@ class CrawlEngine:
                 )
             )
             self.wh.merge(
-                "images", upd, ["scraping_id", "page_url", "s3_path", "round"]
+                "images",
+                upd,
+                ["scraping_id", "page_url", "s3_path", "round"],
+                commit_pred=_round_pred(upd),
             )
         if summaries is not None:
             # J5: summary lands on the latest page version only; older
@@ -711,7 +737,12 @@ class CrawlEngine:
                     F.col("latest_round").alias("round"),
                 )
             )
-            self.wh.merge("pages", upd, ["scraping_id", "url", "round"])
+            self.wh.merge(
+                "pages",
+                upd,
+                ["scraping_id", "url", "round"],
+                commit_pred=_round_pred(upd),
+            )
 
     # -------------------------------------------------------------- finalize
     def _finalize(self) -> None:

@@ -92,24 +92,92 @@ class Warehouse:
         for d in old:  # orphans are safe to GC after the swap
             shutil.rmtree(os.path.join(self._table_dir(table), d), ignore_errors=True)
 
-    def merge(self, table: str, updates: DataFrame, keys: list[str]) -> None:
+    def merge(
+        self, table: str, updates: DataFrame, keys: list[str], commit_pred=None
+    ) -> None:
         """MERGE INTO table USING updates ON keys: matched→update, else insert.
 
         Updates win column-wise via coalesce(update, current) so partial
         updates (e.g. a summary arriving for an existing page,
         `db_repository.go:101-118`) preserve untouched columns.
+
+        ``commit_pred(props)``: when given, commits it rejects provably
+        contain no matching keys (e.g. their round tag is absent from
+        the updates) and are kept byte-identical — the Iceberg
+        copy-on-write file-pruning analog; only matching commits are
+        rewritten (concurrently, props preserved) plus one new commit
+        for the not-matched-anywhere inserts. Without it, the legacy
+        whole-table overwrite runs (fine for small tables like jobs).
         """
         current = self.read(table)
-        upd = updates
         non_keys = [c for c in current.columns if c not in keys]
-        joined = current.alias("t").join(upd.alias("u"), keys, "full_outer")
-        merged = joined.select(
-            *[F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k) for k in keys],
-            *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in non_keys],
-        )
-        # full_outer keeps unmatched current rows (no-op), matched rows
-        # (update wins per column), and new rows (insert).
-        self.overwrite(table, merged)
+
+        def merged_over(cur: DataFrame, upd: DataFrame) -> DataFrame:
+            joined = cur.alias("t").join(upd.alias("u"), keys, "full_outer")
+            return joined.select(
+                *[F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k) for k in keys],
+                *[
+                    F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                    for c in non_keys
+                ],
+            )
+
+        if commit_pred is None:
+            # full_outer keeps unmatched current rows (no-op), matched
+            # rows (update wins per column), and new rows (insert).
+            self.overwrite(table, merged_over(current, updates))
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        manifest = self._read_manifest(table)
+        touch = [c for c in manifest["commits"] if commit_pred(c["props"])]
+        upd = updates.persist()
+        try:
+            # inserts = update keys matched NOWHERE in the table (checked
+            # against the full table, not just the touched commits)
+            inserts = upd.join(current.select(keys), keys, "left_anti").select(
+                *[F.col(k) for k in keys],
+                *[F.col(c) for c in non_keys],
+            )
+
+            def _rewrite(c: dict) -> str:
+                cur = self.spark.read.parquet(
+                    os.path.join(self._table_dir(table), c["dir"])
+                )
+                # left join: every current row kept, matched ones updated
+                # column-wise; inserts go to their own commit below
+                joined = cur.alias("t").join(
+                    F.broadcast(upd).alias("u"), keys, "left"
+                )
+                return self._stage(
+                    table,
+                    joined.select(
+                        *[F.col(f"t.{k}").alias(k) for k in keys],
+                        *[
+                            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                            for c in non_keys
+                        ],
+                    ),
+                )
+
+            with ThreadPoolExecutor(max_workers=min(8, max(1, len(touch)))) as pool:
+                new_dirs = dict(zip([id(c) for c in touch], pool.map(_rewrite, touch)))
+            new_commits = [
+                {"dir": new_dirs[id(c)], "props": c["props"]}
+                if id(c) in new_dirs
+                else c
+                for c in manifest["commits"]
+            ]
+            if not inserts.isEmpty():
+                new_commits.append({"dir": self._stage(table, inserts), "props": {}})
+            self._swap_manifest(table, {"commits": new_commits})
+            for c in touch:
+                shutil.rmtree(
+                    os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True
+                )
+        finally:
+            upd.unpersist()
 
     def delete_where(self, table: str, predicate: str, commit_pred=None) -> None:
         """Predicate delete (Iceberg DELETE FROM analog; SURVEY.md J9),

@@ -311,18 +311,25 @@ def test_out_of_order_enrichment(spark, tmp_path):
 
     eng = CrawlEngine(spark, str(tmp_path / "wh"))
     wh: Warehouse = eng.wh
-    # page re-scraped: round 0 and round 2 versions of the same url
-    wh.append(
-        "pages",
-        spark.createDataFrame(
-            [
-                (1, "http://a.test/p", "old content", "old summary", 0),
-                (1, "http://a.test/p", "new content", None, 2),
-                (1, "http://a.test/q", "other", None, 1),
-            ],
-            "scraping_id long, url string, content string, summary string, round int",
-        ),
-    )
+    # page re-scraped: round 0 and round 2 versions of the same url,
+    # committed per round (as the crawl does) so merge pruning is visible
+    for sid, url, content, summary, rnd in [
+        (1, "http://a.test/p", "old content", "old summary", 0),
+        (1, "http://a.test/q", "other", None, 1),
+        (1, "http://a.test/p", "new content", None, 2),
+    ]:
+        wh.append(
+            "pages",
+            spark.createDataFrame(
+                [(sid, url, content, summary, rnd)],
+                "scraping_id long, url string, content string, summary string, round int",
+            ),
+            {"round": rnd},
+        )
+    pages_dirs_before = {
+        c["props"].get("round"): c["dir"]
+        for c in wh._read_manifest("pages")["commits"]
+    }
     # extractor already wrote an image row for the ROUND-2 version, and
     # one stale row for the round-0 version
     wh.append(
@@ -368,3 +375,12 @@ def test_out_of_order_enrichment(spark, tmp_path):
     assert images[("1/abc.png", 0)] == "stale"       # old version untouched
     assert images[("1/def.jpg", 2)] == "fresh expl"  # inserted at latest
     assert len(images) == 3
+    # merge pruning: only the latest-round commit was rewritten; the
+    # round-0 and round-1 page commits are byte-identical (same dirs)
+    pages_dirs_after = {
+        c["props"].get("round"): c["dir"]
+        for c in wh._read_manifest("pages")["commits"]
+    }
+    assert pages_dirs_after[0] == pages_dirs_before[0]
+    assert pages_dirs_after[1] == pages_dirs_before[1]
+    assert pages_dirs_after[2] != pages_dirs_before[2]
