@@ -69,6 +69,12 @@ class CrawlConfig:
     # 10^10 URLs a single bitmap is ~2 GB (unbroadcastable); bucketing
     # keeps every bitmap shard small (operators/bloom.py scale note).
     bloom_buckets: int = 8
+    # "broadcast": whole sketch rides to every task (fine while total
+    # bitmap bytes fit an executor). "cogrouped": candidates cogroup
+    # with a (bucket, bits) table so each task holds exactly ONE
+    # shard's bitmap — the 10^10-URL apply path (requires
+    # bloom_buckets > 1).
+    bloom_apply: str = "broadcast"
     max_rounds: int = 64
     summarizer_enabled: bool = True       # WithFeatureFlags (scraper_service.go:217-256)
     image_extractor_enabled: bool = True
@@ -410,14 +416,38 @@ class CrawlEngine:
 
         seen = self.wh.read("seen")
         to_unpersist: list[DataFrame] = []
-        new_urls = prefiltered_anti_join(
-            claims,
-            seen,
-            ["scraping_id", "url"],
-            "url_hash",
-            self._bloom if cfg.use_bloom else None,
-            persist_handles=to_unpersist,
-        ).persist()
+        if (
+            cfg.use_bloom
+            and cfg.bloom_apply == "cogrouped"
+            and isinstance(self._bloom, BucketedBloom)
+        ):
+            # 10^10-URL apply: bitmaps as a (bucket, bits) table,
+            # candidates cogrouped per bucket — no broadcast of the
+            # sketch, each task holds exactly one shard
+            from ..operators.bloom import bloom_bits_df, with_bloom_flag_cogrouped
+
+            flagged = with_bloom_flag_cogrouped(
+                claims,
+                "url_hash",
+                bloom_bits_df(self._bloom, self.spark),
+                self._bloom.num_buckets,
+            ).persist()
+            to_unpersist.append(flagged)
+            definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            checked = maybe.join(
+                seen.select("scraping_id", "url"), ["scraping_id", "url"], "left_anti"
+            )
+            new_urls = definite_new.unionByName(checked).persist()
+        else:
+            new_urls = prefiltered_anti_join(
+                claims,
+                seen,
+                ["scraping_id", "url"],
+                "url_hash",
+                self._bloom if cfg.use_bloom else None,
+                persist_handles=to_unpersist,
+            ).persist()
 
         deferred = scheduled.filter(F.col("action") == ACTION_DEFER)
         next_frontier = new_urls.select(

@@ -384,3 +384,36 @@ def test_out_of_order_enrichment(spark, tmp_path):
     assert pages_dirs_after[0] == pages_dirs_before[0]
     assert pages_dirs_after[1] == pages_dirs_before[1]
     assert pages_dirs_after[2] != pages_dirs_before[2]
+
+
+# ---------------------------------------------------------------------------
+# The cogrouped (no-broadcast) Bloom apply must produce the exact same
+# crawl end state as the broadcast path — the 10^10-URL seen-set apply
+# is a drop-in (operators/bloom.py scale note).
+# ---------------------------------------------------------------------------
+def test_cogrouped_bloom_apply_equals_broadcast(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import generate_documents
+
+    n_hosts = 6
+    docs = generate_documents(spark, n_hosts=n_hosts).persist()
+    seeds = [(70, 1, "http://h0.test/p0.html", 3)]
+
+    ends = {}
+    for mode in ("broadcast", "cogrouped"):
+        eng = CrawlEngine(
+            spark,
+            str(tmp_path / f"wh-{mode}"),
+            documents=docs,
+            config=CrawlConfig(
+                bloom_expected_urls=4096,
+                default_budget=1_000_000_000,
+                bloom_buckets=8,
+                bloom_apply=mode,
+                # force the bloom to actually gate from round 1 on
+                bloom_driver_insert_max=200_000,
+            ),
+        )
+        eng.start(seeds)
+        eng.run()
+        ends[mode] = spark_end_state(eng)
+    assert ends["broadcast"] == ends["cogrouped"]
