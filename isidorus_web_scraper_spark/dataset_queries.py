@@ -801,6 +801,232 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Training-data pipeline: decontamination, PII scrubbing, sampling,
+# near-dup clustering — the ops a 100-TB corpus build runs after dedup.
+# ===========================================================================
+
+
+@query(
+    "decontaminate_benchmark",
+    """
+    WITH bench AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(s[i:i+4], ' ')
+                for i in range(1, greatest(len(s) - 4, 0) + 1)])) AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s
+            FROM documents WHERE doc_id % 97 = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(s[i:i+4], ' ')
+                for i in range(1, greatest(len(s) - 4, 0) + 1)])) AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s
+            FROM documents WHERE doc_id % 97 != 0)
+    )
+    SELECT c.doc_id, count(DISTINCT c.gram) AS n_overlapping_grams
+    FROM corpus c JOIN bench b ON b.gram = c.gram AND b.doc_id != c.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with a held-out benchmark set (stand-in: every 97th doc).
+    The join key is the GRAM (explode + hash-join) — per-gram shuffle,
+    never doc-pairs; at 100 TB the benchmark side is small → broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    grams5 = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(words(F.col("text")), 5))
+        ).alias("gram"),
+    )
+    bench = grams5(docs.filter(F.col("doc_id") % 97 == 0))
+    corpus = grams5(docs.filter(F.col("doc_id") % 97 != 0))
+    return (
+        corpus.join(
+            F.broadcast(bench.withColumnRenamed("doc_id", "bench_id")), "gram"
+        )
+        .filter(F.col("bench_id") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_overlapping_grams"))
+    )
+
+
+@query(
+    "pii_scrub",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id::VARCHAR ||
+                               '@example.com or +1-555-01' ||
+                               lpad((doc_id % 100)::VARCHAR, 2, '0')
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) - length(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4,6}', '<PHONE>', 'g')
+           ) AS bytes_redacted_delta,
+           length(regexp_extract(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0))
+             AS email_len
+    FROM seeded
+    WHERE doc_id % 7 = 0
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone numbers → placeholder tokens) as
+    pure JVM regexp_replace — the redaction pass a training-corpus build
+    runs over every document. PII is injected deterministically so the
+    oracle can verify the exact redaction arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1-555-01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4,6}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return seeded.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.length("text") - F.length(scrubbed)).alias("bytes_redacted_delta"),
+        F.length(F.regexp_extract("text", email_re, 0)).alias("email_len"),
+    )
+
+
+@query(
+    "stratified_sample",
+    """
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'web' THEN 10 WHEN 'wiki' THEN 50
+                         WHEN 'books' THEN 80 ELSE 25 END AS pct,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS h
+      FROM documents
+    )
+    SELECT source, count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM rated WHERE h < pct
+    GROUP BY source
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (per-source rates, hash-gated
+    so reruns pick the SAME rows — reproducible corpus builds, no
+    Bernoulli RNG). At 100 TB this is a full-scan filter with zero
+    shuffle before the stats rollup."""
+    docs = load(spark, sf_dir, "documents")
+    pct = (
+        F.when(F.col("source") == "web", 10)
+        .when(F.col("source") == "wiki", 50)
+        .when(F.col("source") == "books", 80)
+        .otherwise(25)
+    )
+    h = md5_long(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.withColumn("pct", pct)
+        .withColumn("h", h)
+        .filter(F.col("h") < F.col("pct"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_MINHASH_SQL_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    walk(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    )
+    SELECT doc_id, min(reach) AS cluster_id,
+           CASE WHEN doc_id = min(reach) THEN 1 ELSE 0 END AS keep
+    FROM walk GROUP BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH
+    pair graph via iterative min-label propagation (run to fixpoint —
+    O(component diameter) joins; dup components are shallow by nature).
+    keep=1 marks the canonical survivor (min doc_id) per cluster — the
+    row a dedup job retains. The DuckDB twin computes true components
+    with a recursive CTE, pinning the fixpoint."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    ).persist()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        F.when(F.col("doc_id") == F.col("lbl"), 1).otherwise(0).alias("keep"),
+    )
+
+
+# ===========================================================================
 # Multimodal media metadata (S3/S6 oracle coverage)
 # ===========================================================================
 
