@@ -1142,6 +1142,79 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_gate",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> list_contains({_STOPWORDS.split()!r}, w)))
+                  AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio
+      FROM documents
+    )
+    SELECT source, lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN n_words >= 20 AND n_chars >= 100
+                          AND stopword_ratio >= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN n_words >= 20 AND n_chars >= 100
+                          AND stopword_ratio >= 0.01 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM scored
+    GROUP BY source, lang
+    """,
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality FILTER a corpus build actually applies
+    (min words, min chars, min stopword ratio — Gopher/C4-style rules),
+    rolled up per (source, lang) so the kept/dropped budget per stratum
+    is auditable. Pure scan + hash-agg: zero extra shuffle at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(F.split(F.col("text"), " ", -1))
+    stop_ratio = F.size(
+        F.filter(
+            ws,
+            lambda w: F.array_contains(
+                F.array(*[F.lit(s) for s in _STOPWORDS.split()]), w
+            ),
+        )
+    ).cast("double") / F.greatest(n_words, F.lit(1))
+    keep = (
+        (n_words >= 20) & (F.col("n_chars") >= 100) & (stop_ratio >= 0.01)
+    ).cast("long")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep).cast("bigint").alias("n_kept"),
+        F.sum(keep * F.col("n_chars")).cast("bigint").alias("kept_chars"),
+    )
+
+
+@query(
+    "token_histogram",
+    """
+    SELECT CAST(floor(log2(greatest(len(string_split(text, ' ')), 1))) AS BIGINT)
+             AS log2_tokens_bucket,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in power-of-two buckets — the corpus
+    shape diagnostic every tokenizer-budget plan starts from."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    bucket = F.floor(F.log2(F.greatest(n_tokens, F.lit(1)))).cast("bigint")
+    return docs.groupBy(bucket.alias("log2_tokens_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
     "text_tokens",
     r"""
     SELECT doc_id,
