@@ -224,6 +224,21 @@ class Warehouse:
                 os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True
             )
 
+    def compact(self, table: str, target_files: int | None = None) -> None:
+        """Bin-pack a many-commit table into ONE commit (Iceberg
+        ``rewrite_data_files`` analog). A 64-round crawl leaves ~64×P
+        files per table; post-completion reads reopen all of them.
+        Compaction collapses the manifest — props are intentionally
+        dropped (round tags only matter while the crawl is live; callers
+        compact COMPLETED crawls). ``target_files`` coalesces the
+        rewrite (default: leave partitioning to the current plan)."""
+        if not self.exists(table):
+            return
+        df = self.read(table)
+        if target_files:
+            df = df.coalesce(target_files)
+        self.overwrite(table, df, {"compacted": True})
+
     # --- read paths --------------------------------------------------------
     def read(self, table: str, props_filter: dict | None = None) -> DataFrame:
         """Read committed data; props_filter prunes to matching commits

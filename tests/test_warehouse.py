@@ -113,3 +113,30 @@ def test_delete_where_commit_pruning(spark, tmp_path):
     assert sorted(r.scraping_id for r in rows) == [2, 2]
     # round props survived the rewrite: pruned reads still work
     assert wh.read("pages", {"round": 2}).count() == 1
+
+
+def test_compact_collapses_commits(spark, tmp_path):
+    from isidorus_web_scraper_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for rnd in range(6):
+        wh.append(
+            "links",
+            spark.createDataFrame(
+                [(1, f"http://s.test/{rnd}", f"http://t.test/{rnd}", rnd)],
+                "scraping_id long, source_url string, target_url string, round int",
+            ),
+            {"round": rnd},
+        )
+    assert len(wh._read_manifest("links")["commits"]) == 6
+    before = sorted(map(tuple, wh.read("links").collect()))
+    wh.compact("links", target_files=1)
+    manifest = wh._read_manifest("links")
+    assert len(manifest["commits"]) == 1
+    assert manifest["commits"][0]["props"] == {"compacted": True}
+    assert sorted(map(tuple, wh.read("links").collect())) == before
+    import glob, os
+    files = glob.glob(
+        os.path.join(str(tmp_path / "wh"), "links", "commit-*", "*.parquet")
+    )
+    assert len(files) == 1  # bin-packed to one file
