@@ -37,6 +37,13 @@ from isidorus_web_scraper_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Python-UDF-stage parallelism cap. local[32] emulates one absurdly
+# wide executor; real clusters run 4-8-core executors precisely because
+# per-JVM memory bandwidth saturates (this host: 32 workers 4.9k URLs/s,
+# 16 workers 9.7k, 8 workers 8.8k — BENCH/BASELINE.md §12). 16 = this
+# host's measured saturation knee; the engine itself takes it as plain
+# config (CrawlConfig.max_parallelism).
+PY_CAP = int(os.environ.get("SPARK_GRAFT_PY_STAGE_CAP", "16"))
 N_SEEDS = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "8192"))
 DEPTH = int(os.environ.get("SPARK_GRAFT_CRAWL_DEPTH", "3"))
 N_HOSTS = 65536
@@ -70,6 +77,7 @@ def crawl_bench(spark) -> tuple[float, dict]:
             bloom_expected_urls=1 << 18,
             max_rounds=DEPTH + 6,
             repartition_parsed=CPUS if SALT else None,
+            max_parallelism=min(CPUS, PY_CAP),
         ),
     )
     if SKEW:
