@@ -114,6 +114,19 @@ def sessionized(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, lateness: str = "1 hour"
+) -> DataFrame:
+    """Streaming deduplication — the seen-set (S9/J2) in streaming
+    form: first event per key wins, duplicates arriving within the
+    watermark horizon are dropped, and state for keys older than the
+    watermark is evicted (bounded state — the property that makes a
+    streaming seen-set feasible at 10^10 keys where the batch path
+    uses the sharded Bloom + anti-join)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory(
     df: DataFrame, name: str, checkpoint: str, mode: str = "complete"
 ):

@@ -66,3 +66,30 @@ def test_sessionization_stateful(spark, event_stream_dir, tmp_path):
         ends = grp.session_end.to_list()
         for i in range(1, len(starts)):
             assert (starts[i] - ends[i - 1]) > pd.Timedelta(minutes=30)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_small, tmp_path):
+    """dedup_stream = the seen-set in streaming form: an event_id seen
+    in an earlier micro-batch must not be emitted again."""
+    import glob
+    import shutil
+
+    from isidorus_web_scraper_spark.streaming.events import dedup_stream
+
+    events = spark.read.parquet(f"{sf_small}/events.parquet").limit(200)
+    d = tmp_path / "dup_stream"
+    # batch 0: events as-is; batch 1: the SAME events again (pure dups)
+    events.coalesce(1).write.parquet(str(d / "b0"))
+    events.coalesce(1).write.parquet(str(d / "b1"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(d / "b*" / "*.parquet")))):
+        shutil.copy(f, flat / f"chunk{i}.parquet")
+
+    stream = read_event_stream(spark, str(flat))
+    out = dedup_stream(stream, ["event_id"], lateness="10 days")
+    run_to_memory(out, "dedup_out", str(tmp_path / "ckpt"), mode="append")
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)), "duplicates leaked through"
+    assert sorted(ids) == sorted(r.event_id for r in events.collect())
