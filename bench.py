@@ -58,9 +58,10 @@ BENCH_QUERIES = ["flagship_doc_stats", "crawl_bfs_depth3", "latest_page_pick"]
 
 
 def crawl_bench(spark) -> tuple[float, dict]:
+    wh_dir = tempfile.mkdtemp(prefix="iws-bench-")
     eng = CrawlEngine(
         spark,
-        tempfile.mkdtemp(prefix="iws-bench-"),
+        wh_dir,
         resolver=(
             make_html_resolver(n_hosts=N_HOSTS, base=HOST_BASE)
             if MODE == "html"
@@ -93,6 +94,11 @@ def crawl_bench(spark) -> tuple[float, dict]:
     wall = time.monotonic() - t0
     fetched = sum(s.fetched for s in stats)
     deduped = sum(s.new_urls for s in stats)
+    # ~2 GB of warehouse per run; repeated bench invocations would fill
+    # the disk (ENOSPC mid-trial skews measurements)
+    import shutil
+
+    shutil.rmtree(wh_dir, ignore_errors=True)
     return wall, {
         "crawl_rounds": len(stats),
         "crawl_urls_fetched": fetched,

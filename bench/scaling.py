@@ -44,7 +44,9 @@ def make_zip() -> str:
     return out
 
 
-def run_once(cpus: int, seeds: int, extra_env: dict | None = None) -> dict:
+def run_once(
+    cpus: int, seeds: int, extra_env: dict | None = None, pin: bool = False
+) -> dict:
     env = dict(os.environ)
     env.update(
         {
@@ -53,7 +55,15 @@ def run_once(cpus: int, seeds: int, extra_env: dict | None = None) -> dict:
         }
     )
     env.update(extra_env or {})
-    cmd = [
+    cmd = []
+    if pin:
+        # Hard CPU pinning: local[N] alone is NOT an N-CPU machine — the
+        # JVM's GC/IO/scheduler threads and every Python UDF worker run
+        # UNPINNED on the host (measured: a local[1] crawl consumes
+        # ~6 CPUs). taskset confines the whole process tree to exactly
+        # N cores, making the two-cluster-size proxy faithful.
+        cmd += ["taskset", "-c", f"0-{cpus - 1}"]
+    cmd += [
         SPARK_SUBMIT,
         "--master",
         f"local[{cpus}]",
@@ -122,12 +132,19 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=8, help="N cores")
     ap.add_argument("--big", type=int, default=32, help="4N cores")
     ap.add_argument("--skip-skew", action="store_true")
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset the whole process tree to exactly N cores "
+        "(faithful proxy: without it local[N] borrows unpinned "
+        "JVM/Python-worker CPU far beyond N)",
+    )
     args = ap.parse_args()
 
     results: dict[int, list[float]] = {args.small: [], args.big: []}
     for trial in range(args.trials):
         for cpus in (args.small, args.big):
-            r = run_once(cpus, args.seeds)
+            r = run_once(cpus, args.seeds, pin=args.pin)
             thr = r["extra"]["crawl_urls_per_sec"]
             results[cpus].append(thr)
             print(
@@ -147,6 +164,7 @@ def main() -> None:
         "pass": eff >= 0.8,
         "trials": args.trials,
         "seeds": args.seeds,
+        "pinned": args.pin,
     }
 
     # workload-ceiling control: same fetch+parse work, no Spark
