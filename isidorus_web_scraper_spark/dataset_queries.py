@@ -800,6 +800,62 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                   OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, sess_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization (30-min gap), the exact batch twin of the
+    streaming applyInPandasWithState operator (streaming/events.py
+    `sessionized` — same gap rule, same ordering). With this entry the
+    loop closes three ways: stream == batch (pytest) and batch == SQL
+    (this oracle). Classic lag → gap-flag → running-sum session ids —
+    two window passes, one shuffle by user."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # millisecond epochs in BOTH engines: second-truncated casts would
+    # disagree with DuckDB's fractional epoch at exact-gap boundaries
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    marked = events.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    )
+    numbered = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # ===========================================================================
 # Training-data pipeline: decontamination, PII scrubbing, sampling,
 # near-dup clustering — the ops a 100-TB corpus build runs after dedup.

@@ -466,6 +466,67 @@ def s3_path_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F13/§2.8 host+path extraction — the politeness grouping key
+# (functions/url.py host_col/path_col over JVM try_parse_url) cross-
+# checked against independent regex extraction in DuckDB. Well-formed
+# synthetic URLs (host casing, ports, query, fragment); the malformed-
+# URL edge cases are engine-specific and stay pinned by tests/test_url.py.
+# ---------------------------------------------------------------------------
+@query(
+    "url_parts",
+    """
+    WITH urls AS (
+      SELECT 'http://' ||
+             CASE doc_id % 3
+               WHEN 0 THEN 'Host' || (doc_id % 11)::VARCHAR || '.Test:8080'
+               WHEN 1 THEN 'host' || (doc_id % 11)::VARCHAR || '.test'
+               ELSE 'HOST' || (doc_id % 11)::VARCHAR || '.TEST'
+             END || '/p/' || (doc_id % 17)::VARCHAR ||
+             CASE WHEN doc_id % 2 = 0 THEN '?q=' || (doc_id % 5)::VARCHAR
+                  ELSE '#frag' END AS url
+      FROM documents
+    )
+    SELECT lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+           count(*) AS n
+    FROM urls GROUP BY 1, 2
+    """,
+)
+def url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.url import host_col, path_col
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("Host"), (F.col("doc_id") % 11).cast("string"), F.lit(".Test:8080")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("host"), (F.col("doc_id") % 11).cast("string"), F.lit(".test")),
+        )
+        .otherwise(
+            F.concat(F.lit("HOST"), (F.col("doc_id") % 11).cast("string"), F.lit(".TEST"))
+        ),
+        F.lit("/p/"),
+        (F.col("doc_id") % 17).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?q="), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.lit("#frag")),
+    )
+    return (
+        docs.select(url.alias("url"))
+        .select(host_col("url").alias("host"), path_col("url").alias("path"))
+        .groupBy("host", "path")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.7 set operations: the seen-set union-with-dedup + except/intersect.
 # ---------------------------------------------------------------------------
 @query(
