@@ -54,7 +54,16 @@ SALT = os.environ.get("SPARK_GRAFT_CRAWL_SALT", "0") == "1"  # salted repartitio
 # "html" = fetch returns raw HTML, tokenized by the real parser UDF
 # (realistic, compute-bound); "spans" = pre-tokenized corpus
 MODE = os.environ.get("SPARK_GRAFT_CRAWL_MODE", "html")
-BENCH_QUERIES = ["flagship_doc_stats", "crawl_bfs_depth3", "latest_page_pick"]
+BENCH_QUERIES = [
+    "flagship_doc_stats",
+    "crawl_bfs_depth3",
+    "latest_page_pick",
+    # training-data pipeline representatives (regression-tracked per round)
+    "dedup_lsh_verified_jaccard",
+    "decontaminate_benchmark",
+    "events_sessionization",
+    "text_quality",
+]
 
 
 def crawl_bench(spark) -> tuple[float, dict]:

@@ -146,28 +146,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_K = 8
 _LSH_BANDS = 4  # 4 bands × 2 rows
 
+# Universal-hash permutations: ONE md5 per gram (the expensive part),
+# then k cheap integer maps h_i = (a_i·h + b_i) mod p (p = 2^31-1,
+# h masked to 31 bits so a·h stays inside int64). 8× fewer md5
+# invocations than hashing gram||seed per permutation — the minhash
+# signature pass is the dedup workhorse at 100 TB. Constants are
+# md5-derived module literals so both engines embed identical values.
+_MH_PRIME = 2147483647  # 2^31 - 1
+_MH_MASK = 2147483647
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-    WITH shingled AS (
+
+def _mh_params() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(_MINHASH_K):
+        d = hashlib.md5(f"minhash:{i}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") % (_MH_PRIME - 1)) + 1
+        b = int.from_bytes(d[4:8], "big") % _MH_PRIME
+        out.append((a, b))
+    return out
+
+
+_MH_PARAMS = _mh_params()
+
+
+def _minhash_sig_sql() -> str:
+    terms = ", ".join(
+        f"list_min([({a} * h + {b}) % {_MH_PRIME} for h in hs])"
+        for a, b in _MH_PARAMS
+    )
+    return f"[{terms}]"
+
+
+_MINHASH_SIG_CTES = f"""
+    shingled AS (
       SELECT doc_id,
              list_distinct([array_to_string(s[i:i+2], ' ')
                             for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS grams
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents)
     ),
-    minhash AS (
+    hashed AS (
       SELECT doc_id,
-             [list_min([('0x' || substr(md5(g || '#' || seed::VARCHAR), 1, 15))::BIGINT
-                        for g in grams])
-              for seed in range({_MINHASH_K})] AS sig
+             [(('0x' || substr(md5(g), 1, 15))::BIGINT & {_MH_MASK}) for g in grams] AS hs
       FROM shingled WHERE len(grams) > 0
+    ),
+    minhash AS (
+      SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashed
     ),
     bands AS (
       SELECT doc_id, band,
              md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) AS bucket
       FROM minhash, (SELECT unnest(range({_LSH_BANDS})) AS band)
     )
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_SIG_CTES}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(DISTINCT a.band) AS shared_bands
     FROM bands a JOIN bands b
@@ -184,23 +222,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(word_ngrams(words(F.col("text")), 3)).alias("grams"),
     ).filter(F.size("grams") > 0)
-    sig = grams.select(
+    # one md5 per gram, then k integer permutations (module comment at
+    # _MH_PARAMS) — md5 is the dominant cost of the signature pass
+    hashed = grams.select(
+        "doc_id",
+        F.transform(
+            "grams",
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+            .cast("bigint")
+            .bitwiseAND(F.lit(_MH_MASK)),
+        ).alias("hs"),
+    )
+    def _perm(a: int, b: int):
+        # closure factory: F.transform infers HOF arity from the
+        # lambda's parameter count, so default-arg binding breaks it
+        return lambda h: (h * F.lit(a) + F.lit(b)) % _MH_PRIME
+
+    sig = hashed.select(
         "doc_id",
         F.array(
             *[
-                F.array_min(
-                    F.transform(
-                        "grams",
-                        lambda g: F.conv(
-                            F.substring(
-                                F.md5(F.concat(g, F.lit(f"#{seed}"))), 1, 15
-                            ),
-                            16,
-                            10,
-                        ).cast("bigint"),
-                    )
-                )
-                for seed in range(_MINHASH_K)
+                F.array_min(F.transform("hs", _perm(a, b)))
+                for a, b in _MH_PARAMS
             ]
         ).alias("sig"),
     )
@@ -241,26 +284,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SQL_CTES = f"""
-    shingled AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(s[i:i+2], ' ')
-                            for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS grams
-      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents)
-    ),
-    minhash AS (
-      SELECT doc_id,
-             [list_min([('0x' || substr(md5(g || '#' || seed::VARCHAR), 1, 15))::BIGINT
-                        for g in grams])
-              for seed in range({_MINHASH_K})] AS sig
-      FROM shingled WHERE len(grams) > 0
-    ),
-    bands AS (
-      SELECT doc_id, band,
-             md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) AS bucket
-      FROM minhash, (SELECT unnest(range({_LSH_BANDS})) AS band)
-    )
-"""
+# shared by dedup_lsh_verified_jaccard and dedup_clusters — the same
+# CTE chain the standalone minhash query uses
+_MINHASH_SQL_CTES = _MINHASH_SIG_CTES
 
 
 @query(
