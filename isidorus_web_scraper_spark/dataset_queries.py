@@ -562,22 +562,34 @@ _PLANES = _plane_weights()
 _PROBE_MASKS = [0] + [1 << j for j in range(_K_PLANES)]  # self + Hamming-1
 
 
-def _bucket_cols(emb: Column) -> list[Column]:
-    """One bucket per hash table, all from a single quantized vector."""
-    q = F.transform(emb, lambda x: F.floor(x.cast("double") * 1000).cast("double"))
+def _quantized_col(emb: Column) -> Column:
+    return F.transform(emb, lambda x: F.floor(x.cast("double") * 1000).cast("double"))
+
+
+def _bucket_cols_from_qv(qv: Column) -> list[Column]:
+    """One bucket per hash table over a quantized vector column.
+    (Runtime dedup of the shared quantize step is handled by codegen
+    subexpression elimination either way — the split exists for plan
+    readability; wall time is dominated by compiling the L×k-plane
+    generated method, amortized at real row counts.)"""
     out = []
     for table in _PLANES:
         bucket = F.lit(0)
         for j, w in enumerate(table):
             warr = F.array(*[F.lit(v) for v in w])
             proj = F.aggregate(
-                F.zip_with(q, warr, lambda a, b: a * b),
+                F.zip_with(qv, warr, lambda a, b: a * b),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
             bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
         out.append(bucket)
     return out
+
+
+def _bucket_cols(emb: Column) -> list[Column]:
+    """One bucket per hash table, all from a single quantized vector."""
+    return _bucket_cols_from_qv(_quantized_col(emb))
 
 
 def _buckets_sql() -> str:
@@ -638,9 +650,11 @@ _MULTIPROBE_SQL_BODY = f"""
 def _multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     bkt = emb.select(
+        "vec_id", "embedding", _quantized_col(F.col("embedding")).alias("qv")
+    ).select(
         "vec_id",
         "embedding",
-        F.array(*_bucket_cols(F.col("embedding"))).alias("buckets"),
+        F.array(*_bucket_cols_from_qv(F.col("qv"))).alias("buckets"),
     )
     data_side = bkt.select(
         "vec_id", F.posexplode("buckets").alias("t", "bucket")
