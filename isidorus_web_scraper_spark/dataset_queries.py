@@ -857,10 +857,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (
+             CAST(sum(new_sess) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING
-             ) AS sess_id
+             ) AS BIGINT) AS sess_id
       FROM marked
     )
     SELECT user_id, sess_id,

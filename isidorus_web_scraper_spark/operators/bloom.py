@@ -84,6 +84,19 @@ def optimal_params(expected_items: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
+def _floored_bucket(h: np.ndarray, num_buckets: int) -> np.ndarray:
+    """``pmod(signed_hash, B)`` exactly as Spark computes it: numpy's %
+    on int64 is floored mod, matching Catalyst's Pmod for positive B.
+    ``h`` may arrive as uint64 (the positions pipeline's dtype) — view
+    it back to the signed bits first."""
+    h = np.ascontiguousarray(h)
+    if h.dtype == np.uint64:
+        h = h.view(np.int64)
+    else:
+        h = h.astype(np.int64)
+    return h % np.int64(num_buckets)
+
+
 def _positions(h: np.ndarray, k: int, m: int) -> np.ndarray:
     """Double hashing: g_i = h1 + i*h2 (mod m), vectorized to (n, k)."""
     h1 = h
@@ -146,7 +159,12 @@ class BucketedBloom:
         return sum(f.bits.nbytes for f in self.filters)
 
     def _bucket_of(self, h: np.ndarray) -> np.ndarray:
-        return (h.astype(np.uint64) % np.uint64(self.num_buckets)).astype(np.int64)
+        # Floored mod on the SIGNED hash — identical to Spark's
+        # ``pmod(xxhash64, B)`` used by with_bloom_flag_cogrouped, for ANY
+        # B (uint64 % B only agrees when 2^64 % B == 0, i.e. power-of-two
+        # B; anything else silently probed the wrong bucket → false
+        # negatives → re-crawled seen URLs).
+        return _floored_bucket(h, self.num_buckets)
 
     def insert_vec(self, hashes: np.ndarray) -> None:
         if len(hashes) == 0:
@@ -206,7 +224,7 @@ def build_bucketed_bloom(
             h = batch.column(0).to_numpy(zero_copy_only=False).astype(np.uint64)
             if len(h) == 0:
                 continue
-            b = (h % np.uint64(B)).astype(np.int64)
+            b = _floored_bucket(h, B)  # matches pmod() in cogrouped apply
             for bucket in np.unique(b):
                 bits = local.setdefault(
                     int(bucket), np.zeros(nbytes, dtype=np.uint8)

@@ -163,3 +163,38 @@ def test_cogrouped_apply_equals_broadcast(spark):
         for r in with_bloom_flag_cogrouped(cands, "h", bits, B).collect()
     }
     assert cogroup_flags == broadcast_flags
+
+
+def test_bucketing_agrees_for_non_power_of_two_B(spark):
+    """Regression: Spark pmod(signed, B) vs numpy uint64 % B disagree for
+    any B that isn't a power of two (half of xxhash64 outputs are
+    negative). A mismatch sends candidates to the wrong bucket's bitmap
+    → Bloom FALSE NEGATIVES → seen URLs re-crawled. Pin agreement for
+    odd/prime B on all three paths: distributed build, driver insert,
+    cogrouped apply."""
+    from isidorus_web_scraper_spark.operators.bloom import (
+        bloom_bits_df,
+        build_bucketed_bloom,
+        empty_bucketed,
+        with_bloom_flag_cogrouped,
+    )
+
+    for B in (7, 13):
+        seen = spark.range(3_000).select(F.xxhash64("id").alias("h"))
+        bb = build_bucketed_bloom(seen, "h", B, 3_000, 1e-3)
+        member = seen.toPandas()["h"].to_numpy()
+        # zero false negatives through the broadcast path
+        assert bb.contains_vec(member).all(), f"B={B}: broadcast FN"
+        # driver-insert build must land in the same buckets
+        drv = empty_bucketed(B, 3_000, 1e-3)
+        drv.insert_vec(member)
+        for a, b in zip(bb.filters, drv.filters):
+            assert (a.bits == b.bits).all(), f"B={B}: bucket routing split"
+        # cogrouped apply (pmod bucketing) must flag every member
+        cands = spark.range(3_000).select(
+            F.col("id").alias("cid"), F.xxhash64("id").alias("h")
+        )
+        flags = with_bloom_flag_cogrouped(
+            cands, "h", bloom_bits_df(bb, spark), B
+        ).collect()
+        assert all(r.maybe_seen for r in flags), f"B={B}: cogrouped FN"
