@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from isidorus_web_scraper_spark.corpus import (  # noqa: E402
     make_html_resolver,
+    make_page_fn,
     make_resolver,
     page_url,
 )
@@ -54,6 +55,9 @@ SALT = os.environ.get("SPARK_GRAFT_CRAWL_SALT", "0") == "1"  # salted repartitio
 # "html" = fetch returns raw HTML, tokenized by the real parser UDF
 # (realistic, compute-bound); "spans" = pre-tokenized corpus
 MODE = os.environ.get("SPARK_GRAFT_CRAWL_MODE", "html")
+# 1 (default): fused schedule+fetch+parse — one Arrow round-trip and one
+# shuffle per round. 0: staged resolver path (A/B control, r2 baseline).
+FUSE = os.environ.get("SPARK_GRAFT_FUSE", "1") == "1"
 BENCH_QUERIES = [
     "flagship_doc_stats",
     "crawl_bfs_depth3",
@@ -71,8 +75,15 @@ def crawl_bench(spark) -> tuple[float, dict]:
     eng = CrawlEngine(
         spark,
         wh_dir,
+        page_fn=(
+            make_page_fn(n_hosts=N_HOSTS, base=HOST_BASE, mode=MODE)
+            if FUSE
+            else None
+        ),
         resolver=(
-            make_html_resolver(n_hosts=N_HOSTS, base=HOST_BASE)
+            None
+            if FUSE
+            else make_html_resolver(n_hosts=N_HOSTS, base=HOST_BASE)
             if MODE == "html"
             else make_resolver(n_hosts=N_HOSTS, base=HOST_BASE)
         ),

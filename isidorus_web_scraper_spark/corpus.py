@@ -233,6 +233,57 @@ def page_html(
     return "".join(parts)
 
 
+def make_page_fn(
+    n_hosts: int = 20,
+    base: int = 64,
+    links_out: int = 8,
+    big_page_every: int = 1000,
+    fatness: int = 8,
+    mode: str = "html",
+):
+    """Plain ``url -> spans|None`` callable for the FUSED
+    schedule+fetch+parse operator (operators/politeness.py): the whole
+    fetch/parse runs inside the politeness pass's pandas batches — one
+    Arrow round-trip per round instead of three (schedule, resolve,
+    parse) and no inter-stage shuffle. ``mode='html'`` renders the
+    synthetic page and runs the REAL tokenizer (identical output to
+    resolver-mode parse_html_udf); ``mode='spans'`` skips the render."""
+    if mode == "spans":
+        return lambda u: page_spans(
+            u, n_hosts=n_hosts, links_out=links_out,
+            big_page_every=big_page_every, base=base,
+        )
+
+    def fn(u: str):
+        h = page_html(
+            u, n_hosts=n_hosts, base=base, links_out=links_out,
+            big_page_every=big_page_every, fatness=fatness,
+        )
+        if h is None:
+            return None
+        return [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in tokenize_html(h)
+        ]
+
+    return fn
+
+
+def make_golden_page_fn():
+    """url -> spans over the golden fixture pages (tests)."""
+
+    def fn(u: str):
+        h = GOLDEN_HTML.get(u)
+        if h is None:
+            return None
+        return [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in tokenize_html(h)
+        ]
+
+    return fn
+
+
 def make_html_resolver(
     n_hosts: int = 20,
     base: int = 64,

@@ -896,6 +896,49 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_dedup_first_wins",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n_total
+      FROM events
+    )
+    SELECT user_id, event_type,
+           event_id AS first_event_id, ts AS first_ts,
+           CAST(n_total - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH twin of the streaming dedup (streaming/events.py
+    `dedup_stream`, dropDuplicatesWithinWatermark): first event per key
+    wins, later arrivals are dropped — the reference's Redis seen-set
+    first-wins semantics (`workers/scraper/repositories/redis_client.go:
+    44-50`) in event form. Keyed on (user_id, event_type) so the synthetic
+    events table actually HAS duplicates to drop; ties broken by
+    (ts, event_id) for determinism. With this oracle plus the
+    stream==batch parity pytest, the streaming operator's loop closes the
+    same way sessionization's does."""
+    events = load(spark, sf_dir, "events")
+    keyw = Window.partitionBy("user_id", "event_type")
+    w = keyw.orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_total", F.count("*").over(keyw))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            (F.col("n_total") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
 # ===========================================================================
 # Training-data pipeline: decontamination, PII scrubbing, sampling,
 # near-dup clustering — the ops a 100-TB corpus build runs after dedup.
@@ -928,7 +971,10 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     5-gram with a held-out benchmark set (stand-in: every 97th doc).
     The join key is the GRAM (explode + hash-join) — per-gram shuffle,
-    never doc-pairs; at 100 TB the benchmark side is small → broadcast."""
+    never doc-pairs. No forced broadcast: real benchmark sets are tiny
+    (AQE broadcasts them from runtime size), but the stand-in is ~1% of
+    the corpus — exploded to 5-grams that could be ~1 TB at 100 TB scale,
+    and a hard-coded F.broadcast would model an executor OOM."""
     docs = load(spark, sf_dir, "documents")
     grams5 = lambda df: df.select(  # noqa: E731
         "doc_id",
@@ -939,9 +985,7 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams5(docs.filter(F.col("doc_id") % 97 == 0))
     corpus = grams5(docs.filter(F.col("doc_id") % 97 != 0))
     return (
-        corpus.join(
-            F.broadcast(bench.withColumnRenamed("doc_id", "bench_id")), "gram"
-        )
+        corpus.join(bench.withColumnRenamed("doc_id", "bench_id"), "gram")
         .filter(F.col("bench_id") != F.col("doc_id"))
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_overlapping_grams"))
@@ -1083,25 +1127,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     row a dedup job retains. The DuckDB twin computes true components
     with a recursive CTE, pinning the fixpoint."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").persist()
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "lbl", F.col("doc_id")
-    ).persist()
-    while True:
+    return _connected_components(pairs)
+
+
+def _connected_components(
+    pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph, with bounded
+    plan depth: every iteration `localCheckpoint`s the labels, so the
+    next join starts from a plan-truncated (materialized) DataFrame —
+    persist() alone caches data but keeps the FULL lineage, and a deep
+    component chain used to compile an N-join plan by iteration N.
+    Each round does one hop of neighbor-min plus one pointer-jump
+    (lbl ← label(lbl), path halving), so convergence is O(log diameter)
+    — a 10^4-node chain needs ~15 rounds, not 10^4. `max_iters` is a
+    fuse — raising instead of silently returning half-merged clusters."""
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # checkpoint BEFORE the convergence check: the check's join and
+        # the next iteration both reread the materialized blocks, and the
+        # plan never grows past one iteration's shape
+        hopped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jump: follow the label one more step (lbl ← lbl's own
+        # current label). Every lbl IS a vertex id, so the self-join
+        # always matches; least() keeps monotonicity.
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            hopped.alias("a")
+            .join(
+                hopped.select(
+                    F.col("doc_id").alias("lbl"), F.col("lbl").alias("lbl2")
+                ).alias("b"),
+                "lbl",
+                "left",
+            )
             .select(
                 "doc_id",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1110,11 +1193,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} "
+            "iterations — component diameter exceeds the label-propagation "
+            "budget; use large-star/small-star for graphs this deep"
+        )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

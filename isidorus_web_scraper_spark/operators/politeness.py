@@ -45,6 +45,8 @@ def schedule_round(
     round_no: int,
     default_budget: int = DEFAULT_BUDGET,
     impl: str = "vectorized",
+    page_fn=None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Tag each frontier row with action ∈ {fetch, defer, robots_blocked}.
 
@@ -60,7 +62,19 @@ def schedule_round(
       queue. Same answer, but per-group pandas overhead makes it ~10×
       slower when rounds span thousands of hosts — kept as the
       executable spec of the per-host queue semantics.
-    """
+
+    ``page_fn`` (vectorized impl only): a plain ``url -> spans|None``
+    fetch+parse function FUSED into the same pandas pass — rows tagged
+    fetch are resolved in place and the output gains a ``spans`` column
+    (null for defer/robots/missing). This removes one shuffle and two
+    Arrow round-trips from the crawl round's critical path (the BENCH §9
+    residual): schedule → repartition → resolve-mapInPandas →
+    parse-pandas-UDF collapses into one host-partitioned stream. The
+    per-host budget bounds how many rows per host pay the heavy fetch,
+    so the host-hash layout's skew exposure is budget-capped; deferred
+    rows pass through at columnar cost. ``n_parts`` widens the host
+    shuffle to the fetch stage's target parallelism (the fused stage IS
+    the fetch stage)."""
     # null hosts (malformed-but-http-prefixed hrefs) get a sentinel:
     # pandas groupby drops null keys, which would defer such URLs
     # FOREVER (livelock); with the sentinel they take the default
@@ -101,9 +115,28 @@ def schedule_round(
         "scraping_id long, user_id long, url string, depth int, round int, "
         "host string, action string"
     )
+    if page_fn is not None:
+        if impl != "vectorized":
+            raise ValueError("page_fn fusion requires the vectorized impl")
+        from ..schema import SPAN
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("scraping_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("url", T.StringType()),
+                T.StructField("depth", T.IntegerType()),
+                T.StructField("round", T.IntegerType()),
+                T.StructField("host", T.StringType()),
+                T.StructField("action", T.StringType()),
+                T.StructField("spans", T.ArrayType(SPAN), True),
+            ]
+        )
 
     if impl == "vectorized":
-        n_parts = int(f.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if n_parts is None:
+            n_parts = int(f.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         pre = f.repartition(n_parts, "host").sortWithinPartitions(
             "host", F.desc("depth"), "url"  # priority: first-discovered first
         )
@@ -154,19 +187,30 @@ def schedule_round(
                     last_count + tail_total if tail_host == last_host else tail_total
                 )
                 last_host = tail_host
-                yield pd.DataFrame(
-                    {
-                        "scraping_id": pdf["scraping_id"],
-                        "user_id": pdf["user_id"],
-                        "url": pdf["url"],
-                        "depth": pdf["depth"],
-                        "round": pdf["round"],
-                        "host": pdf["host"],
-                        "action": action,
-                    }
-                )
+                out = {
+                    "scraping_id": pdf["scraping_id"],
+                    "user_id": pdf["user_id"],
+                    "url": pdf["url"],
+                    "depth": pdf["depth"],
+                    "round": pdf["round"],
+                    "host": pdf["host"],
+                    "action": action,
+                }
+                if page_fn is not None:
+                    # fused fetch+parse: resolve ONLY the fetch rows,
+                    # in the same pass — the heavy work per host is
+                    # budget-capped, defer/robots rows cost nothing
+                    spans = np.full(len(pdf), None, dtype=object)
+                    urls = pdf["url"].to_numpy()
+                    for i in np.flatnonzero(action == ACTION_FETCH):
+                        spans[i] = page_fn(urls[i])
+                    out["spans"] = spans
+                yield pd.DataFrame(out)
 
         return pre.mapInPandas(sched, out_schema)
+
+    if page_fn is not None:
+        raise ValueError("unreachable: fusion guard above")  # pragma: no cover
 
     def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
         # priority queue: first-discovered first (depth desc, url asc)
@@ -193,3 +237,43 @@ def schedule_round(
         )
 
     return f.groupBy("host").applyInPandas(per_host, out_schema)
+
+
+def fetch_all_fused(frontier: DataFrame, page_fn) -> DataFrame:
+    """Permissive twin of the fused path (no politeness config,
+    effectively unbounded budget — reference parity): every row fetches,
+    resolved in ONE mapInPandas with NO host shuffle at all. The caller
+    picks the partitioning (repartition to the fetch stage's width)."""
+    from pyspark.sql import types as T
+
+    from ..schema import SPAN
+
+    out_schema = T.StructType(
+        [
+            T.StructField("scraping_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("round", T.IntegerType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("action", T.StringType()),
+            T.StructField("spans", T.ArrayType(SPAN), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "scraping_id": pdf["scraping_id"],
+                    "user_id": pdf["user_id"],
+                    "url": pdf["url"],
+                    "depth": pdf["depth"],
+                    "round": pdf["round"],
+                    "host": None,
+                    "action": ACTION_FETCH,
+                    "spans": pdf["url"].map(page_fn),
+                }
+            )
+
+    return frontier.mapInPandas(gen, out_schema)

@@ -158,6 +158,7 @@ _DELETE_TABLES = [
     "images",
     "index_docs",
     "seen",
+    "frontier",  # consumed queue rows still name the scraping's URLs
     "fetch_log",
     "jobs",
     "media_store",
@@ -192,10 +193,13 @@ def delete_scraping(wh: Warehouse, scraping_id: int, user_id: int) -> None:
         hi = (hi + 1) if hi is not None else None  # seen/frontier tag r+1
 
         def in_window(props: dict) -> bool:
-            r = props.get("round")
-            if r is None:
+            # compacted commits carry a round_min/round_max span instead
+            # of a single tag — prune on interval overlap
+            rng = Warehouse._round_range(props)
+            if rng is None:
                 return True  # untagged commit: can't prove unaffected
-            return r >= lo and (hi is None or r <= hi)
+            r_min, r_max = rng
+            return r_max >= lo and (hi is None or r_min <= hi)
 
     else:
         in_window = None

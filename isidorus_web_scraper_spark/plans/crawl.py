@@ -16,6 +16,14 @@ Round pipeline (reference stage → Spark op):
   → new = anti-join seen          Redis SAdd batch       Bloom pre-filter + left-anti
   → seen += new; frontier_{r+1}   SQS sends              2 appends, commit round
 
+With a plain ``page_fn`` (url → spans) the first three stages FUSE into
+one host-partitioned mapInPandas pass (politeness decision + fetch +
+parse per pandas batch): one Arrow round-trip and one shuffle on the
+round's critical path instead of three round-trips and two shuffles
+(BENCH §9 residual). The per-host budget caps the heavy rows per host,
+bounding the host-layout's skew exposure; semantics are pinned
+end-state-identical to the staged path by tests/test_crawl.py.
+
 Scale design decisions (each with its 100-TB rationale):
 - fetch-join broadcasts whichever side is small (a crawl round is
   usually ≪ corpus; AQE handles the flip) and the parsed round is
@@ -92,6 +100,12 @@ class CrawlConfig:
     bloom_driver_insert_max: int = 200_000
     politeness_impl: str = "vectorized"   # or "grouped" (applyInPandas spec)
     media_store_enabled: bool = False     # S6: persist media payloads (extractor_service.go:55-107)
+    # fold completed rounds' per-round commits every K rounds (Iceberg
+    # rewrite_data_files analog) — a 64-round crawl otherwise leaves
+    # ~64×P files per table and every seen-table read reopens them all.
+    # None disables. Periodic passes never refold prior compactions
+    # (linear total I/O); _finalize does one full collapse.
+    compact_every_rounds: int | None = 16
     debug_timing: bool = False
 
 
@@ -103,7 +117,14 @@ def _round_pred(updates: DataFrame):
     rounds = {
         r["round"] for r in updates.select("round").distinct().collect()
     }
-    return lambda props: props.get("round", None) is None or props["round"] in rounds
+
+    def pred(props: dict) -> bool:
+        rng = Warehouse._round_range(props)  # handles compacted spans too
+        if rng is None:
+            return True  # untagged: can't prove unaffected
+        return any(rng[0] <= r <= rng[1] for r in rounds)
+
+    return pred
 
 
 @dataclass
@@ -127,6 +148,9 @@ class CrawlEngine:
     warehouse_root: str
     documents: DataFrame | None = None       # materialized corpus (doc_id, spans)
     resolver: object | None = None           # or: callable(to_fetch DF) -> DF with spans
+    # or: plain ``url -> spans|None`` — activates the FUSED
+    # schedule+fetch+parse pass (one Arrow round-trip per round)
+    page_fn: object | None = None
     politeness: DataFrame | None = None
     config: CrawlConfig = field(default_factory=CrawlConfig)
 
@@ -146,6 +170,13 @@ class CrawlEngine:
         ids = [s for (s, _u, _url, _d) in seeds]
         if len(set(ids)) != len(ids):
             raise ValueError("scraping_id must be unique per seed")
+        # rounds are GLOBAL per warehouse (they continue from the last
+        # metrics commit), so seeds must enter the frontier at the round
+        # the loop will actually run next — and created_round must record
+        # it, or delete_scraping's [created_round, completed_round]
+        # commit-pruning window starts at 0 and never prunes commits from
+        # earlier scrapings sharing this warehouse.
+        r0 = self._next_round()
         crawls = self.spark.createDataFrame(
             [(s, u, url, d) for (s, u, url, d) in seeds],
             "scraping_id long, user_id long, url string, depth int",
@@ -159,7 +190,7 @@ class CrawlEngine:
                 "depth",
                 F.lit("PENDING").alias("status"),
                 F.lit(0).cast("long").alias("links_count"),
-                F.lit(0).alias("created_round"),
+                F.lit(r0).alias("created_round"),
                 F.lit(None).cast("int").alias("completed_round"),
             ),
         )
@@ -168,9 +199,9 @@ class CrawlEngine:
             "user_id",
             "url",
             "depth",
-            F.lit(0).alias("round"),
+            F.lit(r0).alias("round"),
         )
-        self.wh.append("frontier", frontier0, {"round": 0})
+        self.wh.append("frontier", frontier0, {"round": r0})
         self.wh.append(
             "seen",
             frontier0.select(
@@ -178,9 +209,9 @@ class CrawlEngine:
                 "url",
                 url_hash_col("url").alias("url_hash"),
                 F.col("depth").alias("first_depth"),
-                F.lit(0).alias("round"),
+                F.lit(r0).alias("round"),
             ),
-            {"round": 0},
+            {"round": r0},
         )
 
     # ----------------------------------------------------------------- fetch
@@ -236,38 +267,67 @@ class CrawlEngine:
             urls_in = frontier.count()
         parts = self._round_parallelism(urls_in)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-
-        if self.politeness is None and cfg.default_budget >= 10**9:
-            # permissive fast path (reference parity: no politeness at
-            # all) — skips the per-host applyInPandas shuffle entirely
-            scheduled = frontier.select(
-                "scraping_id",
-                "user_id",
-                "depth",
-                "round",
-                "url",
-                F.lit(None).cast("string").alias("host"),
-                F.lit(ACTION_FETCH).alias("action"),
-            ).persist()
-        else:
-            scheduled = schedule_round(
-                frontier,
-                self.politeness,
-                round_no,
-                cfg.default_budget,
-                impl=cfg.politeness_impl,
-            ).persist()
-        to_fetch = scheduled.filter(F.col("action") == ACTION_FETCH).drop(
-            "action", "host"
-        )
         max_par = cfg.max_parallelism or self.spark.sparkContext.defaultParallelism
         fetch_parts = max(
             1, min(max_par, -(-urls_in // cfg.target_rows_per_fetch_task))
         )
-        if fetch_parts > parts:
-            to_fetch = to_fetch.repartition(fetch_parts)
 
-        fetched = self._fetch(to_fetch)
+        if self.page_fn is not None:
+            # FUSED path (BENCH §9): schedule + fetch + parse in ONE
+            # host-partitioned pandas pass — one Arrow round-trip and one
+            # shuffle per round instead of three round-trips and two
+            # shuffles. The fused stage IS the fetch stage, so the host
+            # shuffle runs at the fetch stage's width.
+            from ..operators.politeness import fetch_all_fused
+
+            if self.politeness is None and cfg.default_budget >= 10**9:
+                pre = frontier.select(
+                    "scraping_id", "user_id", "url", "depth", "round"
+                )
+                if fetch_parts > parts:
+                    pre = pre.repartition(fetch_parts)
+                scheduled = fetch_all_fused(pre, self.page_fn).persist()
+            else:
+                scheduled = schedule_round(
+                    frontier,
+                    self.politeness,
+                    round_no,
+                    cfg.default_budget,
+                    impl=cfg.politeness_impl,
+                    page_fn=self.page_fn,
+                    n_parts=max(parts, fetch_parts),
+                ).persist()
+            fetched = scheduled.filter(F.col("action") == ACTION_FETCH).drop(
+                "action", "host"
+            )
+        else:
+            if self.politeness is None and cfg.default_budget >= 10**9:
+                # permissive fast path (reference parity: no politeness at
+                # all) — skips the per-host applyInPandas shuffle entirely
+                scheduled = frontier.select(
+                    "scraping_id",
+                    "user_id",
+                    "depth",
+                    "round",
+                    "url",
+                    F.lit(None).cast("string").alias("host"),
+                    F.lit(ACTION_FETCH).alias("action"),
+                ).persist()
+            else:
+                scheduled = schedule_round(
+                    frontier,
+                    self.politeness,
+                    round_no,
+                    cfg.default_budget,
+                    impl=cfg.politeness_impl,
+                ).persist()
+            to_fetch = scheduled.filter(F.col("action") == ACTION_FETCH).drop(
+                "action", "host"
+            )
+            if fetch_parts > parts:
+                to_fetch = to_fetch.repartition(fetch_parts)
+
+            fetched = self._fetch(to_fetch)
         if cfg.repartition_parsed:
             fetched = fetched.repartition(
                 cfg.repartition_parsed, url_hash_col("url")
@@ -658,6 +718,12 @@ class CrawlEngine:
                 stats = self.run_round(r, urls_in)
                 all_stats.append(stats)
                 urls_in = stats.new_urls + stats.deferred
+                if (
+                    cfg.compact_every_rounds
+                    and (r + 1) % cfg.compact_every_rounds == 0
+                ):
+                    with self._timed("auto-compact"):
+                        self._compact_tables(r, refold=False)
                 r += 1
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", orig_shuffle)
@@ -672,8 +738,13 @@ class CrawlEngine:
         return self.run(start_round=None)
 
     def _next_round(self) -> int:
+        # round_max: a compacted metrics commit keeps its span as
+        # round_min/round_max props (warehouse.compact), so compaction
+        # never resets the global round counter
         done = [
-            p["round"] for p in self.wh.commit_props("metrics") if "round" in p
+            p.get("round", p.get("round_max"))
+            for p in self.wh.commit_props("metrics")
+            if "round" in p or "round_max" in p
         ]
         return (max(done) + 1) if done else 0
 
@@ -697,6 +768,41 @@ class CrawlEngine:
             # round r writes seen/frontier tagged r+1; start() tags 0
             self.wh.remove_commits(
                 table, lambda p: p.get("round", -1) >= next_round + 1
+            )
+
+    def _compact_tables(self, completed_round: int, refold: bool) -> None:
+        """Fold completed rounds' commits (round tags ≤ completed_round;
+        seen/frontier write round+1 tags, so their bound is one higher).
+        Safe mid-crawl: rollback/pruned reads only target rounds beyond
+        the fold bound, and delete pruning still works off the folded
+        commit's round_min/round_max span."""
+        for table in (
+            "fetch_log",
+            "pages",
+            "links",
+            "images",
+            "index_docs",
+            "media_store",
+            "metrics",
+        ):
+            if self.wh.exists(table):
+                self.wh.compact(
+                    table,
+                    upto_round=completed_round + 1,
+                    refold_compacted=refold,
+                )
+        if self.wh.exists("seen"):
+            # seen is read UNFILTERED each round, so even the freshest
+            # (round+1-tagged) commits are foldable
+            self.wh.compact(
+                "seen", upto_round=completed_round + 2, refold_compacted=refold
+            )
+        if self.wh.exists("frontier"):
+            # frontier round r+1 is the NEXT round's pruned read — folding
+            # it would hide it (compacted commits drop the round tag);
+            # only consumed rounds (≤ completed_round) fold
+            self.wh.compact(
+                "frontier", upto_round=completed_round + 1, refold_compacted=refold
             )
 
     # ---------------------------------------------------------- enrichment
@@ -800,3 +906,7 @@ class CrawlEngine:
             )
         )
         self.wh.merge("jobs", updates, ["scraping_id"])
+        if self.config.compact_every_rounds:
+            # full collapse (refold=True): post-completion reads open ~1
+            # commit per table instead of rounds×P files
+            self._compact_tables(last_round, refold=True)

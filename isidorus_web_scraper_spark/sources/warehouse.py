@@ -24,6 +24,8 @@ an Iceberg catalog; every call site goes through this API only.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -67,6 +69,30 @@ class Warehouse:
             os.fsync(f.fileno())
         os.replace(tmp, path)  # atomic on POSIX
 
+    @contextlib.contextmanager
+    def _locked(self, table: str, name: str = "_lock"):
+        """Per-table writer lock (flock — works across processes AND
+        across threads, since every call opens a fresh fd / open file
+        description). Two tiers:
+
+        - ``_lock``: held ONLY around a read-manifest → swap window
+          (microseconds) — every manifest mutation takes it, so a merge
+          or delete can no longer swap in a stale commit list and drop a
+          commit appended concurrently by the crawl's threaded fan-out;
+        - ``_rewrite_lock``: held for a whole merge/delete/compact so
+          two rewriting writers never race each other's file rewrites
+          (appends don't take it — they stay concurrent with rewrites,
+          reconciled by the CAS re-read under ``_lock``).
+        """
+        os.makedirs(self._table_dir(table), exist_ok=True)
+        fd = open(os.path.join(self._table_dir(table), name), "w")
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            fd.close()
+
     # --- write paths -------------------------------------------------------
     def _stage(self, table: str, df: DataFrame) -> str:
         """Write df to a new staging dir; return its relative name."""
@@ -76,19 +102,22 @@ class Warehouse:
         return rel
 
     def append(self, table: str, df: DataFrame, props: dict | None = None) -> None:
-        """Atomic append: stage data, then swap manifest."""
+        """Atomic append: stage data (outside the lock — the long part),
+        then read-manifest → swap under the writer lock."""
         os.makedirs(self._table_dir(table), exist_ok=True)
         rel = self._stage(table, df)
-        manifest = self._read_manifest(table)
-        manifest["commits"].append({"dir": rel, "props": props or {}})
-        self._swap_manifest(table, manifest)
+        with self._locked(table):
+            manifest = self._read_manifest(table)
+            manifest["commits"].append({"dir": rel, "props": props or {}})
+            self._swap_manifest(table, manifest)
 
     def overwrite(self, table: str, df: DataFrame, props: dict | None = None) -> None:
         """Atomic overwrite: manifest points only at the new commit."""
         os.makedirs(self._table_dir(table), exist_ok=True)
         rel = self._stage(table, df)
-        old = [c["dir"] for c in self._read_manifest(table)["commits"]]
-        self._swap_manifest(table, {"commits": [{"dir": rel, "props": props or {}}]})
+        with self._locked(table):
+            old = [c["dir"] for c in self._read_manifest(table)["commits"]]
+            self._swap_manifest(table, {"commits": [{"dir": rel, "props": props or {}}]})
         for d in old:  # orphans are safe to GC after the swap
             shutil.rmtree(os.path.join(self._table_dir(table), d), ignore_errors=True)
 
@@ -105,79 +134,126 @@ class Warehouse:
         contain no matching keys (e.g. their round tag is absent from
         the updates) and are kept byte-identical — the Iceberg
         copy-on-write file-pruning analog; only matching commits are
-        rewritten (concurrently, props preserved) plus one new commit
-        for the not-matched-anywhere inserts. Without it, the legacy
-        whole-table overwrite runs (fine for small tables like jobs).
+        rewritten (concurrently, props preserved) plus new commits
+        for the not-matched-anywhere inserts, tagged with their round
+        value so future round-pruned reads/rewrites still see them.
+        Without it, the legacy whole-table overwrite runs (fine for
+        small tables like jobs).
+
+        Concurrency: the whole rewrite runs under the table's
+        ``_rewrite_lock`` (rewriters serialize against each other); the
+        final manifest swap re-reads the manifest under ``_lock`` and
+        grafts the rewrites onto the FRESH commit list, so commits
+        appended concurrently (crawl fan-out racing an enrich) are
+        carried over instead of silently dropped. Rows appended after
+        this merge's snapshot are not updated by it — the append
+        logically happened after the merge.
         """
-        current = self.read(table)
-        non_keys = [c for c in current.columns if c not in keys]
-
-        def merged_over(cur: DataFrame, upd: DataFrame) -> DataFrame:
-            joined = cur.alias("t").join(upd.alias("u"), keys, "full_outer")
-            return joined.select(
-                *[F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k) for k in keys],
-                *[
-                    F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
-                    for c in non_keys
-                ],
-            )
-
         if commit_pred is None:
-            # full_outer keeps unmatched current rows (no-op), matched
-            # rows (update wins per column), and new rows (insert).
-            self.overwrite(table, merged_over(current, updates))
-            return
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        manifest = self._read_manifest(table)
-        touch = [c for c in manifest["commits"] if commit_pred(c["props"])]
-        upd = updates.persist()
-        try:
-            # inserts = update keys matched NOWHERE in the table (checked
-            # against the full table, not just the touched commits)
-            inserts = upd.join(current.select(keys), keys, "left_anti").select(
-                *[F.col(k) for k in keys],
-                *[F.col(c) for c in non_keys],
-            )
-
-            def _rewrite(c: dict) -> str:
-                cur = self.spark.read.parquet(
-                    os.path.join(self._table_dir(table), c["dir"])
-                )
-                # left join: every current row kept, matched ones updated
-                # column-wise; inserts go to their own commit below
-                joined = cur.alias("t").join(
-                    F.broadcast(upd).alias("u"), keys, "left"
-                )
-                return self._stage(
+            with self._locked(table, "_rewrite_lock"):
+                current = self.read(table)
+                non_keys = [c for c in current.columns if c not in keys]
+                # full_outer keeps unmatched current rows (no-op), matched
+                # rows (update wins per column), and new rows (insert).
+                joined = current.alias("t").join(updates.alias("u"), keys, "full_outer")
+                self.overwrite(
                     table,
                     joined.select(
-                        *[F.col(f"t.{k}").alias(k) for k in keys],
+                        *[
+                            F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k)
+                            for k in keys
+                        ],
                         *[
                             F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
                             for c in non_keys
                         ],
                     ),
                 )
+            return
 
-            with ThreadPoolExecutor(max_workers=min(8, max(1, len(touch)))) as pool:
-                new_dirs = dict(zip([id(c) for c in touch], pool.map(_rewrite, touch)))
-            new_commits = [
-                {"dir": new_dirs[id(c)], "props": c["props"]}
-                if id(c) in new_dirs
-                else c
-                for c in manifest["commits"]
-            ]
-            if not inserts.isEmpty():
-                new_commits.append({"dir": self._stage(table, inserts), "props": {}})
-            self._swap_manifest(table, {"commits": new_commits})
-            for c in touch:
-                shutil.rmtree(
-                    os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True
+        from concurrent.futures import ThreadPoolExecutor
+
+        with self._locked(table, "_rewrite_lock"):
+            current = self.read(table)
+            non_keys = [c for c in current.columns if c not in keys]
+            manifest = self._read_manifest(table)
+            touch = [c for c in manifest["commits"] if commit_pred(c["props"])]
+            upd = updates.persist()
+            try:
+                # inserts = update keys matched NOWHERE in the table (checked
+                # against the full table, not just the touched commits)
+                inserts = upd.join(current.select(keys), keys, "left_anti").select(
+                    *[F.col(k) for k in keys],
+                    *[F.col(c) for c in non_keys],
                 )
-        finally:
-            upd.unpersist()
+
+                def _rewrite(c: dict) -> str:
+                    cur = self.spark.read.parquet(
+                        os.path.join(self._table_dir(table), c["dir"])
+                    )
+                    # left join: every current row kept, matched ones updated
+                    # column-wise; inserts go to their own commit below
+                    joined = cur.alias("t").join(
+                        F.broadcast(upd).alias("u"), keys, "left"
+                    )
+                    return self._stage(
+                        table,
+                        joined.select(
+                            *[F.col(f"t.{k}").alias(k) for k in keys],
+                            *[
+                                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+                                for c in non_keys
+                            ],
+                        ),
+                    )
+
+                with ThreadPoolExecutor(max_workers=min(8, max(1, len(touch)))) as pool:
+                    staged = {
+                        c["dir"]: d for c, d in zip(touch, pool.map(_rewrite, touch))
+                    }
+                # insert commits carry their round tag (one commit per
+                # distinct round) — an untagged commit would defeat every
+                # future round-pruned read/rewrite of these rows
+                insert_commits: list[dict] = []
+                if not inserts.isEmpty():
+                    if "round" in inserts.columns:
+                        rounds = [
+                            r[0]
+                            for r in inserts.select("round").distinct().collect()
+                        ]
+                        for rd in rounds:
+                            insert_commits.append(
+                                {
+                                    "dir": self._stage(
+                                        table, inserts.filter(F.col("round") == rd)
+                                    ),
+                                    "props": {"round": int(rd)},
+                                }
+                            )
+                    else:
+                        insert_commits.append(
+                            {"dir": self._stage(table, inserts), "props": {}}
+                        )
+                with self._locked(table):
+                    fresh = self._read_manifest(table)
+                    # CAS graft: rewrites replace their commit in the FRESH
+                    # list; commits appended since the snapshot are kept.
+                    # (No commit can have vanished — removers hold
+                    # _rewrite_lock, which we own.)
+                    new_commits = [
+                        {"dir": staged[c["dir"]], "props": c["props"]}
+                        if c["dir"] in staged
+                        else c
+                        for c in fresh["commits"]
+                    ] + insert_commits
+                    self._swap_manifest(table, {"commits": new_commits})
+                for c in touch:
+                    shutil.rmtree(
+                        os.path.join(self._table_dir(table), c["dir"]),
+                        ignore_errors=True,
+                    )
+            finally:
+                upd.unpersist()
 
     def delete_where(self, table: str, predicate: str, commit_pred=None) -> None:
         """Predicate delete (Iceberg DELETE FROM analog; SURVEY.md J9),
@@ -193,51 +269,129 @@ class Warehouse:
           pruned reads still work after a delete);
         - one atomic manifest swap publishes all rewrites together.
         """
-        manifest = self._read_manifest(table)
-        rewrite = [
-            c
-            for c in manifest["commits"]
-            if commit_pred is None or commit_pred(c["props"])
-        ]
-        if not rewrite:
-            return
         from concurrent.futures import ThreadPoolExecutor
 
-        def _rewrite(c: dict) -> str:
-            df = self.spark.read.parquet(
-                os.path.join(self._table_dir(table), c["dir"])
-            ).filter(f"NOT ({predicate})")
-            return self._stage(table, df)
+        with self._locked(table, "_rewrite_lock"):
+            manifest = self._read_manifest(table)
+            rewrite = [
+                c
+                for c in manifest["commits"]
+                if commit_pred is None or commit_pred(c["props"])
+            ]
+            if not rewrite:
+                return
 
-        with ThreadPoolExecutor(max_workers=min(8, len(rewrite))) as pool:
-            new_dirs = list(pool.map(_rewrite, rewrite))
-        replaced = {id(c): d for c, d in zip(rewrite, new_dirs)}
-        new_commits = [
-            {"dir": replaced[id(c)], "props": c["props"]}
-            if id(c) in replaced
-            else c
-            for c in manifest["commits"]
-        ]
-        self._swap_manifest(table, {"commits": new_commits})
-        for c in rewrite:  # orphans safe to GC after the swap
-            shutil.rmtree(
-                os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True
-            )
+            def _rewrite(c: dict) -> str:
+                df = self.spark.read.parquet(
+                    os.path.join(self._table_dir(table), c["dir"])
+                ).filter(f"NOT ({predicate})")
+                return self._stage(table, df)
 
-    def compact(self, table: str, target_files: int | None = None) -> None:
-        """Bin-pack a many-commit table into ONE commit (Iceberg
-        ``rewrite_data_files`` analog). A 64-round crawl leaves ~64×P
-        files per table; post-completion reads reopen all of them.
-        Compaction collapses the manifest — props are intentionally
-        dropped (round tags only matter while the crawl is live; callers
-        compact COMPLETED crawls). ``target_files`` coalesces the
-        rewrite (default: leave partitioning to the current plan)."""
-        if not self.exists(table):
-            return
-        df = self.read(table)
-        if target_files:
-            df = df.coalesce(target_files)
-        self.overwrite(table, df, {"compacted": True})
+            with ThreadPoolExecutor(max_workers=min(8, len(rewrite))) as pool:
+                staged = {
+                    c["dir"]: d for c, d in zip(rewrite, pool.map(_rewrite, rewrite))
+                }
+            with self._locked(table):
+                fresh = self._read_manifest(table)
+                # CAS graft (see merge): concurrent appends survive; the
+                # delete covered the table as of its snapshot only.
+                new_commits = [
+                    {"dir": staged[c["dir"]], "props": c["props"]}
+                    if c["dir"] in staged
+                    else c
+                    for c in fresh["commits"]
+                ]
+                self._swap_manifest(table, {"commits": new_commits})
+            for c in rewrite:  # orphans safe to GC after the swap
+                shutil.rmtree(
+                    os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True
+                )
+
+    @staticmethod
+    def _round_range(props: dict) -> tuple[int, int] | None:
+        """The [min, max] round span a commit's rows can occupy, from its
+        props — a plain round tag, or the range a prior compaction kept.
+        None = untagged (can't bound it)."""
+        if "round" in props:
+            return props["round"], props["round"]
+        if "round_min" in props and "round_max" in props:
+            return props["round_min"], props["round_max"]
+        return None
+
+    def compact(
+        self,
+        table: str,
+        target_files: int | None = None,
+        upto_round: int | None = None,
+        refold_compacted: bool = True,
+    ) -> None:
+        """Bin-pack many commits into ONE (Iceberg ``rewrite_data_files``
+        analog). A 64-round crawl leaves ~64×P files per table;
+        post-completion reads reopen all of them.
+
+        Round props are LOAD-BEARING for resume (frontier round reads,
+        metrics ``_next_round``, partial-round rollback) and for delete
+        pruning windows, so compaction never silently drops them:
+
+        - a table with round-tagged commits REQUIRES ``upto_round``;
+          only commits provably complete (max round < upto_round) are
+          folded, and the folded commit carries ``round_min/round_max``
+          so round-window predicates (delete pruning) still bound it —
+          rollback/pruned reads target rounds ≥ upto_round, which live
+          in the untouched commits;
+        - untagged tables fold wholesale as before.
+
+        ``target_files`` coalesces the rewrite (default: leave
+        partitioning to the current plan). ``refold_compacted=False``
+        leaves prior compacted commits untouched (the in-crawl periodic
+        mode: each pass folds only the NEW small per-round commits, so
+        total compaction I/O stays linear in data written instead of
+        quadratic in crawl length — Iceberg bin-pack-new-files analog)."""
+        with self._locked(table, "_rewrite_lock"):
+            manifest = self._read_manifest(table)
+            commits = manifest["commits"]
+            if any("round" in c["props"] or "round_max" in c["props"] for c in commits):
+                if upto_round is None:
+                    raise ValueError(
+                        f"table '{table}' carries load-bearing round tags; pass "
+                        "upto_round=N to compact only completed rounds (< N)"
+                    )
+                doomed = []
+                for c in commits:
+                    if not refold_compacted and c["props"].get("compacted"):
+                        continue
+                    rng = self._round_range(c["props"])
+                    if rng is not None and rng[1] < upto_round:
+                        doomed.append(c)
+            else:
+                doomed = [
+                    c
+                    for c in commits
+                    if refold_compacted or not c["props"].get("compacted")
+                ]
+            if len(doomed) < 2:
+                return  # nothing to fold
+            paths = [os.path.join(self._table_dir(table), c["dir"]) for c in doomed]
+            df = self.spark.read.parquet(*paths)
+            if target_files:
+                df = df.coalesce(target_files)
+            rel = self._stage(table, df)
+            spans = [self._round_range(c["props"]) for c in doomed]
+            props: dict = {"compacted": True}
+            if any(s is not None for s in spans):
+                props["round_min"] = min(s[0] for s in spans if s is not None)
+                props["round_max"] = max(s[1] for s in spans if s is not None)
+            with self._locked(table):
+                fresh = self._read_manifest(table)
+                doomed_dirs = {c["dir"] for c in doomed}
+                kept = [c for c in fresh["commits"] if c["dir"] not in doomed_dirs]
+                self._swap_manifest(
+                    table, {"commits": [{"dir": rel, "props": props}] + kept}
+                )
+            for c in doomed:
+                shutil.rmtree(
+                    os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True
+                )
 
     # --- read paths --------------------------------------------------------
     def read(self, table: str, props_filter: dict | None = None) -> DataFrame:
@@ -270,12 +424,15 @@ class Warehouse:
         """Drop commits whose props match ``pred`` (atomic manifest swap,
         then GC the orphaned staging dirs) — used for partial-round
         rollback on resume."""
-        manifest = self._read_manifest(table)
-        keep = [c for c in manifest["commits"] if not pred(c["props"])]
-        drop = [c for c in manifest["commits"] if pred(c["props"])]
-        if not drop:
-            return
-        self._swap_manifest(table, {"commits": keep})
+        # _rewrite_lock: removers must not yank commits out from under an
+        # in-flight merge/delete rewrite (their CAS assumes no vanishing)
+        with self._locked(table, "_rewrite_lock"), self._locked(table):
+            manifest = self._read_manifest(table)
+            keep = [c for c in manifest["commits"] if not pred(c["props"])]
+            drop = [c for c in manifest["commits"] if pred(c["props"])]
+            if not drop:
+                return
+            self._swap_manifest(table, {"commits": keep})
         for c in drop:
             shutil.rmtree(
                 os.path.join(self._table_dir(table), c["dir"]), ignore_errors=True

@@ -237,6 +237,166 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Auto-compaction: folding completed rounds mid-crawl must not change the
+# end state, must shrink the manifest, and must leave resume + delete
+# working (round spans survive as round_min/round_max props).
+# ---------------------------------------------------------------------------
+def test_autocompact_preserves_end_state_and_resume(spark, tmp_path):
+    n_hosts = 5
+    docs = generate_documents(spark, n_hosts=n_hosts).persist()
+    seeds = [(40, 1, "http://h0.test/p0.html", 3)]
+
+    base = CrawlConfig(
+        bloom_expected_urls=4096,
+        default_budget=1_000_000_000,
+        compact_every_rounds=None,  # control: no compaction at all
+    )
+    full = CrawlEngine(spark, str(tmp_path / "wh_plain"), documents=docs, config=base)
+    full.start(seeds)
+    full.run()
+
+    aggressive = CrawlConfig(
+        bloom_expected_urls=4096,
+        default_budget=1_000_000_000,
+        compact_every_rounds=1,  # fold after EVERY round
+    )
+    comp = CrawlEngine(spark, str(tmp_path / "wh_comp"), documents=docs, config=aggressive)
+    comp.start(seeds)
+    comp.run()
+    assert spark_end_state(comp) == spark_end_state(full)
+    # post-finalize manifests are collapsed: ≤2 commits per table
+    for table in ("pages", "links", "seen", "metrics"):
+        n = len(comp.wh._read_manifest(table)["commits"])
+        assert n <= 2, f"{table} still has {n} commits after full refold"
+
+    # crash mid-crawl right after an auto-compaction, then resume
+    part = CrawlEngine(spark, str(tmp_path / "wh_part"), documents=docs, config=aggressive)
+    part.start(seeds)
+    part.run_round(0)
+    part._compact_tables(0, refold=False)  # what the loop does post-round
+    resumed = CrawlEngine(spark, str(tmp_path / "wh_part"), documents=docs, config=aggressive)
+    resumed.resume()
+    assert spark_end_state(resumed) == spark_end_state(full)
+
+    # delete after compaction still removes every row of the scraping
+    from isidorus_web_scraper_spark.plans.api import delete_scraping
+
+    delete_scraping(comp.wh, 40, 1)
+    for table in ("pages", "links", "images", "seen", "frontier", "fetch_log"):
+        if comp.wh.exists(table):
+            left = comp.wh.read(table).filter("scraping_id = 40").count()
+            assert left == 0, f"{table}: {left} rows survived delete"
+
+
+# ---------------------------------------------------------------------------
+# Fused schedule+fetch+parse (page_fn) must be END-STATE IDENTICAL to the
+# staged resolver path — permissive AND under politeness budgets/robots.
+# ---------------------------------------------------------------------------
+def test_fused_page_fn_equals_resolver_mode(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import make_html_resolver, make_page_fn
+
+    n_hosts = 5
+    seeds = [(60, 1, "http://h0.test/p0.html", 3)]
+    cfgf = lambda: CrawlConfig(  # noqa: E731
+        bloom_expected_urls=4096, default_budget=1_000_000_000
+    )
+    a = CrawlEngine(
+        spark, str(tmp_path / "wa"),
+        resolver=make_html_resolver(n_hosts=n_hosts), config=cfgf(),
+    )
+    a.start(seeds)
+    a.run()
+    b = CrawlEngine(
+        spark, str(tmp_path / "wb"),
+        page_fn=make_page_fn(n_hosts=n_hosts), config=cfgf(),
+    )
+    b.start(seeds)
+    b.run()
+    assert spark_end_state(b) == spark_end_state(a)
+
+
+def test_fused_page_fn_equals_resolver_under_politeness(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import make_html_resolver, make_page_fn
+
+    n_hosts = 4
+    politeness = spark.createDataFrame(
+        [("h0.test", 1, [], 0), ("h1.test", 8, ["/p1.html"], 0), ("h2.test", 2, [], 1)],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    seeds = [(61, 1, "http://h0.test/p0.html", 3)]
+    cfgf = lambda: CrawlConfig(bloom_expected_urls=4096, max_rounds=40)  # noqa: E731
+    a = CrawlEngine(
+        spark, str(tmp_path / "wa"),
+        resolver=make_html_resolver(n_hosts=n_hosts),
+        politeness=politeness, config=cfgf(),
+    )
+    a.start(seeds)
+    stats_a = a.run()
+    b = CrawlEngine(
+        spark, str(tmp_path / "wb"),
+        page_fn=make_page_fn(n_hosts=n_hosts),
+        politeness=politeness, config=cfgf(),
+    )
+    b.start(seeds)
+    stats_b = b.run()
+    assert spark_end_state(b) == spark_end_state(a)
+    # identical deferral/robots behavior round by round
+    assert [(s.deferred, s.robots_blocked, s.fetched) for s in stats_b] == [
+        (s.deferred, s.robots_blocked, s.fetched) for s in stats_a
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Media GC: deleting a scraping must leave ZERO orphaned media payloads —
+# the S3 batch-delete parity (deletion_service.py:64-129 deletes the
+# image objects, not just the DB rows).
+# ---------------------------------------------------------------------------
+def test_delete_scraping_leaves_no_orphaned_media(spark, tmp_path):
+    from isidorus_web_scraper_spark.plans.api import delete_scraping
+
+    seeds = [
+        (50, 1, f"{MOCK}/index.html", 2),
+        (51, 2, f"{MOCK}/index.html", 2),  # second owner, same site
+    ]
+    eng, _ = run_engine(
+        spark,
+        tmp_path,
+        seeds,
+        golden_documents(spark),
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            default_budget=1_000_000_000,
+            media_store_enabled=True,
+        ),
+    )
+    media_before = eng.wh.read("media_store")
+    assert media_before.filter("scraping_id = 50").count() > 0
+    total_bytes_51 = (
+        media_before.filter("scraping_id = 51")
+        .selectExpr("sum(length(payload)) b").first()["b"]
+    )
+    delete_scraping(eng.wh, 50, 1)
+    media = eng.wh.read("media_store")
+    # zero rows AND zero payload bytes left for the deleted scraping
+    assert media.filter("scraping_id = 50").count() == 0
+    # every surviving media row is still referenced by an images row
+    # (no orphans in either direction after the cascade)
+    orphans = media.join(
+        eng.wh.read("images").select("scraping_id", "s3_path"),
+        ["scraping_id", "s3_path"],
+        "left_anti",
+    ).count()
+    assert orphans == 0
+    # the other scraping's payloads are untouched byte-for-byte in total
+    total_bytes_51_after = (
+        media.filter("scraping_id = 51")
+        .selectExpr("sum(length(payload)) b").first()["b"]
+    )
+    assert total_bytes_51_after == total_bytes_51
+
+
+# ---------------------------------------------------------------------------
 # Raw-HTML resolver mode: the engine tokenizes fetched HTML with the
 # real parser UDF; end state must match the simulator run over the
 # tokenizer's own output for the same pages.

@@ -73,3 +73,29 @@ def test_query_runs(spark, sf_correct, name):
     df = QUERIES[name](spark, sf_correct)
     assert df.columns
     df.limit(5).collect()
+
+
+def test_connected_components_deep_chain_bounded_plan(spark):
+    """A 60-node path graph: diameter 59. With pointer jumping the loop
+    converges in ~7 rounds instead of 59, and per-iteration
+    localCheckpoint keeps the compiled plan CONSTANT-depth (persist alone
+    cached data but accreted a join per iteration — a plan-explosion at
+    adversarial diameters). Pins: correct single cluster, canonical
+    min-label survivor, and a bounded final plan string."""
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.dataset_queries import _connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = _connected_components(pairs, max_iters=15)
+    rows = {r.doc_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert len(rows) == n
+    assert all(c == 0 for c, _ in rows.values())  # one component, min label
+    assert [d for d, (_, k) in rows.items() if k == 1] == [0]
+    # plan depth is truncated by the checkpoints, not proportional to
+    # the 59-hop diameter
+    plan = out._jdf.queryExecution().toString()
+    assert plan.count("Join") <= 6, f"plan accreted joins:\n{plan[:2000]}"

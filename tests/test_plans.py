@@ -31,10 +31,19 @@ def test_pricing_summary_filter_pushdown(spark, sf_correct):
     )
 
 
-def test_decontaminate_broadcasts_benchmark_side(spark, sf_correct):
-    plan = _plan(spark, "decontaminate_benchmark", sf_correct)
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan
+def test_decontaminate_join_strategy_is_aqe_chosen(spark, sf_correct):
+    """No FORCED broadcast of the benchmark side: the stand-in bench set
+    is ~1% of the corpus (≈1 TB of exploded 5-grams at 100 TB) and a
+    hard-coded F.broadcast models an executor OOM. The logical plan must
+    carry no broadcast hint; at sf0.01 the bench side is small at
+    runtime, so AQE's FINAL plan still picks a broadcast join — pin
+    both."""
+    df = QUERIES["decontaminate_benchmark"](spark, sf_correct)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "BROADCAST" not in logical, logical
+    df.collect()  # materialize so AQE finalizes the plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
 
 
 def test_fetch_join_broadcasts_frontier(spark, sf_correct):

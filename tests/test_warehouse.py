@@ -130,13 +130,137 @@ def test_compact_collapses_commits(spark, tmp_path):
         )
     assert len(wh._read_manifest("links")["commits"]) == 6
     before = sorted(map(tuple, wh.read("links").collect()))
-    wh.compact("links", target_files=1)
+    import pytest
+
+    # round tags are load-bearing: compact refuses without a bound
+    with pytest.raises(ValueError):
+        wh.compact("links", target_files=1)
+    wh.compact("links", target_files=1, upto_round=6)
     manifest = wh._read_manifest("links")
     assert len(manifest["commits"]) == 1
-    assert manifest["commits"][0]["props"] == {"compacted": True}
+    # the folded commit keeps its round span so delete pruning windows
+    # and _next_round survive compaction
+    assert manifest["commits"][0]["props"] == {
+        "compacted": True, "round_min": 0, "round_max": 5
+    }
     assert sorted(map(tuple, wh.read("links").collect())) == before
     import glob, os
     files = glob.glob(
         os.path.join(str(tmp_path / "wh"), "links", "commit-*", "*.parquet")
     )
     assert len(files) == 1  # bin-packed to one file
+
+
+def test_compact_partial_and_refold(spark, tmp_path):
+    """upto_round folds only completed rounds; refold_compacted=False
+    leaves prior compactions alone (the in-crawl periodic mode); a later
+    full refold collapses everything."""
+    wh = _wh(spark, tmp_path)
+    for rnd in range(6):
+        wh.append(
+            "links",
+            spark.createDataFrame(
+                [(1, f"http://s.test/{rnd}", f"http://t.test/{rnd}", rnd)],
+                "scraping_id long, source_url string, target_url string, round int",
+            ),
+            {"round": rnd},
+        )
+    before = sorted(map(tuple, wh.read("links").collect()))
+    wh.compact("links", upto_round=3, refold_compacted=False)
+    m = wh._read_manifest("links")
+    # rounds 0-2 folded, 3-5 untouched
+    assert len(m["commits"]) == 4
+    spans = [c["props"] for c in m["commits"] if c["props"].get("compacted")]
+    assert spans == [{"compacted": True, "round_min": 0, "round_max": 2}]
+    # a second periodic pass must NOT refold the compacted commit
+    wh.compact("links", upto_round=5, refold_compacted=False)
+    m = wh._read_manifest("links")
+    assert len(m["commits"]) == 3  # [0-2], [3-4], round-5
+    assert sorted(map(tuple, wh.read("links").collect())) == before
+    # full refold collapses to one commit spanning everything
+    wh.compact("links", upto_round=6, refold_compacted=True)
+    m = wh._read_manifest("links")
+    assert len(m["commits"]) == 1
+    assert m["commits"][0]["props"] == {
+        "compacted": True, "round_min": 0, "round_max": 5
+    }
+    assert sorted(map(tuple, wh.read("links").collect())) == before
+
+
+def test_merge_insert_commits_carry_round_tags(spark, tmp_path):
+    """Enrichment-inserted rows keep their round tag: a later round-pruned
+    merge/delete must still see the commit as potentially matching its
+    round (an untagged {} commit would be rewritten forever AND invisible
+    to round-pruned reads)."""
+    wh = _wh(spark, tmp_path)
+    wh.append(
+        "pages",
+        spark.createDataFrame(
+            [(1, "u1", "body", None, 0)],
+            "scraping_id long, url string, content string, summary string, round int",
+        ),
+        {"round": 0},
+    )
+    updates = spark.createDataFrame(
+        [(1, "u1", None, "s1", 0), (1, "u2", "new", None, 0), (1, "u3", "new3", None, 2)],
+        "scraping_id long, url string, content string, summary string, round int",
+    )
+    wh.merge(
+        "pages",
+        updates,
+        ["scraping_id", "url", "round"],
+        commit_pred=lambda p: p.get("round") in (None, 0, 2),
+    )
+    props = [c["props"] for c in wh._read_manifest("pages")["commits"]]
+    assert {"round": 0} in props and {"round": 2} in props
+    assert {} not in props
+    # pruned reads see the inserted rows under their round
+    assert sorted(r.url for r in wh.read("pages", {"round": 0}).collect()) == ["u1", "u2"]
+    assert [r.url for r in wh.read("pages", {"round": 2}).collect()] == ["u3"]
+
+
+def test_merge_does_not_drop_concurrent_append(spark, tmp_path):
+    """A commit appended while a merge is rewriting must survive the
+    merge's manifest swap (the CAS graft): the crawl's threaded fan-out
+    racing enrich() was the data-loss scenario."""
+    import threading
+
+    wh = _wh(spark, tmp_path)
+    schema = "scraping_id long, url string, content string, summary string, round int"
+    wh.append(
+        "pages",
+        spark.createDataFrame([(1, "u1", "body", None, 0)], schema),
+        {"round": 0},
+    )
+
+    # monkeypatch _stage to append a racing commit mid-merge, inside the
+    # window between the merge's manifest snapshot and its final swap
+    orig_stage = wh._stage
+    raced = threading.Event()
+
+    def racing_stage(table, df):
+        if not raced.is_set():
+            raced.set()
+            orig_append(
+                "pages",
+                spark.createDataFrame([(9, "u-racer", "r", None, 7)], schema),
+                {"round": 7},
+            )
+        return orig_stage(table, df)
+
+    orig_append = wh.append
+    wh._stage = racing_stage
+    try:
+        updates = spark.createDataFrame([(1, "u1", None, "s1", 0)], schema)
+        wh.merge(
+            "pages",
+            updates,
+            ["scraping_id", "url", "round"],
+            commit_pred=lambda p: p.get("round") in (None, 0),
+        )
+    finally:
+        wh._stage = orig_stage
+    rows = {r.url: r for r in wh.read("pages").collect()}
+    assert rows["u1"].summary == "s1"          # merge applied
+    assert "u-racer" in rows                   # concurrent append survived
+    assert wh.read("pages", {"round": 7}).count() == 1
