@@ -99,6 +99,10 @@ def crawl_bench(spark) -> tuple[float, dict]:
             max_rounds=DEPTH + 6,
             repartition_parsed=CPUS if SALT else None,
             max_parallelism=min(CPUS, PY_CAP),
+            # crawl metric = the round loop (r1/r2-comparable); the
+            # finalize full-collapse is a completed-crawl I/O amortization,
+            # A/B'd separately in BENCH/BASELINE.md (auto-compact section)
+            compact_every_rounds=None,
         ),
     )
     if SKEW:

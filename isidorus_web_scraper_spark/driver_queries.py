@@ -527,6 +527,84 @@ def url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# robots.txt parsing → politeness rules (functions/robots.py; north_rule
+# robots mandate — the reference has none, page_fetcher.go:14-20).
+# Synthetic per-host robots files exercise: case-insensitive directives,
+# section switching (evilbot's rules must NOT leak into *), a reopened
+# * section, comments, and Crawl-delay.
+# ---------------------------------------------------------------------------
+@query(
+    "robots_rules",
+    """
+    WITH hosts AS (SELECT DISTINCT doc_id % 199 AS h FROM documents),
+    txt AS (
+      SELECT h, concat_ws(chr(10),
+        '# synthetic robots', 'User-agent: *', 'Disallow: /admin',
+        CASE WHEN h % 3 = 0 THEN 'disallow: /p' || h::VARCHAR
+             ELSE 'Crawl-delay: 5' END,
+        'User-agent: evilbot', 'Disallow: /',
+        CASE WHEN h % 2 = 0 THEN 'User-Agent: *' ELSE '# end' END,
+        CASE WHEN h % 2 = 0 THEN 'Disallow: /tmp' ELSE '' END
+      ) AS robots_txt FROM hosts
+    ),
+    lines AS (
+      SELECT h,
+             unnest(string_split(robots_txt, chr(10))) AS line,
+             unnest(range(1, len(string_split(robots_txt, chr(10))) + 1)) AS pos
+      FROM txt
+    ),
+    marked AS (
+      SELECT h, pos,
+             nullif(regexp_extract(trim(line), '(?i)^user-agent:\\s*(\\S+)', 1), '') AS ua,
+             nullif(regexp_extract(trim(line), '(?i)^disallow:\\s*(\\S+)', 1), '') AS dis,
+             CAST(nullif(regexp_extract(trim(line), '(?i)^crawl-delay:\\s*([0-9]+)', 1), '') AS BIGINT) AS delay
+      FROM lines
+    ),
+    sect AS (
+      SELECT h, dis, delay,
+             last_value(ua IGNORE NULLS) OVER (
+               PARTITION BY h ORDER BY pos ROWS UNBOUNDED PRECEDING
+             ) AS cur_ua
+      FROM marked
+    )
+    SELECT 'h' || h::VARCHAR || '.test' AS host,
+           list_sort(list_distinct(list(dis) FILTER (WHERE dis IS NOT NULL))) AS robots_disallow,
+           CAST(coalesce(max(delay), 0) AS BIGINT) AS crawl_delay_rounds
+    FROM sect
+    WHERE cur_ua = '*' AND (dis IS NOT NULL OR delay IS NOT NULL)
+    GROUP BY h
+    """,
+)
+def robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.robots import parse_robots
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("h")
+    txt = F.concat_ws(
+        "\n",
+        F.lit("# synthetic robots"),
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /admin"),
+        F.when(
+            h % 3 == 0, F.concat(F.lit("disallow: /p"), h.cast("string"))
+        ).otherwise(F.lit("Crawl-delay: 5")),
+        F.lit("User-agent: evilbot"),
+        F.lit("Disallow: /"),
+        F.when(h % 2 == 0, F.lit("User-Agent: *")).otherwise(F.lit("# end")),
+        F.when(h % 2 == 0, F.lit("Disallow: /tmp")).otherwise(F.lit("")),
+    )
+    robots = (
+        docs.select((F.col("doc_id") % 199).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), h.cast("string"), F.lit(".test")).alias("host"),
+            txt.alias("robots_txt"),
+        )
+    )
+    return parse_robots(robots)
+
+
+# ---------------------------------------------------------------------------
 # §2.7 set operations: the seen-set union-with-dedup + except/intersect.
 # ---------------------------------------------------------------------------
 @query(

@@ -88,7 +88,9 @@ class CrawlConfig:
     image_extractor_enabled: bool = True
     indexer_enabled: bool = True
     llm_provider: str = "mock"
-    repartition_parsed: int | None = None  # salt/spread heavy parse rounds
+    # salt/spread heavy parse rounds (staged path only; the fused path
+    # keeps the host layout — the per-host budget bounds its skew)
+    repartition_parsed: int | None = None
     # adaptive round sizing: small rounds run with few partitions (a
     # 200-row round on 32 shuffle partitions is pure task overhead);
     # big rounds scale back up to the cluster's parallelism
@@ -277,7 +279,10 @@ class CrawlEngine:
             # host-partitioned pandas pass — one Arrow round-trip and one
             # shuffle per round instead of three round-trips and two
             # shuffles. The fused stage IS the fetch stage, so the host
-            # shuffle runs at the fetch stage's width.
+            # shuffle runs at the fetch stage's width. The span folds run
+            # in the SAME stage and ONE spans-free frame is cached — the
+            # round never stores raw spans (a second page-size cache pass
+            # would re-saturate the memory bus the fusion just relieved).
             from ..operators.politeness import fetch_all_fused
 
             if self.politeness is None and cfg.default_budget >= 10**9:
@@ -286,9 +291,9 @@ class CrawlEngine:
                 )
                 if fetch_parts > parts:
                     pre = pre.repartition(fetch_parts)
-                scheduled = fetch_all_fused(pre, self.page_fn).persist()
+                fused = fetch_all_fused(pre, self.page_fn)
             else:
-                scheduled = schedule_round(
+                fused = schedule_round(
                     frontier,
                     self.politeness,
                     round_no,
@@ -296,8 +301,21 @@ class CrawlEngine:
                     impl=cfg.politeness_impl,
                     page_fn=self.page_fn,
                     n_parts=max(parts, fetch_parts),
-                ).persist()
-            fetched = scheduled.filter(F.col("action") == ACTION_FETCH).drop(
+                )
+            okc = (F.col("action") == F.lit(ACTION_FETCH)) & F.col(
+                "spans"
+            ).isNotNull()
+            scheduled = (
+                fused.withColumn("ok", okc)
+                .withColumn("content", F.when(F.col("ok"), content_col("spans")))
+                .withColumn("links", F.when(F.col("ok"), links_col("spans")))
+                .withColumn("images", F.when(F.col("ok"), images_col("spans")))
+                .drop("spans")
+                .persist()
+            )
+            # parsed = the fetch rows, straight off the shared cache (no
+            # second persist — filters over cached blocks are free)
+            parsed = scheduled.filter(F.col("action") == ACTION_FETCH).drop(
                 "action", "host"
             )
         else:
@@ -328,18 +346,18 @@ class CrawlEngine:
                 to_fetch = to_fetch.repartition(fetch_parts)
 
             fetched = self._fetch(to_fetch)
-        if cfg.repartition_parsed:
-            fetched = fetched.repartition(
-                cfg.repartition_parsed, url_hash_col("url")
+            if cfg.repartition_parsed:
+                fetched = fetched.repartition(
+                    cfg.repartition_parsed, url_hash_col("url")
+                )
+            parsed = (
+                fetched.withColumn("ok", F.col("spans").isNotNull())
+                .withColumn("content", F.when(F.col("ok"), content_col("spans")))
+                .withColumn("links", F.when(F.col("ok"), links_col("spans")))
+                .withColumn("images", F.when(F.col("ok"), images_col("spans")))
+                .drop("spans")
+                .persist()
             )
-        parsed = (
-            fetched.withColumn("ok", F.col("spans").isNotNull())
-            .withColumn("content", F.when(F.col("ok"), content_col("spans")))
-            .withColumn("links", F.when(F.col("ok"), links_col("spans")))
-            .withColumn("images", F.when(F.col("ok"), images_col("spans")))
-            .drop("spans")
-            .persist()
-        )
 
         # NOTE constant-plan rounds: every output tags its round from the
         # frontier rows' `round` COLUMN, never a per-round literal — the
