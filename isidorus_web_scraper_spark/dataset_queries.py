@@ -1325,6 +1325,59 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sent AS (
+      SELECT doc_id,
+             [array_to_string(w[i*8+1 : i*8+8], ' ')
+              for i in range(0, CAST(ceil(len(w) / 8.0) AS INT))] AS s
+      FROM base
+    ),
+    seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN list_concat(s, s[1:1]) ELSE s END AS s
+      FROM sent
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_sents,
+           CAST(len(s) - len(list_distinct(s)) AS BIGINT) AS n_dup_sents,
+           CASE WHEN (len(s) - len(list_distinct(s))) * 10 <= len(s) * 3
+                THEN 1 ELSE 0 END AS keep
+    FROM seeded
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicate sentences
+    per document (boilerplate/templated pages repeat themselves; >30%
+    duplicate sentences ⇒ drop). The flat synthetic text has no sentence
+    punctuation, so sentences are seeded deterministically (8-word
+    chunks; every 4th doc repeats its first chunk) — identically in both
+    engines, like pii_scrub seeds its PII. Integer keep-arithmetic
+    (10·dups ≤ 3·sents) avoids float-division hash drift. Pure JVM:
+    split + sequence/transform/slice higher-order ops, one columnar
+    pass, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ", -1)
+    nchunks = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    seeded = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(sents, F.slice(sents, 1, 1))
+    ).otherwise(sents)
+    n = F.size(F.col("s"))
+    nd = n - F.size(F.array_distinct(F.col("s")))
+    return docs.select("doc_id", seeded.alias("s")).select(
+        "doc_id",
+        n.cast("long").alias("n_sents"),
+        nd.cast("long").alias("n_dup_sents"),
+        F.when(nd * 10 <= n * 3, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+@query(
     "quality_gate",
     f"""
     WITH scored AS (
