@@ -83,6 +83,12 @@ class CrawlConfig:
     # shard's bitmap — the 10^10-URL apply path (requires
     # bloom_buckets > 1).
     bloom_apply: str = "broadcast"
+    # "bloom" (default): OR-mergeable, distributed build, the 10^10-URL
+    # path. "cuckoo": DELETABLE sketch (operators/cuckoo.py) —
+    # forget_scraping() evicts a deleted scraping's URL fingerprints so
+    # the pre-filter doesn't degrade to all-maybe-seen over many
+    # crawl/delete cycles; driver-built (moderate-scale warehouses).
+    seen_sketch: str = "bloom"
     max_rounds: int = 64
     summarizer_enabled: bool = True       # WithFeatureFlags (scraper_service.go:217-256)
     image_extractor_enabled: bool = True
@@ -680,6 +686,19 @@ class CrawlEngine:
 
     def _build_bloom(self, df: DataFrame) -> "BloomFilter | BucketedBloom":
         cfg = self.config
+        if cfg.seen_sketch == "cuckoo":
+            if cfg.bloom_apply == "cogrouped":
+                raise ValueError(
+                    "seen_sketch='cuckoo' is driver-resident; the cogrouped "
+                    "(no-broadcast) apply requires the sharded Bloom"
+                )
+            from ..operators.cuckoo import CuckooFilter
+
+            ck = CuckooFilter.sized_for(cfg.bloom_expected_urls)
+            ck.insert_vec(
+                df.select("url_hash").toPandas()["url_hash"].to_numpy()
+            )
+            return ck
         if cfg.bloom_buckets > 1:
             return build_bucketed_bloom(
                 df,
@@ -695,6 +714,15 @@ class CrawlEngine:
     def _or_into_bloom(self, new_urls: DataFrame, n_new: int) -> None:
         import numpy as np
 
+        from ..operators.cuckoo import CuckooFilter
+
+        if isinstance(self._bloom, CuckooFilter):
+            # cuckoo tables don't OR-merge; driver insert regardless of
+            # batch size (the sketch choice itself caps the scale tier)
+            self._bloom.insert_vec(
+                new_urls.select("url_hash").toPandas()["url_hash"].to_numpy()
+            )
+            return
         if self._bloom is not None and n_new <= self.config.bloom_driver_insert_max:
             # small batch: one collect beats a distributed build+merge
             # (insert_vec handles both single and bucketed sketches)
@@ -822,6 +850,32 @@ class CrawlEngine:
             self.wh.compact(
                 "frontier", upto_round=completed_round + 1, refold_compacted=refold
             )
+
+    def forget_scraping(self, scraping_id: int, user_id: int) -> None:
+        """DELETE /scraping/{id} plus sketch maintenance: with the
+        cuckoo seen-sketch, the scraping's URL fingerprints leave the
+        in-memory pre-filter too (Bloom can't delete; its sketch decays
+        to all-maybe-seen across crawl/delete cycles — exactness is
+        unaffected either way, the anti-join stays authoritative).
+        A shared-URL eviction (another scraping saw the same url_hash)
+        only downgrades that URL to definitely-new: the exact anti-join
+        re-catches it at one extra shuffled row."""
+        from ..operators.cuckoo import CuckooFilter
+
+        hashes = None
+        if isinstance(self._bloom, CuckooFilter):
+            hashes = (
+                self.wh.read("seen")
+                .filter(F.col("scraping_id") == scraping_id)
+                .select("url_hash")
+                .toPandas()["url_hash"]
+                .to_numpy()
+            )
+        from .api import delete_scraping
+
+        delete_scraping(self.wh, scraping_id, user_id)
+        if hashes is not None and self._bloom is not None:
+            self._bloom.delete_vec(hashes)
 
     # ---------------------------------------------------------- enrichment
     def enrich(
