@@ -568,7 +568,8 @@ def url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked
     )
     SELECT 'h' || h::VARCHAR || '.test' AS host,
-           list_sort(list_distinct(list(dis) FILTER (WHERE dis IS NOT NULL))) AS robots_disallow,
+           array_to_string(list_sort(list_distinct(
+             list(dis) FILTER (WHERE dis IS NOT NULL))), '|') AS robots_disallow,
            CAST(coalesce(max(delay), 0) AS BIGINT) AS crawl_delay_rounds
     FROM sect
     WHERE cur_ua = '*' AND (dis IS NOT NULL OR delay IS NOT NULL)
@@ -601,7 +602,15 @@ def robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             txt.alias("robots_txt"),
         )
     )
-    return parse_robots(robots)
+    # The operator returns robots_disallow as array<string> (what the
+    # scheduler consumes); the harness canonicalizer can't hash array
+    # cells, so the QUERY pipes it to a '|'-joined string. The array
+    # semantics stay pinned by tests/test_robots.py.
+    return parse_robots(robots).select(
+        "host",
+        F.array_join("robots_disallow", "|").alias("robots_disallow"),
+        "crawl_delay_rounds",
+    )
 
 
 # ---------------------------------------------------------------------------
