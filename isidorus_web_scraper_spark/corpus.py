@@ -241,20 +241,31 @@ def make_page_fn(
     fatness: int = 8,
     mode: str = "html",
 ):
-    """Plain ``url -> spans|None`` callable for the FUSED
-    schedule+fetch+parse operator (operators/politeness.py): the whole
-    fetch/parse runs inside the politeness pass's pandas batches — one
-    Arrow round-trip per round instead of three (schedule, resolve,
-    parse) and no inter-stage shuffle. ``mode='html'`` renders the
-    synthetic page and runs the REAL tokenizer (identical output to
-    resolver-mode parse_html_udf); ``mode='spans'`` skips the render."""
+    """BATCH fetch+parse callable (``pd.Series[url] -> pd.Series[spans]``,
+    null = 404) for the FUSED schedule+fetch+parse operator
+    (operators/politeness.py): the whole fetch/parse runs inside the
+    politeness pass's pandas batches — one Arrow round-trip per round
+    instead of three (schedule, resolve, parse) and no inter-stage
+    shuffle. The contract is batch-at-a-time so the engine makes ONE
+    Python call per Arrow batch and the corpus implementation vectorizes
+    internally however it can; this synthetic corpus necessarily derives
+    each page from its URL one at a time (the simulated analog of one
+    ``http.Get`` per URL, `page_fetcher.go:14-20`). ``mode='html'``
+    renders the synthetic page and runs the REAL tokenizer (identical
+    output to resolver-mode parse_html_udf); ``mode='spans'`` skips the
+    render."""
     if mode == "spans":
-        return lambda u: page_spans(
-            u, n_hosts=n_hosts, links_out=links_out,
-            big_page_every=big_page_every, base=base,
-        )
+        def fn_spans(urls: pd.Series) -> pd.Series:
+            return urls.map(
+                lambda u: page_spans(
+                    u, n_hosts=n_hosts, links_out=links_out,
+                    big_page_every=big_page_every, base=base,
+                )
+            )
 
-    def fn(u: str):
+        return fn_spans
+
+    def one(u: str):
         h = page_html(
             u, n_hosts=n_hosts, base=base, links_out=links_out,
             big_page_every=big_page_every, fatness=fatness,
@@ -266,13 +277,17 @@ def make_page_fn(
             for (k, t, m, o) in tokenize_html(h)
         ]
 
+    def fn(urls: pd.Series) -> pd.Series:
+        return urls.map(one)
+
     return fn
 
 
 def make_golden_page_fn():
-    """url -> spans over the golden fixture pages (tests)."""
+    """Batch ``pd.Series[url] -> pd.Series[spans]`` over the golden
+    fixture pages (tests)."""
 
-    def fn(u: str):
+    def one(u: str):
         h = GOLDEN_HTML.get(u)
         if h is None:
             return None
@@ -280,6 +295,9 @@ def make_golden_page_fn():
             {"kind": k, "text": t, "media_ref": m, "offset": o}
             for (k, t, m, o) in tokenize_html(h)
         ]
+
+    def fn(urls: pd.Series) -> pd.Series:
+        return urls.map(one)
 
     return fn
 

@@ -54,17 +54,26 @@ def schedule_round(
     absent from it get the permissive default (budget=default, no
     robots, no delay) — the reference-parity configuration.
 
-    Two implementations with identical semantics (equivalence-tested):
-    - ``vectorized`` (default): repartition+sort by host, then ONE
+    Three implementations with identical semantics (equivalence-tested):
+    - ``window``: the priority queue as a pure-JVM window function —
+      eligible-rank = running count of non-blocked rows per host in
+      (depth DESC, url) order, fetch iff rank < budget ∧ delay-round.
+      ZERO Python: the whole decision stays inside whole-stage codegen,
+      so table-backed corpora (the 100-TB input shape) get a round with
+      no Arrow round-trip at all. Default for the staged path.
+    - ``vectorized``: repartition+sort by host, then ONE
       ``mapInPandas`` pass per partition with per-host counts carried
-      across Arrow batches. One Python call per ~10k-row batch.
+      across Arrow batches. One Python call per ~10k-row batch. Required
+      (and forced) for ``page_fn`` fusion — the fetch call needs a
+      Python stage anyway.
     - ``grouped``: the literal ``groupBy(host).applyInPandas`` priority
       queue. Same answer, but per-group pandas overhead makes it ~10×
       slower when rounds span thousands of hosts — kept as the
       executable spec of the per-host queue semantics.
 
-    ``page_fn`` (vectorized impl only): a plain ``url -> spans|None``
-    fetch+parse function FUSED into the same pandas pass — rows tagged
+    ``page_fn`` (vectorized impl only): a BATCH fetch+parse function
+    (``pd.Series[url] -> pd.Series[spans]``, null = 404) FUSED into the
+    same pandas pass — rows tagged
     fetch are resolved in place and the output gains a ``spans`` column
     (null for defer/robots/missing). This removes one shuffle and two
     Arrow round-trips from the crawl round's critical path (the BENCH §9
@@ -98,9 +107,15 @@ def schedule_round(
         .withColumn("delay", F.coalesce("crawl_delay_rounds", F.lit(0)))
         .withColumn(
             "blocked",
-            F.exists(
-                F.coalesce("robots_disallow", F.array()),
-                lambda p: F.col("path").startswith(p),
+            # coalesce: null path (malformed URL) + non-empty disallow
+            # list makes exists() null — treat as not-blocked, matching
+            # the pandas impls' fillna(False)
+            F.coalesce(
+                F.exists(
+                    F.coalesce("robots_disallow", F.array()),
+                    lambda p: F.col("path").startswith(p),
+                ),
+                F.lit(False),
             ),
         )
     )
@@ -132,6 +147,42 @@ def schedule_round(
                 T.StructField("action", T.StringType()),
                 T.StructField("spans", T.ArrayType(SPAN), True),
             ]
+        )
+
+    if impl == "window":
+        if page_fn is not None:
+            raise ValueError("page_fn fusion requires the vectorized impl")
+        from pyspark.sql import Window as W
+
+        # eligible-rank: how many non-blocked rows precede this one in
+        # the host's priority order. ROWS-framed running sum == the
+        # carried counter in the vectorized impl; the shuffle is the
+        # same host hash-partitioning, but the decision compiles into
+        # whole-stage codegen — no Python, no Arrow.
+        w = (
+            W.partitionBy("host")
+            .orderBy(F.desc("depth"), "url")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        rank = F.coalesce(
+            F.sum((~F.col("blocked")).cast("long")).over(w), F.lit(0)
+        )
+        action = (
+            F.when(F.col("blocked"), F.lit(ACTION_ROBOTS))
+            .when(
+                F.col("delay_ok") & (rank < F.col("budget")),
+                F.lit(ACTION_FETCH),
+            )
+            .otherwise(F.lit(ACTION_DEFER))
+        )
+        return f.select(
+            "scraping_id",
+            "user_id",
+            "url",
+            "depth",
+            "round",
+            "host",
+            action.alias("action"),
         )
 
     if impl == "vectorized":
@@ -197,13 +248,18 @@ def schedule_round(
                     "action": action,
                 }
                 if page_fn is not None:
-                    # fused fetch+parse: resolve ONLY the fetch rows,
-                    # in the same pass — the heavy work per host is
-                    # budget-capped, defer/robots rows cost nothing
+                    # fused fetch+parse: resolve ONLY the fetch rows, in
+                    # ONE batch call per Arrow batch (the page_fn contract
+                    # is pd.Series[url] -> pd.Series[spans]) — the heavy
+                    # work per host is budget-capped, defer/robots rows
+                    # cost nothing
                     spans = np.full(len(pdf), None, dtype=object)
-                    urls = pdf["url"].to_numpy()
-                    for i in np.flatnonzero(action == ACTION_FETCH):
-                        spans[i] = page_fn(urls[i])
+                    fetch_idx = np.flatnonzero(action == ACTION_FETCH)
+                    if len(fetch_idx):
+                        resolved = page_fn(
+                            pdf["url"].iloc[fetch_idx].reset_index(drop=True)
+                        )
+                        spans[fetch_idx] = resolved.to_numpy(dtype=object)
                     out["spans"] = spans
                 yield pd.DataFrame(out)
 
@@ -242,7 +298,8 @@ def schedule_round(
 def fetch_all_fused(frontier: DataFrame, page_fn) -> DataFrame:
     """Permissive twin of the fused path (no politeness config,
     effectively unbounded budget — reference parity): every row fetches,
-    resolved in ONE mapInPandas with NO host shuffle at all. The caller
+    resolved in ONE mapInPandas with NO host shuffle at all (one batch
+    page_fn call per Arrow batch). The caller
     picks the partitioning (repartition to the fetch stage's width)."""
     from pyspark.sql import types as T
 
@@ -272,7 +329,7 @@ def fetch_all_fused(frontier: DataFrame, page_fn) -> DataFrame:
                     "round": pdf["round"],
                     "host": None,
                     "action": ACTION_FETCH,
-                    "spans": pdf["url"].map(page_fn),
+                    "spans": page_fn(pdf["url"]).to_numpy(dtype=object),
                 }
             )
 

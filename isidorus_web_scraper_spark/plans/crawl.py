@@ -16,7 +16,8 @@ Round pipeline (reference stage → Spark op):
   → new = anti-join seen          Redis SAdd batch       Bloom pre-filter + left-anti
   → seen += new; frontier_{r+1}   SQS sends              2 appends, commit round
 
-With a plain ``page_fn`` (url → spans) the first three stages FUSE into
+With a batch ``page_fn`` (pd.Series[url] → pd.Series[spans]) the first
+three stages FUSE into
 one host-partitioned mapInPandas pass (politeness decision + fetch +
 parse per pandas batch): one Arrow round-trip and one shuffle on the
 round's critical path instead of three round-trips and two shuffles
@@ -34,8 +35,11 @@ Scale design decisions (each with its 100-TB rationale):
   no full seen-table rescan per round;
 - per-round warehouse writes double as lineage truncation (iterative
   loops otherwise accrete unbounded plans);
-- all row-level logic is columnar or Arrow-vectorized; zero per-row
-  Python UDFs.
+- all row-level logic is columnar or Arrow-vectorized; the engine makes
+  zero per-row Python calls — page_fn's batch contract means even the
+  fused fetch is one Python call per Arrow batch (what the corpus does
+  inside that call is its own business: the synthetic generator derives
+  pages per URL, exactly like one http.Get per URL).
 """
 
 from __future__ import annotations
@@ -83,11 +87,14 @@ class CrawlConfig:
     # shard's bitmap — the 10^10-URL apply path (requires
     # bloom_buckets > 1).
     bloom_apply: str = "broadcast"
-    # "bloom" (default): OR-mergeable, distributed build, the 10^10-URL
-    # path. "cuckoo": DELETABLE sketch (operators/cuckoo.py) —
-    # forget_scraping() evicts a deleted scraping's URL fingerprints so
-    # the pre-filter doesn't degrade to all-maybe-seen over many
-    # crawl/delete cycles; driver-built (moderate-scale warehouses).
+    # "bloom" (default): OR-mergeable, distributed build. "cuckoo":
+    # DELETABLE sketch (operators/cuckoo.py) — forget_scraping() evicts
+    # a deleted scraping's URL fingerprints so the pre-filter doesn't
+    # degrade to all-maybe-seen over many crawl/delete cycles. With
+    # bloom_buckets > 1 the cuckoo shards by url_hash%B too (disjoint
+    # shards ⇒ distributed rebuild + cogrouped apply — the 10^10-URL
+    # deletable path); per-round incremental inserts stay driver-side
+    # either way (cuckoo tables don't OR-merge).
     seen_sketch: str = "bloom"
     max_rounds: int = 64
     summarizer_enabled: bool = True       # WithFeatureFlags (scraper_service.go:217-256)
@@ -106,8 +113,23 @@ class CrawlConfig:
     target_rows_per_fetch_task: int = 512
     max_parallelism: int | None = None
     bloom_driver_insert_max: int = 200_000
-    politeness_impl: str = "vectorized"   # or "grouped" (applyInPandas spec)
+    # staged-path scheduler: "window" (pure JVM, zero Arrow — the
+    # table-corpus default), "vectorized" (mapInPandas carried-counter),
+    # or "grouped" (applyInPandas spec). The fused page_fn path always
+    # uses vectorized (the fetch needs the pandas stage anyway).
+    politeness_impl: str = "window"
     media_store_enabled: bool = False     # S6: persist media payloads (extractor_service.go:55-107)
+    # discover robots.txt from the crawl itself (north_rule mandate; the
+    # reference skips robots entirely — page_fetcher.go:14-20): at the
+    # START of each round, hosts newly present in the frontier get
+    # http://<host>/robots.txt fetched through the SAME corpus machinery
+    # (documents join / resolver / page_fn), parsed columnar
+    # (functions/robots.py), persisted to the `robots` table (resume-
+    # safe), and unioned into the scheduler's politeness config — a
+    # pre-built `politeness` table still wins per host. Off by default
+    # because the synthetic benches serve no robots files (every new
+    # host would pay a pointless 404 probe); real crawls should enable.
+    discover_robots: bool = False
     # fold completed rounds' per-round commits every K rounds (Iceberg
     # rewrite_data_files analog) — a 64-round crawl otherwise leaves
     # ~64×P files per table and every seen-table read reopens them all.
@@ -156,8 +178,9 @@ class CrawlEngine:
     warehouse_root: str
     documents: DataFrame | None = None       # materialized corpus (doc_id, spans)
     resolver: object | None = None           # or: callable(to_fetch DF) -> DF with spans
-    # or: plain ``url -> spans|None`` — activates the FUSED
-    # schedule+fetch+parse pass (one Arrow round-trip per round)
+    # or: BATCH ``pd.Series[url] -> pd.Series[spans]`` (null = 404) —
+    # activates the FUSED schedule+fetch+parse pass (one Arrow
+    # round-trip and ONE Python call per batch per round)
     page_fn: object | None = None
     politeness: DataFrame | None = None
     config: CrawlConfig = field(default_factory=CrawlConfig)
@@ -249,6 +272,103 @@ class CrawlEngine:
             ).drop("html")
         return fetched
 
+    def _resolve_payload(self, df: DataFrame) -> DataFrame:
+        """Append the corpus's RAW payload column (spans or html) to
+        ``df`` rows keyed by ``url`` — the robots probe path, which must
+        NOT run the HTML tokenizer (robots.txt is plain text; a real
+        crawler never HTML-parses it)."""
+        if self.page_fn is not None:
+            import pyspark.sql.types as T
+
+            from ..schema import SPAN
+
+            fn = self.page_fn
+            out_schema = T.StructType(
+                list(df.schema.fields)
+                + [T.StructField("spans", T.ArrayType(SPAN), True)]
+            )
+
+            def gen(batches):
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["spans"] = fn(pdf["url"]).to_numpy(dtype=object)
+                    yield pdf
+
+            return df.mapInPandas(gen, out_schema)
+        if self.resolver is not None:
+            return self.resolver(df)
+        cols = self.documents.columns
+        payload = "spans" if "spans" in cols else "html"
+        return df.join(
+            self.documents.select(F.col("doc_id").alias("url"), payload),
+            "url",
+            "left",
+        )
+
+    # ----------------------------------------------------------- robots
+    def _discover_robots(self, frontier: DataFrame, round_no: int) -> None:
+        """Probe http://<host>/robots.txt for hosts not yet probed (the
+        `robots` table records every outcome, 404s included, so each
+        host is probed exactly once per warehouse — resume-safe). Runs
+        at the START of the round so a host's rules apply to its very
+        first fetch, like a real crawler; the reference has no robots
+        handling at all (page_fetcher.go:14-20)."""
+        from ..functions.url import host_col
+
+        hosts = (
+            frontier.select(host_col("url").alias("host"))
+            .filter(F.col("host").isNotNull())
+            .distinct()
+        )
+        if self.wh.exists("robots"):
+            hosts = hosts.join(
+                self.wh.read("robots").select("host"), "host", "left_anti"
+            )
+        if hosts.isEmpty():
+            return
+        to_fetch = hosts.select(
+            "host",
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias(
+                "url"
+            ),
+        )
+        resolved = self._resolve_payload(to_fetch)
+        if "html" in resolved.columns:
+            # raw-text corpus: the payload IS the robots file
+            txt = F.col("html")
+        else:
+            # span corpus: refold the text spans in document order
+            txt = F.array_join(
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            )
+        self.wh.append(
+            "robots",
+            resolved.select(
+                "host", txt.alias("robots_txt"), F.lit(round_no).alias("round")
+            ),
+            {"round": round_no},
+        )
+
+    def _politeness_for_round(self) -> DataFrame:
+        """The scheduler's config = user-provided politeness (wins per
+        host) ∪ rules parsed from discovered robots.txt payloads. The
+        parse is columnar (functions/robots.py) over the tiny per-host
+        robots table and broadcasts into the scheduler."""
+        from ..functions.robots import politeness_from_robots
+
+        disc = politeness_from_robots(
+            self.wh.read("robots").filter(F.col("robots_txt").isNotNull())
+        )
+        if self.politeness is None:
+            return disc
+        return self.politeness.unionByName(
+            disc.join(self.politeness.select("host"), "host", "left_anti")
+        )
+
     @contextlib.contextmanager
     def _timed(self, label: str):
         t = time.monotonic()
@@ -273,6 +393,11 @@ class CrawlEngine:
         frontier = self.wh.read("frontier", {"round": round_no})
         if urls_in is None:
             urls_in = frontier.count()
+        pol = self.politeness
+        if cfg.discover_robots:
+            with self._timed("robots discovery"):
+                self._discover_robots(frontier, round_no)
+            pol = self._politeness_for_round()
         parts = self._round_parallelism(urls_in)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         max_par = cfg.max_parallelism or self.spark.sparkContext.defaultParallelism
@@ -291,7 +416,7 @@ class CrawlEngine:
             # would re-saturate the memory bus the fusion just relieved).
             from ..operators.politeness import fetch_all_fused
 
-            if self.politeness is None and cfg.default_budget >= 10**9:
+            if pol is None and cfg.default_budget >= 10**9:
                 pre = frontier.select(
                     "scraping_id", "user_id", "url", "depth", "round"
                 )
@@ -301,10 +426,12 @@ class CrawlEngine:
             else:
                 fused = schedule_round(
                     frontier,
-                    self.politeness,
+                    pol,
                     round_no,
                     cfg.default_budget,
-                    impl=cfg.politeness_impl,
+                    # fusion requires the vectorized impl (the fetch call
+                    # needs the pandas stage anyway)
+                    impl="vectorized",
                     page_fn=self.page_fn,
                     n_parts=max(parts, fetch_parts),
                 )
@@ -325,7 +452,7 @@ class CrawlEngine:
                 "action", "host"
             )
         else:
-            if self.politeness is None and cfg.default_budget >= 10**9:
+            if pol is None and cfg.default_budget >= 10**9:
                 # permissive fast path (reference parity: no politeness at
                 # all) — skips the per-host applyInPandas shuffle entirely
                 scheduled = frontier.select(
@@ -340,7 +467,7 @@ class CrawlEngine:
             else:
                 scheduled = schedule_round(
                     frontier,
-                    self.politeness,
+                    pol,
                     round_no,
                     cfg.default_budget,
                     impl=cfg.politeness_impl,
@@ -500,22 +627,40 @@ class CrawlEngine:
 
         seen = self.wh.read("seen")
         to_unpersist: list[DataFrame] = []
+        from ..operators.cuckoo import BucketedCuckoo
+
         if (
             cfg.use_bloom
             and cfg.bloom_apply == "cogrouped"
-            and isinstance(self._bloom, BucketedBloom)
+            and isinstance(self._bloom, (BucketedBloom, BucketedCuckoo))
         ):
-            # 10^10-URL apply: bitmaps as a (bucket, bits) table,
+            # 10^10-URL apply: sketch shards as a (bucket, bytes) table,
             # candidates cogrouped per bucket — no broadcast of the
             # sketch, each task holds exactly one shard
-            from ..operators.bloom import bloom_bits_df, with_bloom_flag_cogrouped
+            if isinstance(self._bloom, BucketedCuckoo):
+                from ..operators.cuckoo import (
+                    cuckoo_table_df,
+                    with_cuckoo_flag_cogrouped,
+                )
 
-            flagged = with_bloom_flag_cogrouped(
-                claims,
-                "url_hash",
-                bloom_bits_df(self._bloom, self.spark),
-                self._bloom.num_buckets,
-            ).persist()
+                flagged = with_cuckoo_flag_cogrouped(
+                    claims,
+                    "url_hash",
+                    cuckoo_table_df(self._bloom, self.spark),
+                    self._bloom.num_shards,
+                ).persist()
+            else:
+                from ..operators.bloom import (
+                    bloom_bits_df,
+                    with_bloom_flag_cogrouped,
+                )
+
+                flagged = with_bloom_flag_cogrouped(
+                    claims,
+                    "url_hash",
+                    bloom_bits_df(self._bloom, self.spark),
+                    self._bloom.num_buckets,
+                ).persist()
             to_unpersist.append(flagged)
             definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -687,10 +832,20 @@ class CrawlEngine:
     def _build_bloom(self, df: DataFrame) -> "BloomFilter | BucketedBloom":
         cfg = self.config
         if cfg.seen_sketch == "cuckoo":
+            if cfg.bloom_buckets > 1:
+                # sharded deletable sketch: shards are disjoint, so the
+                # build runs distributed (one shuffle of hashes, each
+                # task assembles its shard) and the apply can cogroup —
+                # the 10^10-URL path with deletion support
+                from ..operators.cuckoo import build_bucketed_cuckoo
+
+                return build_bucketed_cuckoo(
+                    df, "url_hash", cfg.bloom_buckets, cfg.bloom_expected_urls
+                )
             if cfg.bloom_apply == "cogrouped":
                 raise ValueError(
-                    "seen_sketch='cuckoo' is driver-resident; the cogrouped "
-                    "(no-broadcast) apply requires the sharded Bloom"
+                    "cogrouped (no-broadcast) apply requires a sharded "
+                    "sketch: set bloom_buckets > 1"
                 )
             from ..operators.cuckoo import CuckooFilter
 
@@ -714,11 +869,13 @@ class CrawlEngine:
     def _or_into_bloom(self, new_urls: DataFrame, n_new: int) -> None:
         import numpy as np
 
-        from ..operators.cuckoo import CuckooFilter
+        from ..operators.cuckoo import BucketedCuckoo, CuckooFilter
 
-        if isinstance(self._bloom, CuckooFilter):
-            # cuckoo tables don't OR-merge; driver insert regardless of
-            # batch size (the sketch choice itself caps the scale tier)
+        if isinstance(self._bloom, (CuckooFilter, BucketedCuckoo)):
+            # cuckoo tables don't OR-merge, so incremental round inserts
+            # are driver-side even for the sharded variant (per-round
+            # batches are small next to the table); the distributed
+            # build covers full rebuilds (resume over a huge seen table)
             self._bloom.insert_vec(
                 new_urls.select("url_hash").toPandas()["url_hash"].to_numpy()
             )
@@ -805,6 +962,7 @@ class CrawlEngine:
             "images",
             "index_docs",
             "media_store",
+            "robots",
             "metrics",
         ):
             self.wh.remove_commits(
@@ -829,6 +987,7 @@ class CrawlEngine:
             "images",
             "index_docs",
             "media_store",
+            "robots",
             "metrics",
         ):
             if self.wh.exists(table):
@@ -857,13 +1016,14 @@ class CrawlEngine:
         in-memory pre-filter too (Bloom can't delete; its sketch decays
         to all-maybe-seen across crawl/delete cycles — exactness is
         unaffected either way, the anti-join stays authoritative).
-        A shared-URL eviction (another scraping saw the same url_hash)
-        only downgrades that URL to definitely-new: the exact anti-join
-        re-catches it at one extra shuffled row."""
-        from ..operators.cuckoo import CuckooFilter
+        The sketch is a refcounted multiset — one fingerprint per seen
+        ROW — so a URL another scraping also claimed keeps that
+        scraping's copy: no shared-URL eviction, no false negatives
+        (operators/cuckoo.py insert_vec)."""
+        from ..operators.cuckoo import BucketedCuckoo, CuckooFilter
 
         hashes = None
-        if isinstance(self._bloom, CuckooFilter):
+        if isinstance(self._bloom, (CuckooFilter, BucketedCuckoo)):
             hashes = (
                 self.wh.read("seen")
                 .filter(F.col("scraping_id") == scraping_id)

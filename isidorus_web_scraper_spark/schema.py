@@ -157,6 +157,18 @@ METRICS = T.StructType(
 )
 
 # --- media store (S3 blob sink, s3_repository.go / extractor_service.go:65-75) ---
+# robots.txt payloads discovered by the crawl itself (north_rule robots
+# mandate; no reference analog — page_fetcher.go has no robots handling).
+# One row per host probed; robots_txt NULL = probe 404'd (recorded so the
+# host is never re-probed).
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("robots_txt", T.StringType(), True),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 MEDIA_STORE = T.StructType(
     [
         T.StructField("scraping_id", T.LongType(), False),
@@ -180,6 +192,7 @@ TABLES: dict[str, tuple[T.StructType, list[str]]] = {
     "index_docs": (INDEX_DOCS, ["round"]),
     "fetch_log": (FETCH_LOG, ["round"]),
     "politeness": (POLITENESS, []),
+    "robots": (ROBOTS, ["round"]),
     "metrics": (METRICS, []),
     "media_store": (MEDIA_STORE, []),
 }

@@ -151,12 +151,13 @@ class Warehouse:
         """
         if commit_pred is None:
             with self._locked(table, "_rewrite_lock"):
-                current = self.read(table)
+                snapshot = self._read_manifest(table)["commits"]
+                current = self._read_commits(table, snapshot)
                 non_keys = [c for c in current.columns if c not in keys]
                 # full_outer keeps unmatched current rows (no-op), matched
                 # rows (update wins per column), and new rows (insert).
                 joined = current.alias("t").join(updates.alias("u"), keys, "full_outer")
-                self.overwrite(
+                rel = self._stage(
                     table,
                     joined.select(
                         *[
@@ -169,6 +170,22 @@ class Warehouse:
                         ],
                     ),
                 )
+                # CAS graft (same rule as the predicate path): the merged
+                # commit replaces exactly the SNAPSHOTTED commits; commits
+                # appended since the snapshot are carried over, not dropped
+                # (engine B's start() append must survive engine A's
+                # _finalize merge on a shared warehouse).
+                snap_dirs = {c["dir"] for c in snapshot}
+                with self._locked(table):
+                    fresh = self._read_manifest(table)
+                    kept = [c for c in fresh["commits"] if c["dir"] not in snap_dirs]
+                    self._swap_manifest(
+                        table, {"commits": [{"dir": rel, "props": {}}] + kept}
+                    )
+                for d in snap_dirs:
+                    shutil.rmtree(
+                        os.path.join(self._table_dir(table), d), ignore_errors=True
+                    )
             return
 
         from concurrent.futures import ThreadPoolExecutor
@@ -346,7 +363,14 @@ class Warehouse:
         leaves prior compacted commits untouched (the in-crawl periodic
         mode: each pass folds only the NEW small per-round commits, so
         total compaction I/O stays linear in data written instead of
-        quadratic in crawl length — Iceberg bin-pack-new-files analog)."""
+        quadratic in crawl length — Iceberg bin-pack-new-files analog).
+
+        CONTRACT: round-exact pruned reads (``read(table, {'round': r})``)
+        cannot see folded commits, so ``upto_round`` must not exceed the
+        smallest round any future pruned read of this table will target
+        (for the frontier: the next unconsumed round). ``read()`` enforces
+        this — a round-exact read whose round falls inside a compacted
+        commit's span raises instead of silently dropping those rows."""
         with self._locked(table, "_rewrite_lock"):
             manifest = self._read_manifest(table)
             commits = manifest["commits"]
@@ -394,17 +418,8 @@ class Warehouse:
                 )
 
     # --- read paths --------------------------------------------------------
-    def read(self, table: str, props_filter: dict | None = None) -> DataFrame:
-        """Read committed data; props_filter prunes to matching commits
-        (e.g. {'round': 3} reads only round 3's files)."""
-        manifest = self._read_manifest(table)
-        commits = manifest["commits"]
-        if props_filter:
-            commits = [
-                c
-                for c in commits
-                if all(c["props"].get(k) == v for k, v in props_filter.items())
-            ]
+    def _read_commits(self, table: str, commits: list[dict]) -> DataFrame:
+        """Read exactly the given commit list (a manifest snapshot)."""
         paths = [os.path.join(self._table_dir(table), c["dir"]) for c in commits]
         if not paths:
             schema = TABLES.get(table, (None, None))[0]
@@ -412,6 +427,43 @@ class Warehouse:
                 schema = T.StructType([])
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*paths)
+
+    def read(self, table: str, props_filter: dict | None = None) -> DataFrame:
+        """Read committed data; props_filter prunes to matching commits
+        (e.g. {'round': 3} reads only round 3's files).
+
+        A round-exact pruned read can never see rows folded into a
+        compacted commit (those carry only round_min/round_max). That is
+        safe by construction when compaction folds only CONSUMED rounds
+        (CrawlEngine._compact_tables' bound rule) — but if a caller
+        compacted past that bound, silently returning the unfolded subset
+        would corrupt the crawl, so we fail loudly instead."""
+        manifest = self._read_manifest(table)
+        commits = manifest["commits"]
+        if props_filter:
+            if "round" in props_filter:
+                r = props_filter["round"]
+                for c in commits:
+                    rng = self._round_range(c["props"])
+                    if (
+                        c["props"].get("compacted")
+                        and rng is not None
+                        and rng[0] <= r <= rng[1]
+                        and c["props"].get("round") != r
+                    ):
+                        raise RuntimeError(
+                            f"read({table!r}, round={r}): rows for round {r} were "
+                            f"folded into compacted commit {c['dir']} "
+                            f"(span {rng[0]}..{rng[1]}); a round-exact read can no "
+                            "longer isolate them. compact() was called with an "
+                            "upto_round past this table's still-live rounds."
+                        )
+            commits = [
+                c
+                for c in commits
+                if all(c["props"].get(k) == v for k, v in props_filter.items())
+            ]
+        return self._read_commits(table, commits)
 
     def commit_props(self, table: str) -> list[dict]:
         return [c["props"] for c in self._read_manifest(table)["commits"]]

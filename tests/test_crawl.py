@@ -577,3 +577,41 @@ def test_cogrouped_bloom_apply_equals_broadcast(spark, tmp_path):
         eng.run()
         ends[mode] = spark_end_state(eng)
     assert ends["broadcast"] == ends["cogrouped"]
+
+
+def test_fused_table_corpus_equals_staged(spark, tmp_path):
+    """Table-backed corpus (the 100-TB input_hint shape): the pure-JVM
+    window scheduler — which removes the round's only Arrow pass — must
+    be end-state identical to the vectorized mapInPandas scheduler,
+    under politeness budgets/robots/delay."""
+    from isidorus_web_scraper_spark.corpus import all_urls, page_html
+
+    n_hosts = 4
+    docs = spark.createDataFrame(
+        [(u, page_html(u, n_hosts=n_hosts)) for u in all_urls(n_hosts)],
+        "doc_id string, html string",
+    )
+    politeness = spark.createDataFrame(
+        [("h0.test", 2, [], 0), ("h1.test", 8, ["/p1.html"], 0), ("h2.test", 2, [], 1)],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    seeds = [(80, 1, "http://h0.test/p0.html", 3)]
+
+    def arm(name, impl):
+        eng = CrawlEngine(
+            spark, str(tmp_path / name), documents=docs, politeness=politeness,
+            config=CrawlConfig(
+                bloom_expected_urls=4096, max_rounds=40, politeness_impl=impl
+            ),
+        )
+        eng.start(seeds)
+        stats = eng.run()
+        return eng, stats
+
+    w, stats_w = arm("ww", "window")
+    v, stats_v = arm("wv", "vectorized")
+    assert spark_end_state(w) == spark_end_state(v)
+    assert [(s.deferred, s.robots_blocked, s.fetched) for s in stats_w] == [
+        (s.deferred, s.robots_blocked, s.fetched) for s in stats_v
+    ]

@@ -32,14 +32,22 @@ def test_no_false_negatives_and_fpp(spark):
     assert 0.5 < ck.load_factor <= 0.96
 
 
-def test_insert_idempotent(spark):
-    h = _hashes(spark, 0, 5_000)
+def test_insert_is_refcounted_multiset(spark):
+    # Deletable-cuckoo contract: one fingerprint stored PER INSERT, one
+    # removed per delete. Two claims of the same URL (scrapings A and B)
+    # must survive deleting one of them — set-semantics insert would
+    # make A's delete evict B's membership (a false negative that
+    # bypasses the exact anti-join via the definite-new branch).
+    h = _hashes(spark, 0, 2_000)
     ck = CuckooFilter.sized_for(5_000)
     ck.insert_vec(h)
     n = ck.count
-    ck.insert_vec(h)  # re-insert: set semantics, no slot growth
-    assert ck.count == n
-    assert ck.contains_vec(h).all()
+    ck.insert_vec(h)  # second claim of every URL
+    assert ck.count == 2 * n
+    assert ck.delete_vec(h) == n  # forget claim set A...
+    assert ck.contains_vec(h).all()  # ...B's claims still maybe-seen
+    assert ck.delete_vec(h) == n
+    assert not ck.contains_vec(h).any() or ck.contains_vec(h).mean() < 0.01
 
 
 def test_delete_removes_only_targets(spark):
@@ -58,12 +66,35 @@ def test_delete_removes_only_targets(spark):
     assert ck.contains_vec(b).mean() > 0.999
 
 
-def test_overflow_raises_not_drops(spark):
+def test_overflow_degrades_to_saturated_not_raises(spark):
+    # Over capacity the filter must NOT raise (a mid-crawl exception after
+    # the round's commits land wedges resume permanently) and must NOT
+    # drop inserts silently (false negatives). It degrades: saturated=True
+    # and contains_vec answers all-True — pessimistic but exact.
     ck = CuckooFilter.sized_for(100)
-    import pytest
+    h = _hashes(spark, 0, 10_000)
+    ck.insert_vec(h)
+    assert ck.saturated
+    assert ck.contains_vec(h).all()
+    # never-inserted items are also maybe-seen in degraded mode
+    assert ck.contains_vec(_hashes(spark, 50_000, 50_100)).all()
+    # further inserts are no-ops, not errors
+    ck.insert_vec(_hashes(spark, 20_000, 20_100))
 
-    with pytest.raises(RuntimeError):
-        ck.insert_vec(_hashes(spark, 0, 10_000))
+
+def test_insert_batch_with_duplicates_refcounts(spark):
+    # Duplicate hashes within one batch (several scrapings claiming the
+    # same URL in one round) each store a fingerprint; delete accounting
+    # is exact per claim.
+    import numpy as np
+
+    ck = CuckooFilter.sized_for(1_000)
+    h = _hashes(spark, 0, 100)
+    ck.insert_vec(np.concatenate([h, h, h]))
+    assert ck.count == 300
+    assert ck.contains_vec(h).all()
+    assert ck.delete_vec(np.concatenate([h, h, h])) == 300
+    assert ck.count == 0
 
 
 def test_prefiltered_anti_join_exact_with_cuckoo(spark):
@@ -116,9 +147,10 @@ def test_engine_cuckoo_equals_bloom_and_forget(spark, tmp_path):
     ck.run()
     assert spark_end_state(ck) == spark_end_state(bl)
 
-    from isidorus_web_scraper_spark.operators.cuckoo import CuckooFilter
+    from isidorus_web_scraper_spark.operators.cuckoo import BucketedCuckoo
 
-    assert isinstance(ck._bloom, CuckooFilter)
+    # default bloom_buckets=8 ⇒ the sharded deletable sketch
+    assert isinstance(ck._bloom, BucketedCuckoo)
     before = ck._bloom.count
     n70 = ck.wh.read("seen").filter("scraping_id = 70").count()
     assert n70 > 0
@@ -132,3 +164,80 @@ def test_engine_cuckoo_equals_bloom_and_forget(spark, tmp_path):
         .select("url_hash").toPandas()["url_hash"].to_numpy()
     )
     assert ck._bloom.contains_vec(other).mean() > 0.99
+
+
+def test_bucketed_cuckoo_equals_single(spark):
+    # same members, same answers (modulo shard-local fpp) — and the
+    # sharded build (distributed, groupBy-bucket) must equal routing the
+    # same hashes through driver-side shard inserts.
+    from isidorus_web_scraper_spark.operators.cuckoo import (
+        BucketedCuckoo,
+        build_bucketed_cuckoo,
+    )
+
+    member = _hashes(spark, 0, 20_000)
+    drv = BucketedCuckoo.sized_for(20_000, 8)
+    drv.insert_vec(member)
+    df = spark.range(20_000).select(F.xxhash64("id").alias("url_hash"))
+    dist = build_bucketed_cuckoo(df, "url_hash", 8, 20_000)
+    assert dist.count == drv.count == 20_000
+    assert dist.contains_vec(member).all()
+    assert drv.contains_vec(member).all()
+    outside = _hashes(spark, 20_000, 60_000)
+    assert dist.contains_vec(outside).mean() < 0.005
+    # deletes route to the right shard
+    a = member[:5_000]
+    assert drv.delete_vec(a) == len(a)
+    assert drv.contains_vec(member[5_000:]).all()
+    assert drv.contains_vec(a).mean() < 0.01
+
+
+def test_cuckoo_cogrouped_apply_matches_broadcast(spark):
+    from isidorus_web_scraper_spark.operators.cuckoo import (
+        build_bucketed_cuckoo,
+        cuckoo_table_df,
+        with_cuckoo_flag_cogrouped,
+    )
+
+    seen = spark.range(5_000).select(F.xxhash64("id").alias("url_hash"))
+    ck = build_bucketed_cuckoo(seen, "url_hash", 8, 5_000)
+    cand = spark.range(2_500, 7_500).select(
+        F.col("id"), F.xxhash64("id").alias("url_hash")
+    )
+    flagged = with_cuckoo_flag_cogrouped(
+        cand, "url_hash", cuckoo_table_df(ck, spark), ck.num_shards
+    )
+    got = {r.id: r.maybe_seen for r in flagged.collect()}
+    h = cand.toPandas()
+    want = dict(zip(h["id"], ck.contains_vec(h["url_hash"].to_numpy())))
+    assert got == want
+    # no false negatives: every truly-seen candidate flagged
+    assert all(got[i] for i in range(2_500, 5_000))
+
+
+def test_engine_cuckoo_cogrouped_equals_bloom(spark, tmp_path):
+    # the full 10^10-tier combo: sharded cuckoo + cogrouped (no
+    # broadcast) apply, end-state identical to the default bloom engine
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    from .test_crawl import spark_end_state
+
+    docs = generate_documents(spark, n_hosts=4).persist()
+    seeds = [(75, 1, "http://h0.test/p0.html", 2)]
+    mk = lambda wh, **kw: CrawlEngine(  # noqa: E731
+        spark,
+        str(tmp_path / wh),
+        documents=docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096, default_budget=1_000_000_000, **kw
+        ),
+    )
+    bl = mk("wb")
+    bl.start(seeds)
+    bl.run()
+    ck = mk("wc", seen_sketch="cuckoo", bloom_apply="cogrouped")
+    ck.start(seeds)
+    ck.run()
+    assert spark_end_state(ck) == spark_end_state(bl)
+    docs.unpersist()

@@ -39,13 +39,43 @@ def _collect(df):
     )
 
 
-def test_vectorized_equals_grouped(spark):
+def test_vectorized_equals_grouped_equals_window(spark):
     pol = _politeness(spark)
     for round_no in (0, 1):
         frontier = _frontier(spark, round_no=round_no)
         a = _collect(schedule_round(frontier, pol, round_no, 4, impl="vectorized"))
         b = _collect(schedule_round(frontier, pol, round_no, 4, impl="grouped"))
+        c = _collect(schedule_round(frontier, pol, round_no, 4, impl="window"))
         assert a == b, f"impl mismatch at round {round_no}"
+        assert a == c, f"window impl mismatch at round {round_no}"
+
+
+def test_window_impl_no_politeness_config(spark):
+    # politeness=None: every host takes the default budget; the window
+    # impl must agree with the pandas impls there too (null-host
+    # sentinel included).
+    rows = [
+        (1, 1, f"http://h{i % 5}.test/p{i}.html", 1, 0) for i in range(60)
+    ] + [(1, 1, "http://", 1, 0)]  # malformed → null host sentinel
+    frontier = spark.createDataFrame(
+        rows, "scraping_id long, user_id long, url string, depth int, round int"
+    )
+    a = _collect(schedule_round(frontier, None, 0, 4, impl="vectorized"))
+    c = _collect(schedule_round(frontier, None, 0, 4, impl="window"))
+    assert a == c
+
+
+def test_window_impl_plan_is_pure_jvm(spark):
+    # the whole decision must stay JVM-side: no Python evaluation
+    # (ArrowEvalPython/FlatMapsInPandas) anywhere in the plan
+    frontier = _frontier(spark, n=50, hosts=3)
+    plan = (
+        schedule_round(frontier, _politeness(spark), 0, 4, impl="window")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Pandas" not in plan, plan
 
 
 def test_budget_and_robots_semantics(spark):

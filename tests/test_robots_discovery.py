@@ -1,0 +1,97 @@
+"""Robots discovery wired into the crawl loop (north_rule mandate; the
+reference has no robots handling — page_fetcher.go:14-20): a corpus
+containing /robots.txt documents must block / delay matching URLs with
+NO pre-built politeness table passed to CrawlEngine. The probe happens
+at round start, so a host's rules apply to its very first fetch."""
+
+from __future__ import annotations
+
+from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+
+def _cfg(**kw):
+    return CrawlConfig(
+        bloom_expected_urls=4096, discover_robots=True, max_rounds=10, **kw
+    )
+
+
+def _html(links):
+    return (
+        "<html><body><p>text</p>"
+        + "".join(f'<a href="{u}">l</a>' for u in links)
+        + "</body></html>"
+    )
+
+
+def test_discovered_disallow_blocks_urls(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (
+                "http://h0.test/robots.txt",
+                "# generated\nUser-agent: *\nDisallow: /blocked\n",
+            ),
+            (
+                "http://h0.test/p0.html",
+                _html(["http://h0.test/blocked/x.html", "http://h0.test/p1.html"]),
+            ),
+            ("http://h0.test/blocked/x.html", _html([])),
+            ("http://h0.test/p1.html", _html([])),
+        ],
+        "doc_id string, html string",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "w"), documents=docs, config=_cfg())
+    eng.start([(90, 1, "http://h0.test/p0.html", 2)])
+    stats = eng.run()
+
+    fetched = {r.url for r in eng.wh.read("pages").collect()}
+    assert fetched == {"http://h0.test/p0.html", "http://h0.test/p1.html"}
+    assert sum(s.robots_blocked for s in stats) == 1
+    # the probe outcome is recorded once per host (404 hosts included)
+    robots = {r.host: r.robots_txt for r in eng.wh.read("robots").collect()}
+    assert "User-agent" in robots["h0.test"]
+
+
+def test_discovered_crawl_delay_defers(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            ("http://h0.test/robots.txt", "User-agent: *\nCrawl-delay: 1\n"),
+            ("http://h0.test/p0.html", _html(["http://h0.test/p1.html"])),
+            ("http://h0.test/p1.html", _html([])),
+        ],
+        "doc_id string, html string",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "w"), documents=docs, config=_cfg())
+    eng.start([(91, 1, "http://h0.test/p0.html", 1)])
+    stats = eng.run()
+    # delay=1 ⇒ fetch only on even rounds: p0 on round 0, p1 discovered
+    # into round 1's frontier, deferred there, fetched on round 2
+    by_round = {s.round: s for s in stats}
+    assert by_round[0].fetched == 1
+    assert by_round[1].fetched == 0 and by_round[1].deferred == 1
+    assert by_round[2].fetched == 1
+    assert {r.url for r in eng.wh.read("pages").collect()} == {
+        "http://h0.test/p0.html",
+        "http://h0.test/p1.html",
+    }
+
+
+def test_unprobed_host_gets_default_budget(spark, tmp_path):
+    # no robots.txt doc anywhere: probe 404s, recorded, default budget
+    # schedules everything — behavior identical to discovery off
+    docs = spark.createDataFrame(
+        [
+            ("http://h9.test/p0.html", _html(["http://h9.test/p1.html"])),
+            ("http://h9.test/p1.html", _html([])),
+        ],
+        "doc_id string, html string",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "w"), documents=docs, config=_cfg())
+    eng.start([(92, 1, "http://h9.test/p0.html", 1)])
+    stats = eng.run()
+    assert sum(s.robots_blocked for s in stats) == 0
+    assert {r.url for r in eng.wh.read("pages").collect()} == {
+        "http://h9.test/p0.html",
+        "http://h9.test/p1.html",
+    }
+    robots = {r.host: r.robots_txt for r in eng.wh.read("robots").collect()}
+    assert robots == {"h9.test": None}

@@ -264,3 +264,68 @@ def test_merge_does_not_drop_concurrent_append(spark, tmp_path):
     assert rows["u1"].summary == "s1"          # merge applied
     assert "u-racer" in rows                   # concurrent append survived
     assert wh.read("pages", {"round": 7}).count() == 1
+
+
+def test_merge_nopred_does_not_drop_concurrent_append(spark, tmp_path):
+    """The no-commit_pred merge path (small tables: jobs) must give the
+    same CAS guarantee: engine B's start() append racing engine A's
+    _finalize merge on a shared warehouse must survive — the old
+    overwrite()-based path dropped it from the manifest AND deleted its
+    data dir."""
+    import threading
+
+    wh = _wh(spark, tmp_path)
+    schema = "scraping_id long, url string, content string, summary string, round int"
+    wh.append(
+        "pages",
+        spark.createDataFrame([(1, "u1", "body", None, 0)], schema),
+        {"round": 0},
+    )
+
+    orig_stage = wh._stage
+    raced = threading.Event()
+
+    def racing_stage(table, df):
+        if not raced.is_set():
+            raced.set()
+            orig_append(
+                "pages",
+                spark.createDataFrame([(9, "u-racer", "r", None, 7)], schema),
+                {"round": 7},
+            )
+        return orig_stage(table, df)
+
+    orig_append = wh.append
+    wh._stage = racing_stage
+    try:
+        updates = spark.createDataFrame([(1, "u1", None, "s1", 0)], schema)
+        wh.merge("pages", updates, ["scraping_id", "url", "round"])
+    finally:
+        wh._stage = orig_stage
+    rows = {r.url: r for r in wh.read("pages").collect()}
+    assert rows["u1"].summary == "s1"          # merge applied
+    assert "u-racer" in rows                   # concurrent append survived
+    assert wh.read("pages", {"round": 7}).count() == 1
+
+
+def test_round_exact_read_refuses_folded_round(spark, tmp_path):
+    """compact() past a still-live round must not let a round-exact
+    pruned read silently return the unfolded subset — read() raises."""
+    import pytest
+
+    wh = _wh(spark, tmp_path)
+    schema = "scraping_id long, url string, content string, summary string, round int"
+    for rd in range(3):
+        wh.append(
+            "frontier_t",
+            spark.createDataFrame([(1, f"u{rd}", "c", None, rd)], schema),
+            {"round": rd},
+        )
+    # fold rounds 0..1 (upto_round=2): round-exact reads of 0/1 now hit
+    # the compacted span and must refuse; round 2 still works.
+    wh.compact("frontier_t", upto_round=2)
+    assert wh.read("frontier_t", {"round": 2}).count() == 1
+    with pytest.raises(RuntimeError, match="folded into compacted commit"):
+        wh.read("frontier_t", {"round": 1})
+    # unpruned reads are unaffected
+    assert wh.read("frontier_t").count() == 3
