@@ -58,6 +58,8 @@ MODE = os.environ.get("SPARK_GRAFT_CRAWL_MODE", "html")
 # 1 (default): fused schedule+fetch+parse — one Arrow round-trip and one
 # shuffle per round. 0: staged resolver path (A/B control, r2 baseline).
 FUSE = os.environ.get("SPARK_GRAFT_FUSE", "1") == "1"
+# 1: crawl + host_health only (fast interleaved A/B loops); queries skipped
+CRAWL_ONLY = os.environ.get("SPARK_GRAFT_CRAWL_ONLY", "0") == "1"
 BENCH_QUERIES = [
     "flagship_doc_stats",
     "crawl_bfs_depth3",
@@ -131,7 +133,62 @@ def crawl_bench(spark) -> tuple[float, dict]:
     }
 
 
+def _purepy_chunk(args: tuple) -> int:
+    # same workload as bench/scaling.py's control (kept in sync; the
+    # bench/ dir can't be imported as a package here — bench.py shadows
+    # the name)
+    lo, hi = args
+    from isidorus_web_scraper_spark.corpus import page_html, page_url
+    from isidorus_web_scraper_spark.functions.html_tokenize import tokenize_html
+
+    n = 0
+    for h in range(lo, hi):
+        html = page_html(
+            page_url(h % 4096, h // 4096),
+            n_hosts=65536, base=65536, links_out=8,
+            big_page_every=1000, fatness=8,
+        )
+        if html is not None:
+            n += len(tokenize_html(html))
+    return n
+
+
+def host_health() -> dict:
+    """Pre-flight host-health control, run BEFORE Spark starts: the
+    crawl's own fetch+parse work (generate HTML + tokenize) in plain
+    multiprocessing. This VM's co-tenant memory-bus pressure is
+    invisible to /proc/stat and has produced 3-5× swings on identical
+    binaries (BENCH/BASELINE.md §14, VERDICT r3); the control gives
+    every BENCH_r*.json an absolute same-workload yardstick so a
+    degraded window is visible IN the artifact instead of reading as a
+    code regression. The band lives in BENCH/host_band.json (recorded
+    on a healthy run); healthy=false means absolute numbers in this
+    file are void — compare only same-session A/Bs."""
+    import multiprocessing as mp
+
+    procs, n_pages = 8, 16_000
+    chunks = [
+        (i * n_pages // procs, (i + 1) * n_pages // procs) for i in range(procs)
+    ]
+    t = time.monotonic()
+    with mp.Pool(procs) as pool:
+        pool.map(_purepy_chunk, chunks)
+    rate = round(n_pages / (time.monotonic() - t), 1)
+    band_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "host_band.json")
+    band = None
+    if os.path.exists(band_path):
+        with open(band_path) as f:
+            band = json.load(f).get("purepy_8p_pages_per_sec_band")
+    return {
+        "purepy_8p_pages_per_sec": rate,
+        "band": band,
+        "healthy": (band is None) or (rate >= band[0]),
+    }
+
+
 def main() -> None:
+    health = host_health()
     spark = get_spark("iws-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
@@ -140,7 +197,7 @@ def main() -> None:
     wall, extra = crawl_bench(spark)
     timings["crawl"] = round(wall, 3)
 
-    for name in BENCH_QUERIES:
+    for name in [] if CRAWL_ONLY else BENCH_QUERIES:
         t = time.monotonic()
         QUERIES[name](spark, SF_DIR).collect()
         timings[name] = round(time.monotonic() - t, 3)
@@ -155,6 +212,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extra": extra,
+                "host_health": health,
             }
         )
     )

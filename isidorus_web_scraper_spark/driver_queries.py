@@ -316,6 +316,46 @@ def search_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.9 indexed search: the posting-list probe (sources/postings.py) —
+# the OpenSearch inverted-index analog (opensearch_repository.go:23-56).
+# Build once per sf_dir into a cached Hive-partitioned store, then serve
+# the query by probing ONE term_bucket partition: scores come from the
+# index, no corpus scan (plan pinned by tests/test_postings.py). Token
+# semantics (term as whitespace token — analyzer parity), so the oracle
+# filters on token tf > 0, not substring LIKE.
+# ---------------------------------------------------------------------------
+@query(
+    "search_indexed",
+    """
+    SELECT doc_id, tf FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x = 'join')) AS tf
+      FROM documents
+    ) WHERE tf > 0
+    """,
+)
+def search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.postings import build_postings, probe_postings, write_postings
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"iws-postings-{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load(spark, sf_dir, "documents")
+        write_postings(
+            build_postings(docs, ["doc_id"], "text"),
+            path,
+            mode="overwrite",
+        )
+    return probe_postings(spark, path, "join").select(
+        "doc_id", F.col("frequency").alias("tf")
+    )
+
+
+# ---------------------------------------------------------------------------
 # O2 pagination: newest-first offset/limit (db_repository.py:61).
 # ---------------------------------------------------------------------------
 @query(

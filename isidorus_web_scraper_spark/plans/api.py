@@ -147,6 +147,87 @@ def search_pages(wh: Warehouse, term: str, user_id: int) -> DataFrame:
     ).orderBy(F.desc("score"), "url")
 
 
+def search_pages_indexed(
+    wh: Warehouse,
+    term: str,
+    user_id: int,
+    postings_path: str,
+    term_buckets: int = 64,
+    highlights: bool = True,
+) -> DataFrame:
+    """Index-served search: probe the posting-list store
+    (sources/postings.py) instead of scanning pages — the Spark
+    rendition of the reference's OpenSearch inverted index
+    (`opensearch_repository.go:23-56`). The probe reads 1/B of the
+    index (partition pruning on term_bucket); scores come straight from
+    the stored frequencies, so no pages scan happens for ranking.
+
+    Semantics note: the index serves TOKEN search (term must appear as
+    a whitespace token — OpenSearch-analyzer parity), while
+    ``search_pages`` is SUBSTRING contains over content-or-summary.
+    For whole-token terms the two agree and the pytest pins it; for
+    substring queries keep the scan path.
+
+    ``highlights=True`` adds snippet extraction by retrieving content
+    for ONLY the matched docs (matched set broadcast into the pages
+    join — a point retrieval in an Iceberg url-bucketed layout, never a
+    ranking scan)."""
+    from ..sources.postings import probe_postings
+
+    t = term.lower()
+    matched = (
+        probe_postings(wh.spark, postings_path, t, term_buckets)
+        .filter(F.col("user_id") == user_id)
+        .select(
+            "url", "scraping_id", "round", F.col("frequency").alias("score")
+        )
+    )
+    if not highlights:
+        return matched.select("url", "scraping_id", "score").orderBy(
+            F.desc("score"), "url"
+        )
+    quoted = "\\Q" + t.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    pages = wh.read("pages").select("scraping_id", "url", "round", "content")
+    hl = F.slice(
+        F.regexp_extract_all(
+            F.col("content"), F.lit(f"(?i).{{0,30}}{quoted}.{{0,30}}"), 0
+        ),
+        1,
+        3,
+    )
+    return (
+        pages.join(
+            F.broadcast(matched), ["scraping_id", "url", "round"]
+        )
+        .select("url", "scraping_id", "score", hl.alias("highlights"))
+        .orderBy(F.desc("score"), "url")
+    )
+
+
+def rebuild_postings(
+    wh: Warehouse, postings_path: str, term_buckets: int = 64
+) -> None:
+    """Full index rebuild from the pages table (overwrite) — the repair
+    path for a torn incremental append; the index is derived data, so
+    losing it never loses truth."""
+    from ..sources.postings import build_postings, write_postings
+
+    pages = wh.read("pages")
+    docs = wh.read("index_docs").select("scraping_id", "url", "round", "user_id")
+    src = pages.join(docs, ["scraping_id", "url", "round"], "left").select(
+        "scraping_id", "url", "user_id", "round", "content"
+    )
+    write_postings(
+        build_postings(
+            src, ["scraping_id", "url", "user_id", "round"], "content",
+            term_buckets,
+        ),
+        postings_path,
+        mode="overwrite",
+        partition_cols=["round", "term_bucket"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # DELETE /scraping/{id} — ownership check + cascading predicate deletes
 # (J9/J10; deletion_service.py:30-58; batching unnecessary in Spark)

@@ -130,6 +130,16 @@ class CrawlConfig:
     # because the synthetic benches serve no robots files (every new
     # host would pay a pointless 404 probe); real crawls should enable.
     discover_robots: bool = False
+    # maintain the posting-list search index (sources/postings.py)
+    # incrementally: each round appends its fetched pages' term
+    # frequencies, Hive-partitioned by (round, term_bucket) — a term
+    # search probes 1/B of the index instead of scanning pages
+    # (plans/api.py:search_pages_indexed). Round-partitioned so partial
+    # rounds roll back by directory remove. Off by default: it adds a
+    # tokenize+shuffle to every round; the scan-based search needs no
+    # index.
+    index_postings: bool = False
+    postings_term_buckets: int = 64
     # fold completed rounds' per-round commits every K rounds (Iceberg
     # rewrite_data_files analog) — a 64-round crawl otherwise leaves
     # ~64×P files per table and every seen-table read reopens them all.
@@ -186,10 +196,15 @@ class CrawlEngine:
     config: CrawlConfig = field(default_factory=CrawlConfig)
 
     def __post_init__(self):
+        import os
+
         self.wh = Warehouse(self.spark, self.warehouse_root)
         self._bloom: BloomFilter | BucketedBloom | None = None
         self._summarize = make_summarize_udf(self.config.llm_provider)
         self._explain = make_explain_image_udf(self.config.llm_provider)
+        # derived (rebuildable) posting-list index — lives beside the
+        # warehouse tables but outside the commit protocol
+        self.postings_path = os.path.join(self.warehouse_root, "postings_store")
 
     # ------------------------------------------------------------------ init
     def start(self, seeds: list[tuple[int, int, str, int]]) -> None:
@@ -747,8 +762,27 @@ class CrawlEngine:
                     f.result()
             return n
 
+        def _write_postings() -> None:
+            # incremental inverted index (S7's OpenSearch-indexer analog,
+            # opensearch_repository.go:23-56): this round's pages fold
+            # into (term, doc, frequency) posting rows under
+            # round=N/term_bucket=B dirs — searches probe one bucket,
+            # partial rounds roll back by directory remove
+            from ..sources.postings import build_postings, write_postings
+
+            write_postings(
+                build_postings(
+                    ok.select("scraping_id", "url", "user_id", "round", "content"),
+                    ["scraping_id", "url", "user_id", "round"],
+                    "content",
+                    cfg.postings_term_buckets,
+                ),
+                self.postings_path,
+                partition_cols=["round", "term_bucket"],
+            )
+
         with self._timed("round fan-out (single wall)"):
-            with ThreadPoolExecutor(max_workers=9) as pool:
+            with ThreadPoolExecutor(max_workers=10) as pool:
                 futs = [
                     pool.submit(_w, "fetch_log", fetch_log),
                     pool.submit(_w, "pages", pages),
@@ -779,6 +813,8 @@ class CrawlEngine:
                         ).first()
                     ),
                 ]
+                if cfg.index_postings and cfg.indexer_enabled:
+                    futs.append(pool.submit(_write_postings))
                 results = [f.result() for f in futs]
         n_new = results[6]
         parsed_agg = results[7]
@@ -968,6 +1004,21 @@ class CrawlEngine:
             self.wh.remove_commits(
                 table, lambda p: p.get("round", -1) >= next_round
             )
+        if self.config.index_postings:
+            # the postings store is round-partitioned precisely so a
+            # partial round rolls back as a directory remove
+            import os
+            import re
+            import shutil
+
+            if os.path.isdir(self.postings_path):
+                for d in os.listdir(self.postings_path):
+                    m = re.fullmatch(r"round=(\d+)", d)
+                    if m and int(m.group(1)) >= next_round:
+                        shutil.rmtree(
+                            os.path.join(self.postings_path, d),
+                            ignore_errors=True,
+                        )
         for table in ("seen", "frontier"):
             # round r writes seen/frontier tagged r+1; start() tags 0
             self.wh.remove_commits(

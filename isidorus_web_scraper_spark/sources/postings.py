@@ -60,13 +60,21 @@ def build_postings(
     )
 
 
-def write_postings(postings: DataFrame, path: str, mode: str = "append") -> None:
+def write_postings(
+    postings: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+) -> None:
     """Hive-partitioned append (one pass per crawl round). The
     repartition co-locates each bucket's rows so a round adds ~1 file
-    per touched bucket instead of tasks×buckets tiny files."""
+    per touched bucket instead of tasks×buckets tiny files. The engine
+    passes ``["round", "term_bucket"]`` so a partial round rolls back
+    by removing its ``round=N`` directory."""
+    cols = partition_cols or ["term_bucket"]
     (
         postings.repartition("term_bucket")
-        .write.partitionBy("term_bucket")
+        .write.partitionBy(*cols)
         .mode(mode)
         .parquet(path)
     )
