@@ -53,8 +53,15 @@ BUDGET = int(os.environ.get("SPARK_GRAFT_CRAWL_BUDGET", "4096"))
 SKEW = os.environ.get("SPARK_GRAFT_SKEW", "0") == "1"      # all seeds on the hot host
 SALT = os.environ.get("SPARK_GRAFT_CRAWL_SALT", "0") == "1"  # salted repartition of parse
 # "html" = fetch returns raw HTML, tokenized by the real parser UDF
-# (realistic, compute-bound); "spans" = pre-tokenized corpus
+# (realistic, compute-bound); "spans" = pre-tokenized corpus; "table" =
+# the 100-TB input_hint shape: a MATERIALIZED bucket-partitioned
+# raw-HTML documents store (sources/corpus_store.py), fetched by
+# partition-pruned broadcast join — generated once into /tmp and reused
+# across trials (generation excluded from crawl timing)
 MODE = os.environ.get("SPARK_GRAFT_CRAWL_MODE", "html")
+# table-mode scheduler A/B: "window" (pure JVM, staged default) vs
+# "vectorized" (mapInPandas) vs "grouped"
+POL_IMPL = os.environ.get("SPARK_GRAFT_POLITENESS_IMPL", "window")
 # 1 (default): fused schedule+fetch+parse — one Arrow round-trip and one
 # shuffle per round. 0: staged resolver path (A/B control, r2 baseline).
 FUSE = os.environ.get("SPARK_GRAFT_FUSE", "1") == "1"
@@ -72,23 +79,54 @@ BENCH_QUERIES = [
 ]
 
 
+def _table_corpus_path(spark) -> str:
+    """Materialize (once, cached in /tmp across trials) the synthetic
+    web as a bucket-partitioned raw-HTML store — the table-backed fetch
+    path's input."""
+    from isidorus_web_scraper_spark.corpus import generate_documents_html
+    from isidorus_web_scraper_spark.sources.corpus_store import (
+        write_partitioned_corpus,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"iws-bench-corpus-{N_HOSTS}-{HOST_BASE}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = generate_documents_html(
+            spark, n_hosts=N_HOSTS, base=HOST_BASE, partitions=CPUS
+        )
+        write_partitioned_corpus(docs, path)
+    return path
+
+
 def crawl_bench(spark) -> tuple[float, dict]:
     wh_dir = tempfile.mkdtemp(prefix="iws-bench-")
-    eng = CrawlEngine(
-        spark,
-        wh_dir,
-        page_fn=(
+    if MODE == "table":
+        from isidorus_web_scraper_spark.sources.corpus_store import (
+            make_partitioned_fetcher,
+        )
+
+        page_fn, resolver = None, make_partitioned_fetcher(
+            _table_corpus_path(spark)
+        )
+    else:
+        page_fn = (
             make_page_fn(n_hosts=N_HOSTS, base=HOST_BASE, mode=MODE)
             if FUSE
             else None
-        ),
-        resolver=(
+        )
+        resolver = (
             None
             if FUSE
             else make_html_resolver(n_hosts=N_HOSTS, base=HOST_BASE)
             if MODE == "html"
             else make_resolver(n_hosts=N_HOSTS, base=HOST_BASE)
-        ),
+        )
+    eng = CrawlEngine(
+        spark,
+        wh_dir,
+        page_fn=page_fn,
+        resolver=resolver,
         politeness=spark.createDataFrame(
             # explicit budget row for the hot host + permissive default
             [("h0.test", BUDGET, [], 0)],
@@ -101,6 +139,7 @@ def crawl_bench(spark) -> tuple[float, dict]:
             max_rounds=DEPTH + 6,
             repartition_parsed=CPUS if SALT else None,
             max_parallelism=min(CPUS, PY_CAP),
+            politeness_impl=POL_IMPL,
             # crawl metric = the round loop (r1/r2-comparable); the
             # finalize full-collapse is a completed-crawl I/O amortization,
             # A/B'd separately in BENCH/BASELINE.md (auto-compact section)

@@ -204,7 +204,10 @@ def main() -> None:
     ctrl_series: list[float] = []
     for trial in range(args.trials):
         for arm in arms:
-            env = {"SPARK_GRAFT_FUSE": "1" if arm == "fused" else "0"}
+            env = {
+                "SPARK_GRAFT_FUSE": "1" if arm == "fused" else "0",
+                "SPARK_GRAFT_CRAWL_ONLY": "1",  # scaling reads crawl stats only
+            }
             for cpus in (args.small, args.big):
                 r = run_once(cpus, args.seeds, env, pin=args.pin)
                 thr = r["extra"]["crawl_urls_per_sec"]

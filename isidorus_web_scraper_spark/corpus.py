@@ -159,6 +159,41 @@ def generate_documents(
     return base.mapInPandas(gen, DOCUMENTS)
 
 
+def generate_documents_html(
+    spark: SparkSession,
+    n_hosts: int = 20,
+    base: int = 64,
+    partitions: int = 8,
+    links_out: int = 8,
+    big_page_every: int = 1000,
+    fatness: int = 8,
+) -> DataFrame:
+    """Materialize the synthetic web as a raw-HTML `documents` table
+    (doc_id, html) — the table-backed corpus shape (BASELINE input_hint)
+    for the staged fetch-join path; generation is distributed like
+    :func:`generate_documents`."""
+    urls = all_urls(n_hosts, base)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": pdf["doc_id"].map(
+                        lambda u: page_html(
+                            u, n_hosts=n_hosts, base=base, links_out=links_out,
+                            big_page_every=big_page_every, fatness=fatness,
+                        )
+                    ),
+                }
+            )
+
+    base_df = spark.createDataFrame(
+        [(u,) for u in urls], "doc_id string"
+    ).repartition(partitions)
+    return base_df.mapInPandas(gen, "doc_id string, html string")
+
+
 def make_resolver(
     n_hosts: int = 20, base: int = 64, links_out: int = 8, big_page_every: int = 1000
 ):

@@ -8,7 +8,8 @@ crawl resumes byte-identically from the last committed round.
 
 Round pipeline (reference stage → Spark op):
   frontier_r                      SQS poll loop          warehouse read
-  → politeness gate               (absent in reference)  applyInPandas per host
+  → robots discovery (optional)   (absent in reference)  probe new hosts, parse columnar
+  → politeness gate               (absent in reference)  per-host window fn (or mapInPandas)
   → fetch                         http.Get               join vs documents / generator resolver
   → parse                         Go tokenizer walk      columnar span expressions
   → pages/links/images/index      4-queue fan-out        4 DataFrame appends
