@@ -316,6 +316,84 @@ def search_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W8 window-function politeness scheduler (operators/politeness.py
+# impl='window'): the per-host priority queue — rank among non-blocked
+# rows in (depth DESC, url) order, fetch iff rank < budget AND the
+# host's crawl-delay admits this round — expressed as the SAME window
+# SQL on DuckDB. Synthetic frontier: one URL per document, 37 hosts,
+# per-host budget (h%5)+1, '/p1' prefix-blocked on h%4==0, delay=1 on
+# h%3==0 (round 1 ⇒ delayed hosts defer everything).
+# ---------------------------------------------------------------------------
+@query(
+    "politeness_schedule_window",
+    """
+    WITH f AS (
+      SELECT 'http://h' || h::VARCHAR || '.test/p' || doc_id::VARCHAR || '.html' AS url,
+             h,
+             '/p' || doc_id::VARCHAR || '.html' AS path,
+             CAST(doc_id % 3 AS INT) AS depth
+      FROM (SELECT doc_id, doc_id % 37 AS h FROM documents)
+    ),
+    marked AS (
+      SELECT url, h, depth,
+             (h % 5) + 1 AS budget,
+             (h % 4 = 0) AND (path LIKE '/p1%') AS blocked,
+             (h % 3 != 0) AS delay_ok
+      FROM f
+    ),
+    ranked AS (
+      SELECT url, budget, blocked, delay_ok,
+             coalesce(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) OVER (
+               PARTITION BY h ORDER BY depth DESC, url
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS rank
+      FROM marked
+    )
+    SELECT url,
+           CASE WHEN blocked THEN 'robots_blocked'
+                WHEN delay_ok AND rank < budget THEN 'fetch'
+                ELSE 'defer' END AS action
+    FROM ranked
+    """,
+)
+def politeness_schedule_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.politeness import schedule_round
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 37
+    frontier = docs.select(
+        F.lit(1).alias("scraping_id"),
+        F.lit(1).alias("user_id"),
+        F.concat(
+            F.lit("http://h"), h.cast("string"), F.lit(".test/p"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+        F.lit(1).alias("round"),
+    )
+    politeness = (
+        docs.select(h.alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".test")).alias(
+                "host"
+            ),
+            ((F.col("h") % 5) + 1).cast("int").alias("max_fetches_per_round"),
+            F.when(F.col("h") % 4 == 0, F.array(F.lit("/p1")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("robots_disallow"),
+            F.when(F.col("h") % 3 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("crawl_delay_rounds"),
+        )
+    )
+    return schedule_round(frontier, politeness, 1, impl="window").select(
+        "url", "action"
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.9 indexed search: the posting-list probe (sources/postings.py) —
 # the OpenSearch inverted-index analog (opensearch_repository.go:23-56).
 # Build once per sf_dir into a cached Hive-partitioned store, then serve

@@ -23,6 +23,15 @@ The index is DERIVED data: appends per crawl round are plain parquet
 appends (no warehouse commit protocol), and a torn write is repaired by
 ``rebuild`` from the pages table — the Iceberg analog would make these
 appends transactional too, but losing an index never loses truth.
+
+File-count budget: each round's write repartitions by term_bucket, so a
+round adds ~1 file per touched bucket; an R-round crawl leaves ~R files
+per bucket and a probe opens ~R files. The (round, term_bucket) layout
+is load-bearing (partial-round rollback = remove the round dir; the
+round partition value feeds the highlights join), so cross-round
+folding would have to rewrite round into data columns and break both —
+for long crawls, ``plans/api.py:rebuild_postings`` into a fresh path is
+the compaction story.
 """
 
 from __future__ import annotations
@@ -97,3 +106,4 @@ def probe_postings(
         .filter(F.col("term") == t)
         .drop("term_bucket")
     )
+
