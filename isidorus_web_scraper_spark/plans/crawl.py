@@ -361,24 +361,29 @@ class CrawlEngine:
                 ),
                 "\n",
             )
-        self.wh.append(
-            "robots",
-            resolved.select(
-                "host", txt.alias("robots_txt"), F.lit(round_no).alias("round")
-            ),
-            {"round": round_no},
-        )
+        from ..functions.robots import politeness_from_robots
+
+        raw = resolved.select(
+            "host", txt.alias("robots_txt"), F.lit(round_no).alias("round")
+        ).persist()
+        try:
+            self.wh.append("robots", raw, {"round": round_no})
+            # parse ONCE, at discovery, only for this round's new hosts —
+            # the per-round scheduler read is then a plain table scan
+            # instead of reparsing every robots file ever fetched
+            rules = politeness_from_robots(
+                raw.filter(F.col("robots_txt").isNotNull())
+            ).withColumn("round", F.lit(round_no))
+            self.wh.append("robots_rules", rules, {"round": round_no})
+        finally:
+            raw.unpersist()
 
     def _politeness_for_round(self) -> DataFrame:
         """The scheduler's config = user-provided politeness (wins per
-        host) ∪ rules parsed from discovered robots.txt payloads. The
-        parse is columnar (functions/robots.py) over the tiny per-host
-        robots table and broadcasts into the scheduler."""
-        from ..functions.robots import politeness_from_robots
-
-        disc = politeness_from_robots(
-            self.wh.read("robots").filter(F.col("robots_txt").isNotNull())
-        )
+        host) ∪ rules parsed at discovery time (the `robots_rules`
+        table — each host's file was parsed exactly once, in the round
+        that probed it). The union broadcasts into the scheduler."""
+        disc = self.wh.read("robots_rules").drop("round")
         if self.politeness is None:
             return disc
         return self.politeness.unionByName(
@@ -1000,6 +1005,7 @@ class CrawlEngine:
             "index_docs",
             "media_store",
             "robots",
+            "robots_rules",
             "metrics",
         ):
             self.wh.remove_commits(
@@ -1040,6 +1046,7 @@ class CrawlEngine:
             "index_docs",
             "media_store",
             "robots",
+            "robots_rules",
             "metrics",
         ):
             if self.wh.exists(table):

@@ -169,6 +169,20 @@ ROBOTS = T.StructType(
     ]
 )
 
+# parsed *-section rules per host (functions/robots.py), appended
+# incrementally alongside the raw payloads: the scheduler's config read
+# is a plain table scan, not a per-round reparse of every robots file
+# ever fetched.
+ROBOTS_RULES = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("max_fetches_per_round", T.IntegerType(), True),
+        T.StructField("robots_disallow", T.ArrayType(T.StringType()), True),
+        T.StructField("crawl_delay_rounds", T.IntegerType(), True),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 MEDIA_STORE = T.StructType(
     [
         T.StructField("scraping_id", T.LongType(), False),
@@ -193,6 +207,7 @@ TABLES: dict[str, tuple[T.StructType, list[str]]] = {
     "fetch_log": (FETCH_LOG, ["round"]),
     "politeness": (POLITENESS, []),
     "robots": (ROBOTS, ["round"]),
+    "robots_rules": (ROBOTS_RULES, ["round"]),
     "metrics": (METRICS, []),
     "media_store": (MEDIA_STORE, []),
 }
