@@ -10,9 +10,8 @@ from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
 
 
 def _cfg(**kw):
-    return CrawlConfig(
-        bloom_expected_urls=4096, discover_robots=True, max_rounds=10, **kw
-    )
+    kw.setdefault("max_rounds", 10)
+    return CrawlConfig(bloom_expected_urls=4096, discover_robots=True, **kw)
 
 
 def _html(links):
@@ -95,3 +94,50 @@ def test_unprobed_host_gets_default_budget(spark, tmp_path):
     }
     robots = {r.host: r.robots_txt for r in eng.wh.read("robots").collect()}
     assert robots == {"h9.test": None}
+
+
+def test_discovery_resume_probes_once(spark, tmp_path):
+    # interrupted crawl (max_rounds cap) then resume: end state equals
+    # an uninterrupted run, and each host was probed exactly once (the
+    # robots table records 404s so resume never re-probes).
+    docs = spark.createDataFrame(
+        [
+            ("http://h0.test/robots.txt", "User-agent: *\nDisallow: /blocked\n"),
+            (
+                "http://h0.test/p0.html",
+                _html(["http://h0.test/blocked/x.html", "http://h0.test/p1.html"]),
+            ),
+            ("http://h0.test/p1.html", _html(["http://h0.test/p2.html"])),
+            ("http://h0.test/p2.html", _html([])),
+            ("http://h0.test/blocked/x.html", _html([])),
+        ],
+        "doc_id string, html string",
+    )
+    seeds = [(93, 1, "http://h0.test/p0.html", 3)]
+
+    full = CrawlEngine(spark, str(tmp_path / "wf"), documents=docs, config=_cfg())
+    full.start(seeds)
+    full.run()
+
+    part = CrawlEngine(
+        spark, str(tmp_path / "wp"), documents=docs, config=_cfg(max_rounds=1)
+    )
+    part.start(seeds)
+    part.run()  # stops after round 0
+    resumed = CrawlEngine(
+        spark, str(tmp_path / "wp"), documents=docs, config=_cfg()
+    )
+    resumed.resume()
+
+    def end(eng):
+        return (
+            {r.url for r in eng.wh.read("pages").collect()},
+            sorted(
+                (r.scraping_id, r.url) for r in eng.wh.read("seen").collect()
+            ),
+        )
+
+    assert end(resumed) == end(full)
+    probes = [r.host for r in resumed.wh.read("robots").collect()]
+    assert sorted(probes) == ["h0.test"]  # exactly one probe, ever
+    assert "http://h0.test/blocked/x.html" not in end(resumed)[0]
