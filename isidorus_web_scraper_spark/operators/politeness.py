@@ -55,17 +55,20 @@ def schedule_round(
     robots, no delay) — the reference-parity configuration.
 
     Three implementations with identical semantics (equivalence-tested):
-    - ``window``: the priority queue as a pure-JVM window function —
-      eligible-rank = running count of non-blocked rows per host in
-      (depth DESC, url) order, fetch iff rank < budget ∧ delay-round.
-      ZERO Python: the whole decision stays inside whole-stage codegen,
-      so table-backed corpora (the 100-TB input shape) get a round with
-      no Arrow round-trip at all. Default for the staged path.
-    - ``vectorized``: repartition+sort by host, then ONE
+    - ``vectorized`` (staged default — won the interleaved table-corpus
+      A/B 4/4 trials, BENCH §16): repartition+sort by host, then ONE
       ``mapInPandas`` pass per partition with per-host counts carried
       across Arrow batches. One Python call per ~10k-row batch. Required
       (and forced) for ``page_fn`` fusion — the fetch call needs a
       Python stage anyway.
+    - ``window``: the priority queue as a pure-JVM window function —
+      eligible-rank = running count of non-blocked rows per host in
+      (depth DESC, url) order, fetch iff rank < budget ∧ delay-round.
+      ZERO Python anywhere in the round for table-backed corpora: pick
+      it when Python workers are unavailable or Arrow memory is the
+      binding constraint (measured ~22% slower than vectorized at
+      local[32] — the sort+WindowExec costs more than the Arrow
+      round-trip saves at that shape).
     - ``grouped``: the literal ``groupBy(host).applyInPandas`` priority
       queue. Same answer, but per-group pandas overhead makes it ~10×
       slower when rounds span thousands of hosts — kept as the

@@ -114,11 +114,15 @@ class CrawlConfig:
     target_rows_per_fetch_task: int = 512
     max_parallelism: int | None = None
     bloom_driver_insert_max: int = 200_000
-    # staged-path scheduler: "window" (pure JVM, zero Arrow — the
-    # table-corpus default), "vectorized" (mapInPandas carried-counter),
-    # or "grouped" (applyInPandas spec). The fused page_fn path always
-    # uses vectorized (the fetch needs the pandas stage anyway).
-    politeness_impl: str = "window"
+    # staged-path scheduler, three equivalence-tested impls:
+    # "vectorized" (mapInPandas carried-counter — DEFAULT: won the
+    # interleaved table-corpus A/B 4/4 trials, BENCH §16), "window"
+    # (pure JVM window fn — zero Python stages in the whole round:
+    # pick when Python workers are unavailable/undesirable or Arrow
+    # memory is the constraint), "grouped" (applyInPandas spec). The
+    # fused page_fn path always uses vectorized (the fetch needs the
+    # pandas stage anyway).
+    politeness_impl: str = "vectorized"
     media_store_enabled: bool = False     # S6: persist media payloads (extractor_service.go:55-107)
     # discover robots.txt from the crawl itself (north_rule mandate; the
     # reference skips robots entirely — page_fetcher.go:14-20): at the
