@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--budget", type=int, default=8,
                     help="per-host fetches per round")
     ap.add_argument("--max-rounds", type=int, default=64)
+    ap.add_argument("--discover-robots", action="store_true",
+                    help="probe /robots.txt for new hosts each round and "
+                    "enforce the parsed rules (probe-once, resume-safe)")
+    ap.add_argument("--index-postings", action="store_true",
+                    help="maintain the posting-list search index "
+                    "incrementally (sources/postings.py)")
     ap.add_argument("--resume", action="store_true",
                     help="continue an existing warehouse (no new seeds)")
     ap.add_argument("--master", default=None)
@@ -66,7 +72,10 @@ def main(argv: list[str] | None = None) -> None:
         args.warehouse,
         resolver=resolver,
         config=CrawlConfig(
-            default_budget=args.budget, max_rounds=args.max_rounds
+            default_budget=args.budget,
+            max_rounds=args.max_rounds,
+            discover_robots=args.discover_robots,
+            index_postings=args.index_postings,
         ),
     )
     if args.resume:
