@@ -59,9 +59,10 @@ SALT = os.environ.get("SPARK_GRAFT_CRAWL_SALT", "0") == "1"  # salted repartitio
 # partition-pruned broadcast join — generated once into /tmp and reused
 # across trials (generation excluded from crawl timing)
 MODE = os.environ.get("SPARK_GRAFT_CRAWL_MODE", "html")
-# table-mode scheduler A/B: "window" (pure JVM, staged default) vs
-# "vectorized" (mapInPandas) vs "grouped"
-POL_IMPL = os.environ.get("SPARK_GRAFT_POLITENESS_IMPL", "window")
+# table-mode scheduler A/B: "vectorized" (mapInPandas, engine default —
+# won the 4/4 interleaved A/B at the table shape, BENCH/BASELINE.md §16)
+# vs "window" (pure JVM, selectable for zero-Python rounds) vs "grouped"
+POL_IMPL = os.environ.get("SPARK_GRAFT_POLITENESS_IMPL", "vectorized")
 # 1 (default): fused schedule+fetch+parse — one Arrow round-trip and one
 # shuffle per round. 0: staged resolver path (A/B control, r2 baseline).
 FUSE = os.environ.get("SPARK_GRAFT_FUSE", "1") == "1"
@@ -242,6 +243,17 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t, 3)
 
     total = round(time.monotonic() - t0, 3)
+    # post-run control: a pre-flight-only gate can stamp healthy=true on
+    # an artifact whose measurements straddled a mid-run host collapse
+    # (observed in r4: 2x swings both directions within one session,
+    # VERDICT r4 "What's wrong" #2). healthy requires BOTH samples in
+    # band — a mid-run collapse now voids the artifact that contains it.
+    health_post = host_health()
+    health = {
+        "pre": health,
+        "post": health_post,
+        "healthy": health["healthy"] and health_post["healthy"],
+    }
     print(
         json.dumps(
             {

@@ -52,7 +52,8 @@ def main() -> None:
                 f"trial {trial} {impl}: {thr} urls/s "
                 f"({r['extra']['crawl_urls_fetched']} urls, "
                 f"{r['queries']['crawl']}s, "
-                f"host {hh.get('purepy_8p_pages_per_sec')} p/s "
+                f"host {hh.get('pre', hh).get('purepy_8p_pages_per_sec')}"
+                f"/{hh.get('post', {}).get('purepy_8p_pages_per_sec')} p/s "
                 f"healthy={hh.get('healthy')})",
                 flush=True,
             )

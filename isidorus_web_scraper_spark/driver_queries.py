@@ -31,9 +31,35 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The external driver creates its OWN session (no --py-files), so
+    any query whose plan carries a pandas/Arrow closure that references
+    package classes (e.g. the cogrouped sketch apply's BloomFilter)
+    would hit ModuleNotFoundError in the Python workers when the driver
+    launches from outside the repo. Ship the package zip into the
+    session once (the addPyFile path session.get_spark already uses) —
+    idempotent per SparkContext."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    from .session import _ship_package
+
+    _ship_package(spark)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def query(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE[name] = sql
         return fn
@@ -838,6 +864,164 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10 warehouse-persisted seen-sketch (VERDICT r4 item 1): the SAME
+# anti-join semantics as `seen_antijoin`, served through the persisted
+# sketch pipeline — two per-"round" delta bitmap tables built
+# DISTRIBUTED (bucketed_bloom_delta_df, no driver bytes), unioned like
+# the warehouse read, cogroup-applied (multi-version OR-fold inside the
+# probing task), definite-news bypassing the shuffle and maybes
+# re-checked exactly. The oracle is the plain anti-join: the sketch can
+# never change the answer, only the shuffle volume.
+# ---------------------------------------------------------------------------
+@query(
+    "seen_antijoin_wh_sketch",
+    """
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.n_chars > 200
+      AND NOT EXISTS (
+        SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0 AND s.doc_id = d.doc_id
+      )
+    """,
+)
+def seen_antijoin_wh_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bloom import (
+        bucketed_bloom_delta_df,
+        with_bloom_flag_cogrouped,
+    )
+
+    B = 8
+    docs = load(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.xxhash64("doc_id").alias("h")
+    )
+    # two delta appends (as two crawl rounds would leave them)
+    sketch = bucketed_bloom_delta_df(
+        seen.filter(F.col("doc_id") % 2 == 0), "h", B, 1 << 16
+    ).unionByName(
+        bucketed_bloom_delta_df(
+            seen.filter(F.col("doc_id") % 2 == 1), "h", B, 1 << 16
+        )
+    )
+    cand = docs.filter(F.col("n_chars") > 200).select(
+        "doc_id", "source", F.xxhash64("doc_id").alias("h")
+    )
+    flagged = with_bloom_flag_cogrouped(cand, "h", sketch, B)
+    definite_new = flagged.filter(~F.col("maybe_seen"))
+    checked = flagged.filter(F.col("maybe_seen")).join(
+        seen.select("doc_id"), "doc_id", "left_anti"
+    )
+    return definite_new.unionByName(checked).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# W11 postings compaction (OpenSearch segment-merge analog): the SAME
+# token search as `search_indexed`, served from a FOLDED index — the
+# corpus written as three per-round partitions, rounds 0-1 compacted
+# into the per-bucket store (round demoted to a data column), round 2
+# left live; the probe unions compacted ∪ live with partition pruning
+# in both. Identical results prove the fold changes layout, not
+# content.
+# ---------------------------------------------------------------------------
+@query(
+    "search_indexed_compacted",
+    """
+    SELECT doc_id, tf FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x = 'join')) AS tf
+      FROM documents
+    ) WHERE tf > 0
+    """,
+)
+def search_indexed_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.postings import (
+        build_postings,
+        compact_postings,
+        probe_postings,
+        write_postings,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"iws-postings-cmp-{key}")
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        docs = load(spark, sf_dir, "documents").withColumn(
+            "round", (F.col("doc_id") % 3).cast("int")
+        )
+        for rnd in range(3):
+            write_postings(
+                build_postings(
+                    docs.filter(F.col("round") == rnd), ["doc_id", "round"], "text"
+                ),
+                path,
+                partition_cols=["round", "term_bucket"],
+            )
+        compact_postings(spark, path, upto_round=1)
+        open(marker, "w").close()
+    return probe_postings(spark, path, "join").select(
+        "doc_id", F.col("frequency").alias("tf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W13 substring search served by the character n-gram index (VERDICT r4
+# stretch 7 — the pg_trgm / Code-Search design): the EXACT semantics of
+# `search_term` (substring LIKE match, whole-token TF score — including
+# tf=0 rows where the term appears only inside a longer word), but the
+# match set comes from an AND-intersection of trigram posting lists
+# (bucket-pruned probe) verified on the FEW candidates, never a corpus
+# scan. The oracle is search_term's own SQL: the index changes what
+# gets read, never the answer.
+# ---------------------------------------------------------------------------
+@query(
+    "search_indexed_substring",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), x -> x = 'join')) AS tf
+    FROM documents
+    WHERE lower(text) LIKE '%join%'
+    """,
+)
+def search_indexed_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.postings import (
+        build_grams,
+        probe_gram_candidates,
+        write_postings,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"iws-grams-{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load(spark, sf_dir, "documents")
+        write_postings(
+            build_grams(docs, ["doc_id"], ["text"]), path, mode="overwrite"
+        )
+    cand = probe_gram_candidates(spark, path, "join")
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.join(F.broadcast(cand), "doc_id")
+        .filter(F.lower(F.col("text")).contains("join"))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " ", -1),
+                    lambda x: x == F.lit("join"),
+                )
+            ).alias("tf"),
+        )
     )
 
 

@@ -203,20 +203,14 @@ def empty_bucketed(
     )
 
 
-def build_bucketed_bloom(
-    df: DataFrame,
-    hash_col: str,
-    num_buckets: int,
-    expected_items: int,
-    fpp: float = 1e-3,
-) -> BucketedBloom:
-    """Distributed sharded build: each partition emits (bucket, bits)
-    rows for the buckets it saw; per-bucket OR-merge via reduceByKey —
-    the shuffle moves only bitmaps (B × m/8 bytes), never rows."""
-    per = max(1, expected_items // num_buckets)
-    m, k = optimal_params(per, fpp)
+def _partial_bucket_bitmaps(
+    df: DataFrame, hash_col: str, B: int, m: int, k: int
+) -> DataFrame:
+    """Per-partition (bucket, bits) partial bitmaps via mapInArrow —
+    the map-side combine both sharded-build paths share. The shuffle
+    that follows moves only bitmaps (≤ partitions × buckets-seen ×
+    m/8 bytes), never rows."""
     nbytes = m // 8
-    B = num_buckets
 
     def per_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         local: dict[int, np.ndarray] = {}
@@ -244,9 +238,66 @@ def build_bucketed_bloom(
                 ["bucket", "bits"],
             )
 
-    parts = df.select(F.col(hash_col).alias("h")).mapInArrow(
+    return df.select(F.col(hash_col).alias("h")).mapInArrow(
         per_partition, "bucket int, bits binary"
     )
+
+
+def bucketed_bloom_delta_df(
+    df: DataFrame,
+    hash_col: str,
+    num_buckets: int,
+    expected_items: int,
+    fpp: float = 1e-3,
+) -> DataFrame:
+    """Distributed sharded build that returns a ``(bucket, num_bits,
+    num_hashes, bits)`` DataFrame WITHOUT ever materializing a bitmap on
+    the driver — the warehouse-persisted seen-sketch write path. Rows
+    exist only for buckets ``df`` touched; Bloom bitmaps OR-merge, so a
+    round's delta simply APPENDS to the sketch table and readers
+    (``with_bloom_flag_cogrouped``) fold all versions of a bucket with
+    bitwise OR inside the same task that applies them. ``expected_items``
+    must stay constant across a warehouse's life (it fixes m and k —
+    bitmaps of different geometry don't OR)."""
+    import pandas as pd
+
+    per = max(1, expected_items // num_buckets)
+    m, k = optimal_params(per, fpp)
+    parts = _partial_bucket_bitmaps(df, hash_col, num_buckets, m, k)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for b in pdf["bits"]:
+            bits |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "num_bits": [m],
+                "num_hashes": [k],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return parts.groupBy("bucket").applyInPandas(
+        fold, "bucket int, num_bits long, num_hashes int, bits binary"
+    )
+
+
+def build_bucketed_bloom(
+    df: DataFrame,
+    hash_col: str,
+    num_buckets: int,
+    expected_items: int,
+    fpp: float = 1e-3,
+) -> BucketedBloom:
+    """Distributed sharded build: each partition emits (bucket, bits)
+    rows for the buckets it saw; per-bucket OR-merge via reduceByKey —
+    the shuffle moves only bitmaps (B × m/8 bytes), never rows."""
+    per = max(1, expected_items // num_buckets)
+    m, k = optimal_params(per, fpp)
+    nbytes = m // 8
+    B = num_buckets
+    parts = _partial_bucket_bitmaps(df, hash_col, B, m, k)
     merged = dict(
         parts.rdd.map(
             lambda r: (r.bucket, np.frombuffer(r.bits, dtype=np.uint8))
@@ -292,7 +343,13 @@ def with_bloom_flag_cogrouped(
     exactly one bucket's bitmap. At 10^10 URLs the 2 GB of total bitmap
     lives as B shards across tasks instead of resident on every
     executor. Cost: one shuffle of the candidates by bucket — which the
-    downstream seen anti-join (also keyed by url) would pay anyway."""
+    downstream seen anti-join (also keyed by url) would pay anyway.
+
+    ``bits_df`` may hold SEVERAL rows per bucket (the warehouse-persisted
+    sketch appends one delta bitmap per round): bitmaps OR-merge, so the
+    apply folds all of a bucket's versions inside the task that probes
+    it — the reader never needs a separate compaction pass to be
+    correct (``fold`` in the engine just bounds row growth)."""
     import pandas as pd
 
     out_schema = T.StructType(
@@ -312,11 +369,13 @@ def with_bloom_flag_cogrouped(
             return cand.assign(**{flag: pd.Series([], dtype=bool)})
         if blm.empty:  # no bitmap for this bucket ⇒ nothing seen
             return cand.assign(**{flag: False})
-        row = blm.iloc[0]
+        bits = np.zeros(len(blm["bits"].iloc[0]), dtype=np.uint8)
+        for b in blm["bits"]:
+            bits |= np.frombuffer(b, dtype=np.uint8)
         filt = BloomFilter(
-            num_bits=int(row.num_bits),
-            num_hashes=int(row.num_hashes),
-            bits=np.frombuffer(row.bits, dtype=np.uint8),
+            num_bits=int(blm["num_bits"].iloc[0]),
+            num_hashes=int(blm["num_hashes"].iloc[0]),
+            bits=bits,
         )
         h = cand[hash_col].to_numpy().astype(np.uint64)
         return cand.assign(**{flag: filt.contains_vec(h)})

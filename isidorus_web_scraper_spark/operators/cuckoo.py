@@ -349,7 +349,13 @@ def with_cuckoo_flag_cogrouped(
     the twin of bloom.with_bloom_flag_cogrouped: candidates cogroup with
     the (bucket, table) frame, each task holds exactly one shard's
     table. The candidate shuffle is keyed the same way the downstream
-    seen anti-join shuffles, so it is not an extra pass at scale."""
+    seen anti-join shuffles, so it is not an extra pass at scale.
+
+    ``table_df`` may hold several VERSIONS of a shard (the
+    warehouse-persisted sketch appends a full updated shard per round —
+    cuckoo tables don't OR-merge, so versions supersede rather than
+    fold): when a ``seq`` column is present the apply probes the
+    highest-seq row only."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -368,7 +374,7 @@ def with_cuckoo_flag_cogrouped(
             return cand.assign(**{flag: pd.Series([], dtype=bool)})
         if tbl.empty:  # no shard built ⇒ nothing seen in this bucket
             return cand.assign(**{flag: False})
-        row = tbl.iloc[0]
+        row = tbl.loc[tbl["seq"].idxmax()] if "seq" in tbl.columns else tbl.iloc[0]
         ck = CuckooFilter(
             num_buckets=int(row.num_buckets),
             table=np.frombuffer(row.table, dtype=np.uint16).reshape(-1, _SLOTS),
@@ -378,3 +384,97 @@ def with_cuckoo_flag_cogrouped(
         return cand.assign(**{flag: ck.contains_vec(h)})
 
     return grouped.applyInPandas(apply, out_schema)
+
+
+# warehouse-persisted sketch row shape: one full shard table per
+# version; `seq` is a warehouse-wide monotonically increasing write
+# counter (rounds, deletes and folds each claim the next value), so
+# "current shard" = max-seq row per bucket with no reliance on
+# file-read order or round-number ties.
+CUCKOO_SKETCH_SCHEMA = (
+    "bucket int, num_buckets long, count long, saturated boolean, "
+    "table binary, seq long"
+)
+
+
+def update_cuckoo_shards(
+    hashes_df,
+    sketch_df,
+    num_shards: int,
+    expected_per_shard: int,
+    seq: int,
+    op: str = "insert",
+):
+    """Distributed shard update — the warehouse-persisted sketch's write
+    path (VERDICT r4 item 1: the driver never holds the sketch). The
+    batch's hashes cogroup with the current sketch rows per bucket; each
+    task folds its bucket to the latest version (max ``seq``), applies
+    the insert/delete batch with the same :class:`CuckooFilter` code the
+    driver path uses, and emits ONE updated full-shard row stamped
+    ``seq``. Untouched buckets emit nothing (their old max-seq row stays
+    current), so the per-round write volume is touched-shards only.
+
+    Cuckoo tables don't OR-merge, so versions SUPERSEDE: readers (and
+    the engine's fold) keep only the max-seq row per bucket. Reference
+    analog: Redis holding the seen set out-of-process
+    (workers/scraper/repositories/redis_client.go:44-50) — here the
+    \"Redis\" is the warehouse table and the update is one cogrouped
+    Spark pass."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    B = num_shards
+    hcol = hashes_df.columns[0]
+    with_bucket = hashes_df.select(F.col(hcol).alias("h")).withColumn(
+        "b", F.pmod(F.col("h"), F.lit(B)).cast("int")
+    )
+    grouped = with_bucket.groupBy("b").cogroup(sketch_df.groupBy("bucket"))
+
+    def apply(h_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+        if h_pdf.empty:  # untouched bucket: current version stays
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int32"),
+                    "num_buckets": pd.Series([], dtype="int64"),
+                    "count": pd.Series([], dtype="int64"),
+                    "saturated": pd.Series([], dtype="bool"),
+                    "table": pd.Series([], dtype=object),
+                    "seq": pd.Series([], dtype="int64"),
+                }
+            )
+        bucket = int(h_pdf["b"].iloc[0])
+        if s_pdf.empty:
+            ck = CuckooFilter.sized_for(expected_per_shard)
+        else:
+            row = (
+                s_pdf.loc[s_pdf["seq"].idxmax()]
+                if "seq" in s_pdf.columns
+                else s_pdf.iloc[0]
+            )
+            ck = CuckooFilter(
+                num_buckets=int(row.num_buckets),
+                table=np.frombuffer(row.table, dtype=np.uint16)
+                .reshape(-1, _SLOTS)
+                .copy(),
+                count=int(row["count"]),
+                saturated=bool(row.saturated),
+            )
+        h = h_pdf["h"].to_numpy()
+        if op == "insert":
+            ck.insert_vec(h)
+        elif op == "delete":
+            ck.delete_vec(h)
+        else:
+            raise ValueError(f"unknown op {op!r}")
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "num_buckets": [ck.num_buckets],
+                "count": [ck.count],
+                "saturated": [ck.saturated],
+                "table": [ck.table.tobytes()],
+                "seq": [seq],
+            }
+        )
+
+    return grouped.applyInPandas(apply, CUCKOO_SKETCH_SCHEMA)

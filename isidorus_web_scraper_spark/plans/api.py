@@ -204,6 +204,68 @@ def search_pages_indexed(
     )
 
 
+def search_pages_indexed_substring(
+    wh: Warehouse,
+    term: str,
+    user_id: int,
+    grams_path: str,
+    term_buckets: int = 64,
+    gram_len: int = 3,
+) -> DataFrame:
+    """SUBSTRING search served by the character n-gram index
+    (sources/postings.py build_grams — the pg_trgm / Code-Search
+    design): candidate docs = AND-intersection of the term's gram
+    posting lists (bucket-pruned probe, one hash aggregate), then the
+    FEW candidates are verified + scored + highlighted by broadcast
+    point-retrieval of their pages rows. Output and semantics are
+    EXACTLY ``search_pages`` (substring over content-or-summary, token
+    TF score, top-3 snippets) — the index changes what gets READ, never
+    the answer; with it the scan path becomes oracle-only (VERDICT r4
+    stretch 7).
+
+    Fence: a term shorter than the gram length has no grams to
+    intersect — delegate to the scan (the reference's OpenSearch
+    edge-ngram analyzers bottom out the same way)."""
+    t = term.lower()
+    if len(t) < gram_len:
+        return search_pages(wh, term, user_id)
+    from ..sources.postings import probe_gram_candidates
+
+    cand = (
+        probe_gram_candidates(wh.spark, grams_path, t, gram_len, term_buckets)
+        .filter(F.col("user_id") == user_id)
+        .select("scraping_id", "url", "round")
+    )
+    pages = wh.read("pages").select(
+        "scraping_id",
+        "url",
+        "round",
+        "content",
+        F.col("summary").alias("page_summary"),
+    )
+    verified = pages.join(F.broadcast(cand), ["scraping_id", "url", "round"]).filter(
+        F.lower("content").contains(t)
+        | F.lower(F.coalesce("page_summary", F.lit(""))).contains(t)
+    )
+    tf = F.size(
+        F.filter(F.split(F.lower("content"), " ", -1), lambda w: w == F.lit(t))
+    )
+    quoted = "\\Q" + t.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    highlights = F.slice(
+        F.regexp_extract_all(
+            F.col("content"), F.lit(f"(?i).{{0,30}}{quoted}.{{0,30}}"), 0
+        ),
+        1,
+        3,
+    )
+    return verified.select(
+        "url",
+        "scraping_id",
+        tf.alias("score"),
+        highlights.alias("highlights"),
+    ).orderBy(F.desc("score"), "url")
+
+
 def rebuild_postings(
     wh: Warehouse, postings_path: str, term_buckets: int = 64
 ) -> None:
@@ -223,6 +285,33 @@ def rebuild_postings(
             term_buckets,
         ),
         postings_path,
+        mode="overwrite",
+        partition_cols=["round", "term_bucket"],
+    )
+
+
+def rebuild_grams(
+    wh: Warehouse, grams_path: str, term_buckets: int = 64, gram_len: int = 3
+) -> None:
+    """Full rebuild of the substring (n-gram) index from pages —
+    same repair story as ``rebuild_postings``; grams cover content AND
+    summary because ``search_pages`` matches either."""
+    from ..sources.postings import build_grams, write_postings
+
+    pages = wh.read("pages")
+    docs = wh.read("index_docs").select("scraping_id", "url", "round", "user_id")
+    src = pages.join(docs, ["scraping_id", "url", "round"], "left").select(
+        "scraping_id", "url", "user_id", "round", "content", "summary"
+    )
+    write_postings(
+        build_grams(
+            src,
+            ["scraping_id", "url", "user_id", "round"],
+            ["content", "summary"],
+            gram_len,
+            term_buckets,
+        ),
+        grams_path,
         mode="overwrite",
         partition_cols=["round", "term_bucket"],
     )

