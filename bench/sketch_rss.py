@@ -32,7 +32,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, resource, shutil, sys, tempfile
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@@REPO@@")
 from pyspark.sql import SparkSession
 
 mode, expected = sys.argv[1], int(sys.argv[2])
@@ -89,7 +89,7 @@ spark.stop()
 
 def run_child(mode: str, expected: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), mode, str(expected)],
+        [sys.executable, "-c", CHILD.replace("@@REPO@@", REPO), mode, str(expected)],
         capture_output=True,
         text=True,
         timeout=900,

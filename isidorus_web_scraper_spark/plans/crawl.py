@@ -267,6 +267,10 @@ class CrawlEngine:
         # commit-pruning window starts at 0 and never prunes commits from
         # earlier scrapings sharing this warehouse.
         r0 = self._next_round()
+        # new seeds can introduce hosts the steady-state robots gate's
+        # carried set has never seen (streaming crawl enqueues mid-life)
+        # — force the next round to re-derive hosts from its frontier
+        self._next_round_hosts = None
         crawls = self.spark.createDataFrame(
             [(s, u, url, d) for (s, u, url, d) in seeds],
             "scraping_id long, user_id long, url string, depth int",
@@ -303,6 +307,22 @@ class CrawlEngine:
             ),
             {"round": r0},
         )
+        # Mid-life start (the streaming crawl enqueues seeds into a
+        # running engine): an ALREADY-BUILT sketch predates these seeds,
+        # so a link cycling back to a seed would be sketch-negative —
+        # "definitely new", bypassing the exact anti-join — and get
+        # refetched. OR the seed self-marks in now. Fresh engines skip
+        # both branches: run() builds/inits the sketch from `seen`,
+        # which already includes the seeds.
+        seed_hashes = frontier0.select(url_hash_col("url").alias("url_hash"))
+        if self._use_wh_sketch:
+            if self.wh.exists(SKETCH_TABLE):
+                # tagged r0-1 like the init commit: re-running round r0
+                # (rollback) must not drop the seeds' marks — their seen
+                # rows survive that rollback too
+                self._sketch_append_round(seed_hashes, r0 - 1, len(seeds))
+        elif self._bloom is not None:
+            self._or_into_bloom(seed_hashes, len(seeds))
 
     # ----------------------------------------------------------------- fetch
     def _fetch(self, to_fetch: DataFrame) -> DataFrame:

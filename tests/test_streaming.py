@@ -93,3 +93,155 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_small, tmp_path):
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)), "duplicates leaked through"
     assert sorted(ids) == sorted(r.event_id for r in events.collect())
+
+
+# ---------------------------------------------------------------------------
+# Streaming-driven crawl (streaming/crawl_stream.py): seed messages
+# arrive as files (the SQS long-poll analog), foreachBatch drives the
+# SAME batch engine. Streaming adds delivery, never semantics — the end
+# state equals the batch crawl's, and redelivered batches no-op.
+# ---------------------------------------------------------------------------
+def _crawl_cfg():
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig
+
+    return CrawlConfig(
+        bloom_expected_urls=4096,
+        default_budget=1_000_000_000,
+        summarizer_enabled=False,
+    )
+
+
+def test_streaming_crawl_equals_batch(spark, tmp_path):
+    import json
+
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.crawl import CrawlEngine
+    from isidorus_web_scraper_spark.streaming.crawl_stream import (
+        process_seed_batch,
+        run_streaming_crawl,
+    )
+
+    docs = generate_documents(spark, n_hosts=6).persist()
+    seeds = [
+        (201, 1, "http://h0.test/p0.html", 2),
+        (202, 2, "http://h1.test/p0.html", 2),
+    ]
+
+    batch = CrawlEngine(
+        spark, str(tmp_path / "batch"), documents=docs, config=_crawl_cfg()
+    )
+    batch.start(seeds)
+    batch.run()
+
+    stream_eng = CrawlEngine(
+        spark, str(tmp_path / "stream"), documents=docs, config=_crawl_cfg()
+    )
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    for i, (sid, uid, url, depth) in enumerate(seeds):
+        (seeds_dir / f"seed{i}.json").write_text(
+            json.dumps(
+                {"scraping_id": sid, "user_id": uid, "url": url, "depth": depth}
+            )
+        )
+    # maxFilesPerTrigger=1 forces the two messages through SEPARATE
+    # micro-batches: scraping 202 enters an engine mid-life, rounds
+    # offset from the batch twin's — equality below is on round-free
+    # columns because round numbering is delivery-dependent by design
+    run_streaming_crawl(
+        stream_eng,
+        str(seeds_dir),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+
+    def state(eng, table, cols):
+        return {
+            tuple(r[c] for c in cols)
+            for r in eng.wh.read(table).select(*cols).collect()
+        }
+
+    checks = [
+        ("pages", ["scraping_id", "url", "content"]),
+        ("seen", ["scraping_id", "url"]),
+        ("links", ["scraping_id", "source_url", "target_url"]),
+        ("jobs", ["scraping_id", "status", "links_count"]),
+    ]
+    for table, cols in checks:
+        assert state(stream_eng, table, cols) == state(batch, table, cols), table
+    assert state(batch, "jobs", ["status"]) == {("COMPLETED",)}
+
+    # redelivery (epoch crash after engine committed): the same seed
+    # batch re-enters foreachBatch — scraping_ids already in jobs are
+    # dropped and the drained frontier no-ops; end state unchanged
+    redelivered = spark.createDataFrame(
+        [seeds[0]], "scraping_id long, user_id long, url string, depth int"
+    )
+    before = state(stream_eng, "crawls", ["scraping_id", "url"])
+    process_seed_batch(stream_eng, redelivered, batch_id=99)
+    assert state(stream_eng, "crawls", ["scraping_id", "url"]) == before
+    for table, cols in checks:
+        assert state(stream_eng, table, cols) == state(batch, table, cols), table
+    docs.unpersist()
+
+
+def test_streaming_crawl_discovers_new_hosts_per_batch(spark, tmp_path):
+    """A later seed batch introduces a NEW host: the steady-state robots
+    gate must re-derive hosts (start() invalidates the carried set) so
+    the new host is probed and its rules enforced."""
+    import json
+
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from isidorus_web_scraper_spark.streaming.crawl_stream import (
+        run_streaming_crawl,
+    )
+
+    def _html(links):
+        return "<html><body>" + "".join(
+            f'<a href="{u}">x</a>' for u in links
+        ) + "</body></html>"
+
+    docs = spark.createDataFrame(
+        [
+            ("http://h0.test/p0.html", _html([])),
+            ("http://h1.test/robots.txt", "User-agent: *\nDisallow: /blocked\n"),
+            (
+                "http://h1.test/p0.html",
+                _html(["http://h1.test/blocked/x.html", "http://h1.test/ok.html"]),
+            ),
+            ("http://h1.test/ok.html", _html([])),
+            ("http://h1.test/blocked/x.html", _html([])),
+        ],
+        "doc_id string, html string",
+    )
+    cfg = CrawlConfig(
+        bloom_expected_urls=4096,
+        default_budget=1_000_000_000,
+        summarizer_enabled=False,
+        discover_robots=True,
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "w"), documents=docs, config=cfg)
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    (seeds_dir / "s0.json").write_text(
+        json.dumps(
+            {"scraping_id": 1, "user_id": 1, "url": "http://h0.test/p0.html", "depth": 1}
+        )
+    )
+    run_streaming_crawl(eng, str(seeds_dir), str(tmp_path / "ckpt"))
+    assert {r.host for r in eng.wh.read("robots").collect()} == {"h0.test"}
+
+    # second batch, new host h1 — dropped as a new file, same checkpoint
+    (seeds_dir / "s1.json").write_text(
+        json.dumps(
+            {"scraping_id": 2, "user_id": 1, "url": "http://h1.test/p0.html", "depth": 2}
+        )
+    )
+    run_streaming_crawl(eng, str(seeds_dir), str(tmp_path / "ckpt"))
+    assert {r.host for r in eng.wh.read("robots").collect()} == {
+        "h0.test",
+        "h1.test",
+    }
+    urls = {r.url for r in eng.wh.read("pages").collect()}
+    assert "http://h1.test/ok.html" in urls
+    assert "http://h1.test/blocked/x.html" not in urls  # rules enforced
