@@ -1420,18 +1420,28 @@ class CrawlEngine:
             self._fold_sketch()
         if self.config.index_postings or self.config.index_grams:
             # OpenSearch segment-merge analog: fold completed rounds'
-            # posting/gram files per bucket so probes open O(1) files
-            # regardless of crawl length; rounds that can still roll
-            # back (> completed_round) stay as live round dirs
+            # posting/gram files per bucket. Periodic passes (refold=
+            # False) fold only the NEW rounds into an additional store —
+            # linear total I/O, ≤ R/K stores mid-crawl; finalize
+            # (refold=True) collapses everything to one store so probes
+            # open O(1) files per bucket regardless of crawl length.
+            # Rounds that can still roll back (> completed_round) stay
+            # as live round dirs.
             from ..sources.postings import compact_postings
 
             if self.config.index_postings:
                 compact_postings(
-                    self.spark, self.postings_path, upto_round=completed_round
+                    self.spark,
+                    self.postings_path,
+                    upto_round=completed_round,
+                    refold=refold,
                 )
             if self.config.index_grams:
                 compact_postings(
-                    self.spark, self.grams_path, upto_round=completed_round
+                    self.spark,
+                    self.grams_path,
+                    upto_round=completed_round,
+                    refold=refold,
                 )
 
     def forget_scraping(self, scraping_id: int, user_id: int) -> None:

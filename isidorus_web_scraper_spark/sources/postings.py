@@ -110,9 +110,12 @@ def write_postings(
 def _read_meta(path: str) -> dict:
     p = os.path.join(path, _META)
     if not os.path.exists(p):
-        return {"compact_dir": None, "folded_upto_round": -1}
+        return {"compact_dirs": [], "folded_upto_round": -1}
     with open(p) as f:
-        return json.load(f)
+        meta = json.load(f)
+    if "compact_dirs" not in meta:  # single-store layout (pre-leveled)
+        meta["compact_dirs"] = [meta["compact_dir"]] if meta.get("compact_dir") else []
+    return meta
 
 
 def _swap_meta(path: str, meta: dict) -> None:
@@ -137,17 +140,20 @@ def _live_round_dirs(path: str, above_round: int) -> list[tuple[int, str]]:
 
 
 def read_postings(spark: SparkSession, path: str) -> DataFrame:
-    """The full index = compacted store ∪ live (unfolded) round dirs.
+    """The full index = compacted stores ∪ live (unfolded) round dirs.
     Live dirs are enumerated explicitly with ``basePath`` so ``round``
     stays a partition column AND folded-but-not-yet-GC'd dirs (crash
     window) are excluded by the ``folded_upto_round`` bound — never
-    read twice. Both scans partition-prune on ``term_bucket``."""
+    read twice. All scans partition-prune on ``term_bucket``.
+
+    Several compacted stores can coexist (leveled: each periodic pass
+    folds only the NEW rounds — W3's refold_compacted=False analog —
+    so an R-round crawl holds ≤ R/K stores mid-crawl and finalize
+    collapses them to one)."""
     meta = _read_meta(path)
     parts: list[DataFrame] = []
-    if meta.get("compact_dir"):
-        parts.append(
-            spark.read.parquet(os.path.join(path, meta["compact_dir"]))
-        )
+    for d in meta["compact_dirs"]:
+        parts.append(spark.read.parquet(os.path.join(path, d)))
     live = _live_round_dirs(path, meta["folded_upto_round"])
     if live:
         parts.append(
@@ -178,16 +184,21 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
 
 
 def compact_postings(
-    spark: SparkSession, path: str, upto_round: int
+    spark: SparkSession, path: str, upto_round: int, refold: bool = True
 ) -> None:
-    """Fold completed rounds (≤ ``upto_round``) plus the previous
-    compacted store into ONE fresh per-bucket store — the OpenSearch
-    segment-merge analog. ``round`` becomes a data column inside the
-    folded files (probes and the highlights join read it unchanged);
-    the live ``round=N`` dirs stay the rollback unit for rounds beyond
-    the fold. Total fold I/O is linear in data written when driven at
-    the engine's cadence (periodic passes re-fold one compacted store +
-    K new rounds; the store is itself bounded by total postings).
+    """Fold completed rounds (≤ ``upto_round``) into a fresh per-bucket
+    store — the OpenSearch segment-merge analog. ``round`` becomes a
+    data column inside the folded files (probes and the highlights join
+    read it unchanged); the live ``round=N`` dirs stay the rollback
+    unit for rounds beyond the fold.
+
+    ``refold=False`` (the engine's periodic cadence, W3's
+    refold_compacted=False analog) folds ONLY the new rounds into an
+    ADDITIONAL store: each pass's I/O is the K new rounds, so total
+    periodic I/O stays linear in data written, at the cost of ≤ R/K
+    coexisting stores mid-crawl. ``refold=True`` (finalize) also reads
+    the existing stores and collapses everything to ONE store — one
+    file per bucket regardless of crawl length.
 
     Crash-safe without the warehouse's commit machinery (the index is
     derived data): the meta pointer swap is atomic; before the swap
@@ -199,15 +210,19 @@ def compact_postings(
     live = [
         (r, p) for (r, p) in _live_round_dirs(path, folded) if r <= upto_round
     ]
-    if not live:
+    old_dirs = meta["compact_dirs"]
+    if not live and not (refold and len(old_dirs) > 1):
         return
-    parts: list[DataFrame] = [
-        spark.read.option("basePath", path).parquet(*[p for (_r, p) in live])
-    ]
-    if meta.get("compact_dir"):
+    parts: list[DataFrame] = []
+    if live:
         parts.append(
-            spark.read.parquet(os.path.join(path, meta["compact_dir"]))
+            spark.read.option("basePath", path).parquet(
+                *[p for (_r, p) in live]
+            )
         )
+    doomed_dirs = old_dirs if refold else []
+    for d in doomed_dirs:
+        parts.append(spark.read.parquet(os.path.join(path, d)))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -217,18 +232,22 @@ def compact_postings(
         .write.partitionBy("term_bucket")
         .parquet(os.path.join(path, new_dir))
     )
-    old_dir = meta.get("compact_dir")
+    kept = [] if refold else list(old_dirs)
     _swap_meta(
         path,
-        {"compact_dir": new_dir, "folded_upto_round": max(upto_round, folded)},
+        {
+            "compact_dirs": kept + [new_dir],
+            "folded_upto_round": max(upto_round, folded),
+        },
     )
     # GC after the swap: failures leave orphans readers already ignore
-    if old_dir:
-        shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
+    for d in doomed_dirs:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     for _r, p in live:
         shutil.rmtree(p, ignore_errors=True)
+    surviving = set(kept + [new_dir])
     for d in os.listdir(path):  # orphaned folds from crashed attempts
-        if d.startswith("compact-") and d != new_dir:
+        if d.startswith("compact-") and d not in surviving:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 

@@ -169,7 +169,8 @@ def test_compaction_bounds_probe_files(spark, tmp_path):
     from isidorus_web_scraper_spark.sources.postings import _read_meta
 
     meta = _read_meta(path)
-    assert bucket_files(meta["compact_dir"]) == 1
+    assert len(meta["compact_dirs"]) == 1
+    assert bucket_files(meta["compact_dirs"][0]) == 1
     assert all(bucket_files(d) <= 1 for d in live)
 
     # second fold re-folds the store + remaining rounds into one
@@ -181,7 +182,8 @@ def test_compaction_bounds_probe_files(spark, tmp_path):
     assert final == before
     assert not [d for d in os.listdir(path) if d.startswith("round=")]
     meta = _read_meta(path)
-    assert bucket_files(meta["compact_dir"]) == 1  # O(1) regardless of rounds
+    assert len(meta["compact_dirs"]) == 1
+    assert bucket_files(meta["compact_dirs"][0]) == 1  # O(1) regardless of rounds
 
     # partition pruning survives the union plan (both stores prune)
     plan = (
@@ -377,3 +379,57 @@ def test_gram_rollback_removes_partial_round(spark, tmp_path):
     )
     assert left == [d for d in rounds if int(d.split("=")[1]) < last]
     docs.unpersist()
+
+
+def test_leveled_compaction_linear_io(spark, tmp_path):
+    """refold=False (the engine's periodic cadence): each pass folds
+    ONLY the new rounds into an additional store — W3's
+    refold_compacted=False analog. Content never changes; finalize's
+    refold=True collapses all stores to one."""
+    from isidorus_web_scraper_spark.sources.postings import (
+        _read_meta,
+        compact_postings,
+    )
+
+    path = str(tmp_path / "idx")
+    for rnd in range(6):
+        write_postings(
+            _round_postings(spark, rnd, [(1, f"u{rnd}", "spark spark")]),
+            path,
+            partition_cols=["round", "term_bucket"],
+        )
+    before = {
+        (r.url, r.round): r.frequency
+        for r in probe_postings(spark, path, "spark", 8).collect()
+    }
+
+    compact_postings(spark, path, upto_round=1, refold=False)
+    compact_postings(spark, path, upto_round=3, refold=False)
+    meta = _read_meta(path)
+    assert len(meta["compact_dirs"]) == 2  # levels coexist, no re-read
+    assert {d for d in os.listdir(path) if d.startswith("round=")} == {
+        "round=4",
+        "round=5",
+    }
+    assert {
+        (r.url, r.round): r.frequency
+        for r in probe_postings(spark, path, "spark", 8).collect()
+    } == before
+
+    # a refold pass with NO new live rounds still collapses the levels
+    compact_postings(spark, path, upto_round=3, refold=True)
+    meta = _read_meta(path)
+    assert len(meta["compact_dirs"]) == 1
+    assert {
+        (r.url, r.round): r.frequency
+        for r in probe_postings(spark, path, "spark", 8).collect()
+    } == before
+
+    compact_postings(spark, path, upto_round=5, refold=True)
+    meta = _read_meta(path)
+    assert len(meta["compact_dirs"]) == 1
+    assert not [d for d in os.listdir(path) if d.startswith("round=")]
+    assert {
+        (r.url, r.round): r.frequency
+        for r in probe_postings(spark, path, "spark", 8).collect()
+    } == before
