@@ -68,6 +68,14 @@ POL_IMPL = os.environ.get("SPARK_GRAFT_POLITENESS_IMPL", "vectorized")
 FUSE = os.environ.get("SPARK_GRAFT_FUSE", "1") == "1"
 # 1: crawl + host_health only (fast interleaved A/B loops); queries skipped
 CRAWL_ONLY = os.environ.get("SPARK_GRAFT_CRAWL_ONLY", "0") == "1"
+# "driver" (default, r1-r4-comparable) vs "warehouse": persist the
+# sharded seen-sketch as the seen_sketch table (distributed delta
+# appends + cogrouped table-fed apply; the 10^10-URL lifecycle path).
+# A/B'd in BENCH/BASELINE.md §17.
+SKETCH_STORE = os.environ.get("SPARK_GRAFT_SKETCH_STORE", "driver")
+# shard count when SKETCH_STORE=warehouse (must be >1: the table IS the
+# shard layout)
+SKETCH_BUCKETS = int(os.environ.get("SPARK_GRAFT_SKETCH_BUCKETS", "32"))
 BENCH_QUERIES = [
     "flagship_doc_stats",
     "crawl_bfs_depth3",
@@ -141,6 +149,12 @@ def crawl_bench(spark) -> tuple[float, dict]:
             repartition_parsed=CPUS if SALT else None,
             max_parallelism=min(CPUS, PY_CAP),
             politeness_impl=POL_IMPL,
+            sketch_store=SKETCH_STORE,
+            **(
+                {"bloom_buckets": SKETCH_BUCKETS}
+                if SKETCH_STORE == "warehouse"
+                else {}
+            ),
             # crawl metric = the round loop (r1/r2-comparable); the
             # finalize full-collapse is a completed-crawl I/O amortization,
             # A/B'd separately in BENCH/BASELINE.md (auto-compact section)
