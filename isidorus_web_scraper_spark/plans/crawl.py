@@ -76,6 +76,13 @@ from ..sources.warehouse import Warehouse
 # per shard version; bloom rows OR-fold, cuckoo rows supersede by seq)
 SKETCH_TABLE = "seen_sketch"
 
+# sketch_store='auto' flips to the warehouse-persisted sketch at this
+# expected-URL sizing: the driver-resident footprint is ~17 bits/URL
+# (measured, BENCH/r5_sketch_rss.json), so 2^28 expected URLs is
+# ~580 MB of driver RSS — past the point where holding it in the
+# driver (and re-shipping it per round) is sane on any cluster.
+AUTO_WH_SKETCH_URLS = 1 << 28
+
 
 @dataclass
 class CrawlConfig:
@@ -114,6 +121,11 @@ class CrawlConfig:
     # last driver-side bottleneck (VERDICT r4 item 1; reference analog:
     # Redis holds the seen set out-of-process, redis_client.go:44-50).
     # Requires bloom_buckets > 1 (the table IS the shard layout).
+    # "auto": resolves at engine construction — warehouse once the
+    # sizing implies a GB-scale driver footprint (the measured
+    # ~17 bits/URL of BENCH §17), driver below it, so the 10^10-URL
+    # configuration persists out-of-process WITHOUT opting in while
+    # small crawls keep the zero-I/O driver sketch.
     sketch_store: str = "driver"
     max_rounds: int = 64
     summarizer_enabled: bool = True       # WithFeatureFlags (scraper_service.go:217-256)
@@ -230,6 +242,18 @@ class CrawlEngine:
     def __post_init__(self):
         import os
 
+        # sketch_store='auto' resolves here, once per engine: warehouse
+        # when the sizing implies a GB-scale driver sketch AND a
+        # sharded layout exists to persist; driver otherwise. The
+        # resolved value is what every later check sees.
+        if self.config.sketch_store == "auto":
+            self.config.sketch_store = (
+                "warehouse"
+                if self.config.use_bloom
+                and self.config.bloom_buckets > 1
+                and self.config.bloom_expected_urls >= AUTO_WH_SKETCH_URLS
+                else "driver"
+            )
         self.wh = Warehouse(self.spark, self.warehouse_root)
         self._bloom: BloomFilter | BucketedBloom | None = None
         # robots steady-state gate (VERDICT r4 "what's wrong" #3): the

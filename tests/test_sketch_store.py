@@ -223,3 +223,30 @@ def test_warehouse_sketch_requires_shards(spark, tmp_path):
     eng.start(SEEDS)
     with pytest.raises(ValueError, match="bloom_buckets"):
         eng.run()
+
+
+def test_auto_store_resolves_by_sizing(spark, tmp_path):
+    """sketch_store='auto': GB-scale sizings persist to the warehouse
+    without opting in; small sizings keep the zero-I/O driver sketch;
+    an unsharded config can't persist (no shard layout) so it stays
+    driver-side whatever the sizing."""
+    from isidorus_web_scraper_spark.plans.crawl import AUTO_WH_SKETCH_URLS
+
+    def resolved(**over):
+        eng = CrawlEngine(
+            spark, str(tmp_path / "auto"), config=_cfg(sketch_store="auto", **over)
+        )
+        return eng.config.sketch_store
+
+    assert resolved() == "driver"  # 4096 expected urls
+    assert (
+        resolved(bloom_expected_urls=AUTO_WH_SKETCH_URLS) == "warehouse"
+    )
+    assert (
+        resolved(bloom_expected_urls=AUTO_WH_SKETCH_URLS, bloom_buckets=1)
+        == "driver"
+    )
+    assert (
+        resolved(bloom_expected_urls=AUTO_WH_SKETCH_URLS, use_bloom=False)
+        == "driver"
+    )
