@@ -56,9 +56,16 @@ def probe(small: int, big: int) -> dict:
     if os.path.exists(band_path):
         with open(band_path) as f:
             band = json.load(f)["purepy_8p_pages_per_sec_band"]
-    r8 = scaling.run_purepy_control(8, n_pages=8000)
-    rs = scaling.run_purepy_control(small, n_pages=6000)
-    rb = scaling.run_purepy_control(big, n_pages=12000)
+    # in-band check MUST use the band's own shape (bench.py
+    # host_health: 8 procs, 16k pages, spawn included) — the original
+    # 8k-page probe read ~2/3 of the band-comparable rate (spawn
+    # amortization) and tagged healthy hosts out-of-band all round.
+    r8 = scaling.run_purepy_control(8, n_pages=16_000)
+    # efficiency control: warmed pools, timed work only, equal
+    # pages-per-proc — a fixed ~1 s spawn over different walls at N vs
+    # 4N otherwise reads as false inefficiency (~0.79 on an idle host).
+    rs = scaling.run_purepy_control(small, n_pages=4_000 * small, warm=True)
+    rb = scaling.run_purepy_control(big, n_pages=4_000 * big, warm=True)
     eff = (rb / rs) / (big / small)
     return {
         "rate_8p": round(r8, 1),
