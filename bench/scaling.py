@@ -194,8 +194,16 @@ def main() -> None:
     # no-Spark control FIRST; a degraded host makes every absolute
     # Spark number void, so the run refuses (or stamps) rather than
     # publishing a silent regression.
+    # warmed pools + pages proportional to procs: the control must
+    # measure the host's CONTENTION profile, not pool-spawn
+    # amortization (a fixed ~1 s spawn inside a 1.7 s 8-proc wall read
+    # as 0.63 "efficiency" on an idle host) nor the sustained-
+    # single-proc LLC-monopoly ramp (1p rate grows +43% with run
+    # length; spin-hogs don't remove it, so it's cache/bandwidth
+    # monopoly, not turbo — measured 2026-08-17, BENCH/BASELINE.md §18)
     pre_ctrl = {
-        c: run_purepy_control(c, n_pages=20_000) for c in (args.small, args.big)
+        c: run_purepy_control(c, n_pages=10_000 * c, warm=True)
+        for c in (args.small, args.big)
     }
     pre_eff = (pre_ctrl[args.big] / pre_ctrl[args.small]) / ratio
     healthy = pre_eff >= args.health_min
@@ -236,7 +244,12 @@ def main() -> None:
                 )
         ctrl_series.append(
             round(
-                (run_purepy_control(args.big) / run_purepy_control(args.small))
+                (
+                    run_purepy_control(args.big, 10_000 * args.big, warm=True)
+                    / run_purepy_control(
+                        args.small, 10_000 * args.small, warm=True
+                    )
+                )
                 / ratio,
                 3,
             )
