@@ -202,26 +202,18 @@ _MINHASH_SIG_CTES = f"""
 """
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_MINHASH_SIG_CTES}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           count(DISTINCT a.band) AS shared_bands
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (md5-based permutations) + banded LSH:
-    candidate pairs are docs sharing a band bucket — the scale path for
-    near-dup at 10^10 docs (shuffle is per-bucket, never all-pairs)."""
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grams): distinct word trigrams per document — the shared
+    input of the LSH banding pass and the exact-Jaccard verify pass."""
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
+    return docs.select(
         "doc_id",
         F.array_distinct(word_ngrams(words(F.col("text")), 3)).alias("grams"),
     ).filter(F.size("grams") > 0)
+
+
+def _lsh_bands(grams: DataFrame) -> DataFrame:
+    """(doc_id, grams) → (doc_id, band, bucket) LSH banding rows."""
     # one md5 per gram, then k integer permutations (module comment at
     # _MH_PARAMS) — md5 is the dominant cost of the signature pass
     hashed = grams.select(
@@ -247,7 +239,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("sig"),
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -269,6 +261,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Self-join band rows on (band, bucket) → candidate (doc_a, doc_b,
+    shared_bands). Shuffle is per-bucket, never all-pairs."""
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -282,6 +279,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("a.band").alias("shared_bands"))
     )
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_SIG_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band) AS shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-based permutations) + banded LSH:
+    candidate pairs are docs sharing a band bucket — the scale path for
+    near-dup at 10^10 docs (shuffle is per-bucket, never all-pairs)."""
+    return _band_pairs(_lsh_bands(_doc_grams(spark, sf_dir)))
 
 
 # shared by dedup_lsh_verified_jaccard and dedup_clusters — the same
@@ -318,14 +333,17 @@ def dedup_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforced scale path that `dedup_ngram_jaccard` (all-pairs on a
     blocked subset) oracle-checks the verify arithmetic for — at 10^10
     docs ONLY this composition runs."""
-    docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(word_ngrams(words(F.col("text")), 3)).alias("grams"),
-    ).filter(F.size("grams") > 0)
-    cands = (
-        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").distinct()
-    )
+    from pyspark import StorageLevel
+
+    # grams feed BOTH the banding pass and the verify join; bands feed
+    # both sides of the candidate self-join. Persisting each runs the
+    # parse+trigram scan and the md5-per-gram minhash pass ONCE instead
+    # of three times (2 band sides + verify). MEMORY_AND_DISK spills at
+    # 100 TB; at that scale this is the difference between one and three
+    # full-corpus tokenize passes.
+    grams = _doc_grams(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _lsh_bands(grams).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _band_pairs(bands).select("doc_a", "doc_b").distinct()
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
