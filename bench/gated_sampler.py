@@ -2,10 +2,13 @@
 """Round-long gated scaling sampler (VERDICT r4 item 2).
 
 Loops for the whole round: every --period seconds, run the cheap
-pre-flight purepy control; only when the host is HEALTHY (control
+pre-flight purepy control; when the host is purepy-HEALTHY (control
 N->4N efficiency >= --health-min AND the 8-proc absolute rate is in
-the recorded quiet band) fire the full pinned interleaved grid
-(bench/scaling.py protocol). Append every probe + grid outcome to
+the recorded quiet band) confirm with a ~1-min pinned depth-1 Spark
+crawl probe (--spark-probe-min urls/s; the purepy control alone is
+blind to Spark-shaped degradation — see spark_probe's docstring), and
+only then fire the full pinned interleaved grid (bench/scaling.py
+protocol). Append every probe + grid outcome to
 BENCH/r5_sampler.jsonl; stop on the first grid whose median
 efficiency >= 0.8 (or engine/control >= 0.95 with control >= 0.8)
 with healthy pre+per-trial controls, writing it to
@@ -77,6 +80,29 @@ def probe(small: int, big: int) -> dict:
     }
 
 
+def spark_probe(big: int) -> float:
+    """Second-stage gate: a SHORT pinned depth-1 crawl at local[big]
+    (~25 s of Spark work + startup). The 2026-08-17 grids proved the
+    purepy control is blind to Spark-shaped degradation: three voided
+    grids ran with purepy efficiency 0.85-1.07 and in-band absolute
+    rates while the pinned Spark arms sat at 1/3 of their same-day
+    recorded pace (local[8] 940 urls/s vs a 3065 urls/s local[4] that
+    morning) and swung 2.4x between trials. Only a Spark-shaped probe
+    predicts Spark-shaped throughput; this one costs ~1 min and its
+    rate gates the 30-min grid."""
+    r = scaling.run_once(
+        big,
+        4096,
+        {
+            "SPARK_GRAFT_FUSE": "1",
+            "SPARK_GRAFT_CRAWL_ONLY": "1",
+            "SPARK_GRAFT_CRAWL_DEPTH": "1",
+        },
+        pin=True,
+    )
+    return float(r["extra"]["crawl_urls_per_sec"])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--period", type=int, default=420)
@@ -86,6 +112,16 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=8192)
     ap.add_argument("--health-min", type=float, default=0.75)
     ap.add_argument("--max-hours", type=float, default=6.0)
+    ap.add_argument(
+        "--spark-probe-min",
+        type=float,
+        default=1200.0,
+        help="minimum pinned local[big] depth-1 crawl rate (urls/s) to "
+        "fire the grid; calibration 2026-08-17: 602 urls/s in the "
+        "degraded window that voided three purepy-healthy grids, "
+        "~2000+ expected from the morning window that recorded "
+        "local[4]=3065 (see BENCH/BASELINE.md §19)",
+    )
     args = ap.parse_args()
 
     deadline = time.monotonic() + args.max_hours * 3600
@@ -97,6 +133,17 @@ def main() -> None:
         healthy = p["in_band"] and p["control_eff"] >= args.health_min
         log({"kind": "probe", "healthy": healthy, **p})
         if not healthy:
+            time.sleep(args.period)
+            continue
+
+        # stage 2: purepy-healthy — confirm with the Spark-shaped probe
+        # before paying for a 30-min grid (purepy alone passed three
+        # grids that Spark arms then voided)
+        sp = spark_probe(args.big)
+        sp_ok = sp >= args.spark_probe_min
+        log({"kind": "spark_probe", "rate": round(sp, 1),
+             "min": args.spark_probe_min, "ok": sp_ok})
+        if not sp_ok:
             time.sleep(args.period)
             continue
 
