@@ -108,7 +108,11 @@ def _table_corpus_path(spark) -> str:
     return path
 
 
-def crawl_bench(spark) -> tuple[float, dict]:
+def crawl_bench(
+    spark, depth: int | None = None, n_seeds: int | None = None
+) -> tuple[float, dict]:
+    depth = DEPTH if depth is None else depth
+    n_seeds = N_SEEDS if n_seeds is None else n_seeds
     wh_dir = tempfile.mkdtemp(prefix="iws-bench-")
     if MODE == "table":
         from isidorus_web_scraper_spark.sources.corpus_store import (
@@ -145,7 +149,7 @@ def crawl_bench(spark) -> tuple[float, dict]:
         config=CrawlConfig(
             default_budget=BUDGET,
             bloom_expected_urls=1 << 18,
-            max_rounds=DEPTH + 6,
+            max_rounds=depth + 6,
             repartition_parsed=CPUS if SALT else None,
             max_parallelism=min(CPUS, PY_CAP),
             politeness_impl=POL_IMPL,
@@ -163,10 +167,10 @@ def crawl_bench(spark) -> tuple[float, dict]:
     )
     if SKEW:
         # hot-host stress: every seed on host 0 (zipf head)
-        seeds = [(h, 1, page_url(0, h), DEPTH) for h in range(N_SEEDS)]
+        seeds = [(h, 1, page_url(0, h), depth) for h in range(n_seeds)]
     else:
         seeds = [
-            (h, 1, page_url(h % 4096, h // 4096), DEPTH) for h in range(N_SEEDS)
+            (h, 1, page_url(h % 4096, h // 4096), depth) for h in range(n_seeds)
         ]
     eng.start(seeds)
     t0 = time.monotonic()
@@ -263,11 +267,34 @@ def main() -> None:
     # VERDICT r4 "What's wrong" #2). healthy requires BOTH samples in
     # band — a mid-run collapse now voids the artifact that contains it.
     health_post = host_health()
+    # Spark-shaped probe (2026-08-17 evidence, BENCH/BASELINE.md §19):
+    # a window stamped purepy-healthy pre AND post recorded the crawl at
+    # 532 urls/s — 1/6 of the same code's same-week pace. CPU-rate
+    # controls cannot see Spark-shaped host degradation, so the stamp
+    # carries a depth-1 crawl's rate too: readers compare it against the
+    # floor (degraded windows read ~300-600; healthy local[32] sessions
+    # project 2000+) to adjudicate whether a bad headline number is code
+    # or host. Runs AFTER `total` is computed — timings are unaffected.
+    # CRAWL_ONLY callers (scaling grids, interleaved A/B loops) invoke
+    # bench.py many times with their own per-trial controls — skip the
+    # probe there so arms stay cheap and r1-r4-comparable.
     health = {
         "pre": health,
         "post": health_post,
         "healthy": health["healthy"] and health_post["healthy"],
     }
+    if not CRAWL_ONLY:
+        _, probe_extra = crawl_bench(spark, depth=1, n_seeds=4096)
+        probe_rate = probe_extra["crawl_urls_per_sec"]
+        probe_min = float(
+            os.environ.get("SPARK_GRAFT_SPARK_PROBE_MIN", "1500")
+        )
+        health.update(
+            spark_probe_urls_per_sec=probe_rate,
+            spark_probe_min=probe_min,
+            spark_healthy=probe_rate >= probe_min,
+            healthy=health["healthy"] and probe_rate >= probe_min,
+        )
     print(
         json.dumps(
             {

@@ -1227,6 +1227,82 @@ def _connected_components(
     )
 
 
+@query(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE {_MINHASH_SQL_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    walk(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    clusters AS (
+      SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id
+    ),
+    tagged AS (
+      SELECT d.lang,
+             len(string_split(d.text, ' ')) AS n_words,
+             CASE WHEN c.doc_id IS NULL OR c.cluster_id = d.doc_id
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN kept = 1 THEN n_words ELSE 0 END) AS BIGINT)
+             AS kept_words
+    FROM tagged GROUP BY lang
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: materialize what a dedup job
+    actually ships. Near-dup clusters (LSH pairs → connected
+    components) pick one canonical survivor per cluster (min doc_id);
+    every unclustered doc survives by definition. Rolls up kept/dropped
+    counts and surviving word volume per language — the corpus-level
+    accounting a 100-TB dedup run reports. Scale shape: the clusters
+    frame holds only docs that appear in a dup pair (dup-fraction ×
+    corpus, typically ≪ corpus), so the left join broadcasts or
+    AQE-shuffles on the small side; the rollup is a partial-agg
+    hash-groupBy on lang."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = _connected_components(pairs).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents")
+    kept = F.when(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id")),
+        1,
+    ).otherwise(0)
+    tagged = (
+        docs.join(clusters, "doc_id", "left")
+        .select(
+            "lang",
+            F.size(F.split("text", " ", -1)).alias("n_words"),
+            kept.alias("kept"),
+        )
+    )
+    return tagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        (F.count("*") - F.sum("kept")).alias("n_dropped"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_words")).otherwise(0)).alias(
+            "kept_words"
+        ),
+    )
+
+
 # ===========================================================================
 # Multimodal media metadata (S3/S6 oracle coverage)
 # ===========================================================================
