@@ -99,3 +99,28 @@ def test_connected_components_deep_chain_bounded_plan(spark):
     # the 59-hop diameter
     plan = out._jdf.queryExecution().toString()
     assert plan.count("Join") <= 6, f"plan accreted joins:\n{plan[:2000]}"
+
+
+def test_lsh_verified_single_pass_plan(spark, sf_correct):
+    """dedup_lsh_verified_jaccard must read the corpus ONCE: the shared
+    grams frame and the derived bands frame are persisted, so the band
+    self-join's two sides and the verify join's two gram sides all scan
+    caches (4+ InMemoryTableScans), and the md5-per-gram minhash pass is
+    materialized a single time. Interleaved A/B: 22% wall saved at
+    sf0.1 (BENCH/BASELINE.md §19); at 100 TB this is one full-corpus
+    tokenize pass instead of three."""
+    from isidorus_web_scraper_spark.dataset_queries import (
+        dedup_lsh_verified_jaccard,
+    )
+
+    df = dedup_lsh_verified_jaccard(spark, sf_correct)
+    try:
+        # all four join leaves (band self-join's two sides, the verify
+        # join's two gram sides) must scan caches; the parquet FileScan
+        # text still APPEARS once per InMemoryRelation because toString
+        # displays the cached lineage, but only the cache build executes
+        # it — once.
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 4, plan[:3000]
+    finally:
+        spark.catalog.clearCache()
