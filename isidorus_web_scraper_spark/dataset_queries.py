@@ -859,6 +859,85 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_recall",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS qid, embedding AS qe, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qe, a.embedding) DESC,
+                          a.vec_id
+               ) AS rn
+        FROM qprobe q JOIN assign a ON a.cid = q.cid AND a.vec_id != q.qid
+      ) WHERE rn <= 5
+    ),
+    bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          e.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rn <= 5
+    )
+    SELECT count(*) AS n_truth,
+           CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 4) AS recall_at_5
+    FROM bf LEFT JOIN ivf i ON i.qid = bf.qid AND i.vec_id = bf.vec_id
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF-flat (nprobe=2) vs exact brute force — the same
+    pinned quality metric ann_multiprobe_recall provides for the LSH
+    path, closing the IVF family: topk + oracle-exact recall. On
+    isotropic synthetic embeddings nprobe=2 over ~n/50 cells bounds the
+    quality floor; real corpora cluster and read higher."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        "qid", F.col("neighbor").alias("vec_id")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "qid", F.col("neighbor").alias("vec_id")
+    ).withColumn("hit", F.lit(1))
+    joined = bf.join(ivf, ["qid", "vec_id"], "left")
+    return joined.agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*"), 4
+        ).alias("recall_at_5"),
+    )
+
+
+@query(
     "events_sessionization",
     """
     WITH ordered AS (
