@@ -183,11 +183,22 @@ def crawl_bench(
     import shutil
 
     shutil.rmtree(wh_dir, ignore_errors=True)
+    # marginal rate: the biggest round's own pages/s. Fixed per-round
+    # costs (codegen compile, worker spawn, commit bookkeeping) dominate
+    # small/short crawls and dilute the aggregate rate; grid-scale
+    # crawls are marginal-rate-dominated, so health probes gate on this.
+    big = max(stats, key=lambda s: s.fetched, default=None)
+    marginal = (
+        round(big.fetched / (big.wall_ms / 1000.0), 1)
+        if big and big.wall_ms
+        else 0.0
+    )
     return wall, {
         "crawl_rounds": len(stats),
         "crawl_urls_fetched": fetched,
         "crawl_urls_deduped": deduped,
         "crawl_urls_per_sec": round(fetched / wall, 1) if wall else 0.0,
+        "crawl_marginal_pages_per_sec": marginal,
     }
 
 
@@ -286,14 +297,21 @@ def main() -> None:
     if not CRAWL_ONLY:
         _, probe_extra = crawl_bench(spark, depth=1, n_seeds=4096)
         probe_rate = probe_extra["crawl_urls_per_sec"]
+        probe_marginal = probe_extra["crawl_marginal_pages_per_sec"]
+        # gate on the MARGINAL rate (biggest round's pages/s): the
+        # short probe's aggregate is fixed-cost-diluted; the headline
+        # crawl is marginal-rate-dominated. Floor calibrated for the
+        # default local[32]: degraded windows read well under 1500,
+        # healthy sessions 4000+.
         probe_min = float(
-            os.environ.get("SPARK_GRAFT_SPARK_PROBE_MIN", "1500")
+            os.environ.get("SPARK_GRAFT_SPARK_PROBE_MIN", "2500")
         )
         health.update(
             spark_probe_urls_per_sec=probe_rate,
+            spark_probe_marginal_pages_per_sec=probe_marginal,
             spark_probe_min=probe_min,
-            spark_healthy=probe_rate >= probe_min,
-            healthy=health["healthy"] and probe_rate >= probe_min,
+            spark_healthy=probe_marginal >= probe_min,
+            healthy=health["healthy"] and probe_marginal >= probe_min,
         )
     print(
         json.dumps(

@@ -80,7 +80,7 @@ def probe(small: int, big: int) -> dict:
     }
 
 
-def spark_probe(big: int) -> float:
+def spark_probe(big: int) -> tuple[float, float]:
     """Second-stage gate: a SHORT pinned depth-1 crawl at local[big]
     (~25 s of Spark work + startup). The 2026-08-17 grids proved the
     purepy control is blind to Spark-shaped degradation: three voided
@@ -100,7 +100,10 @@ def spark_probe(big: int) -> float:
         },
         pin=True,
     )
-    return float(r["extra"]["crawl_urls_per_sec"])
+    return (
+        float(r["extra"]["crawl_urls_per_sec"]),
+        float(r["extra"].get("crawl_marginal_pages_per_sec", 0.0)),
+    )
 
 
 def main() -> None:
@@ -115,12 +118,13 @@ def main() -> None:
     ap.add_argument(
         "--spark-probe-min",
         type=float,
-        default=1200.0,
-        help="minimum pinned local[big] depth-1 crawl rate (urls/s) to "
-        "fire the grid; calibration 2026-08-17: 602 urls/s in the "
-        "degraded window that voided three purepy-healthy grids, "
-        "~2000+ expected from the morning window that recorded "
-        "local[4]=3065 (see BENCH/BASELINE.md §19)",
+        default=3000.0,
+        help="minimum pinned local[big] depth-1 MARGINAL crawl rate "
+        "(biggest round's pages/s) to fire the grid; calibration "
+        "2026-08-17: 1529 in the degraded window that voided three "
+        "purepy-healthy grids (aggregate 602-680), ~4000+ projected "
+        "for the morning window that recorded pinned local[4]=3065 "
+        "aggregate (see BENCH/BASELINE.md §19)",
     )
     args = ap.parse_args()
 
@@ -138,10 +142,16 @@ def main() -> None:
 
         # stage 2: purepy-healthy — confirm with the Spark-shaped probe
         # before paying for a 30-min grid (purepy alone passed three
-        # grids that Spark arms then voided)
-        sp = spark_probe(args.big)
-        sp_ok = sp >= args.spark_probe_min
+        # grids that Spark arms then voided). The gate is the MARGINAL
+        # rate (biggest round's own pages/s): fixed per-round costs
+        # dominate the short probe's aggregate, while grid-scale crawls
+        # are marginal-rate-dominated — a probe aggregate of ~660 read
+        # identically in a window whose marginal rate was healthy and
+        # one whose grid collapsed.
+        sp, sp_marginal = spark_probe(args.big)
+        sp_ok = sp_marginal >= args.spark_probe_min
         log({"kind": "spark_probe", "rate": round(sp, 1),
+             "marginal": round(sp_marginal, 1),
              "min": args.spark_probe_min, "ok": sp_ok})
         if not sp_ok:
             time.sleep(args.period)
