@@ -168,9 +168,17 @@ def main() -> None:
             "--trials", str(args.trials), "--seeds", str(args.seeds),
             "--health-min", str(args.health_min),
         ]
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=5400, cwd=REPO
-        )
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=5400, cwd=REPO
+            )
+        except subprocess.TimeoutExpired:
+            # a degraded host can stretch the grid past the cap (6 arms
+            # × up to 1800 s + controls) — that is a FAILED grid, not a
+            # reason to kill the round-long watch
+            log({"kind": "grid", "outcome": "timeout"})
+            time.sleep(args.period)
+            continue
         summary = None
         buf = []
         for line in out.stdout.splitlines():

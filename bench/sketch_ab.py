@@ -21,10 +21,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import sys
 
-sys.path.insert(0, "/root/repo/bench")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import scaling  # noqa: E402
 
 

@@ -340,7 +340,13 @@ def dedup_lsh_verified_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parse+trigram scan and the md5-per-gram minhash pass ONCE instead
     # of three times (2 band sides + verify). MEMORY_AND_DISK spills at
     # 100 TB; at that scale this is the difference between one and three
-    # full-corpus tokenize passes.
+    # full-corpus tokenize passes. The caches deliberately outlive this
+    # call (the returned frame is lazy — unpersisting here would undo
+    # the sharing): one-shot sessions (bench, the driver gate) release
+    # them at exit, Spark evicts them LRU under storage pressure, and a
+    # long-lived session that wants the memory back immediately calls
+    # spark.catalog.clearCache() after collecting (as the plan-pin test
+    # does).
     grams = _doc_grams(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _lsh_bands(grams).persist(StorageLevel.MEMORY_AND_DISK)
     cands = _band_pairs(bands).select("doc_a", "doc_b").distinct()

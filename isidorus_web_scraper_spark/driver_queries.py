@@ -953,6 +953,14 @@ def search_indexed_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"iws-postings-cmp-{key}")
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
+        # build into a scratch dir and rename into place: the per-round
+        # writes APPEND, so re-running a half-built cache dir would
+        # duplicate posting rows permanently (and the marker would then
+        # hide it) — rebuild must be a repair, never an accretion
+        import shutil
+
+        tmp = f"{path}.build-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         docs = load(spark, sf_dir, "documents").withColumn(
             "round", (F.col("doc_id") % 3).cast("int")
         )
@@ -961,11 +969,13 @@ def search_indexed_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 build_postings(
                     docs.filter(F.col("round") == rnd), ["doc_id", "round"], "text"
                 ),
-                path,
+                tmp,
                 partition_cols=["round", "term_bucket"],
             )
-        compact_postings(spark, path, upto_round=1)
-        open(marker, "w").close()
+        compact_postings(spark, tmp, upto_round=1)
+        open(os.path.join(tmp, "_BUILT"), "w").close()
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
     return probe_postings(spark, path, "join").select(
         "doc_id", F.col("frequency").alias("tf")
     )

@@ -932,7 +932,14 @@ class CrawlEngine:
             # summary grams per page under the same (round, term_bucket)
             # layout — rollback/compaction ride the postings machinery.
             # The summary expression is re-evaluated off the cached `ok`
-            # blocks, identical to the pages writer's column.
+            # blocks, identical to the pages writer's column. INVARIANT:
+            # this requires a DETERMINISTIC summarizer — true for every
+            # provider this environment ships (mock = constant JVM
+            # expression, so the re-eval is free; network providers =
+            # constant fallback). A real nondeterministic LLM provider
+            # must instead build grams from the COMMITTED pages rows
+            # (read-back after the pages future completes) or the gram
+            # index can index a different summary than pages stores.
             from ..sources.postings import build_grams, write_postings
 
             src = ok.select(

@@ -49,11 +49,15 @@ def process_seed_batch(engine, batch_df: DataFrame, batch_id: int) -> None:
             r.scraping_id
             for r in engine.wh.read("jobs").select("scraping_id").collect()
         }
-    seeds = [
-        (r.scraping_id, r.user_id, r.url, r.depth)
-        for r in rows
-        if r.scraping_id not in existing
-    ]
+    # idempotency must also hold WITHIN a batch: at-least-once delivery
+    # can land a producer retry in the same micro-batch as its original
+    # (two files, one availableNow trigger) — first message wins, the
+    # duplicate no-ops instead of tripping engine.start's uniqueness check
+    seeds = []
+    for r in rows:
+        if r.scraping_id not in existing:
+            existing.add(r.scraping_id)
+            seeds.append((r.scraping_id, r.user_id, r.url, r.depth))
     if seeds:
         engine.start(seeds)
     engine.run()

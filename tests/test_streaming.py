@@ -245,3 +245,36 @@ def test_streaming_crawl_discovers_new_hosts_per_batch(spark, tmp_path):
     urls = {r.url for r in eng.wh.read("pages").collect()}
     assert "http://h1.test/ok.html" in urls
     assert "http://h1.test/blocked/x.html" not in urls  # rules enforced
+
+
+def test_streaming_crawl_intra_batch_duplicate_seed_noop(spark, tmp_path):
+    """At-least-once delivery can land a producer retry in the SAME
+    micro-batch as its original (two files, one availableNow trigger).
+    Idempotency must hold within the batch too: first message wins, the
+    duplicate is dropped — not a ValueError out of engine.start that
+    would kill the stream."""
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.crawl import CrawlEngine
+    from isidorus_web_scraper_spark.streaming.crawl_stream import (
+        process_seed_batch,
+    )
+
+    docs = generate_documents(spark, n_hosts=4).persist()
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), documents=docs, config=_crawl_cfg()
+    )
+    dup_batch = spark.createDataFrame(
+        [
+            (301, 1, "http://h0.test/p0.html", 1),
+            (301, 1, "http://h0.test/p0.html", 1),  # same-batch redelivery
+            (302, 2, "http://h1.test/p0.html", 1),
+        ],
+        "scraping_id long, user_id long, url string, depth int",
+    )
+    process_seed_batch(eng, dup_batch, batch_id=0)
+    jobs = {
+        (r.scraping_id, r.status)
+        for r in eng.wh.read("jobs").select("scraping_id", "status").collect()
+    }
+    assert jobs == {(301, "COMPLETED"), (302, "COMPLETED")}
+    docs.unpersist()
