@@ -243,6 +243,17 @@ def _partial_bucket_bitmaps(
     )
 
 
+def or_fold_bits(series) -> np.ndarray:
+    """OR a column of equal-geometry bitmap blobs into one bitmap — the
+    ONE merge rule for bloom bytes, shared by the delta builder, the
+    cogrouped reader, and the engine's sketch fold (bitmaps OR-merge;
+    readers fold every appended version of a bucket)."""
+    bits = np.zeros(len(series.iloc[0]), dtype=np.uint8)
+    for b in series:
+        bits |= np.frombuffer(b, dtype=np.uint8)
+    return bits
+
+
 def bucketed_bloom_delta_df(
     df: DataFrame,
     hash_col: str,
@@ -266,9 +277,7 @@ def bucketed_bloom_delta_df(
     parts = _partial_bucket_bitmaps(df, hash_col, num_buckets, m, k)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        for b in pdf["bits"]:
-            bits |= np.frombuffer(b, dtype=np.uint8)
+        bits = or_fold_bits(pdf["bits"])
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
@@ -369,9 +378,7 @@ def with_bloom_flag_cogrouped(
             return cand.assign(**{flag: pd.Series([], dtype=bool)})
         if blm.empty:  # no bitmap for this bucket ⇒ nothing seen
             return cand.assign(**{flag: False})
-        bits = np.zeros(len(blm["bits"].iloc[0]), dtype=np.uint8)
-        for b in blm["bits"]:
-            bits |= np.frombuffer(b, dtype=np.uint8)
+        bits = or_fold_bits(blm["bits"])
         filt = BloomFilter(
             num_bits=int(blm["num_bits"].iloc[0]),
             num_hashes=int(blm["num_hashes"].iloc[0]),

@@ -374,7 +374,7 @@ def with_cuckoo_flag_cogrouped(
             return cand.assign(**{flag: pd.Series([], dtype=bool)})
         if tbl.empty:  # no shard built ⇒ nothing seen in this bucket
             return cand.assign(**{flag: False})
-        row = tbl.loc[tbl["seq"].idxmax()] if "seq" in tbl.columns else tbl.iloc[0]
+        row = tbl.loc[current_shard_idx(tbl)]
         ck = CuckooFilter(
             num_buckets=int(row.num_buckets),
             table=np.frombuffer(row.table, dtype=np.uint16).reshape(-1, _SLOTS),
@@ -384,6 +384,16 @@ def with_cuckoo_flag_cogrouped(
         return cand.assign(**{flag: ck.contains_vec(h)})
 
     return grouped.applyInPandas(apply, out_schema)
+
+
+def current_shard_idx(tbl):
+    """Index label of a shard's LIVE version among appended rows:
+    max-``seq`` when the warehouse-sketch seq column exists (appended
+    versions supersede — cuckoo tables don't OR-merge), else the single
+    row. The ONE supersede rule, shared by the cogrouped reader, the
+    distributed updater, and the engine's fold — reader, writer and
+    compactor cannot drift."""
+    return tbl["seq"].idxmax() if "seq" in tbl.columns else tbl.index[0]
 
 
 # warehouse-persisted sketch row shape: one full shard table per
@@ -446,11 +456,7 @@ def update_cuckoo_shards(
         if s_pdf.empty:
             ck = CuckooFilter.sized_for(expected_per_shard)
         else:
-            row = (
-                s_pdf.loc[s_pdf["seq"].idxmax()]
-                if "seq" in s_pdf.columns
-                else s_pdf.iloc[0]
-            )
+            row = s_pdf.loc[current_shard_idx(s_pdf)]
             ck = CuckooFilter(
                 num_buckets=int(row.num_buckets),
                 table=np.frombuffer(row.table, dtype=np.uint16)

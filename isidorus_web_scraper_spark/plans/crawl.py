@@ -1267,26 +1267,29 @@ class CrawlEngine:
             return
         df = self.wh.read(SKETCH_TABLE)
         if self.config.seen_sketch == "cuckoo":
-            from ..operators.cuckoo import CUCKOO_SKETCH_SCHEMA
+            from ..operators.cuckoo import (
+                CUCKOO_SKETCH_SCHEMA,
+                current_shard_idx,
+            )
 
             def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-                return pdf.loc[[pdf["seq"].idxmax()]]
+                # same supersede rule the cogrouped reader and the
+                # distributed updater apply
+                return pdf.loc[[current_shard_idx(pdf)]]
 
             out = df.groupBy("bucket").applyInPandas(fold, CUCKOO_SKETCH_SCHEMA)
             props = {"compacted": True, "seq": self._next_sketch_seq() - 1}
         else:
-            def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-                import numpy as np
+            from ..operators.bloom import or_fold_bits
 
-                bits = np.zeros(len(pdf["bits"].iloc[0]), dtype=np.uint8)
-                for b in pdf["bits"]:
-                    bits |= np.frombuffer(b, dtype=np.uint8)
+            def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+                # same OR rule the delta builder and cogrouped reader use
                 return pd.DataFrame(
                     {
                         "bucket": [int(pdf["bucket"].iloc[0])],
                         "num_bits": [int(pdf["num_bits"].iloc[0])],
                         "num_hashes": [int(pdf["num_hashes"].iloc[0])],
-                        "bits": [bits.tobytes()],
+                        "bits": [or_fold_bits(pdf["bits"]).tobytes()],
                     }
                 )
 
