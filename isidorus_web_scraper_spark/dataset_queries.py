@@ -1388,6 +1388,159 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_build",
+    f"""
+    WITH RECURSIVE {_MINHASH_SQL_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    walk(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM verts
+      UNION
+      SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    clusters AS (
+      SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id
+    ),
+    bench AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(s[i:i+4], ' ')
+                for i in range(1, greatest(len(s) - 4, 0) + 1)])) AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s
+            FROM documents WHERE doc_id % 97 = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(list_distinct(
+               [array_to_string(s[i:i+4], ' ')
+                for i in range(1, greatest(len(s) - 4, 0) + 1)])) AS gram
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s
+            FROM documents WHERE doc_id % 97 != 0)
+    ),
+    contam AS (
+      SELECT c.doc_id, count(DISTINCT c.gram) AS n_over
+      FROM corpus c JOIN bench b ON b.gram = c.gram AND b.doc_id != c.doc_id
+      GROUP BY c.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> list_contains({_STOPWORDS.split()!r}, w)))
+                  AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio
+      FROM documents
+    ),
+    staged AS (
+      SELECT s.source, s.lang, s.n_words,
+             CASE WHEN s.doc_id % 97 = 0 THEN 'benchmark'
+                  WHEN NOT (s.n_words >= 20 AND s.n_chars >= 100
+                            AND s.stopword_ratio >= 0.01) THEN 'quality'
+                  WHEN cl.cluster_id IS NOT NULL
+                       AND cl.cluster_id != s.doc_id THEN 'dup'
+                  WHEN coalesce(ct.n_over, 0) >= 5 THEN 'contaminated'
+                  ELSE 'kept' END AS stage
+      FROM scored s
+      LEFT JOIN clusters cl ON cl.doc_id = s.doc_id
+      LEFT JOIN contam ct ON ct.doc_id = s.doc_id
+    )
+    SELECT source, lang, count(*) AS n_total,
+           CAST(sum(CASE WHEN stage = 'benchmark' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_benchmark,
+           CAST(sum(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_dropped,
+           CAST(sum(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_dropped,
+           CAST(sum(CASE WHEN stage = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN stage = 'kept' THEN n_words ELSE 0 END) AS BIGINT)
+             AS kept_words
+    FROM staged GROUP BY source, lang
+    """,
+)
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END PIPELINE: what a 100-TB training-corpus build
+    actually runs, composed from the individually-oracled stages —
+    benchmark holdout exclusion → quality gate (T5's thresholds) →
+    near-dup canonical dedup (D2 pairs → D7 clusters, min-id survivor)
+    → 5-gram decontamination (P1's overlap, drop at ≥5 shared grams) —
+    with per-(source, lang) attribution of every drop. Stage rules are
+    deterministic and order-fixed, so the whole composition
+    value-matches the oracle. Scale shape: each stage is the already-
+    audited plan (banded LSH, pointer-jump CC, gram-key shuffle); the
+    final attribution is two small-side left joins + a hash rollup."""
+    docs = load(spark, sf_dir, "documents")
+    warr = F.split("text", " ", -1)
+    n_words = F.size(warr)
+    stop_ratio = (
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " ", -1),
+                lambda w: F.array_contains(
+                    F.array(*[F.lit(s) for s in _STOPWORDS.split()]), w
+                ),
+            )
+        ).cast("double")
+        / F.greatest(n_words, F.lit(1))
+    )
+    quality_ok = (
+        (n_words >= 20) & (F.col("n_chars") >= 100) & (stop_ratio >= 0.01)
+    )
+    clusters = _connected_components(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    ).select("doc_id", "cluster_id")
+    contam = decontaminate_benchmark(spark, sf_dir).select(
+        "doc_id", F.col("n_overlapping_grams").alias("n_over")
+    )
+    staged = (
+        docs.select(
+            "doc_id", "source", "lang", "n_chars", "text",
+            n_words.alias("n_words"),
+            quality_ok.alias("quality_ok"),
+        )
+        .join(clusters, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "source",
+            "lang",
+            "n_words",
+            F.when(F.col("doc_id") % 97 == 0, "benchmark")
+            .when(~F.col("quality_ok"), "quality")
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("doc_id")),
+                "dup",
+            )
+            .when(F.coalesce("n_over", F.lit(0)) >= 5, "contaminated")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )
+    def n(stage: str, col: str) -> Column:
+        src = F.when(F.col("stage") == stage, F.col(col) if col else 1).otherwise(0)
+        return F.sum(src).cast("bigint")
+
+    return staged.groupBy("source", "lang").agg(
+        F.count("*").alias("n_total"),
+        n("benchmark", "").alias("n_benchmark"),
+        n("quality", "").alias("n_quality_dropped"),
+        n("dup", "").alias("n_dup_dropped"),
+        n("contaminated", "").alias("n_contaminated"),
+        n("kept", "").alias("n_kept"),
+        n("kept", "n_words").alias("kept_words"),
+    )
+
+
 # ===========================================================================
 # Multimodal media metadata (S3/S6 oracle coverage)
 # ===========================================================================
