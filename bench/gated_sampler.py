@@ -16,7 +16,11 @@ BENCH/scaling_success.json.
 
 Coordination: skips probes while /tmp/iws_busy exists — the developer
 touches it during their own Spark-heavy test runs so self-inflicted
-load is not recorded as co-tenant degradation.
+load is not recorded as co-tenant degradation — and, as a backstop for
+runs nobody flags, while a bench.py or pytest process is live on this
+machine (the per-round BENCH_r{N} artifact is produced by an external
+driver that does not know about the flag; a pinned probe landing inside
+its 2-minute window would skew the round's official numbers).
 """
 
 from __future__ import annotations
@@ -42,6 +46,32 @@ spec = importlib.util.spec_from_file_location(
 scaling = importlib.util.module_from_spec(spec)
 sys.modules["scaling"] = scaling
 spec.loader.exec_module(scaling)
+
+
+def foreign_spark_work() -> bool:
+    """True while someone else's measurement-sensitive work is live:
+    a ``bench.py`` run (the external per-round driver produces the
+    official BENCH_r{N} artifact without touching the busy flag) or a
+    ``pytest`` suite. Cheap /proc scan; own process tree excluded by
+    name (this file and scaling.py never match either pattern)."""
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                toks = f.read().decode(errors="replace").split("\0")
+        except OSError:
+            continue
+        # token-wise, not substring over the joined line: shell wrappers
+        # quoting unrelated commands must not read as live bench runs
+        for i, t in enumerate(toks):
+            base = t.rsplit("/", 1)[-1]
+            if base in ("bench.py", "pytest"):
+                return True
+            if t == "pytest" and i and toks[i - 1] == "-m":
+                return True
+    return False
 
 
 def log(rec: dict) -> None:
@@ -130,7 +160,7 @@ def main() -> None:
 
     deadline = time.monotonic() + args.max_hours * 3600
     while time.monotonic() < deadline:
-        if os.path.exists(BUSY_FLAG):
+        if os.path.exists(BUSY_FLAG) or foreign_spark_work():
             time.sleep(60)
             continue
         p = probe(args.small, args.big)
