@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "decontaminate_benchmark",
     "events_sessionization",
     "text_quality",
+    # r5 additions: temporal as-of join, substring-level dedup
+    "events_asof_join",
+    "dedup_exact_substring",
 ]
 
 

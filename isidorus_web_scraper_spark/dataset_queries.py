@@ -41,11 +41,17 @@ def words(c: Column) -> Column:
 
 def word_ngrams(arr: Column, n: int) -> Column:
     """Word n-grams via slice-comprehension (JVM-side).
-    DuckDB twin: [array_to_string(s[i:i+n-1], ' ') for i in range(...)]"""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
-    )
+    DuckDB twin: [array_to_string(s[i:i+n-1], ' ') for i in range(...)]
+    Guarded for short inputs: Spark's sequence(1, 0) counts DOWN
+    ([1, 0] — then slice(arr, 0, n) throws), so arrays shorter than n
+    return [] explicitly, matching the twin's empty comprehension."""
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -1979,4 +1985,367 @@ def politeness_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         "depth",
         F.when(F.col("rn") <= 4, F.lit("fetch")).otherwise(F.lit("defer")).alias("action"),
+    )
+
+
+# ===========================================================================
+# Round-5 additions: temporal joins, substring-level dedup, budgeted
+# sampling, rank statistics — the remaining relational shapes a corpus /
+# telemetry pipeline hits that none of the queries above exercise.
+# ===========================================================================
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+    views AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_event_id, c.user_id, c.ts AS click_ts,
+           v.event_id AS view_event_id, v.ts AS view_ts,
+           epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM views v
+      WHERE v.user_id = c.user_id AND v.ts <= c.ts
+      ORDER BY ts DESC, event_id DESC LIMIT 1
+    ) v ON TRUE
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click is joined to the SAME user's most recent
+    view at-or-before the click (ties on ts broken by max event_id;
+    clicks with no prior view keep nulls) — the attribution /
+    point-in-time-correctness join Spark has no native operator for.
+
+    Spark-first rendition: union-tag both sides, ONE shuffle on
+    user_id, then a running `last(ignorenulls)` window — linear scan
+    per user, never the per-row range probe a naive
+    `JOIN ... ON v.ts <= c.ts` plans (which Spark executes as a
+    broadcast nested loop / cartesian-per-key: quadratic per user and
+    un-runnable at 100 TB). At the same ts a view sorts before a click
+    (kind 0 < 1) so `v.ts <= c.ts` boundary rows are visible, and
+    among equal-ts views the max event_id sorts last — exactly the
+    oracle's ORDER BY ts DESC, event_id DESC LIMIT 1."""
+    events = load(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("v_event_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("v_event_id"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = views.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last("v_event_id", ignorenulls=True).over(w).alias("view_event_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "view_event_id",
+        "view_ts",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.col("view_ts").cast("timestamp"))
+        ).alias("lag_ms"),
+    )
+
+
+@query(
+    "range_join_binned",
+    """
+    WITH errors AS (
+      SELECT event_id AS error_event_id, user_id, ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT e.error_event_id, e.user_id, e.ts AS error_ts,
+           count(x.event_id) AS n_in_window,
+           CAST(coalesce(sum(CAST(x.value AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS total_value
+    FROM errors e LEFT JOIN events x
+      ON x.user_id = e.user_id
+     AND x.ts >= e.ts AND x.ts < e.ts + INTERVAL 1 HOUR
+     AND x.event_id != e.error_event_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join via hour-binning: for every error event, count/sum
+    the same user's OTHER events inside [error_ts, error_ts + 1h) —
+    the incident-window / interval-overlap join.
+
+    The naive inequality join is what the oracle runs; Spark would
+    plan it as a per-key nested loop (every error × every event of
+    that user). The scale path BINS the range: each 1-hour window
+    covers at most two hour buckets, so exploding the error side into
+    its covered buckets and equi-joining on (user_id, hour_bucket)
+    turns the plan into a plain shuffled hash join (2 rows per error,
+    1 per event) with the exact range predicate applied as a residual
+    filter — O(matches), no nested loop, AQE-skew-splittable. Sum runs
+    over decimal(18,2) so both engines agree bit-for-bit."""
+    events = load(spark, sf_dir, "events")
+    hour = lambda c: F.floor(  # noqa: E731
+        F.unix_millis(c.cast("timestamp")) / F.lit(3_600_000)
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("ts").cast("timestamp").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    binned_errors = errors.withColumn(
+        "hr", F.explode(F.sequence(hour(F.col("win_start")), hour(F.col("win_end"))))
+    )
+    binned_events = events.withColumn("hr", hour(F.col("ts")))
+    matches = (
+        binned_errors.join(
+            binned_events,
+            on=[
+                binned_errors.e_user == binned_events.user_id,
+                binned_errors.hr == binned_events.hr,
+                binned_events.ts >= binned_errors.win_start,
+                binned_events.ts < binned_errors.win_end,
+                binned_events.event_id != binned_errors.error_event_id,
+            ],
+        )
+        .groupBy("error_event_id")
+        .agg(
+            F.count("*").alias("n_in_window"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("val"),
+        )
+    )
+    return errors.join(matches, on="error_event_id", how="left").select(
+        "error_event_id",
+        F.col("e_user").alias("user_id"),
+        "error_ts",
+        F.coalesce(F.col("n_in_window"), F.lit(0)).alias("n_in_window"),
+        F.coalesce(F.col("val").cast("double"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+@query(
+    "dedup_exact_substring",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest([{'pos': i, 'shingle': array_to_string(s[i:i+19], ' ')}
+               for i in range(1, greatest(len(s) - 19, 0) + 1)],
+               recursive := true)
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents)
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY shingle
+                                ORDER BY doc_id, pos) AS rn
+      FROM sh
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_shingles
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_shingles, 0) AS n_shingles,
+           coalesce(a.dup_shingles, 0) AS dup_shingles
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at shingle granularity (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    20-word shingle INSTANCE beyond the globally-first occurrence
+    (first = min (doc_id, position)) is a duplicated span; per doc we
+    report total instances and duplicated instances — the spans a
+    substring-dedup pass would cut, including within-doc repeats.
+
+    Plan: JVM-side sliding shingles (transform+slice, no Python), one
+    shuffle keyed on the shingle for the first-instance rank, one
+    groupBy doc. Never all-pairs. At 100 TB you shuffle a 128-bit
+    shingle hash (sha2 prefix) instead of the string — same plan
+    shape, ~10 bytes/key; the suffix-array construction of the paper
+    is equivalent to this rank pass for fixed shingle length."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(words(F.col("text")), 20)).alias("pos", "shingle"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    )
+    agg = (
+        sh.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_shingles"),
+        )
+    )
+    return docs.select("doc_id").join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        F.coalesce(F.col("dup_shingles"), F.lit(0)).alias("dup_shingles"),
+    )
+
+
+TOKEN_BUDGET = 600  # tokens kept per source (the mixture weight knob)
+
+
+@query(
+    "token_budget_sample",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split(lower(text), ' ')) AS tok,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT *, coalesce(sum(tok) OVER (PARTITION BY source
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS before_tok
+      FROM t
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(tok) AS BIGINT) AS tokens_kept,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM c WHERE before_tok < {TOKEN_BUDGET}
+    GROUP BY source
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED mixture sampling: per source, walk docs in
+    deterministic hash order and keep each doc while the tokens
+    accumulated BEFORE it are under the budget (so the doc that
+    crosses the line is kept, reproducibly) — how corpus builds hit
+    per-source token targets rather than per-source row counts.
+
+    The oracle's single window (`sum() OVER (PARTITION BY source ORDER
+    BY h)`) puts an entire source in ONE task — a non-starter when one
+    source is 30 TB. The Spark plan is the exact TWO-PASS equivalent:
+    (1) docs hash into 1024 ORDER-ALIGNED buckets (top 10 bits of the
+    60-bit md5 key, so bucket order == hash order) and a tiny
+    per-(source, bucket) rollup classifies each bucket — fully kept
+    (prev_cum + bucket_tokens <= budget), fully dropped (prev_cum >=
+    budget), or boundary; (2) only the ONE boundary bucket per source
+    (~1/1024 of the data) pays an exact in-bucket window. Equality
+    holds because every doc has >= 1 token, so "all before-sums in a
+    fully-kept bucket are < budget" is exact, not approximate."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(words(F.col("text"))).alias("tok"),
+        md5_long(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.shiftright(F.col("h"), 50))
+    per_bucket = t.groupBy("source", "bucket").agg(F.sum("tok").alias("btok"))
+    wb = Window.partitionBy("source").orderBy("bucket")
+    classified = per_bucket.withColumn(
+        "prev_cum",
+        F.coalesce(
+            F.sum("btok").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "cls",
+        F.when(F.col("prev_cum") >= TOKEN_BUDGET, F.lit("drop"))
+        .when(F.col("prev_cum") + F.col("btok") <= TOKEN_BUDGET, F.lit("keep"))
+        .otherwise(F.lit("boundary")),
+    )
+    joined = t.join(
+        F.broadcast(classified.select("source", "bucket", "prev_cum", "cls")),
+        on=["source", "bucket"],
+    )
+    win = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+    boundary_kept = (
+        joined.filter(F.col("cls") == "boundary")
+        .withColumn(
+            "before_tok",
+            F.col("prev_cum")
+            + F.coalesce(
+                F.sum("tok").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("before_tok") < TOKEN_BUDGET)
+        .select("source", "doc_id", "tok")
+    )
+    kept = joined.filter(F.col("cls") == "keep").select(
+        "source", "doc_id", "tok"
+    )
+    return kept.unionByName(boundary_kept).groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("tok").cast("bigint").alias("tokens_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "events_value_percentiles",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN value END) AS p90,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN value END) AS p99
+    FROM r GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank statistics (nearest-rank / percentile_disc with the
+    ceil convention): the kth smallest value per group — no
+    interpolation arithmetic, so both engines return the identical
+    stored double and the hash compare is exact.
+
+    This exact sort-per-group is the correctness baseline; the 100-TB
+    production path is `approx_percentile` (a single-pass mergeable
+    KLL/GK sketch, no global sort), which this oracle exists to
+    calibrate against. The kth VALUE is order-independent under ties,
+    so the window needs no tie-break column."""
+    events = load(spark, sf_dir, "events")
+    kw = Window.partitionBy("event_type")
+    w = kw.orderBy("value")
+    r = events.select("event_type", "value").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(kw))
+
+    def pick(p: float) -> Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+
+    return r.groupBy("event_type").agg(
+        pick(0.50).alias("p50"), pick(0.90).alias("p90"), pick(0.99).alias("p99")
     )
