@@ -2349,3 +2349,106 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("event_type").agg(
         pick(0.50).alias("p50"), pick(0.90).alias("p90"), pick(0.99).alias("p99")
     )
+
+
+def _pagerank_sql() -> str:
+    """Five chained PageRank iterations as SQL CTEs over the DIRECTED
+    LSH pair graph — all arithmetic in scaled BIGINT (see
+    pagerank_dup_graph)."""
+    iters = []
+    for k in range(1, 6):
+        iters.append(
+            f"""pr{k} AS (
+      SELECT n.doc_id,
+             CAST(150000000000 + (85 * coalesce(s.contrib, 0)) // 100
+                  AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS doc_id, sum(p.pr // d.outdeg) AS contrib
+        FROM edges e
+        JOIN pr{k - 1} p ON p.doc_id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.doc_id = n.doc_id
+    )"""
+        )
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH {_MINHASH_SQL_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs)
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+    {chain}
+    SELECT doc_id, pr FROM pr5
+    """
+
+
+@query("pagerank_dup_graph", _pagerank_sql())
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, damping 0.85) over the DIRECTED
+    MinHash-LSH near-dup pair graph, oriented earlier-doc -> later
+    duplicate — graph centrality as a first-class iterative operator:
+    rank accumulates on the documents that keep getting re-duplicated
+    downstream (the undirected variant is useless here — dup clusters
+    are cliques, and PageRank is exactly uniform on regular graphs, so
+    it could not distinguish a correct run from a broken one).
+
+    Classic distributed PageRank: per iteration one join ships
+    pr/outdeg along edges, one hash aggregate by destination, and a
+    LEFT join from the node set keeps rank-sink nodes (no in-edges)
+    alive at the teleport floor — O(iters) shuffles,
+    AQE-skew-splittable, per-iteration localCheckpoint bounds plan
+    depth exactly like dedup_clusters\' min-label loop.
+
+    Cross-engine exactness: ranks are scaled 10^12 BIGINTs and every
+    step is integer arithmetic (`div` here, `//` in DuckDB — operands
+    are positive so floor == trunc) — float summation order can differ
+    between engines, integer sums cannot."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _pagerank_over_pairs(pairs)
+
+
+def _pagerank_over_pairs(pairs: DataFrame, iters: int = 5) -> DataFrame:
+    """The iteration loop, separated so tests can drive crafted graphs
+    (chains, stars) whose exact integer ranks are hand-computable."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    pr = nodes.withColumn("pr", F.lit(1_000_000_000_000))
+    for _ in range(iters):
+        prs = pr.select(F.col("doc_id").alias("src"), "pr")
+        contrib = (
+            edges.join(prs, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("pr div outdeg").alias("c"))
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    "CAST(150000000000 + (85 * coalesce(contrib, 0)) div 100"
+                    " AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

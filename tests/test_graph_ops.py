@@ -1,0 +1,52 @@
+"""pagerank_dup_graph pins: the sf0.01 oracle covers the LSH graph
+(mostly small cliques — few distinct rank values), so these drive the
+iteration loop over crafted IRREGULAR graphs whose exact integer ranks
+a pure-Python mirror computes independently."""
+
+from __future__ import annotations
+
+import pytest
+
+from isidorus_web_scraper_spark.dataset_queries import _pagerank_over_pairs
+
+SCALE = 10**12
+TELEPORT = 150_000_000_000
+
+
+def _ref_pagerank(pairs: list[tuple[int, int]], iters: int = 5) -> dict[int, int]:
+    nodes = sorted({x for e in pairs for x in e})
+    outdeg: dict[int, int] = {}
+    for a, _ in pairs:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    pr = {n: SCALE for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for a, b in pairs:
+            contrib[b] += pr[a] // outdeg[a]
+        pr = {n: TELEPORT + (85 * contrib[n]) // 100 for n in nodes}
+    return pr
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (3, 4)],  # chain: rank grows down the chain
+        [(1, 2), (1, 3), (1, 4), (2, 3)],  # star + chord: irregular degrees
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5)],  # diamond-ish DAG
+    ],
+)
+def test_pagerank_matches_integer_reference(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.pr for r in _pagerank_over_pairs(df).collect()}
+    assert got == _ref_pagerank(pairs)
+    # sanity: irregular graphs must actually discriminate
+    assert len(set(got.values())) > 1
+
+
+def test_pagerank_source_sits_at_teleport_floor(spark):
+    """A node with no in-edges ends at exactly the teleport constant
+    (the LEFT-join dangling path), and must still be present."""
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.pr for r in _pagerank_over_pairs(df).collect()}
+    assert got[1] == TELEPORT
+    assert set(got) == {1, 2, 3}
