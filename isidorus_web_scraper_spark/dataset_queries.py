@@ -2025,7 +2025,13 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kind 0 < 1) so `v.ts <= c.ts` boundary rows are visible, and
     among equal-ts views the max event_id sorts last — exactly the
     oracle's ORDER BY ts DESC, event_id DESC LIMIT 1."""
-    events = load(spark, sf_dir, "events")
+    return _asof_plan(load(spark, sf_dir, "events"))
+
+
+def _asof_plan(events: DataFrame) -> DataFrame:
+    """The as-of plan over an arbitrary events frame (separated so
+    tests can drive crafted tie/boundary fixtures through the REAL
+    plan, not a copy)."""
     views = events.filter(F.col("event_type") == "view").select(
         "user_id",
         "ts",
@@ -2100,7 +2106,12 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 per event) with the exact range predicate applied as a residual
     filter — O(matches), no nested loop, AQE-skew-splittable. Sum runs
     over decimal(18,2) so both engines agree bit-for-bit."""
-    events = load(spark, sf_dir, "events")
+    return _range_binned_plan(load(spark, sf_dir, "events"))
+
+
+def _range_binned_plan(events: DataFrame) -> DataFrame:
+    """The binned range-join plan over an arbitrary events frame
+    (separated for brute-force property tests)."""
     hour = lambda c: F.floor(  # noqa: E731
         F.unix_millis(c.cast("timestamp")) / F.lit(3_600_000)
     )
@@ -2176,26 +2187,35 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     report total instances and duplicated instances — the spans a
     substring-dedup pass would cut, including within-doc repeats.
 
-    Plan: JVM-side sliding shingles (transform+slice, no Python), one
-    shuffle keyed on the shingle for the first-instance rank, one
-    groupBy doc. Never all-pairs. At 100 TB you shuffle a 128-bit
-    shingle hash (sha2 prefix) instead of the string — same plan
-    shape, ~10 bytes/key; the suffix-array construction of the paper
-    is equivalent to this rank pass for fixed shingle length."""
+    Plan: JVM-side sliding shingles (transform+slice, no Python), then
+    the first instance per shingle via `min(struct(doc_id, pos))` — a
+    hash aggregate that PARTIAL-combines map-side, unlike the oracle's
+    row_number window, which would sort every instance of a hot
+    shingle (boilerplate text can put one 20-gram in 10^8 docs) inside
+    ONE task. The instances then hash-join back to the firsts
+    (AQE-skew-splittable) and compare. Never all-pairs. At 100 TB you
+    shuffle a 128-bit shingle hash (sha2 prefix) instead of the
+    string — same plan shape, ~10 bytes/key; the suffix-array
+    construction of the paper is equivalent to this first-instance
+    pass for fixed shingle length."""
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.posexplode(word_ngrams(words(F.col("text")), 20)).alias("pos", "shingle"),
     )
-    rn = F.row_number().over(
-        Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    firsts = sh.groupBy("shingle").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
     )
     agg = (
-        sh.withColumn("rn", rn)
+        sh.join(firsts, "shingle")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
-            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.struct("doc_id", "pos") != F.col("first"), 1
+                ).otherwise(0)
+            )
             .cast("bigint")
             .alias("dup_shingles"),
         )

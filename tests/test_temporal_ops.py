@@ -29,38 +29,12 @@ def _events(spark, rows):
 
 
 def _asof(spark, events):
-    """The events_asof_join plan over an arbitrary events frame (the
-    query function is bound to the testdata loader; the plan under test
-    is identical)."""
-    views = events.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(0).alias("kind"),
-        F.col("event_id").alias("v_event_id"),
-    )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("long").alias("v_event_id"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        views.unionByName(clicks)
-        .select(
-            "user_id",
-            "event_id",
-            "kind",
-            F.last("v_event_id", ignorenulls=True).over(w).alias("view_event_id"),
-        )
-        .filter(F.col("kind") == 1)
-        .select("event_id", "view_event_id")
+    """Drive the REAL shipped plan (dataset_queries._asof_plan),
+    projected to the columns these pins assert on."""
+    from isidorus_web_scraper_spark.dataset_queries import _asof_plan
+
+    return _asof_plan(events).select(
+        F.col("click_event_id").alias("event_id"), "view_event_id"
     )
 
 
@@ -204,3 +178,74 @@ def test_token_budget_two_pass_equals_naive_window(spark, sf_correct, budget):
         assert set(per_source.values()) == {1}
     if budget == 10**9:
         assert len(naive) == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# Seeded brute-force comparisons: coarse 10-minute timestamp grid over a
+# 3-hour span forces what sf0.01's microsecond data never produces —
+# equal-ts ties, view==click instants, and events landing EXACTLY on the
+# +1h range boundary (the < vs <= edge of the binned join).
+# ---------------------------------------------------------------------------
+
+
+def _random_events(seed: int, n: int = 200):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                eid,
+                rng.randrange(6),  # few users -> dense per-user histories
+                rng.choice(["view", "click", "error", "other"]),
+                TS(2024, 1, 1) + datetime.timedelta(minutes=10 * rng.randrange(19)),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_matches_bruteforce(spark, seed):
+    rows = _random_events(seed)
+    expected = {}
+    for eid, uid, et, ts in rows:
+        if et != "click":
+            continue
+        cands = [
+            (v_ts, v_eid)
+            for v_eid, v_uid, v_et, v_ts in rows
+            if v_et == "view" and v_uid == uid and v_ts <= ts
+        ]
+        expected[eid] = max(cands)[1] if cands else None
+    got = {
+        r.event_id: r.view_event_id
+        for r in _asof(spark, _events(spark, rows)).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_range_join_matches_bruteforce(spark, seed):
+    from isidorus_web_scraper_spark.dataset_queries import _range_binned_plan
+
+    rows = _random_events(seed)
+    one_h = datetime.timedelta(hours=1)
+    expected = {}
+    for eid, uid, et, ts in rows:
+        if et != "error":
+            continue
+        n = sum(
+            1
+            for x_eid, x_uid, _, x_ts in rows
+            if x_uid == uid and ts <= x_ts < ts + one_h and x_eid != eid
+        )
+        expected[eid] = n
+    # the plan wants a value column; constant 0 keeps the count the
+    # only degree of freedom under test here
+    events = _events(spark, rows).withColumn("value", F.lit(0.0))
+    got = {
+        r.error_event_id: r.n_in_window
+        for r in _range_binned_plan(events).collect()
+    }
+    assert got == expected
