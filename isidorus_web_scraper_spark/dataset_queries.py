@@ -2472,3 +2472,46 @@ def _pagerank_over_pairs(pairs: DataFrame, iters: int = 5) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+@query(
+    "events_rollup",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(date_trunc('day', ts), TIMESTAMP '1900-01-01') AS day,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(grouping(event_type) AS BIGINT) AS g_type,
+           CAST(grouping(date_trunc('day', ts)) AS BIGINT) AS g_day
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical OLAP rollup — (type, day) → (type) → grand total in
+    ONE pass via grouping sets (Spark's Expand operator: each input row
+    fans into its grouping-set combinations BEFORE the hash aggregate,
+    so partial aggregation still combines map-side and the plan stays a
+    single shuffle — vs three separate scans for the three levels).
+    grouping() flags disambiguate "NULL because aggregated out" from a
+    genuinely NULL dimension. Decimal sums for cross-engine equality."""
+    events = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    rolled = events.rollup("event_type", "day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.grouping("event_type").cast("bigint").alias("g_type"),
+        F.grouping("day").cast("bigint").alias("g_day"),
+    )
+    # sentinel the aggregated-out dims: NULL-typed dimension columns
+    # sort/compare poorly downstream, and the grouping flags already
+    # carry the provenance
+    return rolled.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("day", F.lit("1900-01-01").cast("timestamp")).alias("day"),
+        "n",
+        "total_value",
+        "g_type",
+        "g_day",
+    )
