@@ -1889,8 +1889,12 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation — the batch twin of the
     Structured Streaming query in streaming/ (same plan shape)."""
     events = load(spark, sf_dir, "events")
+    # date_trunc on an NTZ column returns a session-tz TIMESTAMP, which
+    # PySpark then renders in the SYSTEM tz — output columns must come
+    # back to NTZ or any session-tz != system-tz driver shifts them
     return events.groupBy(
-        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
     ).agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
@@ -2046,7 +2050,10 @@ def _asof_plan(events: DataFrame) -> DataFrame:
         "event_id",
         F.lit(1).alias("kind"),
         F.lit(None).cast("long").alias("v_event_id"),
-        F.lit(None).cast("timestamp").alias("v_ts"),
+        # NTZ like the source ts: a plain "timestamp" null would coerce
+        # the whole union to session-tz timestamps, shifting collected
+        # values on any non-UTC driver session
+        F.lit(None).cast("timestamp_ntz").alias("v_ts"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -2119,7 +2126,7 @@ def _range_binned_plan(events: DataFrame) -> DataFrame:
         F.col("event_id").alias("error_event_id"),
         F.col("user_id").alias("e_user"),
         F.col("ts").alias("error_ts"),
-        F.col("ts").cast("timestamp").alias("win_start"),
+        F.col("ts").alias("win_start"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
     )
     binned_errors = errors.withColumn(
@@ -2496,7 +2503,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping() flags disambiguate "NULL because aggregated out" from a
     genuinely NULL dimension. Decimal sums for cross-engine equality."""
     events = load(spark, sf_dir, "events").withColumn(
-        "day", F.date_trunc("day", "ts")
+        "day", F.date_trunc("day", "ts").cast("timestamp_ntz")
     )
     rolled = events.rollup("event_type", "day").agg(
         F.count("*").alias("n"),
@@ -2509,7 +2516,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carry the provenance
     return rolled.select(
         F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
-        F.coalesce("day", F.lit("1900-01-01").cast("timestamp")).alias("day"),
+        F.coalesce("day", F.lit("1900-01-01").cast("timestamp_ntz")).alias("day"),
         "n",
         "total_value",
         "g_type",

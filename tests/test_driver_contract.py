@@ -124,3 +124,21 @@ def test_lsh_verified_single_pass_plan(spark, sf_correct):
         assert plan.count("InMemoryTableScan") >= 4, plan[:3000]
     finally:
         spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_tumbling_window", "events_rollup", "events_asof_join"],
+)
+def test_timestamp_queries_session_tz_independent(spark, sf_correct, conn, name):
+    """date_trunc on a TIMESTAMP_NTZ column yields a session-tz
+    TIMESTAMP, which PySpark renders in the SYSTEM zone — so any query
+    emitting truncated timestamps silently shifts when session tz !=
+    system tz unless the result is cast back to NTZ. Pin the fix by
+    re-running the oracle compare with a session zone 9h off UTC."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        compare(QUERIES[name](spark, sf_correct), conn, ORACLE[name])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
