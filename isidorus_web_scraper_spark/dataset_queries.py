@@ -2522,3 +2522,371 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_type",
         "g_day",
     )
+
+
+# ===========================================================================
+# Clustering + robust fingerprinting (round 5)
+# ===========================================================================
+#
+# kmeans_train / semdedup work on INTEGER-QUANTIZED embeddings
+# (round(x * 2^20) as bigint): cross-row float sums are the one place
+# the engines' summation order could diverge, so centroid accumulation
+# happens in exact integer arithmetic and each update REQUANTIZES the
+# mean back to the seed magnitude (values stay <= ~5.5e5 regardless of
+# cluster size, so every dot product fits a bigint at any SF). Cosine
+# itself is then a deterministic per-pair double expression over
+# identical integers in both engines.
+
+_QSCALE = 1048576  # 2^20
+
+# long-form quantized embeddings + per-vector norms, shared by both
+# oracles (dim is fixed at 64 by the generator; generate_series cannot
+# take a lateral len() in DuckDB 1.0)
+_Q_CTE = """
+    q AS (
+      SELECT vec_id, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+      FROM embeddings, generate_series(1, 64) t(i)
+    ),
+    qn AS (SELECT vec_id, SUM(v * v) AS nq FROM q GROUP BY vec_id),
+    c0 AS (SELECT vec_id AS cid, pos, v AS cv FROM q WHERE vec_id % 125 = 0)
+"""
+
+
+def _assign_sql(c: str, a: str) -> str:
+    """One Lloyd assignment round: argmax cosine over centroids,
+    ties to the lowest cid (never hit: a seed matches itself at
+    exactly 1.0). Division order mirrors the Spark expression."""
+    return f"""
+    {c}n AS (SELECT cid, SUM(cv * cv) AS nc FROM {c} GROUP BY cid),
+    {c}d AS (
+      SELECT q.vec_id, c.cid, SUM(q.v * c.cv) AS dot
+      FROM q JOIN {c} c ON q.pos = c.pos
+      GROUP BY q.vec_id, c.cid
+    ),
+    {a} AS (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, d.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY CAST(d.dot AS DOUBLE)
+                          / sqrt(CAST(qn.nq AS DOUBLE))
+                          / sqrt(CAST(cn.nc AS DOUBLE)) DESC,
+                          d.cid
+               ) AS rn
+        FROM {c}d d
+        JOIN qn ON qn.vec_id = d.vec_id
+        JOIN {c}n cn ON cn.cid = d.cid
+      ) WHERE rn = 1
+    )"""
+
+
+def _update_sql(a: str, c: str) -> str:
+    """Centroid update: exact integer sums, mean requantized via a
+    deterministic double division + round (identical both engines)."""
+    return f"""
+    {a}sz AS (SELECT cid, count(*) AS n FROM {a} GROUP BY cid),
+    {c} AS (
+      SELECT m.cid, q.pos,
+             CAST(round(CAST(SUM(q.v) AS DOUBLE) / any_value(s.n)) AS BIGINT) AS cv
+      FROM q JOIN {a} m USING (vec_id) JOIN {a}sz s ON s.cid = m.cid
+      GROUP BY m.cid, q.pos
+    )"""
+
+
+_KMEANS_SQL = (
+    "WITH "
+    + _Q_CTE
+    + ","
+    + _assign_sql("c0", "a1")
+    + ","
+    + _update_sql("a1", "c1")
+    + ","
+    + _assign_sql("c1", "a2")
+    + ","
+    + _update_sql("a2", "c2")
+    + ","
+    + _assign_sql("c2", "a3")
+    + """
+    SELECT cid AS cluster, count(*) AS n_members,
+           SUM(vec_id) AS member_checksum,
+           MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
+    FROM a3 GROUP BY cid
+    """
+)
+
+
+def _quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, qe array<long>, nq) — round(x * 2^20) per element."""
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(1048576.0)).cast("long"),
+        ).alias("qe"),
+    )
+    return q.withColumn(
+        "nq",
+        F.aggregate("qe", F.lit(0).cast("long"), lambda acc, v: acc + v * v),
+    )
+
+
+def _assign_step(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest centroid by cosine; broadcast the K
+    centroid arrays, fold the dot product JVM-side — no shuffle until
+    the argmax window (keyed by vec_id, AQE-coalesced)."""
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = (
+        dot.cast("double")
+        / F.sqrt(F.col("nq").cast("double"))
+        / F.sqrt(F.col("nc").cast("double"))
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", sim.alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _centroid_update(q: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cid, ce array<long>, nc): per-position exact integer sums over
+    members, requantized to the mean. posexplode -> one (cid, pos)
+    hash agg (map-side combines) -> reassemble the K arrays."""
+    members = assign.join(q.select("vec_id", "qe"), "vec_id")
+    sums = members.select(
+        "cid", F.posexplode("qe").alias("pos", "v")
+    ).groupBy("cid", "pos").agg(F.sum("v").alias("s"))
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n"))
+    cv = sums.join(F.broadcast(sizes), "cid").select(
+        "cid",
+        "pos",
+        F.round(F.col("s").cast("double") / F.col("n")).cast("long").alias("cv"),
+    )
+    cent = cv.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("ce")
+    )
+    return cent.withColumn(
+        "nc",
+        F.aggregate("ce", F.lit(0).cast("long"), lambda acc, v: acc + v * v),
+    )
+
+
+@query("kmeans_train", _KMEANS_SQL)
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (3 assignments, 2 updates, K=4
+    seeds at vec_id % 125 == 0) — the training half of the IVF path
+    (ann_ivf_topk uses fixed centroids; this LEARNS them). Per round:
+    one broadcast crossJoin + JVM fold for assignment, one posexplode
+    hash-agg for the update — no all-pairs, no Python. At 100 TB the
+    K*d centroid table stays driver-small while members never leave
+    executors; integer quantization makes the result bit-stable under
+    any row order or partitioning (float centroid sums would not be)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _quantize(emb).persist()
+    cent = (
+        q.filter(F.col("vec_id") % 125 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("qe").alias("ce"), F.col("nq").alias("nc"))
+    )
+    assign = None
+    for it in range(3):
+        assign = _assign_step(q, cent)
+        if it < 2:
+            cent = _centroid_update(q, assign)
+    return assign.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("vec_id").alias("member_checksum"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+    )
+
+
+_SEMDEDUP_SQL = (
+    "WITH "
+    + _Q_CTE
+    + ","
+    + _assign_sql("c0", "a1")
+    + """,
+    pd AS (
+      SELECT qa.vec_id AS va, qb.vec_id AS vb, aa.cid,
+             SUM(qa.v * qb.v) AS dot
+      FROM q qa JOIN a1 aa ON aa.vec_id = qa.vec_id
+      JOIN a1 ab ON ab.cid = aa.cid
+      JOIN q qb ON qb.vec_id = ab.vec_id AND qb.pos = qa.pos
+      WHERE qa.vec_id < qb.vec_id
+      GROUP BY qa.vec_id, qb.vec_id, aa.cid
+    ),
+    dup AS (
+      SELECT DISTINCT p.vb AS vec_id, p.cid
+      FROM pd p
+      JOIN qn na ON na.vec_id = p.va
+      JOIN qn nb ON nb.vec_id = p.vb
+      WHERE CAST(p.dot AS DOUBLE)
+            / sqrt(CAST(na.nq AS DOUBLE))
+            / sqrt(CAST(nb.nq AS DOUBLE)) >= 0.35
+    )
+    SELECT a.cid AS cluster, count(*) AS n_total,
+           count(d.vec_id) AS n_dropped,
+           COALESCE(SUM(d.vec_id), 0) AS dropped_checksum,
+           SUM(a.vec_id) - COALESCE(SUM(d.vec_id), 0) AS kept_checksum
+    FROM a1 a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    GROUP BY a.cid
+    """
+)
+
+
+@query("semdedup", _SEMDEDUP_SQL)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then drop
+    near-duplicates WITHIN each cluster only — clustering bounds the
+    quadratic term to sum(c_k^2) instead of n^2, which is the entire
+    scale story. One k-means assignment over the seed centroids, a
+    cid-keyed self-join for in-cluster pairs (cos >= 0.35 on this
+    isotropic synthetic corpus; real corpora use ~0.95+), higher
+    vec_id of a pair drops, keep-side checksums pin the exact result."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _quantize(emb).persist()
+    cent = (
+        q.filter(F.col("vec_id") % 125 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("qe").alias("ce"), F.col("nq").alias("nc"))
+    )
+    assign = _assign_step(q, cent)
+    qa = q.join(assign, "vec_id")
+    a = qa.select(
+        F.col("vec_id").alias("va"), F.col("qe").alias("ea"),
+        F.col("nq").alias("na"), "cid",
+    )
+    b = qa.select(
+        F.col("vec_id").alias("vb"), F.col("qe").alias("eb"),
+        F.col("nq").alias("nb"), "cid",
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = (
+        dot.cast("double")
+        / F.sqrt(F.col("na").cast("double"))
+        / F.sqrt(F.col("nb").cast("double"))
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select("cid", "vb", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .select("cid", F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dup.withColumn("dropped", F.lit(1)), ["cid", "vec_id"], "left")
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("dropped").alias("n_dropped"),
+            F.coalesce(F.sum(F.when(F.col("dropped") == 1, F.col("vec_id"))), F.lit(0)).alias("dropped_checksum"),
+            (F.sum("vec_id") - F.coalesce(F.sum(F.when(F.col("dropped") == 1, F.col("vec_id"))), F.lit(0))).alias("kept_checksum"),
+        )
+    )
+
+
+@query(
+    "winnowing_fingerprint",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 4 THEN
+               list_transform(
+                 generate_series(1, len(w) - 3),
+                 i -> struct_pack(
+                   pos := i - 1,
+                   h := ('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 15))::BIGINT
+                        & 1099511627775))
+             ELSE [] END AS items
+      FROM base
+    ),
+    g AS (
+      SELECT doc_id, u.pos AS pos,
+             u.h * 1048576 + (1048575 - u.pos) AS comb,
+             len(items) AS g_cnt
+      FROM (SELECT doc_id, unnest(items) AS u, items FROM g0)
+    ),
+    wm AS (
+      SELECT doc_id, pos, g_cnt,
+             min(comb) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING
+             ) AS wmin
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wmin
+      FROM wm WHERE pos <= greatest(g_cnt - 5, 0)
+    )
+    SELECT s.doc_id,
+           any_value(s.g_cnt) AS n_grams,
+           count(*) AS n_fingerprints,
+           SUM(s.wmin // 1048576) AS fp_checksum,
+           MIN(s.wmin // 1048576) AS min_fp
+    FROM (SELECT sel.doc_id, sel.wmin, w2.g_cnt
+          FROM sel JOIN (SELECT DISTINCT doc_id, g_cnt FROM g) w2 USING (doc_id)) s
+    GROUP BY s.doc_id
+    """,
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS fingerprint): hash every word 4-gram, slide a window of
+    w=5 hashes, keep each window's minimum (rightmost on ties, encoded
+    as hash*2^20 + (2^20-1-pos) so one integer min does both rules).
+    Guarantees any shared run of >= w+k-1 words is detected — the
+    robust near-dup sketch the rolling-hash text_fingerprint lacks.
+    Pure JVM: split -> slice-comprehension grams -> md5 -> one window
+    over (doc_id, pos) -> distinct -> agg on the same key, so the doc
+    shuffle is paid once; per-doc width is capped by the tokenizer's
+    100 KB text cap, so no straggler partitions at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(words(F.col("text")), 4)).alias("pos", "gram"),
+    )
+    mask = F.lit((1 << 40) - 1)
+    g = grams.select(
+        "doc_id",
+        "pos",
+        (
+            md5_long(F.col("gram")).bitwiseAND(mask) * F.lit(_QSCALE)
+            + (F.lit(_QSCALE - 1) - F.col("pos"))
+        ).alias("comb"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wrun = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
+    wm = g.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(wdoc).alias("g_cnt"),
+        F.min("comb").over(wrun).alias("wmin"),
+    )
+    sel = (
+        wm.filter(F.col("pos") <= F.greatest(F.col("g_cnt") - 5, F.lit(0)))
+        .select("doc_id", "g_cnt", "wmin")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.first("g_cnt").alias("n_grams"),
+        F.count("*").alias("n_fingerprints"),
+        F.sum(F.expr("wmin div 1048576")).alias("fp_checksum"),
+        F.min(F.expr("wmin div 1048576")).alias("min_fp"),
+    )
