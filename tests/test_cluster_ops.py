@@ -1,0 +1,196 @@
+"""Crafted-fixture pins for the round-5 clustering/fingerprinting trio
+(kmeans_train / semdedup / winnowing_fingerprint). The DuckDB oracle
+rows prove Spark==SQL; these prove both equal the INTENDED semantics:
+Lloyd's converges to planted clusters, SemDeDup only compares within a
+cluster, and winnowing matches an independent pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from isidorus_web_scraper_spark.dataset_queries import (
+    _assign_step,
+    _centroid_update,
+    _quantize,
+)
+
+DIM = 8
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _planted(n_per=6, noise=0.02):
+    """4 well-separated clusters: axis directions 0..3, tiny noise
+    deterministic in the vec_id (no RNG — repeatable everywhere)."""
+    rows = []
+    vid = 0
+    for c in range(4):
+        for j in range(n_per):
+            # quadratic-in-vid pattern: no two vids share a noise
+            # vector (a linear pattern mod small m made exact clones)
+            v = [
+                noise * (((vid * vid * 13 + k * 29) % 101) - 50) / 50.0
+                for k in range(DIM)
+            ]
+            v[c] += 1.0
+            rows.append((vid, v))
+            vid += 1
+    return rows
+
+
+def test_lloyd_recovers_planted_clusters(spark):
+    """Seeds = one member of each planted cluster; one assignment
+    round must put every vector with its plant, and the updated
+    (requantized-mean) centroid must keep that assignment stable."""
+    rows = _planted()
+    q = _quantize(_emb(spark, rows))
+    # seed with the FIRST member of each cluster (vec_id 0, 6, 12, 18)
+    cent = q.filter(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("ce"),
+        F.col("nq").alias("nc"),
+    )
+    a1 = _assign_step(q, cent)
+    got = {r.vec_id: r.cid for r in a1.collect()}
+    assert got == {vid: (vid // 6) * 6 for vid, _ in rows}
+    cent2 = _centroid_update(q, a1)
+    a2 = _assign_step(q, cent2)
+    assert {r.vec_id: r.cid for r in a2.collect()} == got
+
+
+def test_assignment_is_partition_invariant(spark):
+    """The quantized-integer design exists so the result cannot depend
+    on row order or partitioning: repartitioned input, same answer."""
+    rows = _planted(noise=0.4)  # noisy enough that ties would show
+    base = _emb(spark, rows)
+    q1 = _quantize(base.coalesce(1))
+    q2 = _quantize(base.repartition(7, "vec_id"))
+    cent = q1.filter(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("ce"),
+        F.col("nq").alias("nc"),
+    )
+    c1 = _centroid_update(q1, _assign_step(q1, cent))
+    c2 = _centroid_update(q2, _assign_step(q2, cent))
+    assert sorted(map(tuple, c1.select("cid", "ce").collect())) == sorted(
+        map(tuple, c2.select("cid", "ce").collect())
+    )
+
+
+def test_semdedup_only_compares_within_cluster(spark):
+    """Two IDENTICAL vectors planted in different clusters must both
+    survive (SemDeDup's defining property); an identical pair inside
+    one cluster drops the higher vec_id. Uses the internal steps with
+    fixture seeds (the query itself binds seeds to vec_id % 125)."""
+    from isidorus_web_scraper_spark import dataset_queries as dq
+
+    rows = _planted()
+    # vec 24: clone of vec 1 (cluster 0) shifted to cluster-2 direction
+    clone_other = [x for x in rows[1][1]]
+    clone_other[0] -= 1.0
+    clone_other[2] += 1.0
+    rows.append((24, clone_other))
+    # vec 25: exact clone of vec 2 inside cluster 0
+    rows.append((25, list(rows[2][1])))
+    emb = _emb(spark, rows)
+
+    q = dq._quantize(emb)
+    cent = q.filter(F.col("vec_id").isin(0, 6, 12, 18)).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qe").alias("ce"),
+        F.col("nq").alias("nc"),
+    )
+    assign = dq._assign_step(q, cent)
+    amap = {r.vec_id: r.cid for r in assign.collect()}
+    assert amap[24] == 12 and amap[1] == 0  # clones landed apart
+    qa = q.join(assign, "vec_id")
+    a = qa.select(
+        F.col("vec_id").alias("va"), F.col("qe").alias("ea"),
+        F.col("nq").alias("na"), "cid",
+    )
+    b = qa.select(
+        F.col("vec_id").alias("vb"), F.col("qe").alias("eb"),
+        F.col("nq").alias("nb"), "cid",
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = (
+        dot.cast("double")
+        / F.sqrt(F.col("na").cast("double"))
+        / F.sqrt(F.col("nb").cast("double"))
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select("cid", "vb", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.9999)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    dropped = {r.vec_id for r in dup.collect()}
+    assert 25 in dropped  # in-cluster exact clone of vec 2
+    assert 24 not in dropped  # cross-cluster clone of vec 1 survives
+
+
+# --- winnowing: independent pure-Python reference ---------------------
+
+
+def _md5_40(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) & ((1 << 40) - 1)
+
+
+def _winnow_ref(text: str, k: int = 4, w: int = 5):
+    """Fingerprints as the set of (pos, hash) selected by standard
+    winnowing (rightmost minimal hash per window)."""
+    ws = text.lower().split(" ")
+    grams = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+    hs = [_md5_40(g) for g in grams]
+    if not hs:
+        return set(), 0
+    sel = set()
+    n_windows = max(len(hs) - w, 0) + 1
+    for s in range(n_windows):
+        win = hs[s : s + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        off = max(i for i, h in enumerate(win) if h == m)
+        sel.add((s + off, m))
+    return sel, len(hs)
+
+
+def test_winnowing_matches_pure_python_reference(spark, monkeypatch):
+    from isidorus_web_scraper_spark import dataset_queries as dq
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c d",  # exactly one gram
+        "a b c",  # shorter than k -> no grams, no output row
+        "x y z w x y z w x y z w x y z w",  # heavy repetition (ties)
+        "one two three four five six seven eight nine ten",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(dq, "load", lambda _s, _d, _t: docs)
+    got = {
+        r.doc_id: (r.n_grams, r.n_fingerprints, r.fp_checksum, r.min_fp)
+        for r in dq.winnowing_fingerprint(spark, "unused").collect()
+    }
+    for i, t in enumerate(texts):
+        sel, n_grams = _winnow_ref(t)
+        if not sel:
+            assert i not in got
+            continue
+        hashes = [h for _pos, h in sel]
+        assert got[i] == (n_grams, len(sel), sum(hashes), min(hashes)), t
