@@ -85,9 +85,12 @@ BENCH_QUERIES = [
     "decontaminate_benchmark",
     "events_sessionization",
     "text_quality",
-    # r5 additions: temporal as-of join, substring-level dedup
+    # r5 additions: temporal as-of join, substring-level dedup,
+    # clustering (3 Lloyd rounds) and the winnowing sketch
     "events_asof_join",
     "dedup_exact_substring",
+    "kmeans_train",
+    "winnowing_fingerprint",
 ]
 
 
