@@ -2890,3 +2890,36 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("wmin div 1048576")).alias("fp_checksum"),
         F.min(F.expr("wmin div 1048576")).alias("min_fp"),
     )
+
+
+# the indexed twin must reproduce ann_ivf_topk EXACTLY, so its oracle
+# is literally the same SQL
+from .driver_queries import ORACLE as _ORACLE_REG
+
+
+@query("ann_ivf_indexed", _ORACLE_REG["ann_ivf_topk"])
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk served from a PERSISTED index instead of a
+    per-query recompute: vectors stored once under cell=<cid> Hive
+    partitions (sources/ann_ivf.py), the probe reads only each query's
+    nprobe=2 nearest cells via partition pruning — same layout
+    contract as the postings store for text. Same centroid rule
+    (vec_id % 50 == 0), same tie rules, same output, same oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.ann_ivf import build_ivf_index, probe_ivf
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"iws-ivf-{key}")
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        emb = load(spark, sf_dir, "embeddings")
+        cent = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+        build_ivf_index(emb, cent, path)
+    queries_df = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 10
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    return probe_ivf(spark, path, queries_df, nprobe=2, k=5)
