@@ -2923,3 +2923,38 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < 10
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     return probe_ivf(spark, path, queries_df, nprobe=2, k=5)
+
+
+@query(
+    "media_payload_roundtrip",
+    """
+    SELECT 'http://media.test/img' || doc_id || '.png' AS media_ref,
+           'image' AS kind,
+           'image/png' AS content_type,
+           CAST(256 AS BIGINT) AS n_bytes,
+           repeat(sha256('http://media.test/img' || doc_id || '.png'), 8)
+             AS payload_hex
+    FROM documents
+    """,
+)
+def media_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end oracle for the multimodal payload path (M2's Arrow
+    plumbing): media_table's mapInPandas must emit EXACTLY the spec'd
+    bytes — payload = sha256(ref) repeated to 256 bytes — plus the
+    URL-suffix ext inference and content-type mapping, byte-for-byte
+    against a pure-SQL reconstruction (full hex equality, stronger
+    than a hash: DuckDB 1.0 can't hash BLOBs but can build the hex)."""
+    from .operators.multimodal import media_table
+
+    refs = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://media.test/img"), F.col("doc_id"), F.lit(".png")
+        ).alias("media_ref")
+    )
+    return media_table(refs).select(
+        "media_ref",
+        "kind",
+        "content_type",
+        "n_bytes",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
