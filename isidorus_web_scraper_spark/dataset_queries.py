@@ -2753,7 +2753,11 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale story. One k-means assignment over the seed centroids, a
     cid-keyed self-join for in-cluster pairs (cos >= 0.35 on this
     isotropic synthetic corpus; real corpora use ~0.95+), higher
-    vec_id of a pair drops, keep-side checksums pin the exact result."""
+    vec_id of a pair drops, keep-side checksums pin the exact result.
+    Parallelism note: seeds are vec_id % 125 == 0, so K grows with the
+    corpus while E[cluster size] stays ~125 — per-cid pair work is
+    bounded and the join key count scales with n (no 4-key skew trap;
+    the K=4 look at test SF is an artifact of the 500-row table)."""
     emb = load(spark, sf_dir, "embeddings")
     q = _quantize(emb).persist()
     cent = (
