@@ -420,6 +420,57 @@ def politeness_schedule_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Salted two-stage scheduler (operators/politeness.py impl='salted'):
+# the hot-host-skew-proof variant — stage 1 ranks within (host,
+# salt=xxhash64(url)%S) shards, stage 2 re-ranks the <= budget*S
+# survivors per host. EXACTLY the window scheduler's actions (two-stage
+# top-k is an identity, pinned also by tests/test_politeness.py), so
+# the oracle is the same global-window SQL; salt_shards=3 forces real
+# multi-shard pruning at this scale.
+# ---------------------------------------------------------------------------
+@query("politeness_schedule_salted", None)  # oracle aliased below
+def politeness_schedule_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.politeness import schedule_round
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 37
+    frontier = docs.select(
+        F.lit(1).alias("scraping_id"),
+        F.lit(1).alias("user_id"),
+        F.concat(
+            F.lit("http://h"), h.cast("string"), F.lit(".test/p"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+        F.lit(1).alias("round"),
+    )
+    politeness = (
+        docs.select(h.alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".test")).alias(
+                "host"
+            ),
+            ((F.col("h") % 5) + 1).cast("int").alias("max_fetches_per_round"),
+            F.when(F.col("h") % 4 == 0, F.array(F.lit("/p1")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("robots_disallow"),
+            F.when(F.col("h") % 3 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("crawl_delay_rounds"),
+        )
+    )
+    return schedule_round(
+        frontier, politeness, 1, impl="salted", salt_shards=3
+    ).select("url", "action")
+
+
+# same actions by construction ⇒ same oracle SQL (the global window)
+ORACLE["politeness_schedule_salted"] = ORACLE["politeness_schedule_window"]
+
+
+# ---------------------------------------------------------------------------
 # §2.9 indexed search: the posting-list probe (sources/postings.py) —
 # the OpenSearch inverted-index analog (opensearch_repository.go:23-56).
 # Build once per sf_dir into a cached Hive-partitioned store, then serve

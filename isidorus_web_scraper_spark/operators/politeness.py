@@ -47,6 +47,7 @@ def schedule_round(
     impl: str = "vectorized",
     page_fn=None,
     n_parts: int | None = None,
+    salt_shards: int = 16,
 ) -> DataFrame:
     """Tag each frontier row with action ∈ {fetch, defer, robots_blocked}.
 
@@ -73,6 +74,21 @@ def schedule_round(
       queue. Same answer, but per-group pandas overhead makes it ~10×
       slower when rounds span thousands of hosts — kept as the
       executable spec of the per-host queue semantics.
+    - ``salted``: the hot-host-proof variant (north_rule: "salted
+      repartitioning to break hot-host skew"). Every other impl ships a
+      host's ENTIRE frontier slice into one partition (window sort /
+      pandas group) — at 10^10 URLs a zipf-head host is a 10^8-row
+      straggler task just to tag defers. Salted runs an exact two-stage
+      top-k, all JVM: stage 1 ranks eligible rows within ``(host,
+      salt=xxhash64(url)%S)`` shards — a row outside its shard's
+      top-``budget`` can never be in the host's top-``budget``, so at
+      most ``budget·S`` candidates per host survive; stage 2 re-ranks
+      only those few per host. Max partition slice drops from
+      max-host-size to max-host-size/S (stage 1) + budget·S (stage 2).
+      The two union branches (candidates, the rest) share the one
+      ``(host, salt)`` shuffle via ReuseExchange; the extra cost is one
+      local re-sort. Equivalence with ``window`` is pytest-pinned and
+      oracle-pinned (politeness_schedule_salted).
 
     ``page_fn`` (vectorized impl only): a BATCH fetch+parse function
     (``pd.Series[url] -> pd.Series[spans]``, null = 404) FUSED into the
@@ -187,6 +203,63 @@ def schedule_round(
             "host",
             action.alias("action"),
         )
+
+    if impl == "salted":
+        if page_fn is not None:
+            raise ValueError("page_fn fusion requires the vectorized impl")
+        from pyspark.sql import Window as W
+
+        # stage 1: eligible-rank WITHIN a (host, salt) shard. Sound
+        # pruning: the eligible rows preceding row r in r's shard are a
+        # subset of those preceding it host-globally, so shard_rank <=
+        # global rank — any row of the host's true top-budget has
+        # shard_rank < budget and survives. delay_ok is a per-host
+        # constant, so an off-round host yields no candidates at all.
+        f2 = f.withColumn(
+            "salt", F.pmod(F.xxhash64("url"), F.lit(int(salt_shards)))
+        )
+        w1 = (
+            W.partitionBy("host", "salt")
+            .orderBy(F.desc("depth"), "url")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        s1 = f2.withColumn(
+            "shard_rank",
+            F.coalesce(
+                F.sum((~F.col("blocked")).cast("long")).over(w1), F.lit(0)
+            ),
+        )
+        is_cand = (
+            (~F.col("blocked"))
+            & F.col("delay_ok")
+            & (F.col("shard_rank") < F.col("budget"))
+        )
+        # stage 2: the host window runs over <= budget*salt_shards rows
+        # per host — the first `budget` candidates in (depth DESC, url)
+        # order ARE the host's global top-budget (any candidate ranked
+        # before them here also precedes them globally).
+        w2 = W.partitionBy("host").orderBy(F.desc("depth"), "url")
+        decided = (
+            s1.filter(is_cand)
+            .withColumn("rn", F.row_number().over(w2))
+            .withColumn(
+                "action",
+                F.when(
+                    F.col("rn") <= F.col("budget"), F.lit(ACTION_FETCH)
+                ).otherwise(F.lit(ACTION_DEFER)),
+            )
+        )
+        others = s1.filter(~is_cand).withColumn(
+            "action",
+            F.when(F.col("blocked"), F.lit(ACTION_ROBOTS)).otherwise(
+                F.lit(ACTION_DEFER)
+            ),
+        )
+        cols = [
+            "scraping_id", "user_id", "url", "depth", "round", "host",
+            "action",
+        ]
+        return decided.select(cols).unionByName(others.select(cols))
 
     if impl == "vectorized":
         if n_parts is None:

@@ -46,8 +46,14 @@ def test_vectorized_equals_grouped_equals_window(spark):
         a = _collect(schedule_round(frontier, pol, round_no, 4, impl="vectorized"))
         b = _collect(schedule_round(frontier, pol, round_no, 4, impl="grouped"))
         c = _collect(schedule_round(frontier, pol, round_no, 4, impl="window"))
+        d = _collect(
+            schedule_round(
+                frontier, pol, round_no, 4, impl="salted", salt_shards=3
+            )
+        )
         assert a == b, f"impl mismatch at round {round_no}"
         assert a == c, f"window impl mismatch at round {round_no}"
+        assert a == d, f"salted impl mismatch at round {round_no}"
 
 
 def test_window_impl_no_politeness_config(spark):
@@ -62,7 +68,48 @@ def test_window_impl_no_politeness_config(spark):
     )
     a = _collect(schedule_round(frontier, None, 0, 4, impl="vectorized"))
     c = _collect(schedule_round(frontier, None, 0, 4, impl="window"))
+    d = _collect(
+        schedule_round(frontier, None, 0, 4, impl="salted", salt_shards=3)
+    )
     assert a == c
+    assert a == d
+
+
+def test_salted_impl_hot_host(spark):
+    # the skew case the salted impl exists for: one zipf-head host
+    # carrying most of the round. Fetch set (the order-sensitive part)
+    # must equal the global window impl's exactly, at several shard
+    # counts including S=1 (degenerate: stage 1 IS the global rank) and
+    # S > rows-per-host (every shard holds ~1 row).
+    rows = [
+        (1, 1, f"http://hot.test/p{i:04d}.html", 1 + i % 3, 0)
+        for i in range(400)
+    ] + [(1, 1, f"http://h{i}.test/x.html", 1, 0) for i in range(20)]
+    frontier = spark.createDataFrame(
+        rows, "scraping_id long, user_id long, url string, depth int, round int"
+    )
+    pol = spark.createDataFrame(
+        [("hot.test", 5, ["/p001"], 0)],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    ref = _collect(schedule_round(frontier, pol, 0, 4, impl="window"))
+    for s in (1, 4, 1024):
+        got = _collect(
+            schedule_round(frontier, pol, 0, 4, impl="salted", salt_shards=s)
+        )
+        assert got == ref, f"salted(S={s}) diverged"
+
+
+def test_salted_impl_plan_is_pure_jvm_one_shuffle(spark):
+    # pure JVM like the window impl, and the two union branches must
+    # REUSE the one (host, salt) exchange rather than shuffling twice
+    frontier = _frontier(spark, n=50, hosts=3)
+    df = schedule_round(frontier, _politeness(spark), 0, 4, impl="salted")
+    df.collect()  # AQE resolves exchange reuse only in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Pandas" not in plan, plan
+    assert "ReusedExchange" in plan, plan
 
 
 def test_window_impl_plan_is_pure_jvm(spark):
