@@ -2962,3 +2962,115 @@ def media_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.lower(F.hex("payload")).alias("payload_hex"),
     )
+
+
+# ===========================================================================
+# BM25 ranked search (round 5): the ranking half of §2.9. The
+# reference's OpenSearch ranks matches with BM25
+# (`workers/indexer/repositories/opensearch_repository.go:23-56` —
+# Lucene's default similarity); our search_pages serves the matching
+# SET with a naive-TF score (set parity is the §2.9 target). This
+# operator implements the standard Robertson/Lucene BM25 formula
+# itself — idf = ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75 —
+# as a first-class ranking operator, with both engines evaluating the
+# per-term contributions in a FIXED left-to-right order (no float-sum
+# order drift). Scale shape: one corpus pass computes (tf_t..., dl);
+# the corpus stats (N, avgdl, df_t) are ONE scalar-aggregate row
+# broadcast back (at 100 TB these are maintained incrementally in the
+# postings meta instead of recomputed); top-k compiles to
+# TakeOrderedAndProject — distributed partial top-k, never a global
+# sort.
+# ===========================================================================
+
+_BM25_TERMS = ["join", "vector", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    contrib = " + ".join(
+        f"(ln(1 + (s.n - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        f" * b.tf_{t} * ({_BM25_K1} + 1)"
+        f" / (b.tf_{t} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * b.dl / s.avgdl)))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {tf_cols},
+             len(w) AS dl
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    s AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base
+    ),
+    scored AS (
+      SELECT b.doc_id, {contrib} AS score
+      FROM base b CROSS JOIN s
+      WHERE {" + ".join(f"b.tf_{t}" for t in _BM25_TERMS)} > 0
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id, round(score, 4) AS bm25,
+             row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@query("bm25_search", _bm25_sql())
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over documents for the fixed query
+    {join, vector, window}: one tokenize pass emits (tf_t..., dl), one
+    scalar aggregate emits (N, avgdl, df_t...) and is cross-joined back
+    (a 1-row broadcast), the score is a fixed-order sum of per-term
+    contributions (bit-identical across partitionings — no shuffled
+    float aggregation anywhere), and the top-10 runs as
+    TakeOrderedAndProject (per-partition heads + driver merge)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def tf(t: str) -> Column:
+        return F.size(F.filter(F.col("w"), lambda x: x == F.lit(t)))
+
+    base = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id",
+        *[tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+        F.size("w").alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    matched = base.filter(
+        sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
+    ).crossJoin(F.broadcast(stats))
+
+    def contrib(t: str) -> Column:
+        idf = F.log(
+            1
+            + (F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tf_c = F.col(f"tf_{t}")
+        norm = tf_c + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * tf_c * (_BM25_K1 + 1) / norm
+
+    score = contrib(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + contrib(t)
+    return (
+        matched.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )

@@ -59,3 +59,12 @@ def test_ann_queries_push_query_filter(spark, sf_correct):
             for ln in plan.splitlines()
             if "PushedFilters" in ln
         ), f"{name}: vec_id<10 not pushed to scan"
+
+
+def test_bm25_topk_is_take_ordered_not_global_sort(spark, sf_correct):
+    # the top-10 must compile to TakeOrderedAndProject (per-partition
+    # heads + driver merge), never a full Sort; the 1-row stats frame
+    # must come in as a broadcast join
+    plan = _plan(spark, "bm25_search", sf_correct)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
