@@ -3074,3 +3074,66 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+# ===========================================================================
+# Incremental dedup (round 5): the production CADENCE of near-dup — a
+# new batch arrives and is deduped against the EXISTING corpus via a
+# persisted LSH index (sources/dedup_index.py), never re-signaturing
+# the corpus. Batch = doc_id % 7 == 3, corpus = the rest; output = each
+# new doc's best corpus match at jaccard >= 0.2. The oracle recomputes
+# both sides from scratch — same bands, same verify — so it checks the
+# persisted index serves exactly what a full recompute would.
+# ===========================================================================
+
+
+@query(
+    "dedup_incremental_lsh",
+    f"""
+    WITH {_MINHASH_SIG_CTES},
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS corpus_doc
+      FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+      WHERE n.doc_id % 7 = 3 AND o.doc_id % 7 != 3
+    ),
+    verified AS (
+      SELECT c.new_doc, c.corpus_doc,
+             CAST(len(list_intersect(gn.grams, go.grams)) AS DOUBLE)
+             / (len(gn.grams) + len(go.grams)
+                - len(list_intersect(gn.grams, go.grams))) AS jaccard
+      FROM cands c
+      JOIN shingled gn ON gn.doc_id = c.new_doc
+      JOIN shingled go ON go.doc_id = c.corpus_doc
+    )
+    SELECT new_doc AS doc_id, corpus_doc AS dup_of, round(jaccard, 5) AS jaccard
+    FROM (
+      SELECT new_doc, corpus_doc, jaccard,
+             row_number() OVER (
+               PARTITION BY new_doc ORDER BY jaccard DESC, corpus_doc
+             ) AS rn
+      FROM verified WHERE jaccard >= 0.2
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus dedup over a PERSISTED LSH index: the corpus
+    bands + gram sets are written once (bucket-hash Hive partitions);
+    the probe signatures only the batch, equi-joins its band rows
+    against the pruned index partitions, and exact-verifies just the
+    candidates. Batch work is linear in the BATCH — the corpus is never
+    re-tokenized (at 10^10 docs this is the only affordable cadence;
+    the full-corpus twin dedup_lsh_verified_jaccard stays the one-shot
+    path)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.dedup_index import build_dedup_index, probe_dedup_index
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"iws-dedupidx-{key}")
+    if not os.path.exists(os.path.join(path, "grams", "_SUCCESS")):
+        corpus = _doc_grams(spark, sf_dir).filter(F.col("doc_id") % 7 != 3)
+        build_dedup_index(_lsh_bands(corpus), corpus, path)
+    batch = _doc_grams(spark, sf_dir).filter(F.col("doc_id") % 7 == 3)
+    return probe_dedup_index(spark, path, _lsh_bands(batch), batch)
