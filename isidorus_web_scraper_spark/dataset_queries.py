@@ -3137,3 +3137,57 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_dedup_index(_lsh_bands(corpus), corpus, path)
     batch = _doc_grams(spark, sf_dir).filter(F.col("doc_id") % 7 == 3)
     return probe_dedup_index(spark, path, _lsh_bands(batch), batch)
+
+
+# ===========================================================================
+# WARC ingest roundtrip (round 5): the web-scale input format. 16
+# multi-record WARC files are synthesized JVM-side (sources/warc.py
+# warc_records_col — records concatenated in doc_id order per file),
+# then parsed back by the real Content-Length-driven record parser
+# (parse_warc_files, mapInPandas over whole files). The oracle
+# reconstructs the expected rows straight from documents — so the pair
+# pins the full serialize→parse loop byte-for-byte, including payloads
+# that contain CRLFs (the parser never scans bodies for delimiters).
+# ===========================================================================
+
+
+@query(
+    "warc_roundtrip",
+    """
+    SELECT 'http://warc.test/doc' || doc_id AS url,
+           200 AS http_status,
+           'text/html' AS content_type,
+           text AS payload
+    FROM documents
+    """,
+)
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → serialized multi-record WARC files → parsed rows.
+    Serialization is pure JVM (concat + octet_length); files parse
+    independently in one mapInPandas (parallelism = file count, no
+    shuffle after the 16-way group)."""
+    from .sources.warc import parse_warc_files, warc_records_col
+
+    docs = load(spark, sf_dir, "documents")
+    recs = docs.select(
+        (F.col("doc_id") % 16).alias("g"),
+        F.struct(
+            F.col("doc_id"),
+            warc_records_col(
+                F.concat(F.lit("http://warc.test/doc"), F.col("doc_id")),
+                F.col("text"),
+            ).alias("rec"),
+        ).alias("s"),
+    )
+    files = recs.groupBy("g").agg(
+        F.encode(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ),
+            "utf-8",
+        ).alias("data")
+    )
+    return parse_warc_files(files.select("data"))
