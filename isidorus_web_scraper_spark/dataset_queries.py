@@ -3191,3 +3191,38 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("data")
     )
     return parse_warc_files(files.select("data"))
+
+
+@query("bm25_indexed", None)  # oracle aliased below — same answer as the scan
+def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search served ENTIRELY from the posting-list store: tf from
+    the query terms' partition-pruned buckets, df counted inside them,
+    dl from the doclens side store, (N, sum_dl) from the build-time
+    meta — the only per-query corpus contact is the doc-length join.
+    Same formula, same fixed contribution order, same top-10, same
+    oracle SQL as the scan path (index changes what gets READ, never
+    the answer)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.postings import (
+        build_postings,
+        probe_bm25,
+        write_doclens,
+        write_postings,
+    )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"iws-postings-{key}")
+    docs = load(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_postings(
+            build_postings(docs, ["doc_id"], "text"), path, mode="overwrite"
+        )
+    if not os.path.exists(os.path.join(path, "_doclen_meta.json")):
+        write_doclens(docs, ["doc_id"], "text", path)
+    return probe_bm25(spark, path, _BM25_TERMS, k=10)
+
+
+_ORACLE_REG["bm25_indexed"] = _ORACLE_REG["bm25_search"]

@@ -370,3 +370,111 @@ def probe_gram_candidates(
         .drop("_matched")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# BM25 served FROM the index (round 5): ranking without a corpus scan.
+# The scan-path twin (dataset_queries.bm25_search) recomputes tf/dl/df
+# from text per query; here every input comes from stores written at
+# index-build time: tf from the probed term buckets, df by counting
+# rows within them, dl from a (doc, dl) side store, and (N, sum_dl)
+# from a meta file maintained incrementally on append — so a query
+# touches only the query terms' buckets plus the doc-length join.
+# OpenSearch does exactly this (per-segment postings + norms + global
+# stats); the reference never scans documents to rank
+# (`opensearch_repository.go:23-56`).
+# ---------------------------------------------------------------------------
+
+_DOCLEN_META = "_doclen_meta.json"
+
+
+def write_doclens(
+    df: DataFrame, id_cols: list[str], text_col: str, path: str
+) -> None:
+    """(ids..., dl) side store + {n, sum_dl} meta, written once at
+    index build. dl = size(split(lower(text), ' ')) — the SAME token
+    rule as build_postings WITHOUT the empty-token filter, because BM25
+    length normalization counts positions, not distinct terms. Appends
+    at scale add rows and bump the meta counters; this sandbox only
+    needs the build-once shape."""
+    dl = df.select(
+        *id_cols,
+        F.size(F.split(F.lower(F.col(text_col)), " ", -1)).alias("dl"),
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    row = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).first()
+    meta_path = os.path.join(path, _DOCLEN_META)
+    tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"n": int(row["n"]), "sum_dl": int(row["sum_dl"])}, f)
+    os.replace(tmp, meta_path)
+
+
+def probe_bm25(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Top-k (ids..., bm25) for a multi-term query, index-only:
+    partition-pruned probe of the terms' buckets, df collected as ≤
+    len(terms) driver-side ints (folded into the score expression as
+    literals), dl joined from the side store, per-term contributions
+    summed in the fixed ``terms`` order (bit-stable), top-k via
+    TakeOrderedAndProject."""
+    with open(os.path.join(path, _DOCLEN_META)) as f:
+        meta = json.load(f)
+    n, avgdl = meta["n"], meta["sum_dl"] / meta["n"]
+    ts = [t.lower() for t in terms]
+    bs = sorted(
+        {
+            int(r.b)
+            for r in spark.createDataFrame([(t,) for t in ts], "term string")
+            .select(_term_bucket(F.col("term"), buckets).alias("b"))
+            .collect()
+        }
+    )
+    idx = (
+        read_postings(spark, path)
+        .filter(F.col("term_bucket").isin(bs))
+        .filter(F.col("term").isin(ts))
+    )
+    id_cols = [
+        c
+        for c in idx.columns
+        if c not in ("term", "frequency", "term_bucket", "round")
+    ]
+    df_counts = {
+        r.term: int(r.df)
+        for r in idx.groupBy("term")
+        .agg(F.count_distinct(*id_cols).alias("df"))
+        .collect()
+    }  # ≤ len(terms) rows — bounded driver-side set
+    piv = (
+        idx.groupBy(*id_cols)
+        .pivot("term", ts)
+        .agg(F.first("frequency"))
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclens"))
+    joined = piv.join(dl, id_cols)
+
+    def contrib(t: str):
+        dft = df_counts.get(t, 0)
+        idf = F.log(F.lit(1) + (F.lit(n) - dft + 0.5) / (F.lit(dft) + 0.5))
+        tf = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+        norm = tf + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+        return idf * tf * (k1 + 1) / norm
+
+    score = contrib(ts[0])
+    for t in ts[1:]:
+        score = score + contrib(t)
+    return (
+        joined.select(*id_cols, F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), *id_cols)
+        .limit(k)
+    )

@@ -68,3 +68,14 @@ def test_bm25_topk_is_take_ordered_not_global_sort(spark, sf_correct):
     plan = _plan(spark, "bm25_search", sf_correct)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_indexed_probes_pruned_buckets(spark, sf_correct):
+    # the index-served BM25 must read only the query terms' term_bucket
+    # partitions and keep the distributed top-k
+    plan = _plan(spark, "bm25_indexed", sf_correct)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert any(
+        "PartitionFilters" in ln and "term_bucket" in ln
+        for ln in plan.splitlines()
+    ), plan
