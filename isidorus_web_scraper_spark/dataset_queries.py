@@ -3226,3 +3226,115 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_REG["bm25_indexed"] = _ORACLE_REG["bm25_search"]
+
+
+# ===========================================================================
+# C4-style global line dedup (round 5): remove every repeated LINE
+# across the corpus, keeping only its first occurrence (C4's "we
+# discard all but one of any three-sentence span occurring more than
+# once" family, and CCNet's per-shard line dedup — the boilerplate
+# killer: nav bars, footers, cookie banners repeat verbatim across a
+# site). Lines = the same seeded 8-word chunks text_repetition uses
+# (flat synthetic text has no newlines); docs with doc_id % 5 == 0 are
+# additionally prefixed with one constant boilerplate line so the
+# cross-doc path is exercised deterministically in both engines. Scale
+# shape: one shuffle keyed by line (first-owner = min(doc,pos)
+# aggregate + join back — at 10^10 docs the key becomes the line's
+# 128-bit hash), one shuffle back by doc to reassemble; never all-pairs,
+# no windows over unbounded partitions.
+# ===========================================================================
+
+_BOILERPLATE = "all rights reserved cookie notice navigation footer"
+
+
+@query(
+    "dedup_lines_global",
+    f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sent AS (
+      SELECT doc_id,
+             [array_to_string(w[i*8+1 : i*8+8], ' ')
+              for i in range(0, CAST(ceil(len(w) / 8.0) AS INT))] AS s
+      FROM base
+    ),
+    seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN list_concat(['{_BOILERPLATE}'], s) ELSE s END AS s
+      FROM sent
+    ),
+    ex AS (
+      SELECT doc_id, u.pos AS pos, u.sent AS sent
+      FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i, 'sent': s[i+1]}} for i in range(len(s))]) AS u
+        FROM seeded
+      )
+    ),
+    kept AS (
+      SELECT doc_id, pos, sent FROM (
+        SELECT doc_id, pos, sent,
+               row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+        FROM ex
+      ) WHERE rn = 1
+    )
+    SELECT s.doc_id,
+           CAST(len(s.s) AS BIGINT) AS n_lines,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.kept_text, '') AS kept_text
+    FROM seeded s LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(sent, ' ' ORDER BY pos) AS kept_text
+      FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = s.doc_id
+    """,
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup: explode seeded 8-word lines with
+    position, pick each line's global first owner with ONE hash
+    aggregate min(struct(doc_id, pos)) (never a window over the line's
+    occurrence list — a boilerplate line with 10^8 copies stays a
+    partial-aggregated key, not a single-task sort), join the owner
+    back, reassemble surviving lines per doc in position order."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ", -1)
+    nchunks = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    seeded_col = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.array(F.lit(_BOILERPLATE)), sents),
+    ).otherwise(sents)
+    seeded = docs.select("doc_id", seeded_col.alias("s"))
+    ex = seeded.select(
+        "doc_id", F.posexplode("s").alias("pos", "sent")
+    )
+    owner = ex.groupBy("sent").agg(
+        F.min(F.struct("doc_id", "pos")).alias("own")
+    )
+    kept = (
+        ex.join(owner, "sent")
+        .filter(
+            (F.col("doc_id") == F.col("own.doc_id"))
+            & (F.col("pos") == F.col("own.pos"))
+        )
+        .select("doc_id", "pos", "sent")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "sent"))),
+                lambda x: x["sent"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return seeded.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.size("s").cast("long").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )

@@ -1089,3 +1089,59 @@ def search_indexed_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data-pipeline operators register themselves into the same
 # QUERIES/ORACLE maps (import side effect, kept last to avoid cycles)
 from . import dataset_queries  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Sitemap ingest (round 5): seed discovery — the crawl-world complement
+# of robots.txt (sitemaps are how a polite crawler finds a site's URL
+# inventory without spidering it). Per-host sitemap.xml files are
+# synthesized JVM-side (<urlset><url><loc>…</loc><priority>…</priority>
+# </url>…</urlset>, entries in doc_id order), then parsed back with
+# Spark's JVM xpath functions (F.xpath — real XML path evaluation, no
+# Python); the oracle reconstructs the expected (url, priority) rows
+# straight from documents, so the pair pins the synthesize→xpath loop.
+# Scale: sitemaps parse per-host-file independently (parallelism = host
+# count, xpath inside whole-stage codegen); at 10^10 URLs this is the
+# cheap seed path that never touches page content.
+# ---------------------------------------------------------------------------
+@query(
+    "sitemap_parse",
+    """
+    SELECT 'http://h' || (doc_id % 23) || '.test/p' || doc_id || '.html' AS url,
+           '0.' || (doc_id % 10) AS priority
+    FROM documents
+    """,
+)
+def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 23
+    entry = F.concat(
+        F.lit("<url><loc>http://h"), h.cast("string"), F.lit(".test/p"),
+        F.col("doc_id").cast("string"), F.lit(".html</loc><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        docs.select(h.alias("h"), F.struct(F.col("doc_id"), entry.alias("e")).alias("s"))
+        .groupBy("h")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("s")), lambda x: x["e"]
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    locs = F.xpath("xml", F.lit("/urlset/url/loc/text()"))
+    prios = F.xpath("xml", F.lit("/urlset/url/priority/text()"))
+    return (
+        sitemaps.select(
+            F.explode(F.arrays_zip(locs.alias("url"), prios.alias("priority"))).alias("z")
+        )
+        .select(F.col("z.url").alias("url"), F.col("z.priority").alias("priority"))
+    )
