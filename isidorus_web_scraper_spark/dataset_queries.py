@@ -3338,3 +3338,42 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )
+
+
+@query(
+    "phrase_search_indexed",
+    """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len([i for i in range(1, len(w))
+                     if w[i] = 'table' AND w[i+1] = 'hash']) AS INT)
+             AS n_occurrences
+    FROM w
+    WHERE len([i for i in range(1, len(w))
+               if w[i] = 'table' AND w[i+1] = 'hash']) > 0
+    """,
+)
+def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("table hash") served by POSITIONAL postings
+    (sources/postings.py build_positional_postings / probe_phrase — the
+    OpenSearch match_phrase analog): occurrence starts = pos(t0) ∩
+    (pos(t1)−1), computed as JVM array intersection over the phrase
+    terms' bucket-pruned rows; document content is never read. The
+    oracle scans the text directly, so the pair pins index-served
+    phrase semantics against a from-scratch recount."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.postings import build_positional_postings, probe_phrase, write_postings
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"iws-postings-pos-{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load(spark, sf_dir, "documents")
+        write_postings(
+            build_positional_postings(docs, ["doc_id"], "text"),
+            path,
+            mode="overwrite",
+        )
+    return probe_phrase(spark, path, "table hash")

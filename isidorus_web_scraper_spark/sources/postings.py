@@ -478,3 +478,92 @@ def probe_bm25(
         .orderBy(F.desc("bm25"), *id_cols)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional postings (round 5): phrase search served by the index —
+# the OpenSearch match_phrase analog (its postings carry positions for
+# exactly this). A phrase "t0 t1 … tk" matches where the terms appear
+# at CONSECUTIVE token positions; with per-(doc, term) sorted position
+# arrays that's one array intersection: occurrence starts =
+# pos(t0) ∩ (pos(t1)−1) ∩ … ∩ (pos(tk)−k). Probe reads only the phrase
+# terms' buckets (same pruning as every other probe here), and the
+# intersection runs as JVM higher-order array ops over the ≤ k pivoted
+# rows per candidate doc — no content is read at all.
+# ---------------------------------------------------------------------------
+
+
+def build_positional_postings(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """(ids..., text) → (ids..., term, positions sorted array<int>,
+    term_bucket). Same tokenizer as build_postings (lowercase, split on
+    single spaces, empty tokens dropped but POSITIONS COUNT THEM — the
+    position is the token index in the full split, so phrase adjacency
+    is judged on the original token stream)."""
+    toks = df.select(
+        *id_cols,
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ", -1)).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy(*id_cols, "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("term_bucket", _term_bucket(F.col("term"), buckets))
+    )
+
+
+def probe_phrase(
+    spark: SparkSession,
+    path: str,
+    phrase: str,
+    buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """(ids..., n_occurrences) for docs containing the exact phrase:
+    bucket-pruned probe of the phrase's terms, pivot to one row per
+    candidate doc, shift each term's positions back by its offset and
+    intersect. Duplicate phrase terms ("do it do it") are handled by
+    intersecting the SAME position array at two offsets."""
+    ts = [t for t in phrase.lower().split(" ") if t != ""]
+    if not ts:
+        raise ValueError("empty phrase")
+    uniq = sorted(set(ts))
+    bs = sorted(
+        {
+            int(r.b)
+            for r in spark.createDataFrame([(t,) for t in uniq], "term string")
+            .select(_term_bucket(F.col("term"), buckets).alias("b"))
+            .collect()
+        }
+    )
+    idx = (
+        read_postings(spark, path)
+        .filter(F.col("term_bucket").isin(bs))
+        .filter(F.col("term").isin(uniq))
+    )
+    id_cols = [
+        c
+        for c in idx.columns
+        if c not in ("term", "positions", "term_bucket", "round")
+    ]
+    piv = idx.groupBy(*id_cols).pivot("term", uniq).agg(F.first("positions"))
+    def _shift(off: int):
+        # closure factory: F.transform infers HOF arity from the
+        # lambda's parameter count, so default-arg binding would turn
+        # the lambda into an (element, index) callback
+        return lambda p: p - off
+
+    starts = None
+    for off, t in enumerate(ts):
+        shifted = F.transform(F.col(f"`{t}`"), _shift(off))
+        starts = shifted if starts is None else F.array_intersect(starts, shifted)
+    n = F.size(starts)
+    return (
+        piv.dropna()  # a doc missing any phrase term cannot match
+        .select(*id_cols, n.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )

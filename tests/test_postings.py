@@ -433,3 +433,38 @@ def test_leveled_compaction_linear_io(spark, tmp_path):
         (r.url, r.round): r.frequency
         for r in probe_postings(spark, path, "spark", 8).collect()
     } == before
+
+
+def test_phrase_probe_duplicate_terms_and_gaps(spark, tmp_path):
+    from isidorus_web_scraper_spark.sources.postings import (
+        build_positional_postings,
+        probe_phrase,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "do it do it now"),
+            (2, "do it and do it"),
+            (3, "do do it"),
+            (4, "it do"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pos")
+    write_postings(
+        build_positional_postings(docs, ["doc_id"], "text"), path,
+        mode="overwrite",
+    )
+    # duplicate-term phrase: the SAME position array intersects at two
+    # offsets — only doc 1 has the full consecutive run
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in probe_phrase(spark, path, "do it do it").collect()
+    }
+    assert got == {1: 1}
+    got2 = {
+        r.doc_id: r.n_occurrences
+        for r in probe_phrase(spark, path, "do it").collect()
+    }
+    assert got2 == {1: 2, 2: 2, 3: 1}
