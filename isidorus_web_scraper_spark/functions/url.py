@@ -74,7 +74,75 @@ def path_col(url: Column | str) -> Column:
     return F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit("/"))
 
 
-def url_hash_col(url: Column | str) -> Column:
-    """Partition/Bloom key: xxhash64 over the canonical form."""
+def canonical_url_col(url: Column | str) -> Column:
+    """Pure-JVM canonicalizer — the zero-Python twin of
+    ``canonicalize`` for ABSOLUTE http(s) URLs (the only shape the
+    crawl admits past the absolute-link predicate, P4): lowercase
+    scheme+netloc, drop the fragment, strip default ports, resolve
+    dot-segments (RFC 3986 §5.2.4) with an ``F.aggregate`` fold over
+    the split path, keep the query. String surgery on the raw value
+    (substring_index / regexp_extract), NOT parse_url — Hive URL
+    parsing has its own edge semantics and this must match the Python
+    reference byte-for-byte (equivalence pinned by
+    tests/test_url.py over fixtures + 400 seeded random URLs).
+    Non-http(s) inputs pass through unchanged (``canonicalize`` may
+    transform them; no crawl path feeds them here)."""
     c = F.col(url) if isinstance(url, str) else url
-    return F.xxhash64(canonical_url(c))
+    defrag = F.substring_index(c, "#", 1)
+    scheme = F.lower(F.regexp_extract(defrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    # everything after '://' (scheme match is non-empty on the http(s)
+    # domain; the outer when() guards the rest)
+    rest = F.substring(defrag, F.length(scheme) + 4, F.lit(2147483647))
+    netloc_raw = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    netloc = F.lower(netloc_raw)
+    netloc = (
+        F.when(
+            (scheme == "http") & netloc.endswith(":80"),
+            F.substring(netloc, 1, F.length(netloc) - 3),
+        )
+        .when(
+            (scheme == "https") & netloc.endswith(":443"),
+            F.substring(netloc, 1, F.length(netloc) - 4),
+        )
+        .otherwise(netloc)
+    )
+    path_and_query = F.substring(
+        rest, F.length(netloc_raw) + 1, F.lit(2147483647)
+    )
+    qpos = F.instr(path_and_query, "?")
+    raw_path = F.when(qpos > 0, F.substring(path_and_query, 1, qpos - 1)).otherwise(
+        path_and_query
+    )
+    query = F.when(
+        qpos > 0, F.substring(path_and_query, qpos + 1, F.lit(2147483647))
+    ).otherwise(F.lit(""))
+    path0 = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    # dot-segment fold: '.' dropped, '..' pops, else append — exactly
+    # canonicalize()'s loop, as an aggregate over the split segments
+    folded = F.aggregate(
+        F.split(path0, "/", -1),
+        F.array().cast("array<string>"),
+        lambda acc, seg: F.when(seg == ".", acc)
+        .when(seg == "..", F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+        .otherwise(F.concat(acc, F.array(seg))),
+    )
+    joined = F.array_join(folded, "/")
+    path = F.when(joined.startswith("/"), joined).otherwise(
+        F.concat(F.lit("/"), joined)
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        netloc,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(scheme.isin("http", "https"), rebuilt).otherwise(c)
+
+
+def url_hash_col(url: Column | str) -> Column:
+    """Partition/Bloom key: xxhash64 over the canonical form — all
+    JVM (the pandas-UDF canonicalizer would put a Python stage inside
+    every round's claim tagging and every corpus-bucket route)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.xxhash64(canonical_url_col(c))
