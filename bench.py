@@ -275,12 +275,20 @@ def main() -> None:
     timings["crawl"] = round(wall, 3)
 
     if not CRAWL_ONLY:
-        # index-backed queries: run once untimed so the one-time store
-        # build (corpus LSH index / postings+doclens) lands outside the
-        # timed probe — the number tracked round-over-round is the
-        # steady-state probe cost, which is the scale claim
-        for name in ("dedup_incremental_lsh", "bm25_indexed"):
-            QUERIES[name](spark, SF_DIR).collect()
+        # index-backed queries: when their store is missing, run once
+        # untimed so the one-time build (corpus LSH index /
+        # postings+doclens) lands outside the timed probe — the number
+        # tracked round-over-round is the steady-state probe cost. When
+        # the store already exists the warm-up is skipped (it would be
+        # a duplicate full probe).
+        from isidorus_web_scraper_spark.sources.index_cache import cached_store
+
+        for name, store, marker in (
+            ("dedup_incremental_lsh", "dedupidx", "grams/_SUCCESS"),
+            ("bm25_indexed", "postings", "_doclen_meta.json"),
+        ):
+            if not cached_store(SF_DIR, store, marker)[1]:
+                QUERIES[name](spark, SF_DIR).collect()
 
     for name in [] if CRAWL_ONLY else BENCH_QUERIES:
         t = time.monotonic()

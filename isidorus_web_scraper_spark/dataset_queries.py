@@ -2909,15 +2909,11 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=2 nearest cells via partition pruning — same layout
     contract as the postings store for text. Same centroid rule
     (vec_id % 50 == 0), same tie rules, same output, same oracle."""
-    import hashlib
-    import os
-    import tempfile
-
     from .sources.ann_ivf import build_ivf_index, probe_ivf
+    from .sources.index_cache import cached_store
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"iws-ivf-{key}")
-    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+    path, built = cached_store(sf_dir, "ivf", "cells/_SUCCESS")
+    if not built:
         emb = load(spark, sf_dir, "embeddings")
         cent = emb.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
@@ -3124,15 +3120,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenized (at 10^10 docs this is the only affordable cadence;
     the full-corpus twin dedup_lsh_verified_jaccard stays the one-shot
     path)."""
-    import hashlib
-    import os
-    import tempfile
-
     from .sources.dedup_index import build_dedup_index, probe_dedup_index
+    from .sources.index_cache import cached_store
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"iws-dedupidx-{key}")
-    if not os.path.exists(os.path.join(path, "grams", "_SUCCESS")):
+    path, built = cached_store(sf_dir, "dedupidx", "grams/_SUCCESS")
+    if not built:
         corpus = _doc_grams(spark, sf_dir).filter(F.col("doc_id") % 7 != 3)
         build_dedup_index(_lsh_bands(corpus), corpus, path)
     batch = _doc_grams(spark, sf_dir).filter(F.col("doc_id") % 7 == 3)
@@ -3202,10 +3194,7 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same formula, same fixed contribution order, same top-10, same
     oracle SQL as the scan path (index changes what gets READ, never
     the answer)."""
-    import hashlib
-    import os
-    import tempfile
-
+    from .sources.index_cache import cached_store
     from .sources.postings import (
         build_postings,
         probe_bm25,
@@ -3213,14 +3202,13 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_postings,
     )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"iws-postings-{key}")
     docs = load(spark, sf_dir, "documents")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path, built = cached_store(sf_dir, "postings", "_SUCCESS")
+    if not built:
         write_postings(
             build_postings(docs, ["doc_id"], "text"), path, mode="overwrite"
         )
-    if not os.path.exists(os.path.join(path, "_doclen_meta.json")):
+    if not cached_store(sf_dir, "postings", "_doclen_meta.json")[1]:
         write_doclens(docs, ["doc_id"], "text", path)
     return probe_bm25(spark, path, _BM25_TERMS, k=10)
 
@@ -3361,15 +3349,11 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms' bucket-pruned rows; document content is never read. The
     oracle scans the text directly, so the pair pins index-served
     phrase semantics against a from-scratch recount."""
-    import hashlib
-    import os
-    import tempfile
-
+    from .sources.index_cache import cached_store
     from .sources.postings import build_positional_postings, probe_phrase, write_postings
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"iws-postings-pos-{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path, built = cached_store(sf_dir, "postings-pos", "_SUCCESS")
+    if not built:
         docs = load(spark, sf_dir, "documents")
         write_postings(
             build_positional_postings(docs, ["doc_id"], "text"),

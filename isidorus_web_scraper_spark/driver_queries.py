@@ -490,15 +490,11 @@ ORACLE["politeness_schedule_salted"] = ORACLE["politeness_schedule_window"]
     """,
 )
 def search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
+    from .sources.index_cache import cached_store
     from .sources.postings import build_postings, probe_postings, write_postings
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"iws-postings-{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path, built = cached_store(sf_dir, "postings", "_SUCCESS")
+    if not built:
         docs = load(spark, sf_dir, "documents")
         write_postings(
             build_postings(docs, ["doc_id"], "text"),
@@ -989,10 +985,9 @@ def seen_antijoin_wh_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def search_indexed_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import tempfile
 
+    from .sources.index_cache import cached_store
     from .sources.postings import (
         build_postings,
         compact_postings,
@@ -1000,10 +995,9 @@ def search_indexed_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_postings,
     )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"iws-postings-cmp-{key}")
+    path, built = cached_store(sf_dir, "postings-cmp", "_BUILT")
     marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
+    if not built:
         # build into a scratch dir and rename into place: the per-round
         # writes APPEND, so re-running a half-built cache dir would
         # duplicate posting rows permanently (and the marker would then
@@ -1052,19 +1046,15 @@ def search_indexed_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def search_indexed_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
+    from .sources.index_cache import cached_store
     from .sources.postings import (
         build_grams,
         probe_gram_candidates,
         write_postings,
     )
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"iws-grams-{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path, built = cached_store(sf_dir, "grams", "_SUCCESS")
+    if not built:
         docs = load(spark, sf_dir, "documents")
         write_postings(
             build_grams(docs, ["doc_id"], ["text"]), path, mode="overwrite"

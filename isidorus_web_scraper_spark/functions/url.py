@@ -85,9 +85,21 @@ def canonical_url_col(url: Column | str) -> Column:
     parsing has its own edge semantics and this must match the Python
     reference byte-for-byte (equivalence pinned by
     tests/test_url.py over fixtures + 400 seeded random URLs).
-    Non-http(s) inputs pass through unchanged (``canonicalize`` may
-    transform them; no crawl path feeds them here)."""
-    c = F.col(url) if isinstance(url, str) else url
+    Embedded tab/CR/LF are removed first — the same sanitization
+    ``urlsplit`` applies (WHATWG unsafe bytes), so whitespace-bearing
+    hrefs hash identically in both impls.
+
+    Domain fence: inputs NOT matching ``^scheme://`` (e.g. the
+    malformed ``http:/a`` or bare ``httpfoo`` strings the crawl's
+    permissive startswith('http') predicate can admit) pass through
+    UNCHANGED, where ``canonicalize`` would normalize them through
+    urlsplit. That divergence only means such a string groups with
+    nothing but its own exact spelling — the seen-set identity is the
+    raw string anyway, and a deterministic per-spelling hash is all the
+    partition/Bloom key needs (pinned by
+    test_jvm_canonicalizer_fallback_is_passthrough)."""
+    raw = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(raw, "[\\t\\r\\n]", "")
     defrag = F.substring_index(c, "#", 1)
     scheme = F.lower(F.regexp_extract(defrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     # everything after '://' (scheme match is non-empty on the http(s)

@@ -212,9 +212,13 @@ def schedule_round(
         # stage 1: eligible-rank WITHIN a (host, salt) shard. Sound
         # pruning: the eligible rows preceding row r in r's shard are a
         # subset of those preceding it host-globally, so shard_rank <=
-        # global rank — any row of the host's true top-budget has
-        # shard_rank < budget and survives. delay_ok is a per-host
-        # constant, so an off-round host yields no candidates at all.
+        # global rank — any row with global eligible-rank < budget has
+        # shard_rank < budget and survives. Candidacy deliberately does
+        # NOT test delay_ok: the window impl's rank counts EVERY
+        # non-blocked preceding row (delayed or not), so delayed rows
+        # must keep consuming stage-2 rank slots for the fetch sets to
+        # match even on frontiers where round (hence delay_ok) varies
+        # within a host; delay_ok gates the final action only.
         f2 = f.withColumn(
             "salt", F.pmod(F.xxhash64("url"), F.lit(int(salt_shards)))
         )
@@ -229,11 +233,7 @@ def schedule_round(
                 F.sum((~F.col("blocked")).cast("long")).over(w1), F.lit(0)
             ),
         )
-        is_cand = (
-            (~F.col("blocked"))
-            & F.col("delay_ok")
-            & (F.col("shard_rank") < F.col("budget"))
-        )
+        is_cand = (~F.col("blocked")) & (F.col("shard_rank") < F.col("budget"))
         # stage 2: the host window runs over <= budget*salt_shards rows
         # per host — the first `budget` candidates in (depth DESC, url)
         # order ARE the host's global top-budget (any candidate ranked
@@ -245,13 +245,24 @@ def schedule_round(
             .withColumn(
                 "action",
                 F.when(
-                    F.col("rn") <= F.col("budget"), F.lit(ACTION_FETCH)
+                    F.col("delay_ok") & (F.col("rn") <= F.col("budget")),
+                    F.lit(ACTION_FETCH),
                 ).otherwise(F.lit(ACTION_DEFER)),
             )
         )
+        # the isNotNull() term is a no-op on values (delay_ok is never
+        # null) — it exists so this branch REFERENCES delay_ok: with it,
+        # both union branches prune to the same column set, their
+        # (host, salt) exchanges canonicalize identically, and
+        # ReuseExchange ships the round's rows once (plan-pinned).
         others = s1.filter(~is_cand).withColumn(
             "action",
-            F.when(F.col("blocked"), F.lit(ACTION_ROBOTS)).otherwise(
+            F.when(
+                F.col("blocked") & F.col("delay_ok").isNotNull(),
+                F.lit(ACTION_ROBOTS),
+            )
+            .when(F.col("blocked"), F.lit(ACTION_ROBOTS))
+            .otherwise(
                 F.lit(ACTION_DEFER)
             ),
         )

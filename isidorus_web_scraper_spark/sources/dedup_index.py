@@ -80,7 +80,19 @@ def probe_dedup_index(
     """(new bands, new grams) → (doc_id, dup_of, jaccard): each new
     doc's best corpus match at ``jaccard >= threshold`` (ties → lowest
     corpus doc_id). Index reads prune to the batch's touched ``bb``
-    partitions; the verify joins only the candidate pairs."""
+    partitions; the verify joins only the candidate pairs.
+
+    The batch frames are persisted here: ``new_bands`` feeds the
+    touched-bucket collect AND the candidates join, ``new_grams`` feeds
+    the signature lineage AND the verify join — without the cache the
+    batch's tokenize+md5+minhash pass would run three times per probe.
+    Same cache-lifetime rule as dedup_lsh_verified_jaccard: one-shot
+    sessions release at exit, long-lived ones clearCache() after
+    collecting."""
+    from pyspark import StorageLevel
+
+    new_bands = new_bands.persist(StorageLevel.MEMORY_AND_DISK)
+    new_grams = new_grams.persist(StorageLevel.MEMORY_AND_DISK)
     touched = [
         int(r.bb)
         for r in new_bands.select(

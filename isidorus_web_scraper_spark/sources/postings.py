@@ -402,9 +402,14 @@ def write_doclens(
         F.size(F.split(F.lower(F.col(text_col)), " ", -1)).alias("dl"),
     )
     dl.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
-    row = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-    ).first()
+    # aggregate the just-written store, not the source lineage — the
+    # tokenize pass over the corpus runs once, the stats read a narrow
+    # int column back
+    row = (
+        dl.sparkSession.read.parquet(os.path.join(path, "doclens"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+        .first()
+    )
     meta_path = os.path.join(path, _DOCLEN_META)
     tmp = meta_path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -431,10 +436,15 @@ def probe_bm25(
         meta = json.load(f)
     n, avgdl = meta["n"], meta["sum_dl"] / meta["n"]
     ts = [t.lower() for t in terms]
+    # pivot on the DE-DUPED term list (duplicate terms would make two
+    # identically-named columns and an ambiguous-reference error); the
+    # contribution sum below still runs over the original `ts`, so a
+    # repeated query term contributes twice — matching the scan path
+    uniq = list(dict.fromkeys(ts))
     bs = sorted(
         {
             int(r.b)
-            for r in spark.createDataFrame([(t,) for t in ts], "term string")
+            for r in spark.createDataFrame([(t,) for t in uniq], "term string")
             .select(_term_bucket(F.col("term"), buckets).alias("b"))
             .collect()
         }
@@ -442,7 +452,7 @@ def probe_bm25(
     idx = (
         read_postings(spark, path)
         .filter(F.col("term_bucket").isin(bs))
-        .filter(F.col("term").isin(ts))
+        .filter(F.col("term").isin(uniq))
     )
     id_cols = [
         c
@@ -457,7 +467,7 @@ def probe_bm25(
     }  # ≤ len(terms) rows — bounded driver-side set
     piv = (
         idx.groupBy(*id_cols)
-        .pivot("term", ts)
+        .pivot("term", uniq)
         .agg(F.first("frequency"))
     )
     dl = spark.read.parquet(os.path.join(path, "doclens"))

@@ -84,19 +84,32 @@ def _parse_one(data: bytes) -> list[tuple]:
             break
         if not data.startswith(b"WARC/", pos):
             raise ValueError(f"malformed WARC record at byte {pos}")
-        hdr_end = data.index(b"\r\n\r\n", pos)
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(
+                f"malformed WARC record at byte {pos}: unterminated headers"
+            )
         headers: dict[str, str] = {}
         for line in data[pos:hdr_end].decode("utf-8").split("\r\n")[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError(
+                f"malformed WARC record at byte {pos}: no Content-Length"
+            )
         body_start = hdr_end + 4
         body_len = int(headers["content-length"])
         body = data[body_start : body_start + body_len]
-        pos = body_start + body_len  # trailing CRLFCRLF eaten above
+        rec_pos, pos = pos, body_start + body_len  # trailing CRLFCRLF eaten above
         if headers.get("warc-type") != "response":
             continue
         # embedded HTTP message: status line, headers, CRLFCRLF, payload
-        http_hdr_end = body.index(b"\r\n\r\n")
+        http_hdr_end = body.find(b"\r\n\r\n")
+        if http_hdr_end < 0:
+            raise ValueError(
+                f"malformed WARC record at byte {rec_pos}: response body "
+                "has no HTTP header terminator"
+            )
         http_lines = body[:http_hdr_end].decode("utf-8").split("\r\n")
         status = int(http_lines[0].split(" ")[1])
         ctype = ""

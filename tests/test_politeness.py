@@ -147,3 +147,25 @@ def test_budget_and_robots_semantics(spark):
     }
     assert ("h1.test", "fetch") not in d1                # delayed round
     assert d1.get(("h1.test", "defer"), 0) == 50
+
+
+def test_salted_equals_window_on_mixed_round_frontier(spark):
+    # rows of ONE host carrying different rounds, so delay_ok varies
+    # within the host: delayed rows must still consume rank slots
+    # (the window impl's rank counts every non-blocked preceding row)
+    rows = [
+        (1, 1, f"http://hot.test/p{i:03d}.html", 1, i % 2) for i in range(40)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "scraping_id long, user_id long, url string, depth int, round int"
+    )
+    pol = spark.createDataFrame(
+        [("hot.test", 3, [], 1)],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    ref = _collect(schedule_round(frontier, pol, 0, 4, impl="window"))
+    got = _collect(
+        schedule_round(frontier, pol, 0, 4, impl="salted", salt_shards=3)
+    )
+    assert got == ref

@@ -71,6 +71,12 @@ def test_jvm_canonicalizer_equals_python_reference(spark):
         "http://a.test/p#a#b",
         "http://a.test/p?#f",
         "http://a.test/%2E/p",
+        # embedded tab/CR/LF: urlsplit strips these (WHATWG unsafe
+        # bytes) and so must the JVM twin
+        "http://a.\tb.test/p",
+        "htt\tp://a.test/x",
+        "http://a.test/p\n1.html",
+        "http://a.test:8\r0/p",
     ]
     import random
 
@@ -107,3 +113,16 @@ def test_url_hash_plan_is_pure_jvm(spark):
         .toString()
     )
     assert "Python" not in plan and "Pandas" not in plan, plan
+
+
+def test_jvm_canonicalizer_fallback_is_passthrough(spark):
+    # the documented domain fence: strings the crawl's permissive
+    # startswith('http') predicate admits but that are not real
+    # scheme://... URLs pass through (whitespace-stripped) unchanged —
+    # deterministic per-spelling hashing, no grouping
+    from isidorus_web_scraper_spark.functions.url import canonical_url_col
+
+    weird = ["http:/a", "httpfoo", "http:a.test", "ftp://a.test/x"]
+    df = spark.createDataFrame([(u,) for u in weird], "url string")
+    got = [r.c for r in df.select(canonical_url_col("url").alias("c")).collect()]
+    assert got == weird
