@@ -3361,3 +3361,105 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="overwrite",
         )
     return probe_phrase(spark, path, "table hash")
+
+
+# ===========================================================================
+# Sequence packing (round 5): the last step of a pretraining data
+# pipeline — concatenate the corpus's token stream in a deterministic
+# document order and cut it into fixed-size training chunks (the
+# GPT-style "concat and chunk at block_size" packing). A doc whose
+# tokens straddle a boundary contributes a slice to each chunk it
+# overlaps; the output is the (doc, chunk) assignment table a loader
+# shards by chunk_id. The global token offsets are a DISTRIBUTED
+# prefix sum — range-partition by doc_id, per-partition running sums
+# via a window over spark_partition_id() (each partition sorts only
+# its own slice), then the ≤ P partition totals come to the driver and
+# return as a broadcast offset join (the textbook two-pass scan; a
+# single global ORDER BY window would funnel the corpus through one
+# task). The oracle computes the same offsets with a global window —
+# affordable at oracle scale, which is exactly why it can stay SQL.
+# ===========================================================================
+
+_PACK_BLOCK = 512  # tokens per training chunk
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ntok,
+             CAST(sum(ntok) OVER (ORDER BY doc_id) AS BIGINT) AS cend
+      FROM t
+    ),
+    s AS (SELECT doc_id, cend - ntok AS cstart, cend FROM c)
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(greatest(cstart, chunk_id * {_PACK_BLOCK})
+                - chunk_id * {_PACK_BLOCK} AS BIGINT) AS start_in_chunk,
+           CAST(least(cend, (chunk_id + 1) * {_PACK_BLOCK})
+                - greatest(cstart, chunk_id * {_PACK_BLOCK}) AS BIGINT)
+             AS n_tokens
+    FROM (
+      SELECT doc_id, cstart, cend,
+             unnest([i for i in range(cstart // {_PACK_BLOCK},
+                                      (cend - 1) // {_PACK_BLOCK} + 1)])
+               AS chunk_id
+      FROM s
+    )
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, start_in_chunk, n_tokens): concat-and-chunk
+    packing at block_size=512 over doc_id order. Distributed prefix
+    sum: range partitions each cumsum their own slice; the ≤ P
+    partition totals (bounded driver-side set) come back as a
+    broadcast offset join; chunk assignments explode from a JVM
+    sequence — no global sort, no single-partition window anywhere."""
+    B = _PACK_BLOCK
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("ntok"),
+    )
+    parts = t.repartitionByRange(16, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    local = parts.withColumn("local_end", F.sum("ntok").over(w))
+    from pyspark import StorageLevel
+
+    local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = {
+        int(r.pid): int(r.tot)
+        for r in local.groupBy("pid").agg(F.max("local_end").alias("tot")).collect()
+    }  # ≤ P rows — bounded driver-side set
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    s = local.join(F.broadcast(off_df), "pid").select(
+        "doc_id",
+        (F.col("local_end") - F.col("ntok") + F.col("off")).alias("cstart"),
+        (F.col("local_end") + F.col("off")).alias("cend"),
+    )
+    chunk = F.explode(
+        F.sequence(
+            F.floor(F.col("cstart") / B),
+            F.floor((F.col("cend") - 1) / B),
+        )
+    ).alias("chunk_id")
+    return s.select("doc_id", "cstart", "cend", chunk).select(
+        "doc_id",
+        F.col("chunk_id").cast("long"),
+        (
+            F.greatest(F.col("cstart"), F.col("chunk_id") * B)
+            - F.col("chunk_id") * B
+        ).cast("long").alias("start_in_chunk"),
+        (
+            F.least(F.col("cend"), (F.col("chunk_id") + 1) * B)
+            - F.greatest(F.col("cstart"), F.col("chunk_id") * B)
+        ).cast("long").alias("n_tokens"),
+    )

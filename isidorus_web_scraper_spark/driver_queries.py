@@ -1135,3 +1135,65 @@ def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("z.url").alias("url"), F.col("z.priority").alias("priority"))
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Sitemap: directives (round 5) — the discovery half of the
+# sitemap path: RFC 9309 makes Sitemap lines GLOBAL (valid anywhere,
+# independent of User-agent sections), so extraction is one
+# explode+regexp with no section window; the URLs feed sitemap_parse.
+# Synthetic robots bodies deliberately place one directive inside the
+# evilbot section to pin the no-grouping rule.
+# ---------------------------------------------------------------------------
+@query(
+    "robots_sitemap_discovery",
+    """
+    WITH hosts AS (SELECT DISTINCT doc_id % 199 AS h FROM documents),
+    txt AS (
+      SELECT h, concat_ws(chr(10),
+        'User-agent: *', 'Disallow: /admin',
+        'Sitemap: http://h' || h::VARCHAR || '.test/sitemap.xml',
+        'User-agent: evilbot', 'Disallow: /',
+        CASE WHEN h % 4 = 0
+             THEN 'sitemap: http://h' || h::VARCHAR || '.test/sitemap2.xml'
+             ELSE '# end' END
+      ) AS robots_txt FROM hosts
+    ),
+    lines AS (
+      SELECT h, unnest(string_split(robots_txt, chr(10))) AS line FROM txt
+    )
+    SELECT DISTINCT 'h' || h::VARCHAR || '.test' AS host,
+           regexp_extract(trim(line), '(?i)^sitemap:\\s*(\\S+)', 1) AS sitemap_url
+    FROM lines
+    WHERE nullif(regexp_extract(trim(line), '(?i)^sitemap:\\s*(\\S+)', 1), '') IS NOT NULL
+    """,
+)
+def robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.robots import robots_sitemaps
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("h")
+    txt = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /admin"),
+        F.concat(F.lit("Sitemap: http://h"), h.cast("string"), F.lit(".test/sitemap.xml")),
+        F.lit("User-agent: evilbot"),
+        F.lit("Disallow: /"),
+        F.when(
+            h % 4 == 0,
+            F.concat(
+                F.lit("sitemap: http://h"), h.cast("string"),
+                F.lit(".test/sitemap2.xml"),
+            ),
+        ).otherwise(F.lit("# end")),
+    )
+    robots = (
+        docs.select((F.col("doc_id") % 199).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), h.cast("string"), F.lit(".test")).alias("host"),
+            txt.alias("robots_txt"),
+        )
+    )
+    return robots_sitemaps(robots)

@@ -90,3 +90,31 @@ def politeness_from_robots(
         "robots_disallow",
         F.col("crawl_delay_rounds").cast("int"),
     )
+
+
+_SITEMAP_RE = r"(?i)^sitemap:\s*(\S+)"
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → (host, sitemap_url): the ``Sitemap:``
+    directives. Per RFC 9309 these are GLOBAL — valid anywhere in the
+    file, independent of User-agent grouping — so no section window is
+    needed: one posexplode + regexp, distinct per host. Feeds the
+    sitemap seed-discovery path (driver_queries.sitemap_parse parses
+    the files these point at)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    )
+    return (
+        lines.select(
+            "host",
+            F.nullif(
+                F.regexp_extract(F.trim("line"), _SITEMAP_RE, 1), F.lit("")
+            ).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url").isNotNull())
+        .distinct()
+    )

@@ -194,3 +194,33 @@ def test_winnowing_matches_pure_python_reference(spark, monkeypatch):
             continue
         hashes = [h for _pos, h in sel]
         assert got[i] == (n_grams, len(sel), sum(hashes), min(hashes)), t
+
+
+def test_pack_sequences_chunks_are_gapless_and_full(spark):
+    # packing invariants: every chunk except the last carries exactly
+    # block_size tokens, slices within a chunk tile it without gaps,
+    # and the grand total equals the corpus token count
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.dataset_queries import (
+        _PACK_BLOCK,
+        pack_sequences,
+    )
+    from isidorus_web_scraper_spark.sources.testdata import load
+
+    sf = "/root/testdata/sf0.001"
+    out = pack_sequences(spark, sf)
+    per_chunk = {
+        int(r.chunk_id): int(r.tot)
+        for r in out.groupBy("chunk_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    last = max(per_chunk)
+    for cid, tot in per_chunk.items():
+        assert tot == _PACK_BLOCK or cid == last, (cid, tot)
+    assert set(per_chunk) == set(range(last + 1))  # no holes
+    total = load(spark, sf, "documents").select(
+        F.sum(F.size(F.split("text", " ", -1)))
+    ).first()[0]
+    assert sum(per_chunk.values()) == total
