@@ -208,14 +208,20 @@ _MINHASH_SIG_CTES = f"""
 """
 
 
-def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, grams): distinct word trigrams per document — the shared
-    input of the LSH banding pass and the exact-Jaccard verify pass."""
-    docs = load(spark, sf_dir, "documents")
+def doc_grams_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, grams): distinct word trigrams —
+    the signature input of every LSH dedup path (batch, incremental,
+    and the streaming ingest's per-batch probe)."""
     return docs.select(
         "doc_id",
         F.array_distinct(word_ngrams(words(F.col("text")), 3)).alias("grams"),
     ).filter(F.size("grams") > 0)
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_grams_of over the sf_dir documents table — the shared
+    input of the LSH banding pass and the exact-Jaccard verify pass."""
+    return doc_grams_of(load(spark, sf_dir, "documents"))
 
 
 def _lsh_bands(grams: DataFrame) -> DataFrame:
@@ -3462,4 +3468,54 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("cend"), (F.col("chunk_id") + 1) * B)
             - F.greatest(F.col("cstart"), F.col("chunk_id") * B)
         ).cast("long").alias("n_tokens"),
+    )
+
+
+# ===========================================================================
+# BPE pair statistics (round 5): the inner loop of byte-pair-encoding
+# tokenizer TRAINING is "count all adjacent symbol pairs, merge the
+# most frequent" — at corpus scale the count is the expensive part and
+# it's pure aggregation: explode adjacent pairs (JVM sequence over the
+# token array, no Python), hash-aggregate counts (map-side partial
+# combine), top-k via TakeOrderedAndProject. One merge round shown;
+# training iterates count→merge with the same plan shape.
+# ===========================================================================
+
+
+@query(
+    "bpe_top_pairs",
+    """
+    WITH w AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+    p AS (
+      SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pair
+      FROM w
+    )
+    SELECT pair, n FROM (
+      SELECT pair, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rn
+      FROM p GROUP BY pair
+    ) WHERE rn <= 20
+    """,
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token pairs by corpus frequency — one BPE-train
+    counting round. Pair explosion and counting never leave the JVM;
+    ties break on the pair string so both engines pick identical rows."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
     )
