@@ -5,11 +5,14 @@ seen-set identity (`scraper_service.go:263-276`), and no per-host logic
 at all (`page_fetcher.go:14-20`). Per the north_rule we add both, but
 ONLY for partitioning/salting/politeness:
 
-- ``canonical_url`` (vectorized pandas UDF): lowercase scheme+host,
-  strip fragment, resolve dot-segments, drop default ports — feeds
-  ``xxhash64`` for partition keys and Bloom membership;
-- ``with_host`` uses JVM-side ``parse_url`` (no Python) for the
-  politeness grouping key.
+- ``canonical_url_col`` (pure JVM — round 5; the earlier pandas UDF is
+  gone): lowercase scheme+host, strip fragment, resolve dot-segments,
+  drop default ports — feeds ``xxhash64`` for partition keys and Bloom
+  membership. ``canonicalize`` remains as the plain-Python reference
+  implementation (corpus generator + the byte-equality pin in
+  tests/test_url.py);
+- host/path extraction uses JVM-side ``try_parse_url`` (no Python) for
+  the politeness grouping key.
 
 Seen-set identity stays the raw string so the final URL-seen set
 matches the reference exactly (SURVEY.md §2.8/F12).
@@ -19,10 +22,8 @@ from __future__ import annotations
 
 from urllib.parse import urlsplit, urlunsplit
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _DEFAULT_PORTS = {"http": ":80", "https": ":443"}
 
@@ -52,11 +53,6 @@ def canonicalize(url: str) -> str:
     if not path.startswith("/"):
         path = "/" + path
     return urlunsplit((scheme, netloc, path, parts.query, ""))
-
-
-@F.pandas_udf(T.StringType())
-def canonical_url(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize)
 
 
 def host_col(url: Column | str) -> Column:
