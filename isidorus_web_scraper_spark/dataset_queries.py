@@ -3519,3 +3519,76 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Temperature-weighted source mixing (round 5): pretraining corpora are
+# not sampled uniformly — rare sources are upweighted by sampling
+# source s with probability ∝ n_s^α (α<1 flattens the mixture; the
+# multilingual-BERT / XLM-R exponent trick). Rendered as a per-doc
+# deterministic keep gate: keep_rate_s = sqrt(n_min / n_s) at α=0.5
+# (the rarest source keeps 100%), gate = md5-uniform(doc) < rate.
+# IEEE sqrt and division are correctly rounded in both engines and the
+# gate compares against floor(rate·10^6) as an integer, so the kept
+# set is bit-identical. Scale shape: one hash aggregate for the
+# per-source counts (tiny — broadcast back), one columnar gate pass;
+# no shuffle of the corpus itself.
+# ===========================================================================
+
+
+@query(
+    "mixture_sample_alpha",
+    """
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 6 THEN 'head'
+                  WHEN doc_id % 10 < 9 THEN 'mid'
+                  ELSE 'tail' END AS grp
+      FROM documents
+    ),
+    counts AS (SELECT grp, count(*) AS n_s FROM tagged GROUP BY grp),
+    m AS (SELECT min(n_s) AS n_min FROM counts),
+    gated AS (
+      SELECT d.grp,
+             CASE WHEN ('0x' || substr(md5('mix:' || d.doc_id), 1, 15))::BIGINT % 1000000
+                       < CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / c.n_s) * 1000000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS keep
+      FROM tagged d JOIN counts c ON c.grp = d.grp CROSS JOIN m
+    )
+    SELECT grp,
+           count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept
+    FROM gated GROUP BY grp
+    """,
+)
+def mixture_sample_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 source-temperature sampling over a seeded 60/30/10
+    head/mid/tail mixture (the flat table's real sources are uniform,
+    which would gate nothing): per-group keep rates from
+    one broadcast count aggregate, per-doc md5 gates (same
+    deterministic-gate machinery as stratified_sample), integerized
+    rate comparison so both engines keep the identical doc set."""
+    docs = load(spark, sf_dir, "documents")
+    grp = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("head"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+    )
+    tagged = docs.select("doc_id", grp.alias("grp"))
+    counts = tagged.groupBy("grp").agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rate = F.floor(
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_s")) * 1000000
+    ).cast("bigint")
+    gate = md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    keep = F.when(gate % 1000000 < rate, 1).otherwise(0)
+    return (
+        tagged.join(F.broadcast(counts), "grp")
+        .crossJoin(F.broadcast(n_min))
+        .select("grp", keep.alias("keep"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+    )
