@@ -54,19 +54,25 @@ def word_ngrams(arr: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def ntz_epoch_ms(c: Column) -> Column:
+    """Milliseconds since 1970-01-01 00:00 of a TIMESTAMP_NTZ as pure
+    wall-clock arithmetic — NO session-timezone interpretation.
+    ``ntz.cast("timestamp")`` reads the wall-clock in the session zone,
+    which shifts by the DST step for pairs straddling a transition (and
+    is ambiguous inside fall-back overlaps): in America/New_York,
+    01:30→03:30 across 2026-03-08 spring-forward measures 1 h via the
+    cast but 2 h wall-clock. DuckDB's ``epoch_ms`` of a naive timestamp
+    is zone-free, so only this form matches the oracles in every
+    session zone (review finding, round 5)."""
+    return F.timestamp_diff(
+        "MILLISECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
     )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
-    )
-    return dot / (na * nb)
+
+
+# THE cosine expression (single source — functions/vector.py): the
+# IVF index's byte-exact oracle parity depends on every consumer
+# evaluating the identical expression tree
+from .functions.vector import cosine  # noqa: E402,F401
 
 
 _STOPWORDS = "the a of and to in is for on with"  # fixed tiny list
@@ -994,8 +1000,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # millisecond epochs in BOTH engines: second-truncated casts would
-    # disagree with DuckDB's fractional epoch at exact-gap boundaries
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    # disagree with DuckDB's fractional epoch at exact-gap boundaries;
+    # zone-free NTZ arithmetic so DST session zones can't skew gaps
+    ms = ntz_epoch_ms(F.col("ts"))
     gap = ms - F.lag(ms).over(w)
     marked = events.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
@@ -2081,8 +2088,10 @@ def _asof_plan(events: DataFrame) -> DataFrame:
         "view_event_id",
         "view_ts",
         (
-            F.unix_millis(F.col("ts").cast("timestamp"))
-            - F.unix_millis(F.col("view_ts").cast("timestamp"))
+            # per-OPERAND ms truncation (like the oracle's epoch_ms),
+            # not diff-then-truncate: .859335−.490348 truncates to
+            # .368 as a single diff but 859−490=369 per-operand
+            ntz_epoch_ms(F.col("ts")) - ntz_epoch_ms(F.col("view_ts"))
         ).alias("lag_ms"),
     )
 
@@ -2125,9 +2134,7 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _range_binned_plan(events: DataFrame) -> DataFrame:
     """The binned range-join plan over an arbitrary events frame
     (separated for brute-force property tests)."""
-    hour = lambda c: F.floor(  # noqa: E731
-        F.unix_millis(c.cast("timestamp")) / F.lit(3_600_000)
-    )
+    hour = lambda c: F.floor(ntz_epoch_ms(c) / F.lit(3_600_000))  # noqa: E731
     errors = events.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_event_id"),
         F.col("user_id").alias("e_user"),
@@ -2699,7 +2706,11 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors; integer quantization makes the result bit-stable under
     any row order or partitioning (float centroid sums would not be)."""
     emb = load(spark, sf_dir, "embeddings")
-    q = _quantize(emb).persist()
+    q = _quantize(emb).persist()  # shared by all Lloyd rounds; lifetime
+    # rule as dedup_lsh_verified_jaccard's caches: the returned frame is
+    # lazy so unpersisting here would undo the sharing — one-shot
+    # sessions release at exit, long-lived ones clearCache() after
+    # collecting (review finding: the leak was undocumented)
     cent = (
         q.filter(F.col("vec_id") % 125 == 0)
         .select(F.col("vec_id").alias("cid"), F.col("qe").alias("ce"), F.col("nq").alias("nc"))
@@ -2765,7 +2776,11 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded and the join key count scales with n (no 4-key skew trap;
     the K=4 look at test SF is an artifact of the 500-row table)."""
     emb = load(spark, sf_dir, "embeddings")
-    q = _quantize(emb).persist()
+    q = _quantize(emb).persist()  # shared by all Lloyd rounds; lifetime
+    # rule as dedup_lsh_verified_jaccard's caches: the returned frame is
+    # lazy so unpersisting here would undo the sharing — one-shot
+    # sessions release at exit, long-lived ones clearCache() after
+    # collecting (review finding: the leak was undocumented)
     cent = (
         q.filter(F.col("vec_id") % 125 == 0)
         .select(F.col("vec_id").alias("cid"), F.col("qe").alias("ce"), F.col("nq").alias("nc"))

@@ -31,7 +31,7 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -41,8 +41,11 @@ def _ensure_shipped(spark: SparkSession) -> None:
     would hit ModuleNotFoundError in the Python workers when the driver
     launches from outside the repo. Ship the package zip into the
     session once (the addPyFile path session.get_spark already uses) —
-    idempotent per SparkContext."""
-    key = id(spark.sparkContext)
+    idempotent per SparkContext, keyed by applicationId: ``id()`` of a
+    collected context wrapper can be REUSED by its successor's
+    allocation, which would silently skip the ship for a fresh session
+    (review finding, round 5)."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     from .session import _ship_package

@@ -438,7 +438,20 @@ def update_cuckoo_shards(
     with_bucket = hashes_df.select(F.col(hcol).alias("h")).withColumn(
         "b", F.pmod(F.col("h"), F.lit(B)).cast("int")
     )
-    grouped = with_bucket.groupBy("b").cogroup(sketch_df.groupBy("bucket"))
+    # pre-filter the sketch side to the batch's touched buckets (≤ B
+    # ints, bounded driver-side set): without it the cogroup shuffles
+    # the ENTIRE sketch table just so untouched buckets can emit
+    # nothing (review finding, round 5). A big crawl round's uniform
+    # hashes touch every bucket (the filter is then a no-op IN-list),
+    # but tail rounds, forget_scraping deletes, and small incremental
+    # batches touch few — those stop paying O(sketch table) shuffle
+    # per update. Buckets with hashes but no sketch row still cogroup
+    # (the left side carries them) and seed a fresh filter, unchanged.
+    touched = [
+        int(r.b) for r in with_bucket.select("b").distinct().collect()
+    ]
+    sketch_touched = sketch_df.filter(F.col("bucket").isin(touched))
+    grouped = with_bucket.groupBy("b").cogroup(sketch_touched.groupBy("bucket"))
 
     def apply(h_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
         if h_pdf.empty:  # untouched bucket: current version stays

@@ -127,7 +127,7 @@ class CrawlConfig:
     # configuration persists out-of-process WITHOUT opting in while
     # small crawls keep the zero-I/O driver sketch.
     sketch_store: str = "driver"
-    max_rounds: int = 64
+    max_rounds: int = 64  # runaway bound PER run() call (counter is cumulative)
     summarizer_enabled: bool = True       # WithFeatureFlags (scraper_service.go:217-256)
     image_extractor_enabled: bool = True
     indexer_enabled: bool = True
@@ -1321,8 +1321,17 @@ class CrawlEngine:
         # new_urls ∪ deferred, both unioned without dedup) — replaces the
         # per-round isEmpty + count actions. None = unknown (first round).
         urls_in: int | None = None
+        # max_rounds is a PER-INVOCATION budget, not an absolute round
+        # ceiling: the warehouse round counter is cumulative across the
+        # engine's life, so a long-lived streaming deployment (many
+        # run() calls, one warehouse) would otherwise hit the absolute
+        # cap and silently stop fetching while still committing epochs
+        # (review finding, round 5). Each run() gets max_rounds rounds
+        # from wherever the counter stands; interrupt/resume tests keep
+        # their meaning (a fresh engine at round 0 stops at max_rounds).
+        end_round = r + cfg.max_rounds
         try:
-            while r < cfg.max_rounds:
+            while r < end_round:
                 if urls_in == 0:
                     break
                 if urls_in is None and self.wh.read(

@@ -30,19 +30,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
-    )
-    return dot / (na * nb)
+# single-source cosine (functions/vector.py): byte-exact parity with
+# ann_ivf_topk requires the identical expression tree on both paths
+from ..functions.vector import cosine as _cosine  # noqa: E402
 
 
 def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -101,13 +101,14 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_small, tmp_path):
 # SAME batch engine. Streaming adds delivery, never semantics — the end
 # state equals the batch crawl's, and redelivered batches no-op.
 # ---------------------------------------------------------------------------
-def _crawl_cfg():
+def _crawl_cfg(**kw):
     from isidorus_web_scraper_spark.plans.crawl import CrawlConfig
 
     return CrawlConfig(
         bloom_expected_urls=4096,
         default_budget=1_000_000_000,
         summarizer_enabled=False,
+        **kw,
     )
 
 
@@ -358,3 +359,45 @@ def test_streaming_ingest_equals_sequential(spark, tmp_path):
         return g, b
 
     assert index_state(seq_idx) == index_state(str_idx)
+
+
+def test_streaming_crawl_epochs_beyond_max_rounds_still_fetch(spark, tmp_path):
+    """max_rounds is a PER-run() budget, not an absolute ceiling on the
+    warehouse's cumulative round counter: a long-lived stream whose
+    earlier epochs consumed max_rounds rounds must still crawl later
+    seed batches (review finding: the old absolute bound silently
+    checkpointed later batches without fetching)."""
+    import json
+
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.crawl import CrawlEngine
+    from isidorus_web_scraper_spark.streaming.crawl_stream import (
+        run_streaming_crawl,
+    )
+
+    docs = generate_documents(spark, n_hosts=6).persist()
+    # max_rounds=2: each depth-2 crawl uses >= 2 rounds, so after the
+    # first two epochs the cumulative counter is far past 2
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), documents=docs,
+        config=_crawl_cfg(max_rounds=2),
+    )
+    seeds = [
+        (301, 1, "http://h0.test/p0.html", 1),
+        (302, 1, "http://h1.test/p0.html", 1),
+        (303, 1, "http://h2.test/p0.html", 1),
+    ]
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    for i, (sid, uid, url, depth) in enumerate(seeds):
+        (seeds_dir / f"seed{i}.json").write_text(
+            json.dumps(
+                {"scraping_id": sid, "user_id": uid, "url": url, "depth": depth}
+            )
+        )
+    run_streaming_crawl(
+        eng, str(seeds_dir), str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    pages = eng.wh.read("pages").select("scraping_id").distinct().collect()
+    got = sorted(r.scraping_id for r in pages)
+    assert got == [301, 302, 303], got  # every epoch fetched its seeds

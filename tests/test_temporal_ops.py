@@ -249,3 +249,30 @@ def test_range_join_matches_bruteforce(spark, seed):
         for r in _range_binned_plan(events).collect()
     }
     assert got == expected
+
+
+def test_epoch_arithmetic_is_dst_proof(spark):
+    """Crafted spring-forward straddle (America/New_York, 2026-03-08):
+    wall-clock arithmetic must measure 01:30→03:30 as 2 h. The old
+    `ntz.cast("timestamp")` path read the wall-clocks in the session
+    zone and measured 1 h (review finding)."""
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.dataset_queries import ntz_epoch_ms
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("2026-03-08 01:30:00", "2026-03-08 03:30:00")],
+            "a string, b string",
+        ).select(
+            F.col("a").cast("timestamp_ntz").alias("a"),
+            F.col("b").cast("timestamp_ntz").alias("b"),
+        )
+        got = df.select(
+            (ntz_epoch_ms(F.col("b")) - ntz_epoch_ms(F.col("a"))).alias("ms")
+        ).first().ms
+        assert got == 7_200_000, got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
