@@ -584,6 +584,132 @@ def crawl_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# north_rule lineage + metrics: a REAL CrawlEngine run (4 BFS rounds
+# over the same synthetic edge graph as crawl_bfs_depth3, rendered as a
+# span-structured URL corpus) whose committed per-round `metrics` table
+# is value-matched against a WITH RECURSIVE derivation of what each
+# round MUST have seen: urls_in(r) = |first_depth = r|, fetched = all
+# (every URL resolves), links_extracted(r) = Σ outdegree over that
+# round's pages, new_urls(r) = |first_depth = r+1| (the depth gate
+# zeroes round 3 and the recursion depth<3 bound zeroes d=4 — the SAME
+# boundary, so the twin needs no special case), deferred/robots = 0
+# (permissive budget, discovery off). This is the one oracle row where
+# DuckDB checks the ENGINE's own bookkeeping, not a re-expression of it.
+# ---------------------------------------------------------------------------
+@query(
+    "crawl_metrics",
+    """
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (2 * doc_id + 1) % (SELECT n FROM nn) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id AS src, (3 * doc_id + 7) % (SELECT n FROM nn) AS dst
+        FROM documents
+      )
+    ),
+    bfs(url_id, depth) AS (
+      SELECT CAST(0 AS BIGINT) AS url_id, CAST(0 AS INTEGER) AS depth
+      UNION ALL
+      SELECT e.dst, b.depth + 1
+      FROM bfs b JOIN edges e ON e.src = b.url_id
+      WHERE b.depth < 3
+    ),
+    firsts AS (SELECT url_id, min(depth) AS d FROM bfs GROUP BY url_id),
+    outdeg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+    per_depth AS (
+      SELECT f.d AS round, count(*) AS cnt, sum(o.degree) AS links
+      FROM firsts f JOIN outdeg o ON o.src = f.url_id
+      GROUP BY f.d
+    )
+    SELECT p.round AS round,
+           p.cnt AS urls_in,
+           p.cnt AS fetched,
+           CAST(0 AS BIGINT) AS fetch_errors,
+           p.links AS links_extracted,
+           coalesce(nx.cnt, 0) AS new_urls,
+           CAST(0 AS BIGINT) AS deferred,
+           CAST(0 AS BIGINT) AS robots_blocked
+    FROM per_depth p LEFT JOIN per_depth nx ON nx.round = p.round + 1
+    """,
+)
+def crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .plans.crawl import CrawlConfig, CrawlEngine
+    from .sources.index_cache import cached_store
+    from .sources.warehouse import Warehouse
+
+    root, built = cached_store(sf_dir, "crawlmetrics", "_BUILT")
+    if not built:
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents")
+        n_df = docs.agg(F.count("*").alias("n"))
+        with_n = docs.crossJoin(F.broadcast(n_df))
+
+        def url(c):
+            return F.concat(F.lit("http://graph.test/p"), c.cast("string"))
+
+        # distinct sorted targets: links_col counts SPANS, so the corpus
+        # dedups (src, dst) exactly as the twin's SELECT DISTINCT does
+        dsts = F.array_sort(
+            F.array_distinct(
+                F.array(
+                    (2 * F.col("doc_id") + 1) % F.col("n"),
+                    (3 * F.col("doc_id") + 7) % F.col("n"),
+                )
+            )
+        )
+        spans = F.concat(
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.concat(F.lit("node "), F.col("doc_id").cast("string")).alias(
+                        "text"
+                    ),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                )
+            ),
+            F.transform(
+                dsts,
+                lambda d, i: F.struct(
+                    F.lit("link").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    url(d).alias("media_ref"),
+                    (i + 1).cast("int").alias("offset"),
+                ),
+            ),
+        )
+        corpus = with_n.select(
+            url(F.col("doc_id")).alias("doc_id"), spans.alias("spans")
+        )
+        eng = CrawlEngine(
+            spark,
+            os.path.join(root, "wh"),
+            documents=corpus,
+            config=CrawlConfig(bloom_expected_urls=4096, default_budget=10**9),
+        )
+        eng.start([(1, 1, "http://graph.test/p0", 3)])
+        eng.run()
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("ok")
+    m = Warehouse(spark, os.path.join(root, "wh")).read("metrics")
+    return m.select(
+        "round",
+        "urls_in",
+        "fetched",
+        "fetch_errors",
+        "links_extracted",
+        "new_urls",
+        "deferred",
+        "robots_blocked",
+    )
+
+
+# ---------------------------------------------------------------------------
 # P9 extension inference (extractor_service.go:109-129): URL-suffix
 # regex, ≤5 alnum chars, query string stripped, fallback 'bin'.
 # ---------------------------------------------------------------------------
