@@ -3607,3 +3607,221 @@ def mixture_sample_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("keep").cast("bigint").alias("n_kept"),
         )
     )
+
+
+# ===========================================================================
+# Round-5 session-3 additions: freshness-driven recrawl scheduling,
+# exact host budget apportionment, and interleaved span alignment —
+# the crawl-lifecycle shapes (WHEN to refetch, HOW MUCH per host, and
+# WHAT a media span means in context) none of the queries above cover.
+# ===========================================================================
+
+
+@query(
+    "recrawl_schedule",
+    """
+    SELECT user_id AS page_id,
+           count(*) AS n_observations,
+           epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms,
+           CASE WHEN count(*) >= 2
+                THEN (epoch_ms(max(ts)) - epoch_ms(min(ts))) // (count(*) - 1)
+                ELSE 86400000 END AS mean_interval_ms,
+           epoch_ms(max(ts)) +
+           CASE WHEN count(*) >= 2
+                THEN (epoch_ms(max(ts)) - epoch_ms(min(ts))) // (count(*) - 1)
+                ELSE 86400000 END AS next_due_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven refetch scheduling (Cho & Garcia-Molina
+    synchronization policy, simplest estimator): per page (events'
+    user_id standing in as the page key, its event stream as the
+    observed-change log), the Poisson-ish mean change interval
+    span/(n-1) sets next_due = last_observed + mean_interval; pages
+    with a single observation fall back to a 1-day default. All
+    arithmetic is integer epoch-ms (zone-free ntz_epoch_ms, floor
+    division) so both engines schedule the identical instant.
+
+    Scale: ONE hash aggregate with map-side combine — the schedule for
+    10^10 pages is a single shuffle of partial (count, min, max)
+    triples; the due-check against the current round's clock is then a
+    partition-local filter."""
+    events = load(spark, sf_dir, "events")
+    g = events.groupBy(F.col("user_id").alias("page_id")).agg(
+        F.count("*").alias("n_observations"),
+        (ntz_epoch_ms(F.max("ts")) - ntz_epoch_ms(F.min("ts"))).alias("span_ms"),
+        ntz_epoch_ms(F.max("ts")).alias("last_ms"),
+    )
+    interval = (
+        F.when(
+            F.col("n_observations") >= 2,
+            F.floor(F.col("span_ms") / (F.col("n_observations") - 1)),
+        )
+        .otherwise(F.lit(86_400_000))
+        .cast("bigint")
+    )
+    return g.select(
+        "page_id",
+        "n_observations",
+        "span_ms",
+        interval.alias("mean_interval_ms"),
+        (F.col("last_ms") + interval).alias("next_due_ms"),
+    )
+
+
+@query(
+    "host_budget_allocation",
+    """
+    WITH hosts AS (
+      SELECT doc_id % 37 AS host, count(*) AS queue_size
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(queue_size) AS q_total FROM hosts),
+    base AS (
+      SELECT host, queue_size,
+             (1000 * queue_size) // q_total AS base,
+             (1000 * queue_size) % q_total AS frac_num
+      FROM hosts CROSS JOIN tot
+    ),
+    leftover AS (SELECT 1000 - sum(base) AS extra FROM base),
+    ranked AS (
+      SELECT b.host, b.queue_size, b.base, b.frac_num, l.extra,
+             row_number() OVER (ORDER BY b.frac_num DESC, b.host ASC) AS rk
+      FROM base b CROSS JOIN leftover l
+    )
+    SELECT host, queue_size,
+           base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS budget
+    FROM ranked
+    """,
+)
+def host_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact largest-remainder (Hamilton) apportionment of a global
+    per-round fetch budget (G=1000) across hosts proportional to their
+    frontier queue sizes — the adaptive companion to the fixed per-host
+    politeness budget (W2): Σ budget == G exactly, every host gets
+    ⌊G·q/Q⌋ or that +1, and the +1s go to the largest fractional
+    remainders. Remainders compare as INTEGERS ((G·q) mod Q — never a
+    float quota), host-asc tie-break, so both engines hand the same
+    hosts the same extra unit.
+
+    Scale: queue sizes = one map-side-combined hash agg over the
+    frontier; everything after runs on the HOSTS table (distinct hosts
+    ≪ URLs — the robots-gate bound), so the global remainder-rank
+    window sorts a frame orders of magnitude smaller than the data,
+    with Q and the leftover joining in as broadcast one-row aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    hosts = docs.groupBy((F.col("doc_id") % 37).alias("host")).agg(
+        F.count("*").alias("queue_size")
+    )
+    tot = hosts.agg(F.sum("queue_size").alias("q_total"))
+    base = hosts.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "queue_size",
+        F.floor((1000 * F.col("queue_size")) / F.col("q_total"))
+        .cast("bigint")
+        .alias("base"),
+        ((1000 * F.col("queue_size")) % F.col("q_total")).alias("frac_num"),
+    )
+    leftover = base.agg((F.lit(1000) - F.sum("base")).alias("extra"))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("frac_num"), F.asc("host"))
+    )
+    return (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", rk)
+        .select(
+            "host",
+            "queue_size",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            ).alias("budget"),
+        )
+    )
+
+
+@query(
+    "caption_align",
+    """
+    WITH spans AS (
+      SELECT d.doc_id, CAST(gs.k AS INTEGER) AS off,
+             CASE WHEN (d.doc_id + gs.k) % 3 = 0 THEN 'image' ELSE 'text' END AS kind,
+             'w' || d.doc_id::VARCHAR || '_' || gs.k::VARCHAR AS txt,
+             'img' || d.doc_id::VARCHAR || '_' || gs.k::VARCHAR AS media_ref
+      FROM documents d CROSS JOIN range(0, 7) AS gs(k)
+      WHERE gs.k <= d.doc_id % 5 + 2
+    )
+    SELECT s.doc_id, s.off AS span_offset, s.media_ref,
+           (SELECT t.txt FROM spans t
+            WHERE t.doc_id = s.doc_id AND t.kind = 'text' AND t.off < s.off
+            ORDER BY t.off DESC LIMIT 1) AS caption
+    FROM spans s WHERE s.kind = 'image'
+    """,
+)
+def caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span caption alignment (the input_hint's text+media
+    interleaving made load-bearing): every image span pairs with the
+    NEAREST PRECEDING text span of its own document — the span-level
+    analog of J3's image→latest-parent resolution, and the alignment a
+    multimodal training pipeline runs to caption its images. The span
+    sequence is synthesized deterministically per doc (3-7 spans, every
+    (doc_id+k)%3==0 an image), the oracle re-derives it relationally
+    and answers with a correlated last-before probe.
+
+    Scale: the whole alignment is ONE JVM higher-order fold
+    (F.aggregate) over each row's span array — a single forward scan
+    carrying the last-seen text, zero shuffles, zero Python; the only
+    wide-ish op is the final explode of per-doc results (narrow). A
+    100-TB interleaved corpus captions itself at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 5 + 3).cast("int")
+
+    def mk_span(k):
+        return F.struct(
+            F.when((F.col("doc_id") + k) % 3 == 0, F.lit("image"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            F.concat(
+                F.lit("w"), F.col("doc_id").cast("string"), F.lit("_"), k.cast("string")
+            ).alias("txt"),
+            F.concat(
+                F.lit("img"),
+                F.col("doc_id").cast("string"),
+                F.lit("_"),
+                k.cast("string"),
+            ).alias("media_ref"),
+            k.cast("int").alias("off"),
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), n - 1), mk_span)
+    out_t = "array<struct<span_offset:int,media_ref:string,caption:string>>"
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("cap"),
+        F.array().cast(out_t).alias("out"),
+    )
+    folded = F.aggregate(
+        spans,
+        acc0,
+        lambda acc, s: F.when(
+            s["kind"] == "text",
+            F.struct(s["txt"].alias("cap"), acc["out"].alias("out")),
+        ).otherwise(
+            F.struct(
+                acc["cap"].alias("cap"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            s["off"].alias("span_offset"),
+                            s["media_ref"].alias("media_ref"),
+                            acc["cap"].alias("caption"),
+                        )
+                    ),
+                ).alias("out"),
+            )
+        ),
+    )
+    return docs.select("doc_id", F.explode(folded["out"]).alias("s")).select(
+        "doc_id", "s.span_offset", "s.media_ref", "s.caption"
+    )

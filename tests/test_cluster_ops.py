@@ -224,3 +224,38 @@ def test_pack_sequences_chunks_are_gapless_and_full(spark):
         F.sum(F.size(F.split("text", " ", -1)))
     ).first()[0]
     assert sum(per_chunk.values()) == total
+
+
+def test_host_budget_allocation_invariants(spark):
+    """Hamilton apportionment guarantees the oracle-equality check can't
+    see (both engines run the same formula, so a shared bug would pass):
+    Σ budget == G exactly, and every host gets its floor quota or +1."""
+    from isidorus_web_scraper_spark.dataset_queries import host_budget_allocation
+
+    rows = host_budget_allocation(spark, "/root/testdata/sf0.001").collect()
+    total_q = sum(r.queue_size for r in rows)
+    assert sum(r.budget for r in rows) == 1000
+    for r in rows:
+        base = (1000 * r.queue_size) // total_q
+        assert r.budget in (base, base + 1), (r.host, r.budget, base)
+
+
+def test_recrawl_schedule_due_after_last_observation(spark):
+    from isidorus_web_scraper_spark.dataset_queries import (
+        ntz_epoch_ms,
+        recrawl_schedule,
+    )
+    from isidorus_web_scraper_spark.sources.testdata import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    last = {
+        r.page_id: r.last_ms
+        for r in load(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("page_id"))
+        .agg(ntz_epoch_ms(F.max("ts")).alias("last_ms"))
+        .collect()
+    }
+    for r in recrawl_schedule(spark, sf).collect():
+        assert r.next_due_ms > last[r.page_id]
+        assert r.mean_interval_ms >= 1 or r.span_ms == 0
