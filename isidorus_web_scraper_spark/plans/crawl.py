@@ -190,6 +190,16 @@ class CrawlConfig:
     # None disables. Periodic passes never refold prior compactions
     # (linear total I/O); _finalize does one full collapse.
     compact_every_rounds: int | None = 16
+    # per-PARTITION lineage rows alongside the per-round metrics row
+    # (north_rule "per-partition lineage + metrics", SURVEY §7 step 5):
+    # one metrics_parts row per task partition of the round's parsed
+    # frame — (partition_id, attempted, fetched, fetch_errors,
+    # links_extracted, round). Computed as one extra aggregate over the
+    # round's already-cached frame, submitted on the same concurrent
+    # wall as every other write; partition sums tie out to the round
+    # row (pytest-pinned). Off by default: round-level observability is
+    # free, partition-level costs one extra job per round.
+    per_partition_metrics: bool = False
     debug_timing: bool = False
 
 
@@ -965,6 +975,24 @@ class CrawlEngine:
                 partition_cols=["round", "term_bucket"],
             )
 
+        metrics_parts = None
+        if cfg.per_partition_metrics:
+            # per-partition lineage: aggregate the round's CACHED parsed
+            # frame by physical task partition — no extra scan of source
+            # data, no shuffle wider than one row per partition. `round`
+            # rides as a column (constant-plan rule).
+            metrics_parts = parsed.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            ).agg(
+                F.count("*").alias("attempted"),
+                F.sum(F.col("ok").cast("long")).alias("fetched"),
+                F.sum((~F.col("ok")).cast("long")).alias("fetch_errors"),
+                F.sum(
+                    F.when(F.col("ok"), F.size("links")).otherwise(F.lit(0))
+                ).alias("links_extracted"),
+                F.max("round").alias("round"),
+            )
+
         with self._timed("round fan-out (single wall)"):
             with ThreadPoolExecutor(max_workers=10) as pool:
                 futs = [
@@ -997,6 +1025,8 @@ class CrawlEngine:
                         ).first()
                     ),
                 ]
+                if metrics_parts is not None:
+                    futs.append(pool.submit(_w, "metrics_parts", metrics_parts))
                 if cfg.index_postings and cfg.indexer_enabled:
                     futs.append(pool.submit(_write_postings))
                 if cfg.index_grams and cfg.indexer_enabled:
@@ -1390,6 +1420,10 @@ class CrawlEngine:
             "robots",
             "robots_rules",
             "metrics",
+            # metrics_parts commits on the wall BEFORE the round's
+            # metrics completion marker, so a crash in between leaves a
+            # partial-round commit this drop covers
+            "metrics_parts",
             # the persisted sketch follows the standard rule: a partial
             # round's shard append is dropped with the round's other
             # outputs (the init commit is tagged round-1 and survives;
@@ -1437,6 +1471,7 @@ class CrawlEngine:
             "robots",
             "robots_rules",
             "metrics",
+            "metrics_parts",
         ):
             if self.wh.exists(table):
                 self.wh.compact(

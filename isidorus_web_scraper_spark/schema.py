@@ -156,6 +156,21 @@ METRICS = T.StructType(
     ]
 )
 
+# per-PARTITION lineage rows (CrawlConfig.per_partition_metrics): one
+# row per task partition of a round's parsed frame; partition sums tie
+# out to that round's METRICS row (fetched/fetch_errors/links_extracted;
+# attempted = fetched + fetch_errors).
+METRICS_PARTS = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("attempted", T.LongType(), False),
+        T.StructField("fetched", T.LongType(), False),
+        T.StructField("fetch_errors", T.LongType(), False),
+        T.StructField("links_extracted", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 # --- media store (S3 blob sink, s3_repository.go / extractor_service.go:65-75) ---
 # robots.txt payloads discovered by the crawl itself (north_rule robots
 # mandate; no reference analog — page_fetcher.go has no robots handling).

@@ -615,3 +615,44 @@ def test_fused_table_corpus_equals_staged(spark, tmp_path):
     assert [(s.deferred, s.robots_blocked, s.fetched) for s in stats_w] == [
         (s.deferred, s.robots_blocked, s.fetched) for s in stats_v
     ]
+
+
+# ---------------------------------------------------------------------------
+# Per-partition lineage (north_rule; CrawlConfig.per_partition_metrics):
+# every round's metrics_parts rows tie out EXACTLY to its metrics row —
+# fetched/fetch_errors/links_extracted sums match, attempted sums to
+# fetched+errors — and rows exist for every completed round. Also runs
+# a politeness config so deferred rows (absent from parsed) are proven
+# NOT to leak into partition rows.
+# ---------------------------------------------------------------------------
+def test_per_partition_metrics_tie_out(spark, tmp_path):
+    n_hosts = 6
+    docs = generate_documents(spark, n_hosts=n_hosts).persist()
+    seeds = [(10, 1, "http://h0.test/p0.html", 3)]
+    eng, stats = run_engine(
+        spark,
+        tmp_path,
+        seeds,
+        docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            default_budget=3,  # forces deferrals: attempted < urls_in
+            per_partition_metrics=True,
+        ),
+    )
+    rounds = {s.round: s for s in stats}
+    parts = eng.wh.read("metrics_parts").collect()
+    assert parts, "no metrics_parts rows written"
+    by_round: dict[int, list] = {}
+    for p in parts:
+        by_round.setdefault(p["round"], []).append(p)
+    assert set(by_round) == set(rounds)
+    for r, rows in by_round.items():
+        s = rounds[r]
+        assert sum(p.fetched for p in rows) == s.fetched
+        assert sum(p.fetch_errors for p in rows) == s.fetch_errors
+        assert sum(p.links_extracted for p in rows) == s.links_extracted
+        assert sum(p.attempted for p in rows) == s.fetched + s.fetch_errors
+        if s.deferred:
+            # deferred rows never reach the parsed frame
+            assert sum(p.attempted for p in rows) == s.urls_in - s.deferred - s.robots_blocked
