@@ -3825,3 +3825,146 @@ def caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(folded["out"]).alias("s")).select(
         "doc_id", "s.span_offset", "s.media_ref", "s.caption"
     )
+
+
+@query(
+    "dedup_url_canonical",
+    """
+    WITH variants AS (
+      SELECT doc_id,
+             doc_id % 7 AS h,
+             doc_id % 6 AS v
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id,
+             CASE v
+               WHEN 0 THEN 'HTTP://Host' || h::VARCHAR || '.Test/a/b'
+               WHEN 1 THEN 'http://host' || h::VARCHAR || '.test:80/a/b'
+               WHEN 2 THEN 'https://HOST' || h::VARCHAR || '.TEST:443/a/b'
+               WHEN 3 THEN 'http://host' || h::VARCHAR || '.test/a/b#frag'
+               WHEN 4 THEN 'http://host' || h::VARCHAR || '.test/x/../a/b'
+               ELSE        'http://host' || h::VARCHAR || '.test/./a/b'
+             END AS url,
+             CASE WHEN v = 2
+                  THEN 'https://host' || h::VARCHAR || '.test/a/b'
+                  ELSE 'http://host'  || h::VARCHAR || '.test/a/b'
+             END AS canonical_url
+      FROM variants
+    )
+    SELECT canonical_url,
+           count(*) AS n_urls,
+           count(DISTINCT url) AS n_spellings,
+           min(url) AS first_spelling
+    FROM urls GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-identity dedup through the pure-JVM canonicalizer
+    (functions/url.py canonical_url_col — the claim-tagging / corpus-
+    bucket-routing hash key) put under the ORACLE gate: six messy
+    spellings per host (scheme/netloc case, default :80/:443 ports,
+    fragments, `/../` and `/./` dot-segments) must collapse to the
+    canonical the twin constructs BY HAND — the oracle never runs a
+    canonicalizer, it knows what the answer must be, so any
+    canonicalization drift breaks the hash compare.
+
+    Scale: the canonicalizer is a whole-stage-codegen expression fold
+    (zero Python); dedup is one hash aggregate on its output — the
+    same shape the crawl's seen-set claim uses per round."""
+    from .functions.url import canonical_url_col
+
+    docs = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 7).cast("string")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://Host"), h, F.lit(".Test/a/b")))
+        .when(v == 1, F.concat(F.lit("http://host"), h, F.lit(".test:80/a/b")))
+        .when(v == 2, F.concat(F.lit("https://HOST"), h, F.lit(".TEST:443/a/b")))
+        .when(v == 3, F.concat(F.lit("http://host"), h, F.lit(".test/a/b#frag")))
+        .when(v == 4, F.concat(F.lit("http://host"), h, F.lit(".test/x/../a/b")))
+        .otherwise(F.concat(F.lit("http://host"), h, F.lit(".test/./a/b")))
+    )
+    return (
+        docs.select(url.alias("url"))
+        .select("url", canonical_url_col("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_spellings"),
+            F.min("url").alias("first_spelling"),
+        )
+    )
+
+
+@query(
+    "curriculum_bins",
+    """
+    WITH r AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS q1,
+             max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS q2,
+             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS q3
+      FROM r
+    )
+    SELECT CAST(1 + CAST(n_chars > q1 AS INTEGER)
+                  + CAST(n_chars > q2 AS INTEGER)
+                  + CAST(n_chars > q3 AS INTEGER) AS INTEGER) AS bin,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: quartile buckets over a difficulty proxy
+    (n_chars) with EXACT nearest-rank cutpoints (the same ceil
+    convention as events_value_percentiles), then per-bin stats — the
+    ordering stage of curriculum training-data layout.
+
+    Scale: this exact form is the correctness baseline (one global
+    rank window to find 3 cut VALUES). The 100-TB path swaps the
+    window for `approx_percentile`'s mergeable sketch — the binning
+    itself is already the scale shape: 3 cut values broadcast via a
+    one-row cross join, assignment is pure arithmetic, and the rollup
+    is a 4-group hash aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars")
+    r = (
+        docs.select("n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+    )
+
+    def pick(p: float, alias: str) -> Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).alias(alias)
+
+    cuts = r.agg(pick(0.25, "q1"), pick(0.50, "q2"), pick(0.75, "q3"))
+    bin_col = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("q1")).cast("int")
+        + (F.col("n_chars") > F.col("q2")).cast("int")
+        + (F.col("n_chars") > F.col("q3")).cast("int")
+    ).cast("int")
+    return (
+        docs.crossJoin(F.broadcast(cuts))
+        .select(bin_col.alias("bin"), "n_chars")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
