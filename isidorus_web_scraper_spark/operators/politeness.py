@@ -421,3 +421,88 @@ def fetch_all_fused(frontier: DataFrame, page_fn) -> DataFrame:
             )
 
     return frontier.mapInPandas(gen, out_schema)
+
+
+def allocate_global_budget(
+    frontier: DataFrame, global_budget: int, politeness: DataFrame | None = None
+) -> DataFrame:
+    """Adaptive per-round politeness: apportion ONE global fetch budget
+    across this round's hosts proportional to their frontier queue
+    sizes — exact largest-remainder (Hamilton) rule, remainders
+    compared as integers ((G·q) mod Q), host-asc tie-break. Returns a
+    politeness config frame for ``schedule_round`` (the crawl-wide
+    backpressure knob the static per-host budget can't express: total
+    fetch rate stays G per round no matter how wide the frontier gets).
+
+    Composition with an existing config: robots_disallow and
+    crawl_delay_rounds carry through unchanged; a host with a static
+    ``max_fetches_per_round`` gets ``min(static, allocation)`` so the
+    global cap never overrides a politeness promise.
+
+    Invariants (pytest-pinned): Σ allocation == G exactly, and while
+    G ≤ |frontier| every allocation ≤ its host's queue size (so the
+    round fetches exactly G URLs; deferral carries the rest).
+
+    Scale: queue sizes are one map-side-combined hash agg over the
+    frontier; everything downstream runs on the HOSTS table (distinct
+    hosts ≪ URLs — the robots-gate bound), so the remainder-rank
+    window sorts a bounded frame; Q and the leftover join in as
+    broadcast one-row aggregates, and the result is itself the small
+    broadcast side of schedule_round's config join."""
+    from pyspark.sql import Window
+
+    g = F.lit(int(global_budget))
+    # host key must be byte-identical to schedule_round's, or the
+    # sentinel rows would miss their allocation and fall back to the
+    # permissive default
+    hosts = (
+        frontier.select(
+            F.coalesce(host_col("url"), F.lit("\x00invalid")).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("q"))
+    )
+    tot = hosts.agg(F.sum("q").alias("q_total"))
+    base = hosts.crossJoin(F.broadcast(tot)).select(
+        "host",
+        F.floor((g * F.col("q")) / F.col("q_total")).cast("long").alias("base"),
+        ((g * F.col("q")) % F.col("q_total")).alias("frac"),
+    )
+    leftover = base.agg((g - F.sum("base")).alias("extra"))
+    rk = F.row_number().over(Window.orderBy(F.desc("frac"), F.asc("host")))
+    alloc = (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", rk)
+        .select(
+            "host",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("alloc"),
+        )
+    )
+    if politeness is None:
+        return alloc.select(
+            "host",
+            F.col("alloc").alias("max_fetches_per_round"),
+            F.lit(None).cast("array<string>").alias("robots_disallow"),
+            F.lit(0).alias("crawl_delay_rounds"),
+        )
+    return (
+        alloc.join(politeness, "host", "left")
+        .select(
+            "host",
+            F.when(
+                F.col("max_fetches_per_round").isNotNull(),
+                F.least("max_fetches_per_round", "alloc"),
+            )
+            .otherwise(F.col("alloc"))
+            .alias("max_fetches_per_round"),
+            "robots_disallow",
+            F.coalesce("crawl_delay_rounds", F.lit(0)).alias(
+                "crawl_delay_rounds"
+            ),
+        )
+    )

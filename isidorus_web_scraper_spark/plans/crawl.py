@@ -200,6 +200,13 @@ class CrawlConfig:
     # row (pytest-pinned). Off by default: round-level observability is
     # free, partition-level costs one extra job per round.
     per_partition_metrics: bool = False
+    # adaptive crawl-wide backpressure: apportion ONE global per-round
+    # fetch budget across the round's hosts ∝ frontier queue size
+    # (exact Hamilton rule, operators/politeness.allocate_global_budget)
+    # instead of the same static per-host cap everywhere. Composes with
+    # robots/static politeness (min(static, allocation); robots rules
+    # and crawl-delay carry through). None = off.
+    global_budget: int | None = None
     debug_timing: bool = False
 
 
@@ -536,6 +543,14 @@ class CrawlEngine:
             with self._timed("robots discovery"):
                 self._discover_robots(frontier, round_no)
             pol = self._politeness_for_round()
+        if cfg.global_budget is not None:
+            # adaptive backpressure: ONE global budget apportioned
+            # across this round's hosts ∝ queue size (Hamilton rule);
+            # composes with robots/static config — see
+            # operators/politeness.allocate_global_budget
+            from ..operators.politeness import allocate_global_budget
+
+            pol = allocate_global_budget(frontier, cfg.global_budget, pol)
         parts = self._round_parallelism(urls_in)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         max_par = cfg.max_parallelism or self.spark.sparkContext.defaultParallelism

@@ -656,3 +656,80 @@ def test_per_partition_metrics_tie_out(spark, tmp_path):
         if s.deferred:
             # deferred rows never reach the parsed frame
             assert sum(p.attempted for p in rows) == s.urls_in - s.deferred - s.robots_blocked
+
+
+# ---------------------------------------------------------------------------
+# Adaptive global budget (CrawlConfig.global_budget): every round
+# fetches EXACTLY min(G, eligible frontier) URLs — Hamilton
+# apportionment across hosts — deferral carries the rest and the crawl
+# terminates with the frontier drained. The end state is a SUBSET of
+# the permissive crawl's (deferral can reorder discovery so a URL is
+# first-claimed via a longer path with less remaining depth — the same
+# race semantics as the reference's queue — so subtrees may truncate,
+# but nothing outside the permissive reachable set ever appears, and
+# nothing is fetched twice).
+# ---------------------------------------------------------------------------
+def test_global_budget_backpressure(spark, tmp_path):
+    n_hosts = 4
+    docs = generate_documents(spark, n_hosts=n_hosts).persist()
+    seeds = [(30, 1, "http://h0.test/p0.html", 3)]
+    G = 3
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "wh_g"),
+        documents=docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096, global_budget=G, max_rounds=60
+        ),
+    )
+    eng.start(seeds)
+    stats = eng.run()
+    for s in stats:
+        eligible = s.urls_in - s.robots_blocked
+        assert s.fetched + s.fetch_errors == min(G, eligible), s
+    assert sum(s.deferred for s in stats) > 0  # backpressure engaged
+    assert stats[-1].new_urls + stats[-1].deferred == 0  # drained, not capped
+    ref = CrawlEngine(
+        spark,
+        str(tmp_path / "wh_ref"),
+        documents=docs,
+        config=CrawlConfig(bloom_expected_urls=4096, default_budget=10**9),
+    )
+    ref.start(seeds)
+    ref.run()
+    pages, seen, _, _, _ = spark_end_state(eng)
+    ref_pages, ref_seen, _, _, _ = spark_end_state(ref)
+    assert set(pages) <= set(ref_pages) and seen <= ref_seen
+    # identical content for every page both crawls fetched (round differs)
+    for k, (content, summary, _r) in pages.items():
+        assert (content, summary) == ref_pages[k][:2]
+    # no double fetch under deferral
+    urls = [r.url for r in eng.wh.read("pages").collect()]
+    assert len(urls) == len(set(urls))
+
+
+def test_global_budget_composes_with_static_cap(spark):
+    from isidorus_web_scraper_spark.operators.politeness import (
+        allocate_global_budget,
+    )
+
+    frontier = spark.createDataFrame(
+        [(1, 1, f"http://h{i % 3}.test/p{i}", 2, 0) for i in range(30)],
+        "scraping_id long, user_id long, url string, depth int, round int",
+    )
+    static = spark.createDataFrame(
+        [("h0.test", 1, ["/blocked"], 2)],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    out = {r.host: r for r in allocate_global_budget(frontier, 9, static).collect()}
+    # Σ of the raw allocation is G: with equal 10-URL queues each host
+    # gets 3, then h0's static cap 1 binds (min(static, alloc))
+    assert out["h0.test"].max_fetches_per_round == 1
+    assert out["h1.test"].max_fetches_per_round == 3
+    assert out["h2.test"].max_fetches_per_round == 3
+    # robots + delay carry through; absent hosts get no-robots defaults
+    assert out["h0.test"].robots_disallow == ["/blocked"]
+    assert out["h0.test"].crawl_delay_rounds == 2
+    assert out["h1.test"].robots_disallow is None
+    assert out["h1.test"].crawl_delay_rounds == 0
