@@ -465,6 +465,42 @@ class Warehouse:
             ]
         return self._read_commits(table, commits)
 
+    def read_asof(self, table: str, upto_round: int) -> DataFrame:
+        """Snapshot read (Iceberg time-travel analog at the engine's
+        round granularity): the table as committed at the END of round
+        ``upto_round`` — commits whose round tag is ≤ the bound, plus
+        untagged commits (init/start() data, which precede every round).
+        Lineage-debugging / reproducibility read: "train on the corpus
+        exactly as it stood after round R" without copying anything —
+        the manifest prunes newer commits so their files are never
+        opened (inputFiles-pinned in tests).
+
+        NOTE seen/frontier rows produced DURING round r are tagged r+1
+        (they are round r+1's input); a caller wanting "as round r+1
+        started" passes upto_round=r+1 for those two tables.
+
+        A compacted commit qualifies only if its WHOLE span does
+        (round_max ≤ upto_round); a span straddling the boundary cannot
+        be split, so — like round-exact pruned reads — this fails
+        loudly rather than silently returning a subset."""
+        manifest = self._read_manifest(table)
+        keep = []
+        for c in manifest["commits"]:
+            rng = self._round_range(c["props"])
+            if rng is None:
+                keep.append(c)  # untagged = pre-round data
+            elif rng[1] <= upto_round:
+                keep.append(c)
+            elif c["props"].get("compacted") and rng[0] <= upto_round:
+                raise RuntimeError(
+                    f"read_asof({table!r}, {upto_round}): compacted commit "
+                    f"{c['dir']} spans rounds {rng[0]}..{rng[1]} across the "
+                    "asof boundary and cannot be split. Snapshot reads at "
+                    "this round are no longer reconstructible; asof reads "
+                    "must target a bound at or beyond the fold."
+                )
+        return self._read_commits(table, keep)
+
     def commit_props(self, table: str) -> list[dict]:
         return [c["props"] for c in self._read_manifest(table)["commits"]]
 

@@ -329,3 +329,41 @@ def test_round_exact_read_refuses_folded_round(spark, tmp_path):
         wh.read("frontier_t", {"round": 1})
     # unpruned reads are unaffected
     assert wh.read("frontier_t").count() == 3
+
+
+def test_read_asof_snapshot(spark, tmp_path):
+    """read_asof = the table as of the end of round R: newer commits'
+    FILES are never opened (inputFiles pin), untagged init commits
+    always qualify, and a compaction folding across the asof boundary
+    fails loudly instead of returning a silent subset."""
+    import pytest
+
+    wh = _wh(spark, tmp_path)
+    schema = (
+        "scraping_id long, url string, content string, summary string, round int"
+    )
+    wh.append(  # untagged init commit (start()-style)
+        "pages", spark.createDataFrame([(1, "seed", "c", None, -1)], schema)
+    )
+    for r in range(4):
+        wh.append(
+            "pages",
+            spark.createDataFrame([(1, f"u{r}", "c", None, r)], schema),
+            {"round": r},
+        )
+    snap = wh.read_asof("pages", 1)
+    assert sorted(x.url for x in snap.collect()) == ["seed", "u0", "u1"]
+    # manifest pruning, not a filter: round 2-3 files never touched
+    assert len(snap.inputFiles()) < len(wh.read("pages").inputFiles())
+    # full read unaffected
+    assert wh.read("pages").count() == 5
+    # fold rounds 0..2 (upto_round is exclusive) into one compacted
+    # commit: asof at the fold's max (or beyond) still works; asof
+    # INSIDE the span fails loudly
+    wh.compact("pages", upto_round=3)
+    assert sorted(x.url for x in wh.read_asof("pages", 2).collect()) == [
+        "seed", "u0", "u1", "u2",
+    ]
+    assert wh.read_asof("pages", 3).count() == 5
+    with pytest.raises(RuntimeError, match="asof"):
+        wh.read_asof("pages", 1)
