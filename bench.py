@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "winnowing_fingerprint",
     "dedup_incremental_lsh",
     "bm25_indexed",
+    # r5 session 3: the zero-shuffle JVM span fold representative
+    "caption_align",
 ]
 
 

@@ -635,14 +635,37 @@ def crawl_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warehouse import Warehouse
+
+    m = Warehouse(spark, _crawl_graph_warehouse(spark, sf_dir)).read("metrics")
+    return m.select(
+        "round",
+        "urls_in",
+        "fetched",
+        "fetch_errors",
+        "links_extracted",
+        "new_urls",
+        "deferred",
+        "robots_blocked",
+    )
+
+
+def _crawl_graph_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once (per sf_dir) CrawlEngine run over the span-structured
+    rendering of the crawl_bfs_depth3 edge graph; returns the warehouse
+    root. Shared by the engine-audit queries (crawl_metrics,
+    crawl_snapshot_delta). Compaction is disabled so every round's
+    commits stay individually addressable — the snapshot-delta query
+    reads asof bounds INSIDE the crawl, which a finalize fold would
+    (correctly, loudly) refuse; a deployment wanting both folds and
+    snapshots compacts only up to its snapshot-retention horizon."""
     import os
     import shutil
 
     from .plans.crawl import CrawlConfig, CrawlEngine
     from .sources.index_cache import cached_store
-    from .sources.warehouse import Warehouse
 
-    root, built = cached_store(sf_dir, "crawlmetrics", "_BUILT")
+    root, built = cached_store(sf_dir, "crawlgraph", "_BUILT")
     if not built:
         shutil.rmtree(root, ignore_errors=True)
         docs = load(spark, sf_dir, "documents")
@@ -690,23 +713,60 @@ def crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             os.path.join(root, "wh"),
             documents=corpus,
-            config=CrawlConfig(bloom_expected_urls=4096, default_budget=10**9),
+            config=CrawlConfig(
+                bloom_expected_urls=4096,
+                default_budget=10**9,
+                compact_every_rounds=None,  # keep per-round snapshots
+            ),
         )
         eng.start([(1, 1, "http://graph.test/p0", 3)])
         eng.run()
         with open(os.path.join(root, "_BUILT"), "w") as f:
             f.write("ok")
-    m = Warehouse(spark, os.path.join(root, "wh")).read("metrics")
-    return m.select(
-        "round",
-        "urls_in",
-        "fetched",
-        "fetch_errors",
-        "links_extracted",
-        "new_urls",
-        "deferred",
-        "robots_blocked",
-    )
+    return os.path.join(root, "wh")
+
+
+# ---------------------------------------------------------------------------
+# W18 read_asof under the oracle gate: the pages NEW between the
+# round-1 and round-3 snapshots of the SAME engine run crawl_metrics
+# audits — two manifest-pruned snapshot reads anti-joined, vs the BFS
+# recursion's "first reached at depth 2 or 3" set (round == hop depth
+# in this permissive crawl). Proves snapshot isolation produces the
+# set the lineage says it must, not just that the reads run.
+# ---------------------------------------------------------------------------
+@query(
+    "crawl_snapshot_delta",
+    """
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (2 * doc_id + 1) % (SELECT n FROM nn) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id AS src, (3 * doc_id + 7) % (SELECT n FROM nn) AS dst
+        FROM documents
+      )
+    ),
+    bfs(url_id, depth) AS (
+      SELECT CAST(0 AS BIGINT) AS url_id, CAST(0 AS INTEGER) AS depth
+      UNION ALL
+      SELECT e.dst, b.depth + 1
+      FROM bfs b JOIN edges e ON e.src = b.url_id
+      WHERE b.depth < 3
+    ),
+    firsts AS (SELECT url_id, min(depth) AS d FROM bfs GROUP BY url_id)
+    SELECT 'http://graph.test/p' || url_id::VARCHAR AS url,
+           d AS round
+    FROM firsts WHERE d IN (2, 3)
+    """,
+)
+def crawl_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, _crawl_graph_warehouse(spark, sf_dir))
+    at3 = wh.read_asof("pages", 3).select("url", "round")
+    at1 = wh.read_asof("pages", 1).select("url")
+    return at3.join(at1, "url", "left_anti")
 
 
 # ---------------------------------------------------------------------------
