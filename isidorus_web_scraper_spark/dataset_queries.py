@@ -3705,40 +3705,43 @@ def host_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     float quota), host-asc tie-break, so both engines hand the same
     hosts the same extra unit.
 
+    This query runs the PRODUCTION operator
+    (operators/politeness.allocate_global_budget) over a synthesized
+    frontier — the DuckDB twin is the independent re-derivation, so the
+    oracle gates the operator itself instead of a third copy of the
+    formula that could drift. Hosts are zero-padded (h00..h36) so the
+    operator's string host-asc tie-break and the oracle's integer one
+    rank remainder ties identically.
+
     Scale: queue sizes = one map-side-combined hash agg over the
     frontier; everything after runs on the HOSTS table (distinct hosts
     ≪ URLs — the robots-gate bound), so the global remainder-rank
     window sorts a frame orders of magnitude smaller than the data,
     with Q and the leftover joining in as broadcast one-row aggregates."""
+    from .operators.politeness import allocate_global_budget
+
     docs = load(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.lit(1).cast("long").alias("scraping_id"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.format_string(
+            "http://h%02d.test/p%d",
+            (F.col("doc_id") % 37).cast("int"),
+            F.col("doc_id").cast("long"),
+        ).alias("url"),
+        F.lit(2).alias("depth"),
+        F.lit(0).alias("round"),
+    )
+    alloc = allocate_global_budget(frontier, 1000, None).select(
+        F.regexp_extract("host", r"^h(\d+)\.test$", 1)
+        .cast("bigint")
+        .alias("host"),
+        F.col("max_fetches_per_round").cast("bigint").alias("budget"),
+    )
     hosts = docs.groupBy((F.col("doc_id") % 37).alias("host")).agg(
         F.count("*").alias("queue_size")
     )
-    tot = hosts.agg(F.sum("queue_size").alias("q_total"))
-    base = hosts.crossJoin(F.broadcast(tot)).select(
-        "host",
-        "queue_size",
-        F.floor((1000 * F.col("queue_size")) / F.col("q_total"))
-        .cast("bigint")
-        .alias("base"),
-        ((1000 * F.col("queue_size")) % F.col("q_total")).alias("frac_num"),
-    )
-    leftover = base.agg((F.lit(1000) - F.sum("base")).alias("extra"))
-    rk = F.row_number().over(
-        Window.orderBy(F.desc("frac_num"), F.asc("host"))
-    )
-    return (
-        base.crossJoin(F.broadcast(leftover))
-        .withColumn("rk", rk)
-        .select(
-            "host",
-            "queue_size",
-            (
-                F.col("base")
-                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
-            ).alias("budget"),
-        )
-    )
+    return hosts.join(alloc, "host").select("host", "queue_size", "budget")
 
 
 @query(
@@ -3753,9 +3756,9 @@ def host_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE gs.k <= d.doc_id % 5 + 2
     )
     SELECT s.doc_id, s.off AS span_offset, s.media_ref,
-           (SELECT t.txt FROM spans t
+           coalesce((SELECT t.txt FROM spans t
             WHERE t.doc_id = s.doc_id AND t.kind = 'text' AND t.off < s.off
-            ORDER BY t.off DESC LIMIT 1) AS caption
+            ORDER BY t.off DESC LIMIT 1), '') AS caption
     FROM spans s WHERE s.kind = 'image'
     """,
 )
@@ -3822,8 +3825,14 @@ def caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # caption '' = image precedes any text span (doc opens with an
+    # image): a concrete sentinel, not NULL, so comparators that can't
+    # order NULL against strings (the driver's sort) never see one
     return docs.select("doc_id", F.explode(folded["out"]).alias("s")).select(
-        "doc_id", "s.span_offset", "s.media_ref", "s.caption"
+        "doc_id",
+        "s.span_offset",
+        "s.media_ref",
+        F.coalesce("s.caption", F.lit("")).alias("caption"),
     )
 
 

@@ -439,36 +439,82 @@ def allocate_global_budget(
     ``max_fetches_per_round`` gets ``min(static, allocation)`` so the
     global cap never overrides a politeness promise.
 
-    Invariants (pytest-pinned): Σ allocation == G exactly, and while
-    G ≤ |frontier| every allocation ≤ its host's queue size (so the
-    round fetches exactly G URLs; deferral carries the rest).
+    Queue sizes count ELIGIBLE rows only — rows robots-blocked by the
+    config, and hosts whose crawl-delay defers this round, never fetch,
+    so apportioning budget over them would under-fetch everyone else
+    (a 100-blocked-URL host would eat half the budget and waste it).
+    Eligibility uses the same blocked/delay expressions as
+    ``schedule_round``, so allocation and consumption agree row for row.
+
+    Invariants (pytest-pinned): Σ allocation == G exactly while at
+    least one row is eligible, and while G ≤ #eligible every allocation
+    ≤ its host's eligible queue size (so the round fetches exactly
+    min(G, #eligible) URLs; deferral carries the rest). Quotas are
+    exact integers (``div``/``mod`` on longs, never a float) — valid
+    while G·q < 2^63, i.e. any realistic budget over a 10^10 frontier.
 
     Scale: queue sizes are one map-side-combined hash agg over the
-    frontier; everything downstream runs on the HOSTS table (distinct
-    hosts ≪ URLs — the robots-gate bound), so the remainder-rank
-    window sorts a bounded frame; Q and the leftover join in as
-    broadcast one-row aggregates, and the result is itself the small
-    broadcast side of schedule_round's config join."""
+    frontier (the politeness config joins in broadcast, as it does in
+    schedule_round); everything downstream runs on the HOSTS table
+    (distinct hosts ≪ URLs — the robots-gate bound), so the
+    remainder-rank window sorts a bounded frame; Q and the leftover
+    join in as broadcast one-row aggregates, and the result is itself
+    the small broadcast side of schedule_round's config join."""
     from pyspark.sql import Window
 
     g = F.lit(int(global_budget))
     # host key must be byte-identical to schedule_round's, or the
     # sentinel rows would miss their allocation and fall back to the
     # permissive default
-    hosts = (
-        frontier.select(
-            F.coalesce(host_col("url"), F.lit("\x00invalid")).alias("host")
+    f = frontier.withColumn(
+        "host", F.coalesce(host_col("url"), F.lit("\x00invalid"))
+    )
+    if politeness is not None:
+        f = f.withColumn("path", path_col("url")).join(
+            F.broadcast(politeness), "host", "left"
         )
-        .groupBy("host")
-        .agg(F.count("*").alias("q"))
-    )
+        blocked = F.coalesce(
+            F.exists(
+                F.coalesce("robots_disallow", F.array()),
+                lambda p: F.col("path").startswith(p),
+            ),
+            F.lit(False),
+        )
+        delay_ok = (
+            F.col("round") % (F.coalesce("crawl_delay_rounds", F.lit(0)) + 1)
+            == 0
+        )
+        eligible = (~blocked) & delay_ok
+    else:
+        eligible = F.lit(True)
+    # every frontier host keeps a row (q may be 0): a host whose rows
+    # are all blocked/deferred still needs its config carried through,
+    # or schedule_round would fall back to the permissive default and
+    # fetch the very rows robots forbids
+    hosts = f.groupBy("host").agg(F.sum(eligible.cast("long")).alias("q"))
     tot = hosts.agg(F.sum("q").alias("q_total"))
-    base = hosts.crossJoin(F.broadcast(tot)).select(
-        "host",
-        F.floor((g * F.col("q")) / F.col("q_total")).cast("long").alias("base"),
-        ((g * F.col("q")) % F.col("q_total")).alias("frac"),
+    gq = (g.cast("long") * F.col("q")).alias("gq")
+    base = (
+        hosts.crossJoin(F.broadcast(tot))
+        .select("host", "q_total", gq)
+        .select(
+            "host",
+            # exact long division: floor((G·q)/Q) without a double in
+            # the path (q_total=0 ⇒ nothing eligible ⇒ all-zero quota)
+            F.when(F.col("q_total") == 0, F.lit(0))
+            .otherwise(F.expr("gq div q_total"))
+            .alias("base"),
+            F.when(F.col("q_total") == 0, F.lit(0))
+            .otherwise(F.col("gq") % F.col("q_total"))
+            .alias("frac"),
+        )
     )
-    leftover = base.agg((g - F.sum("base")).alias("extra"))
+    leftover = base.agg(
+        # a zero-eligible round allocates nothing (extra stays 0, not G)
+        F.when(F.sum("base") + F.sum("frac") == 0, F.lit(0))
+        .otherwise(g - F.sum("base"))
+        .alias("extra")
+    )
     rk = F.row_number().over(Window.orderBy(F.desc("frac"), F.asc("host")))
     alloc = (
         base.crossJoin(F.broadcast(leftover))
@@ -479,7 +525,7 @@ def allocate_global_budget(
                 F.col("base")
                 + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
             )
-            .cast("int")
+            .cast("long")
             .alias("alloc"),
         )
     )

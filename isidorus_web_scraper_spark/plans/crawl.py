@@ -1657,6 +1657,9 @@ class CrawlEngine:
                 upd,
                 ["scraping_id", "page_url", "s3_path", "round"],
                 commit_pred=_round_pred(upd),
+                # enrichment happens after the crawl: snapshots at any
+                # completed round must fail loudly, not show the new rows
+                asof_valid_from=self._next_round(),
             )
         if summaries is not None:
             # J5: summary lands on the latest page version only; older
@@ -1677,6 +1680,7 @@ class CrawlEngine:
                 upd,
                 ["scraping_id", "url", "round"],
                 commit_pred=_round_pred(upd),
+                asof_valid_from=self._next_round(),
             )
 
     # -------------------------------------------------------------- finalize
@@ -1704,7 +1708,12 @@ class CrawlEngine:
                 F.lit(max(last_round, 0)).alias("completed_round"),
             )
         )
-        self.wh.merge("jobs", updates, ["scraping_id"])
+        # completion belongs to the last round: read_asof('jobs', last)
+        # sees COMPLETED, earlier snapshots fail loudly (the whole-table
+        # merge rewrote history below that bound)
+        self.wh.merge(
+            "jobs", updates, ["scraping_id"], asof_valid_from=max(last_round, 0)
+        )
         if self.config.compact_every_rounds:
             # full collapse (refold=True): post-completion reads open ~1
             # commit per table instead of rounds×P files

@@ -224,5 +224,6 @@ TABLES: dict[str, tuple[T.StructType, list[str]]] = {
     "robots": (ROBOTS, ["round"]),
     "robots_rules": (ROBOTS_RULES, ["round"]),
     "metrics": (METRICS, []),
+    "metrics_parts": (METRICS_PARTS, ["round"]),
     "media_store": (MEDIA_STORE, []),
 }

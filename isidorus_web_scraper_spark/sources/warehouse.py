@@ -121,8 +121,29 @@ class Warehouse:
         for d in old:  # orphans are safe to GC after the swap
             shutil.rmtree(os.path.join(self._table_dir(table), d), ignore_errors=True)
 
+    @staticmethod
+    def _stamp_rewrite(props: dict, asof_valid_from: int | None) -> dict:
+        """Mark a rewritten (merged/deleted-from) commit so ``read_asof``
+        never passes its post-rewrite contents off as an older snapshot.
+        With a round bound the stamp is ``asof_valid_from`` (monotone
+        max across rewrites); without one the commit is flagged
+        ``merged`` = asof-unreconstructible at ANY bound."""
+        out = dict(props)
+        if asof_valid_from is None:
+            out["merged"] = True
+        else:
+            out["asof_valid_from"] = max(
+                int(asof_valid_from), int(out.get("asof_valid_from", -1))
+            )
+        return out
+
     def merge(
-        self, table: str, updates: DataFrame, keys: list[str], commit_pred=None
+        self,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        commit_pred=None,
+        asof_valid_from: int | None = None,
     ) -> None:
         """MERGE INTO table USING updates ON keys: matched→update, else insert.
 
@@ -139,6 +160,14 @@ class Warehouse:
         value so future round-pruned reads/rewrites still see them.
         Without it, the legacy whole-table overwrite runs (fine for
         small tables like jobs).
+
+        ``asof_valid_from``: the earliest ``read_asof`` bound at which
+        this merge's output may appear in a snapshot (the engine passes
+        the round the merge logically belongs to). Rewritten and
+        inserted commits are stamped with it; a snapshot read BELOW the
+        stamp fails loudly instead of silently returning post-merge
+        rows under an old round tag. Omitted ⇒ the rewritten commits
+        are flagged asof-unreconstructible at any bound.
 
         Concurrency: the whole rewrite runs under the table's
         ``_rewrite_lock`` (rewriters serialize against each other); the
@@ -180,7 +209,18 @@ class Warehouse:
                     fresh = self._read_manifest(table)
                     kept = [c for c in fresh["commits"] if c["dir"] not in snap_dirs]
                     self._swap_manifest(
-                        table, {"commits": [{"dir": rel, "props": {}}] + kept}
+                        table,
+                        {
+                            "commits": [
+                                {
+                                    "dir": rel,
+                                    "props": self._stamp_rewrite(
+                                        {}, asof_valid_from
+                                    ),
+                                }
+                            ]
+                            + kept
+                        },
                     )
                 for d in snap_dirs:
                     shutil.rmtree(
@@ -244,12 +284,17 @@ class Warehouse:
                                     "dir": self._stage(
                                         table, inserts.filter(F.col("round") == rd)
                                     ),
-                                    "props": {"round": int(rd)},
+                                    "props": self._stamp_rewrite(
+                                        {"round": int(rd)}, asof_valid_from
+                                    ),
                                 }
                             )
                     else:
                         insert_commits.append(
-                            {"dir": self._stage(table, inserts), "props": {}}
+                            {
+                                "dir": self._stage(table, inserts),
+                                "props": self._stamp_rewrite({}, asof_valid_from),
+                            }
                         )
                 with self._locked(table):
                     fresh = self._read_manifest(table)
@@ -258,7 +303,12 @@ class Warehouse:
                     # (No commit can have vanished — removers hold
                     # _rewrite_lock, which we own.)
                     new_commits = [
-                        {"dir": staged[c["dir"]], "props": c["props"]}
+                        {
+                            "dir": staged[c["dir"]],
+                            "props": self._stamp_rewrite(
+                                c["props"], asof_valid_from
+                            ),
+                        }
                         if c["dir"] in staged
                         else c
                         for c in fresh["commits"]
@@ -272,7 +322,13 @@ class Warehouse:
             finally:
                 upd.unpersist()
 
-    def delete_where(self, table: str, predicate: str, commit_pred=None) -> None:
+    def delete_where(
+        self,
+        table: str,
+        predicate: str,
+        commit_pred=None,
+        asof_valid_from: int | None = None,
+    ) -> None:
         """Predicate delete (Iceberg DELETE FROM analog; SURVEY.md J9),
         copy-on-write at COMMIT granularity — the Iceberg file-pruning
         analog that keeps a 100-TB delete from rewriting the table:
@@ -285,6 +341,10 @@ class Warehouse:
           concurrently, preserving their props (round tags survive, so
           pruned reads still work after a delete);
         - one atomic manifest swap publishes all rewrites together.
+
+        ``asof_valid_from``: as in ``merge`` — rewritten commits are
+        stamped so a ``read_asof`` below the bound fails loudly rather
+        than passing post-delete contents off as an older snapshot.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -313,7 +373,10 @@ class Warehouse:
                 # CAS graft (see merge): concurrent appends survive; the
                 # delete covered the table as of its snapshot only.
                 new_commits = [
-                    {"dir": staged[c["dir"]], "props": c["props"]}
+                    {
+                        "dir": staged[c["dir"]],
+                        "props": self._stamp_rewrite(c["props"], asof_valid_from),
+                    }
                     if c["dir"] in staged
                     else c
                     for c in fresh["commits"]
@@ -405,6 +468,17 @@ class Warehouse:
             if any(s is not None for s in spans):
                 props["round_min"] = min(s[0] for s in spans if s is not None)
                 props["round_max"] = max(s[1] for s in spans if s is not None)
+            # rewrite stamps survive folding — else compaction would
+            # launder a merged commit back into asof-readability
+            if any(c["props"].get("merged") for c in doomed):
+                props["merged"] = True
+            avf = [
+                c["props"]["asof_valid_from"]
+                for c in doomed
+                if "asof_valid_from" in c["props"]
+            ]
+            if avf:
+                props["asof_valid_from"] = max(avf)
             with self._locked(table):
                 fresh = self._read_manifest(table)
                 doomed_dirs = {c["dir"] for c in doomed}
@@ -482,11 +556,34 @@ class Warehouse:
         A compacted commit qualifies only if its WHOLE span does
         (round_max ≤ upto_round); a span straddling the boundary cannot
         be split, so — like round-exact pruned reads — this fails
-        loudly rather than silently returning a subset."""
+        loudly rather than silently returning a subset.
+
+        Commits rewritten in place by ``merge``/``delete_where`` carry
+        an ``asof_valid_from`` stamp (or a bare ``merged`` flag when the
+        rewriter passed no round): their contents are post-rewrite, so a
+        snapshot read below the stamp — or at any bound for an
+        unstamped rewrite — also fails loudly instead of returning
+        rows that did not exist at round ``upto_round``."""
         manifest = self._read_manifest(table)
         keep = []
         for c in manifest["commits"]:
             rng = self._round_range(c["props"])
+            qualifies = rng is None or rng[1] <= upto_round
+            if qualifies and (
+                c["props"].get("merged")
+                or c["props"].get("asof_valid_from", upto_round) > upto_round
+            ):
+                raise RuntimeError(
+                    f"read_asof({table!r}, {upto_round}): commit {c['dir']} was "
+                    "rewritten in place by merge()/delete_where() "
+                    + (
+                        f"valid from round {c['props']['asof_valid_from']}"
+                        if "asof_valid_from" in c["props"]
+                        else "with no round bound"
+                    )
+                    + "; its contents are post-rewrite, so this snapshot is no "
+                    "longer reconstructible at this bound."
+                )
             if rng is None:
                 keep.append(c)  # untagged = pre-round data
             elif rng[1] <= upto_round:

@@ -43,11 +43,22 @@ def compare(spark_df, conn, sql: str) -> None:
         f"row counts differ: spark={len(spark_rows)} duckdb={len(duck_rows)}"
     )
     col_order = {c: i for i, c in enumerate(rel.columns)}
+
+    def _sort_key(row):
+        # None sorts before any value without ever comparing None to a
+        # concrete type (tuple compare short-circuits on the flag)
+        return tuple((v is not None, 0 if v is None else v) for v in row)
+
     duck_sorted = sorted(
-        tuple(_norm(r[col_order[c]]) for c in duck_cols) for r in duck_rows
+        (
+            tuple(_norm(r[col_order[c]]) for c in duck_cols)
+            for r in duck_rows
+        ),
+        key=_sort_key,
     )
     spark_sorted = sorted(
-        tuple(_norm(r[c]) for c in spark_cols) for r in spark_rows
+        (tuple(_norm(r[c]) for c in spark_cols) for r in spark_rows),
+        key=_sort_key,
     )
     for i, (s, d) in enumerate(zip(spark_sorted, duck_sorted)):
         assert s == d, f"row {i} differs:\n  spark={s}\n  duck ={d}"

@@ -257,5 +257,10 @@ def test_recrawl_schedule_due_after_last_observation(spark):
         .collect()
     }
     for r in recrawl_schedule(spark, sf).collect():
-        assert r.next_due_ms > last[r.page_id]
+        # span 0 (all observations share one timestamp) ⇒ interval 0 ⇒
+        # due immediately at the last observation, not strictly after
+        if r.span_ms == 0 and r.n_observations >= 2:
+            assert r.next_due_ms == last[r.page_id]
+        else:
+            assert r.next_due_ms > last[r.page_id]
         assert r.mean_interval_ms >= 1 or r.span_ms == 0

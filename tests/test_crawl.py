@@ -733,3 +733,74 @@ def test_global_budget_composes_with_static_cap(spark):
     assert out["h0.test"].crawl_delay_rounds == 2
     assert out["h1.test"].robots_disallow is None
     assert out["h1.test"].crawl_delay_rounds == 0
+
+
+def test_global_budget_skips_ineligible_rows(spark):
+    """Apportionment counts ELIGIBLE rows only: a host whose frontier is
+    all robots-blocked, or whose crawl-delay defers this round, gets no
+    allocation (those rows never fetch — budget spent there is wasted,
+    under-fetching everyone else) but its config row still carries
+    through so schedule_round keeps enforcing its robots rules."""
+    from isidorus_web_scraper_spark.operators.politeness import (
+        allocate_global_budget,
+        schedule_round,
+        ACTION_FETCH,
+    )
+
+    # h0: 100 URLs, every path robots-blocked. h1: 100 eligible URLs.
+    # h2: 100 URLs but crawl_delay defers round 1. G=100 must land
+    # entirely on h1 — the round fetches exactly min(G, eligible)=100.
+    frontier = spark.createDataFrame(
+        [(1, 1, f"http://h{h}.test/p{i}", 2, 1) for h in range(3) for i in range(100)],
+        "scraping_id long, user_id long, url string, depth int, round int",
+    )
+    config = spark.createDataFrame(
+        [
+            ("h0.test", None, ["/p"], 0),
+            ("h2.test", None, None, 1),  # delay 1 ⇒ fetch only on even rounds
+        ],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    pol = allocate_global_budget(frontier, 100, config)
+    out = {r.host: r for r in pol.collect()}
+    assert out["h0.test"].max_fetches_per_round == 0
+    assert out["h2.test"].max_fetches_per_round == 0
+    assert out["h1.test"].max_fetches_per_round == 100
+    # config survives a zero-eligible host: h0's rows stay blocked
+    assert out["h0.test"].robots_disallow == ["/p"]
+    tagged = schedule_round(frontier, pol, round_no=1).collect()
+    fetches = [r for r in tagged if r.action == ACTION_FETCH]
+    assert len(fetches) == 100
+    assert {r.host for r in fetches} == {"h1.test"}
+
+
+def test_global_budget_exact_integer_quota(spark):
+    """Hamilton quotas are exact longs (div/mod), never a double: at
+    G·q ≥ 2^53 a float quotient can round across an integer boundary,
+    breaking Σ==G. Pin with queue sizes big enough that G·q needs
+    >53 bits (simulated via a pre-aggregated... frontier rows are real
+    but small; the budget supplies the magnitude)."""
+    from isidorus_web_scraper_spark.operators.politeness import (
+        allocate_global_budget,
+    )
+
+    # 3 hosts with co-prime queue sizes; G huge so G·q > 2^53.
+    rows = []
+    sizes = {"h0": 7, "h1": 11, "h2": 13}
+    for h, n in sizes.items():
+        rows += [(1, 1, f"http://{h}.test/p{i}", 2, 0) for i in range(n)]
+    frontier = spark.createDataFrame(
+        rows, "scraping_id long, user_id long, url string, depth int, round int"
+    )
+    G = (1 << 53) + 12345  # G·q up to ~1.2e17, well past double exactness
+    out = {
+        r.host: r.max_fetches_per_round
+        for r in allocate_global_budget(frontier, G, None).collect()
+    }
+    assert sum(out.values()) == G
+    # largest-remainder base floor is exact: alloc within 1 of G·q/Q
+    total_q = sum(sizes.values())
+    for h, n in sizes.items():
+        base = (G * n) // total_q
+        assert out[f"{h}.test"] in (base, base + 1)

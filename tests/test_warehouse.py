@@ -212,8 +212,12 @@ def test_merge_insert_commits_carry_round_tags(spark, tmp_path):
         commit_pred=lambda p: p.get("round") in (None, 0, 2),
     )
     props = [c["props"] for c in wh._read_manifest("pages")["commits"]]
-    assert {"round": 0} in props and {"round": 2} in props
-    assert {} not in props
+    rounds = [p.get("round") for p in props]
+    assert 0 in rounds and 2 in rounds
+    assert None not in rounds
+    # every rewrite/insert carries the asof poison flag (no round bound
+    # was passed), so snapshot reads can't mistake it for history
+    assert all(p.get("merged") or "asof_valid_from" in p for p in props)
     # pruned reads see the inserted rows under their round
     assert sorted(r.url for r in wh.read("pages", {"round": 0}).collect()) == ["u1", "u2"]
     assert [r.url for r in wh.read("pages", {"round": 2}).collect()] == ["u3"]
@@ -367,3 +371,69 @@ def test_read_asof_snapshot(spark, tmp_path):
     assert wh.read_asof("pages", 3).count() == 5
     with pytest.raises(RuntimeError, match="asof"):
         wh.read_asof("pages", 1)
+
+
+def test_read_asof_refuses_rewritten_commits(spark, tmp_path):
+    """A merge/delete rewrites committed files in place: their contents
+    are post-rewrite, so a snapshot read below the rewrite's round bound
+    (or at any bound when the rewriter passed none) must fail loudly —
+    the round tag alone would silently pass new rows off as history."""
+    import pytest
+
+    wh = _wh(spark, tmp_path)
+    schema = (
+        "scraping_id long, url string, content string, summary string, round int"
+    )
+    for r in range(3):
+        wh.append(
+            "pages",
+            spark.createDataFrame([(1, f"u{r}", "c", None, r)], schema),
+            {"round": r},
+        )
+    # enrich round-1 rows during "round 3": stamped asof_valid_from=3
+    upd = spark.createDataFrame([(1, "u1", None, "sum", 1)], schema)
+    wh.merge(
+        "pages",
+        upd,
+        ["scraping_id", "url", "round"],
+        commit_pred=lambda p: p.get("round") == 1,
+        asof_valid_from=3,
+    )
+    # bounds below the rewrite refuse (they would include the commit)
+    with pytest.raises(RuntimeError, match="rewritten in place"):
+        wh.read_asof("pages", 1)
+    with pytest.raises(RuntimeError, match="rewritten in place"):
+        wh.read_asof("pages", 2)
+    # round-0 snapshot never touches the rewritten commit: still fine
+    assert [x.url for x in wh.read_asof("pages", 0).collect()] == ["u0"]
+    # at/after the stamp the snapshot is the real table state
+    assert sorted(
+        (x.url, x.summary) for x in wh.read_asof("pages", 3).collect()
+    ) == [("u0", None), ("u1", "sum"), ("u2", None)]
+    # compaction must not launder the stamp away
+    wh.compact("pages", upto_round=3, refold_compacted=True)
+    with pytest.raises(RuntimeError, match="rewritten in place"):
+        wh.read_asof("pages", 2)
+    assert wh.read_asof("pages", 3).count() == 3
+    # an UNSTAMPED rewrite (legacy whole-table merge) poisons every bound
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    wh2.append(
+        "jobs",
+        spark.createDataFrame(
+            [(1, "s", 1, "PENDING", 0, 0, None)],
+            "scraping_id long, url string, depth int, status string, "
+            "links_count long, created_round int, completed_round int",
+        ),
+        {"round": 0},
+    )
+    wh2.merge(
+        "jobs",
+        spark.createDataFrame(
+            [(1, "s", 1, "COMPLETED", 2, 0, 1)],
+            "scraping_id long, url string, depth int, status string, "
+            "links_count long, created_round int, completed_round int",
+        ),
+        ["scraping_id"],
+    )
+    with pytest.raises(RuntimeError, match="no round bound"):
+        wh2.read_asof("jobs", 99)
