@@ -994,6 +994,90 @@ def robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RFC 9309 §2.2.2 Allow/Disallow longest-match precedence under the
+# oracle gate: the Spark side PARSES synthesized robots.txt payloads
+# (functions/robots.parse_robots) and decides each candidate path with
+# the scheduler's own robots_blocked_col — the exact production block
+# decision — while the DuckDB twin constructs the rule sets BY HAND and
+# re-derives longest-match relationally (max matching-prefix length per
+# kind, Allow wins ties). Drift in the parser OR the decision expression
+# breaks the hash. No reference analog: page_fetcher.go has no robots
+# handling at all; semantics follow the public RFC.
+# ---------------------------------------------------------------------------
+@query(
+    "robots_allow_precedence",
+    """
+    WITH hosts AS (SELECT DISTINCT doc_id % 199 AS h FROM documents),
+    rules AS (
+      SELECT h, '/a' AS rule, 'dis' AS kind FROM hosts
+      UNION ALL SELECT h, '/a/pub', 'alw' FROM hosts
+      UNION ALL SELECT h, '/a/pub/x', 'dis' FROM hosts WHERE h % 3 = 0
+      UNION ALL SELECT h, '/b', 'alw' FROM hosts WHERE h % 2 = 0
+      UNION ALL SELECT h, '/b', 'dis' FROM hosts WHERE h % 2 = 0
+    ),
+    paths AS (
+      SELECT h, p FROM hosts CROSS JOIN (VALUES ('/a/1'), ('/a/pub/1'),
+        ('/a/pub/x/1'), ('/b/1'), ('/c/1')) AS t(p)
+    ),
+    m AS (
+      SELECT p.h, p.p,
+        max(CASE WHEN r.kind = 'dis' AND starts_with(p.p, r.rule)
+                 THEN length(r.rule) END) AS bd,
+        max(CASE WHEN r.kind = 'alw' AND starts_with(p.p, r.rule)
+                 THEN length(r.rule) END) AS ba
+      FROM paths p LEFT JOIN rules r ON r.h = p.h
+      GROUP BY 1, 2
+    )
+    SELECT 'h' || h::VARCHAR || '.test' AS host, p AS path,
+           coalesce(bd, -1) > coalesce(ba, -1) AS blocked
+    FROM m
+    """,
+)
+def robots_allow_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.robots import parse_robots
+    from .operators.politeness import robots_blocked_col
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("h")
+    hosts = (
+        docs.select((F.col("doc_id") % 199).alias("h"))
+        .distinct()
+        .select(
+            "h",
+            F.concat(F.lit("h"), h.cast("string"), F.lit(".test")).alias("host"),
+        )
+    )
+    txt = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /a"),
+        F.lit("Allow: /a/pub"),
+        F.when(h % 3 == 0, F.lit("Disallow: /a/pub/x")).otherwise(F.lit("#")),
+        F.when(h % 2 == 0, F.lit("Allow: /b")).otherwise(F.lit("#")),
+        F.when(h % 2 == 0, F.lit("Disallow: /b")).otherwise(F.lit("#")),
+    )
+    rules = parse_robots(hosts.select("host", txt.alias("robots_txt")))
+    paths = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(p)
+                    for p in ("/a/1", "/a/pub/1", "/a/pub/x/1", "/b/1", "/c/1")
+                ]
+            )
+        ).alias("path"),
+    )
+    return paths.join(rules, "host", "left").select(
+        "host",
+        "path",
+        robots_blocked_col(
+            F.col("path"), F.col("robots_disallow"), F.col("robots_allow")
+        ).alias("blocked"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.7 set operations: the seen-set union-with-dedup + except/intersect.
 # ---------------------------------------------------------------------------
 @query(

@@ -14,6 +14,10 @@ Parsed per host:
 
 - ``Disallow: <prefix>`` → path-prefix blocklist (empty Disallow — the
   allow-all idiom — contributes nothing, matching its RFC meaning);
+- ``Allow: <prefix>`` → path-prefix allowlist; the scheduler resolves
+  Allow-vs-Disallow by RFC 9309 §2.2.2 longest-match precedence (most
+  specific rule wins, Allow wins equal-length ties) — see
+  ``operators.politeness.robots_blocked_col``;
 - ``Crawl-delay: <n>`` → ``crawl_delay_rounds`` (the round-granular
   rendition of the de-facto extension);
 - comments (``#``) and unknown directives are ignored by construction
@@ -31,6 +35,7 @@ from pyspark.sql import functions as F
 
 _UA_RE = r"(?i)^user-agent:\s*(\S+)"
 _DIS_RE = r"(?i)^disallow:\s*(\S+)"
+_ALLOW_RE = r"(?i)^allow:\s*(\S+)"
 _DELAY_RE = r"(?i)^crawl-delay:\s*([0-9]+)"
 
 
@@ -38,9 +43,10 @@ def parse_robots(
     robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:
     """(host, robots_txt) → (host, robots_disallow array<string>,
-    crawl_delay_rounds long). Hosts whose file yields no ``*``-section
-    directives drop out (callers coalesce to the permissive default,
-    exactly like hosts with no robots.txt at all)."""
+    robots_allow array<string>, crawl_delay_rounds long). Hosts whose
+    file yields no ``*``-section directives drop out (callers coalesce
+    to the permissive default, exactly like hosts with no robots.txt at
+    all)."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -50,6 +56,9 @@ def parse_robots(
         "pos",
         F.nullif(F.regexp_extract(F.trim("line"), _UA_RE, 1), F.lit("")).alias("ua"),
         F.nullif(F.regexp_extract(F.trim("line"), _DIS_RE, 1), F.lit("")).alias("dis"),
+        F.nullif(F.regexp_extract(F.trim("line"), _ALLOW_RE, 1), F.lit("")).alias(
+            "alw"
+        ),
         F.nullif(F.regexp_extract(F.trim("line"), _DELAY_RE, 1), F.lit(""))
         .cast("long")
         .alias("delay"),
@@ -60,12 +69,19 @@ def parse_robots(
     sect = marked.withColumn("cur_ua", F.last("ua", ignorenulls=True).over(w))
     star = sect.filter(
         (F.col("cur_ua") == "*")
-        & (F.col("dis").isNotNull() | F.col("delay").isNotNull())
+        & (
+            F.col("dis").isNotNull()
+            | F.col("alw").isNotNull()
+            | F.col("delay").isNotNull()
+        )
     )
     return star.groupBy("host").agg(
         # collect_list drops nulls (delay-only rows contribute nothing)
         F.sort_array(F.array_distinct(F.collect_list("dis"))).alias(
             "robots_disallow"
+        ),
+        F.sort_array(F.array_distinct(F.collect_list("alw"))).alias(
+            "robots_allow"
         ),
         F.coalesce(F.max("delay"), F.lit(0)).cast("long").alias(
             "crawl_delay_rounds"
@@ -81,13 +97,14 @@ def politeness_from_robots(
 ) -> DataFrame:
     """Raw robots payloads → the politeness config table the crawl
     engine broadcasts (host, max_fetches_per_round, robots_disallow,
-    crawl_delay_rounds). ``default_budget=None`` leaves the budget
-    NULL so the scheduler applies its own default."""
+    robots_allow, crawl_delay_rounds). ``default_budget=None`` leaves
+    the budget NULL so the scheduler applies its own default."""
     rules = parse_robots(robots, host_col, text_col)
     return rules.select(
         "host",
         F.lit(default_budget).cast("int").alias("max_fetches_per_round"),
         "robots_disallow",
+        "robots_allow",
         F.col("crawl_delay_rounds").cast("int"),
     )
 

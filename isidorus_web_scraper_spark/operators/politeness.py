@@ -39,6 +39,31 @@ ACTION_DEFER = "defer"
 ACTION_ROBOTS = "robots_blocked"
 
 
+def robots_blocked_col(path, disallow, allow):
+    """RFC 9309 §2.2.2 longest-match precedence as ONE pure-JVM
+    expression: the most specific (longest) matching rule decides;
+    Allow wins equal-length ties; no matching rule ⇒ not blocked.
+    NULL path (malformed URL) matches nothing ⇒ not blocked, matching
+    the legacy fillna(False) semantics. This is THE block decision —
+    every scheduler impl and the allocation eligibility share it."""
+
+    def longest(rules):
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.filter(
+                        F.coalesce(rules, F.array()),
+                        lambda p: path.startswith(p),
+                    ),
+                    F.length,
+                )
+            ),
+            F.lit(-1),
+        )
+
+    return longest(disallow) > longest(allow)
+
+
 def schedule_round(
     frontier: DataFrame,
     politeness: DataFrame | None,
@@ -119,6 +144,10 @@ def schedule_round(
             .withColumn("robots_disallow", F.lit(None).cast("array<string>"))
             .withColumn("crawl_delay_rounds", F.lit(None).cast("int"))
         )
+    if "robots_allow" not in f.columns:
+        # disallow-only configs (static tables, legacy callers) predate
+        # the Allow column; absent ⇒ no allow rules
+        f = f.withColumn("robots_allow", F.lit(None).cast("array<string>"))
     f = (
         f.withColumn(
             "budget", F.coalesce("max_fetches_per_round", F.lit(default_budget))
@@ -126,15 +155,10 @@ def schedule_round(
         .withColumn("delay", F.coalesce("crawl_delay_rounds", F.lit(0)))
         .withColumn(
             "blocked",
-            # coalesce: null path (malformed URL) + non-empty disallow
-            # list makes exists() null — treat as not-blocked, matching
-            # the pandas impls' fillna(False)
-            F.coalesce(
-                F.exists(
-                    F.coalesce("robots_disallow", F.array()),
-                    lambda p: F.col("path").startswith(p),
-                ),
-                F.lit(False),
+            # RFC 9309 longest-match Allow/Disallow precedence — the one
+            # block decision every impl below consumes
+            robots_blocked_col(
+                F.col("path"), F.col("robots_disallow"), F.col("robots_allow")
             ),
         )
     )
@@ -473,12 +497,10 @@ def allocate_global_budget(
         f = f.withColumn("path", path_col("url")).join(
             F.broadcast(politeness), "host", "left"
         )
-        blocked = F.coalesce(
-            F.exists(
-                F.coalesce("robots_disallow", F.array()),
-                lambda p: F.col("path").startswith(p),
-            ),
-            F.lit(False),
+        if "robots_allow" not in f.columns:
+            f = f.withColumn("robots_allow", F.lit(None).cast("array<string>"))
+        blocked = robots_blocked_col(
+            F.col("path"), F.col("robots_disallow"), F.col("robots_allow")
         )
         delay_ok = (
             F.col("round") % (F.coalesce("crawl_delay_rounds", F.lit(0)) + 1)
@@ -534,8 +556,14 @@ def allocate_global_budget(
             "host",
             F.col("alloc").alias("max_fetches_per_round"),
             F.lit(None).cast("array<string>").alias("robots_disallow"),
+            F.lit(None).cast("array<string>").alias("robots_allow"),
             F.lit(0).alias("crawl_delay_rounds"),
         )
+    allow_out = (
+        F.col("robots_allow")
+        if "robots_allow" in politeness.columns
+        else F.lit(None).cast("array<string>").alias("robots_allow")
+    )
     return (
         alloc.join(politeness, "host", "left")
         .select(
@@ -547,6 +575,7 @@ def allocate_global_budget(
             .otherwise(F.col("alloc"))
             .alias("max_fetches_per_round"),
             "robots_disallow",
+            allow_out,
             F.coalesce("crawl_delay_rounds", F.lit(0)).alias(
                 "crawl_delay_rounds"
             ),

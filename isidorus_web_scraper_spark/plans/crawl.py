@@ -510,8 +510,12 @@ class CrawlEngine:
         disc = self.wh.read("robots_rules").drop("round")
         if self.politeness is None:
             return disc
+        # allowMissingColumns: user-provided configs may predate the
+        # robots_allow column (discovered rules always carry it) —
+        # missing side fills NULL = no allow rules
         return self.politeness.unionByName(
-            disc.join(self.politeness.select("host"), "host", "left_anti")
+            disc.join(self.politeness.select("host"), "host", "left_anti"),
+            allowMissingColumns=True,
         )
 
     @contextlib.contextmanager

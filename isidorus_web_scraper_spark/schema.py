@@ -136,6 +136,7 @@ POLITENESS = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("max_fetches_per_round", T.IntegerType(), False),
         T.StructField("robots_disallow", T.ArrayType(T.StringType()), True),
+        T.StructField("robots_allow", T.ArrayType(T.StringType()), True),
         T.StructField("crawl_delay_rounds", T.IntegerType(), False),
     ]
 )
@@ -193,6 +194,7 @@ ROBOTS_RULES = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("max_fetches_per_round", T.IntegerType(), True),
         T.StructField("robots_disallow", T.ArrayType(T.StringType()), True),
+        T.StructField("robots_allow", T.ArrayType(T.StringType()), True),
         T.StructField("crawl_delay_rounds", T.IntegerType(), True),
         T.StructField("round", T.IntegerType(), False),
     ]
