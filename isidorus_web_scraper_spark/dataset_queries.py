@@ -3537,6 +3537,218 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# n-gram LM familiarity scoring (round 5): CCNet/Gopher filter corpora
+# by language-model perplexity — docs whose n-grams the corpus LM finds
+# improbable are gibberish/OCR noise. The log-prob sum is float-order-
+# dependent, so this renders the filter INTEGERIZED: a doc's score is
+# the sum of corpus-wide counts of its bigrams (the LM's raw evidence
+# mass); mean-bigram-count < 2 (every bigram near-unique in the corpus)
+# flags the doc. Exact integers end to end — the kept set is
+# bit-identical across engines and partitionings, which a log2-based
+# perplexity can never guarantee (libm ulp drift).
+# ===========================================================================
+
+
+@query(
+    "lm_bigram_familiarity",
+    """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS pair
+      FROM w
+    ),
+    c AS (SELECT pair, count(*) AS c FROM p GROUP BY pair)
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(c.c) AS BIGINT) AS familiarity_sum,
+           sum(c.c) >= 2 * count(*) AS keep
+    FROM p JOIN c USING (pair)
+    GROUP BY p.doc_id
+    """,
+)
+def lm_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram familiarity: train (count all corpus bigrams) and
+    score (sum each doc's bigram counts) in one job. keep=false flags
+    docs whose average bigram occurs < 2× corpus-wide — the integerized
+    stand-in for a perplexity threshold. Docs with < 2 tokens have no
+    bigrams and drop out (both engines).
+
+    Scale: three shuffles, all hash-based — bigram-count agg (map-side
+    combined; the model table), a pair-keyed shuffle join of doc-pairs
+    to counts (AQE-sized; at 100 TB the key becomes xxhash64(pair), 8
+    bytes instead of the string), and the per-doc rollup. No windows,
+    no floats, no Python; a 10^8-copy boilerplate bigram is a partial-
+    aggregated key, never one task's sort."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_pairs = docs.select("doc_id", F.explode(pairs).alias("pair"))
+    counts = doc_pairs.groupBy("pair").agg(F.count("*").alias("c"))
+    return (
+        doc_pairs.join(counts, "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("c").alias("familiarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "familiarity_sum",
+            (F.col("familiarity_sum") >= 2 * F.col("n_bigrams")).alias("keep"),
+        )
+    )
+
+
+# ===========================================================================
+# TF-IDF keyword extraction (round 5): the classic per-doc top-k salient
+# terms (tag clouds, index summaries, weak topic labels). idf is
+# INTEGERIZED — floor((10^6 · N) / df) — instead of ln(N/df): libm log
+# differs by ulps across engines and a float score can flip a rank; the
+# scaled-rational idf preserves the df ordering exactly and both
+# engines' integer division agrees bit-for-bit.
+# ===========================================================================
+
+
+@query(
+    "tfidf_keywords",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
+    SELECT doc_id, term, tf, score FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * ((1000000 * n.n) // df.df) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((1000000 * n.n) // df.df) DESC, tf.term
+             ) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, term-asc tie-break.
+
+    Scale: tf = one (doc,term) hash agg; df = one term agg OVER tf
+    (never re-scans the corpus); N broadcasts as a one-row aggregate;
+    the only window partitions by doc_id with per-doc width bounded by
+    the 100 KB text cap — no global sort anywhere. At 100 TB the join
+    key becomes xxhash64(term)."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n"))
+    score = F.col("tf") * F.expr("(1000000 * n) div df")
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+# ===========================================================================
+# Anchor-text aggregation (round 5): the classic web-search signal the
+# reference's link extractor feeds (extractor_service.go pulls hrefs;
+# search engines describe a TARGET page by the text of links pointing
+# AT it). Links are synthesized over the same deterministic 2-out graph
+# as crawl_snapshot_delta; each link carries the source doc's leading
+# 3 words as anchor text. Per target: link count, distinct anchor
+# count, and the dominant anchor (count desc, anchor asc).
+# ===========================================================================
+
+
+@query(
+    "anchor_text_rollup",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT (2 * doc_id + 1) % (SELECT n FROM nn) AS target,
+             array_to_string((string_split(lower(text), ' '))[1:3], ' ') AS anchor
+      FROM documents
+      UNION ALL
+      SELECT (3 * doc_id + 7) % (SELECT n FROM nn),
+             array_to_string((string_split(lower(text), ' '))[1:3], ' ')
+      FROM documents
+    ),
+    pa AS (SELECT target, anchor, count(*) AS cnt FROM links GROUP BY 1, 2),
+    ranked AS (
+      SELECT target, anchor, cnt,
+             row_number() OVER (
+               PARTITION BY target ORDER BY cnt DESC, anchor
+             ) AS rk,
+             CAST(sum(cnt) OVER (PARTITION BY target) AS BIGINT) AS n_links,
+             CAST(count(*) OVER (PARTITION BY target) AS BIGINT) AS n_anchors
+      FROM pa
+    )
+    SELECT target, n_links, n_anchors, anchor AS top_anchor,
+           cnt AS top_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text rollup with the dominant anchor picked by
+    a min(struct) AGGREGATE, not a window: (-cnt, anchor) orders
+    count-desc/anchor-asc, so the pick partial-aggregates map-side — a
+    10^8-inlink hub never sorts in one task (the oracle's row_number
+    window is the naive rendition). Two hash shuffles total:
+    (target, anchor) counts, then the target rollup."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    anchor = F.concat_ws(" ", F.slice(words(F.col("text")), 1, 3))
+    links = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            ((2 * F.col("doc_id") + 1) % F.col("n")).alias("target"),
+            anchor.alias("anchor"),
+        )
+        .unionAll(
+            docs.crossJoin(F.broadcast(n)).select(
+                ((3 * F.col("doc_id") + 7) % F.col("n")).alias("target"),
+                anchor.alias("anchor"),
+            )
+        )
+    )
+    pa = links.groupBy("target", "anchor").agg(F.count("*").alias("cnt"))
+    best = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("anchor").alias("a")))
+    return (
+        pa.groupBy("target")
+        .agg(
+            F.sum("cnt").alias("n_links"),
+            F.count("*").alias("n_anchors"),
+            best.alias("best"),
+        )
+        .select(
+            "target",
+            "n_links",
+            "n_anchors",
+            F.col("best.a").alias("top_anchor"),
+            (-F.col("best.neg")).alias("top_count"),
+        )
+    )
+
+
+# ===========================================================================
 # Temperature-weighted source mixing (round 5): pretraining corpora are
 # not sampled uniformly — rare sources are upweighted by sampling
 # source s with probability ∝ n_s^α (α<1 flattens the mixture; the

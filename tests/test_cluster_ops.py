@@ -264,3 +264,97 @@ def test_recrawl_schedule_due_after_last_observation(spark):
         else:
             assert r.next_due_ms > last[r.page_id]
         assert r.mean_interval_ms >= 1 or r.span_ms == 0
+
+
+def test_lm_bigram_familiarity_crafted(spark, monkeypatch):
+    """Exact integer semantics: a doc whose bigrams are shared scores
+    high; a gibberish doc (all corpus-unique bigrams) scores the floor
+    (every bigram counts at least itself) and is dropped by keep."""
+    from isidorus_web_scraper_spark import dataset_queries as dq
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),       # bigrams: 'the cat', 'cat sat'
+            (1, "the cat ran"),       # shares 'the cat'
+            (2, "zq xv qj"),          # unique bigrams only
+            (3, "one"),               # <2 tokens: no output row
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dq, "load", lambda _s, _d, _t: docs)
+    got = {
+        r.doc_id: (r.n_bigrams, r.familiarity_sum, r.keep)
+        for r in dq.lm_bigram_familiarity(spark, "unused").collect()
+    }
+    # doc 0: 'the cat' appears 2x corpus-wide, 'cat sat' 1x -> sum 3
+    assert got[0] == (2, 3, False)  # 3 < 2*2
+    assert got[1] == (2, 3, False)
+    assert got[2] == (2, 2, False)  # the gibberish floor: each counts itself
+    assert 3 not in got
+    # a heavily-shared bigram flips keep
+    docs2 = spark.createDataFrame(
+        [(i, "the cat sat") for i in range(4)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(dq, "load", lambda _s, _d, _t: docs2)
+    got2 = {r.doc_id: r.keep for r in dq.lm_bigram_familiarity(spark, "u").collect()}
+    assert all(got2.values())  # every bigram occurs 4x >= 2*mean
+
+
+def test_tfidf_keywords_rare_term_wins(spark, monkeypatch):
+    """Integerized idf preserves the tf-idf ordering: a term unique to
+    one doc outranks a corpus-wide stopword even at lower tf."""
+    from isidorus_web_scraper_spark import dataset_queries as dq
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common rare"),
+            (1, "common filler words here"),
+            (2, "common more filler text"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dq, "load", lambda _s, _d, _t: docs)
+    rows = dq.tfidf_keywords(spark, "unused").collect()
+    top0 = sorted(
+        (r for r in rows if r.doc_id == 0), key=lambda r: -r.score
+    )
+    # doc 0: 'rare' df=1 -> idf 3_000_000; 'common' tf=3, df=3 -> idf
+    # 1_000_000 -> both score 3_000_000; term-asc tie-break puts
+    # 'common' first in rank but both must be present
+    assert {r.term for r in top0} == {"common", "rare"}
+    assert all(r.score == 3_000_000 for r in top0)
+    # every doc emits at most 3 keywords
+    from collections import Counter
+
+    assert max(Counter(r.doc_id for r in rows).values()) <= 3
+
+
+def test_anchor_text_rollup_dominant_anchor(spark, monkeypatch):
+    """min(struct(-cnt, anchor)) picks the most frequent anchor with
+    anchor-asc tie-break — the aggregate the 10^8-inlink hub needs
+    instead of a window sort."""
+    from isidorus_web_scraper_spark import dataset_queries as dq
+
+    # n=4: doc i links to (2i+1)%4 and (3i+7)%4
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma x"),
+            (1, "alpha beta gamma y"),
+            (2, "delta words here z"),
+            (3, "delta words here w"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dq, "load", lambda _s, _d, _t: docs)
+    got = {
+        r.target: (r.n_links, r.n_anchors, r.top_anchor, r.top_count)
+        for r in dq.anchor_text_rollup(spark, "unused").collect()
+    }
+    # every doc emits 2 links -> 8 links over 4 targets
+    assert sum(v[0] for v in got.values()) == 8
+    for target, (n_links, n_anchors, top_anchor, top_count) in got.items():
+        assert n_anchors <= n_links
+        assert top_count >= 1
+    # target 3 <- doc0 (3*0+7)%4, doc1 (2*1+1), doc3 (2*3+1)%4: anchors
+    # 'alpha beta gamma' x2 (docs 0,1) beat 'delta words here' x1
+    assert got[3] == (3, 2, "alpha beta gamma", 2)
