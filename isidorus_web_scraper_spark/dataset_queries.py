@@ -2432,6 +2432,122 @@ def _pagerank_sql() -> str:
     """
 
 
+@query(
+    "hits_hub_authority",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (2 * doc_id + 1) % (SELECT n FROM nn) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 7) % (SELECT n FROM nn) FROM documents
+      )
+    ),
+    nodes AS (SELECT doc_id FROM documents),
+    h0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+    a1r AS (SELECT e.dst AS doc_id, sum(h0.h) AS raw
+            FROM edges e JOIN h0 ON h0.doc_id = e.src GROUP BY 1),
+    a1 AS (SELECT n.doc_id,
+                  CAST(coalesce((r.raw * 1000000) //
+                       (SELECT max(raw) FROM a1r), 0) AS BIGINT) AS a
+           FROM nodes n LEFT JOIN a1r r USING (doc_id)),
+    h1r AS (SELECT e.src AS doc_id, sum(a1.a) AS raw
+            FROM edges e JOIN a1 ON a1.doc_id = e.dst GROUP BY 1),
+    h1 AS (SELECT n.doc_id,
+                  CAST(coalesce((r.raw * 1000000) //
+                       (SELECT max(raw) FROM h1r), 0) AS BIGINT) AS h
+           FROM nodes n LEFT JOIN h1r r USING (doc_id)),
+    a2r AS (SELECT e.dst AS doc_id, sum(h1.h) AS raw
+            FROM edges e JOIN h1 ON h1.doc_id = e.src GROUP BY 1),
+    a2 AS (SELECT n.doc_id,
+                  CAST(coalesce((r.raw * 1000000) //
+                       (SELECT max(raw) FROM a2r), 0) AS BIGINT) AS a
+           FROM nodes n LEFT JOIN a2r r USING (doc_id)),
+    h2r AS (SELECT e.src AS doc_id, sum(a2.a) AS raw
+            FROM edges e JOIN a2 ON a2.doc_id = e.dst GROUP BY 1),
+    h2 AS (SELECT n.doc_id,
+                  CAST(coalesce((r.raw * 1000000) //
+                       (SELECT max(raw) FROM h2r), 0) AS BIGINT) AS h
+           FROM nodes n LEFT JOIN h2r r USING (doc_id))
+    SELECT a2.doc_id, a2.a AS authority, h2.h AS hub
+    FROM a2 JOIN h2 USING (doc_id)
+    """,
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities — PageRank's companion
+    centrality, 2 full iterations over the deterministic 2-out link
+    graph: authority(i) = Σ hub over in-edges, hub(j) = Σ authority
+    over out-edges, renormalized each half-step.
+
+    Cross-engine exactness: normalization is by the MAX score (L∞) as
+    scaled-integer division — (raw · 10^6) div max — instead of the
+    textbook L2 norm, whose sqrt/float-sum would drift by ulps between
+    engines. Ordering and ratios are preserved; scores live in
+    [0, 10^6]. Overflow bound: raw ≤ N·10^6, raw·10^6 ≤ N·10^12 —
+    longs hold N up to ~9·10^6; beyond that drop SCALE or go
+    decimal(38).
+
+    Scale shape per half-step: one edge join shipping scores along
+    edges + one hash agg by the far endpoint + a broadcast one-row max
+    + a LEFT join from the node set (dangling nodes score 0) —
+    O(iters) shuffles, AQE-skew-splittable, localCheckpoint-bounded
+    plans exactly like pagerank_dup_graph."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((2 * F.col("doc_id") + 1) % F.col("n")).alias("dst"),
+        )
+        .unionAll(
+            docs.crossJoin(F.broadcast(n)).select(
+                F.col("doc_id").alias("src"),
+                ((3 * F.col("doc_id") + 7) % F.col("n")).alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return _hits_over_edges(edges, docs.select("doc_id"))
+
+
+def _hits_over_edges(edges: DataFrame, nodes: DataFrame, iters: int = 2) -> DataFrame:
+    """The iteration loop, separated so tests can drive crafted graphs
+    (stars, chains) whose exact integer scores are hand-computable."""
+    h = nodes.withColumn("h", F.lit(1_000_000).cast("long"))
+
+    def _half(scores, score_col, from_col, to_col, out_col):
+        raw = (
+            edges.join(
+                scores.select(F.col("doc_id").alias(from_col), score_col),
+                from_col,
+            )
+            .groupBy(F.col(to_col).alias("doc_id"))
+            .agg(F.sum(score_col).alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            nodes.join(raw, "doc_id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "doc_id",
+                F.coalesce(F.expr("(raw * 1000000) div mx"), F.lit(0))
+                .cast("long")
+                .alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(iters):
+        a = _half(h, "h", "src", "dst", "a")
+        h = _half(a, "a", "dst", "src", "h")
+    return a.join(h, "doc_id").select(
+        "doc_id", F.col("a").alias("authority"), F.col("h").alias("hub")
+    )
+
+
 @query("pagerank_dup_graph", _pagerank_sql())
 def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 iterations, damping 0.85) over the DIRECTED

@@ -50,3 +50,42 @@ def test_pagerank_source_sits_at_teleport_floor(spark):
     got = {r.doc_id: r.pr for r in _pagerank_over_pairs(df).collect()}
     assert got[1] == TELEPORT
     assert set(got) == {1, 2, 3}
+
+
+def test_hits_star_graph_exact(spark):
+    """Star hub->3 leaves: the hub is the unique hub (score 10^6, leaves
+    0) and the leaves are the equal authorities (10^6 each, hub 0) —
+    the integer L-infinity renormalization keeps equal scores EXACTLY
+    equal through both iterations."""
+    from isidorus_web_scraper_spark.dataset_queries import _hits_over_edges
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    got = {
+        r.doc_id: (r.authority, r.hub)
+        for r in _hits_over_edges(edges, nodes).collect()
+    }
+    assert got[0] == (0, 1_000_000)
+    for leaf in (1, 2, 3):
+        assert got[leaf] == (1_000_000, 0)
+
+
+def test_hits_chain_decays(spark):
+    """Chain 0->1->2: node 1 is both hub and authority; the terminal
+    node 2's authority reflects 1's hub score, node 0 has authority 0
+    (nothing points at it)."""
+    from isidorus_web_scraper_spark.dataset_queries import _hits_over_edges
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    got = {
+        r.doc_id: (r.authority, r.hub)
+        for r in _hits_over_edges(edges, nodes).collect()
+    }
+    assert got[0][0] == 0          # no in-edges
+    assert got[2][1] == 0          # no out-edges
+    assert got[1][0] == got[1][1]  # symmetric position in the chain
+    assert max(v[0] for v in got.values()) == 1_000_000
+    assert max(v[1] for v in got.values()) == 1_000_000
