@@ -1915,6 +1915,109 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_late_data_policy",
+    """
+    WITH e AS (
+      SELECT event_id % 3 AS b, event_type,
+             date_trunc('hour', ts) AS ws,
+             epoch_ms(date_trunc('hour', ts)) + 3600000 AS wend_ms,
+             epoch_ms(ts) AS ts_ms
+      FROM events
+    ),
+    m AS (SELECT b, max(ts_ms) AS mx_ms FROM e GROUP BY b),
+    w AS (SELECT b,
+            max(mx_ms) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+              - 3600000 AS evict_wm,
+            max(mx_ms) OVER () - 3600000 AS final_wm
+          FROM m),
+    t AS (SELECT e.ws, e.event_type, e.wend_ms, w.evict_wm, w.final_wm
+          FROM e JOIN w USING (b)),
+    k AS (SELECT ws, event_type, count(*) AS n FROM t
+          WHERE (evict_wm IS NULL OR wend_ms > evict_wm)
+            AND wend_ms <= final_wm
+          GROUP BY 1, 2),
+    l AS (SELECT ws, event_type, count(*) AS n FROM t
+          WHERE evict_wm IS NOT NULL AND wend_ms <= evict_wm
+          GROUP BY 1, 2)
+    SELECT coalesce(k.ws, l.ws) AS window_start,
+           coalesce(k.event_type, l.event_type) AS event_type,
+           CAST(coalesce(k.n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(l.n, 0) AS BIGINT) AS n_late
+    FROM k FULL OUTER JOIN l ON k.ws = l.ws AND k.event_type = l.event_type
+    """,
+)
+def events_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data ACCOUNTING under Structured Streaming's exact
+    micro-batch watermark semantics, as a batch query both engines can
+    run: events split into 3 ordered micro-batches (event_id % 3); the
+    watermark in effect during batch i is max(event time through batch
+    i-1) - 1h; a row is DROPPED iff its hour-window end ≤ the watermark
+    in effect during the PREVIOUS batch (the window was evicted at that
+    batch's close — a row whose window is still in state always merges,
+    however late); append mode emits exactly the windows whose end ≤
+    the final watermark. Empirically pinned against a REAL
+    streaming query in tests/test_streaming.py: the memory-sink rows
+    equal this query's n_events>0 rows and the summed
+    numRowsDroppedByWatermark equals Σ n_late — the drop accounting the
+    stream itself never surfaces per-window.
+
+    Scale: the watermark table is one 3-row aggregate (broadcast); the
+    classify+count pass is a single hash aggregate over the events —
+    the policy audit costs one scan regardless of stream length.
+
+    All comparisons run in INTEGER epoch-ms: Spark's watermark is
+    millisecond-granular (max event time truncated to ms), so a
+    timestamp-typed policy would call a row inside the sub-ms gap
+    dropped when the stream kept it (observed: 1 row in 60k at
+    sf0.001)."""
+    e = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).cast("bigint").alias("b"),
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("ws"),
+        ntz_epoch_ms(F.col("ts")).alias("ts_ms"),
+    )
+    e = e.withColumn("wend_ms", ntz_epoch_ms(F.col("ws")) + F.lit(3_600_000))
+    m = e.groupBy("b").agg(F.max("ts_ms").alias("mx_ms"))
+    # 3-row frame: the single-partition window is free
+    wspec = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -2)
+    w = m.select(
+        "b",
+        (F.max("mx_ms").over(wspec) - F.lit(3_600_000)).alias("evict_wm"),
+    )
+    fin = m.agg((F.max("mx_ms") - F.lit(3_600_000)).alias("final_wm"))
+    t = e.join(F.broadcast(w), "b").crossJoin(F.broadcast(fin))
+    kept = (
+        t.filter(
+            (
+                F.col("evict_wm").isNull()
+                | (F.col("wend_ms") > F.col("evict_wm"))
+            )
+            & (F.col("wend_ms") <= F.col("final_wm"))
+        )
+        .groupBy("ws", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    late = (
+        t.filter(
+            F.col("evict_wm").isNotNull()
+            & (F.col("wend_ms") <= F.col("evict_wm"))
+        )
+        .groupBy("ws", "event_type")
+        .agg(F.count("*").alias("n_late"))
+    )
+    return (
+        kept.join(late, ["ws", "event_type"], "full_outer")
+        .select(
+            F.col("ws").alias("window_start"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        )
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

@@ -401,3 +401,86 @@ def test_streaming_crawl_epochs_beyond_max_rounds_still_fetch(spark, tmp_path):
     pages = eng.wh.read("pages").select("scraping_id").distinct().collect()
     got = sorted(r.scraping_id for r in pages)
     assert got == [301, 302, 303], got  # every epoch fetched its seeds
+
+
+def test_late_data_policy_matches_real_stream(spark, sf_small, tmp_path):
+    """events_late_data_policy is the EXACT batch model of Spark's
+    micro-batch watermark semantics: a real append-mode stream over the
+    same 3-batch split emits precisely the policy's n_events>0 rows,
+    and its summed numRowsDroppedByWatermark equals sum(n_late) — the
+    per-window drop accounting the stream itself never surfaces."""
+    import glob
+    import os
+    import shutil
+
+    from isidorus_web_scraper_spark.dataset_queries import (
+        events_late_data_policy,
+    )
+
+    events = spark.read.parquet(f"{sf_small}/events.parquet")
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    for b in range(3):
+        tmpd = tmp_path / f"_b{b}"
+        events.filter(f"event_id % 3 = {b}").coalesce(1).write.parquet(str(tmpd))
+        src = glob.glob(str(tmpd / "*.parquet"))[0]
+        dst = str(d / f"chunk{b}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + b, 1_000_000 + b))  # batch order = b
+    stream = read_event_stream(spark, str(d))
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_m")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        s["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for s in p["stateOperators"]
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("late_m").collect()
+    }
+    want_rows = events_late_data_policy(spark, sf_small).collect()
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in want_rows
+        if r.n_events > 0
+    }
+    assert got == want
+    # numRowsDroppedByWatermark counts PARTIAL-aggregate rows: with one
+    # input partition per micro-batch file, map-side combine folds the
+    # late rows of a batch into one row per (window, event_type) group
+    # BEFORE the state operator drops them — so the metric equals the
+    # distinct late groups per batch, while the policy's n_late is the
+    # true input-row accounting (332 vs 331 at sf0.001)
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.dataset_queries import ntz_epoch_ms
+
+    e = events.select(
+        (F.col("event_id") % 3).alias("b"),
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("ws"),
+        ntz_epoch_ms(F.col("ts")).alias("ts_ms"),
+    ).withColumn("wend_ms", ntz_epoch_ms(F.col("ws")) + F.lit(3_600_000))
+    mx = {
+        r.b: r.mx
+        for r in e.groupBy("b").agg(F.max("ts_ms").alias("mx")).collect()
+    }
+    # only batch 2 has an eviction bound (wm during batch 1 = batch 0's max)
+    evict_wm = mx[0] - 3_600_000
+    late_groups = (
+        e.filter((F.col("b") == 2) & (F.col("wend_ms") <= F.lit(evict_wm)))
+        .select("ws", "event_type")
+        .distinct()
+        .count()
+    )
+    assert dropped == late_groups
+    assert sum(r.n_late for r in want_rows) >= dropped > 0
