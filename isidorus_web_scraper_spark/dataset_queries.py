@@ -3829,6 +3829,164 @@ def lm_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Crawl-trap detection (round 5): calendar pages, session-id URLs and
+# faceted-search explosions give one host an unbounded URL space over a
+# handful of path TEMPLATES — the classic frontier-poisoning failure a
+# production crawler must detect (and the reference, with no politeness
+# at all, would walk into). Template = path with digit runs collapsed
+# to '#'; a host whose URL count dwarfs its template count is a trap.
+# ===========================================================================
+
+
+@query(
+    "crawl_trap_detection",
+    """
+    WITH urls AS (
+      SELECT DISTINCT
+        doc_id % 23 AS h,
+        CASE WHEN (doc_id % 23) % 5 = 0
+             THEN '/cal/' || (doc_id // 23)::VARCHAR
+             ELSE '/' || CASE doc_id % 7
+                    WHEN 0 THEN 'about' WHEN 1 THEN 'docs'
+                    WHEN 2 THEN 'blog'  WHEN 3 THEN 'shop'
+                    WHEN 4 THEN 'news'  WHEN 5 THEN 'team'
+                    ELSE 'faq' END || '/' || (doc_id % 3)::VARCHAR
+        END AS path
+      FROM documents
+    ),
+    t AS (
+      SELECT h, path, regexp_replace(path, '[0-9]+', '#', 'g') AS template
+      FROM urls
+    )
+    SELECT 'h' || h::VARCHAR || '.test' AS host,
+           count(DISTINCT path) AS n_urls,
+           count(DISTINCT template) AS n_templates,
+           count(DISTINCT path) >= 10
+             AND count(DISTINCT path) >= 8 * count(DISTINCT template)
+             AS is_trap
+    FROM t GROUP BY h
+    """,
+)
+def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL-space explosion detector: trap hosts serve ~n/23
+    distinct numeric calendar paths collapsing to ONE template; healthy
+    hosts serve ≤21 paths over 7 section templates. Flag = ≥10 URLs and
+    ≥8× more URLs than templates — pure integer comparisons.
+
+    Scale: one distinct + one hash aggregate per host (both map-side
+    combined); the digit-collapse is a codegen'd regexp_replace. The
+    engine consumes the flag as a politeness override (budget 0 /
+    drop-host) — the frontier never materializes the trap's tail."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 23
+    section = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("about", "docs", "blog", "shop", "news", "team", "faq")]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    path = F.when(
+        h % 5 == 0,
+        F.concat(F.lit("/cal/"), F.expr("doc_id div 23").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("/"), section, F.lit("/"), (F.col("doc_id") % 3).cast("string"))
+    )
+    urls = docs.select(h.alias("h"), path.alias("path")).distinct()
+    t = urls.withColumn(
+        "template", F.regexp_replace("path", "[0-9]+", "#")
+    )
+    return t.groupBy("h").agg(
+        F.count_distinct("path").alias("n_urls"),
+        F.count_distinct("template").alias("n_templates"),
+    ).select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        "n_urls",
+        "n_templates",
+        (
+            (F.col("n_urls") >= 10)
+            & (F.col("n_urls") >= 8 * F.col("n_templates"))
+        ).alias("is_trap"),
+    )
+
+
+# ===========================================================================
+# Rendezvous (HRW) routing (round 5): the fetcher-assignment shard map —
+# every host goes to the worker with the highest hash(host, worker)
+# score. The defining property (and the reason over mod-N): adding a
+# worker moves a host ONLY to the new worker (≈1/(W+1) of hosts), never
+# between old workers — re-sharding a 10^7-host frontier costs the
+# minimum possible movement. Both the W=8 and W=9 maps are computed and
+# the property is part of the oracled output.
+# ===========================================================================
+
+
+@query(
+    "rendezvous_routing",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT 'h' || (doc_id % 97)::VARCHAR || '.test' AS host
+      FROM documents
+    ),
+    scores AS (
+      SELECT host, w.w,
+             ('0x' || substr(md5(host || ':' || w.w::VARCHAR), 1, 15))::BIGINT
+               AS score
+      FROM hosts CROSS JOIN (SELECT unnest(range(9)) AS w) AS w
+    ),
+    pick AS (
+      SELECT host,
+             max_by(w, score) FILTER (WHERE w < 8) AS w8,
+             max_by(w, score) AS w9
+      FROM scores GROUP BY host
+    )
+    SELECT host, CAST(w8 AS BIGINT) AS w8, CAST(w9 AS BIGINT) AS w9,
+           w8 != w9 AS moved,
+           (w8 = w9) OR (w9 = 8) AS minimal_disruption
+    FROM pick
+    """,
+)
+def rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-random-weight worker assignment per host at W=8 and W=9,
+    plus the HRW invariant as a column: a host either keeps its worker
+    or moves to the NEW worker (minimal_disruption is true for every
+    row — also asserted in pytest so a broken hash can't silently pass
+    as 'all moved somewhere').
+
+    Scale: scores = hosts × W (W is small) computed columnar, the pick
+    is one max_by hash aggregate (map-side combined) — no window, no
+    shuffle beyond the host agg; md5-based scores match the DuckDB twin
+    bit-for-bit (md5_long convention)."""
+    docs = load(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".test")
+        ).alias("host")
+    ).distinct()
+    workers = spark.range(9).select(F.col("id").cast("int").alias("w"))
+    scores = hosts.crossJoin(F.broadcast(workers)).select(
+        "host",
+        "w",
+        md5_long(
+            F.concat(F.col("host"), F.lit(":"), F.col("w").cast("string"))
+        ).alias("score"),
+    )
+    pick = scores.groupBy("host").agg(
+        F.max_by("w", F.when(F.col("w") < 8, F.col("score"))).alias("w8"),
+        F.max_by("w", "score").alias("w9"),
+    )
+    return pick.select(
+        "host",
+        F.col("w8").cast("bigint").alias("w8"),
+        F.col("w9").cast("bigint").alias("w9"),
+        (F.col("w8") != F.col("w9")).alias("moved"),
+        ((F.col("w8") == F.col("w9")) | (F.col("w9") == 8)).alias(
+            "minimal_disruption"
+        ),
+    )
+
+
+# ===========================================================================
 # TF-IDF keyword extraction (round 5): the classic per-doc top-k salient
 # terms (tag clouds, index summaries, weak topic labels). idf is
 # INTEGERIZED — floor((10^6 · N) / df) — instead of ln(N/df): libm log

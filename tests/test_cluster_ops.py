@@ -358,3 +358,31 @@ def test_anchor_text_rollup_dominant_anchor(spark, monkeypatch):
     # target 3 <- doc0 (3*0+7)%4, doc1 (2*1+1), doc3 (2*3+1)%4: anchors
     # 'alpha beta gamma' x2 (docs 0,1) beat 'delta words here' x1
     assert got[3] == (3, 2, "alpha beta gamma", 2)
+
+
+def test_crawl_trap_flags_exactly_the_trap_hosts(spark):
+    from isidorus_web_scraper_spark.dataset_queries import crawl_trap_detection
+
+    rows = crawl_trap_detection(spark, "/root/testdata/sf0.001").collect()
+    traps = {r.host for r in rows if r.is_trap}
+    assert traps == {f"h{h}.test" for h in (0, 5, 10, 15, 20)}
+    for r in rows:
+        if r.is_trap:
+            assert r.n_templates == 1  # every calendar path collapses
+        else:
+            assert r.n_urls <= 21 and r.n_templates == 7
+
+
+def test_rendezvous_minimal_disruption_property(spark):
+    """The HRW invariant: growing W=8 -> W=9 moves a host ONLY to the
+    new worker, and roughly 1/9 of hosts move (not 0 — a hash that
+    ignores the worker would trivially 'satisfy' the invariant)."""
+    from isidorus_web_scraper_spark.dataset_queries import rendezvous_routing
+
+    rows = rendezvous_routing(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.minimal_disruption for r in rows)
+    moved = [r for r in rows if r.moved]
+    assert all(r.w9 == 8 for r in moved)
+    assert 0 < len(moved) < len(rows) / 3  # ~1/9 expected
+    # every old worker actually owns hosts (balanced enough at 97 hosts)
+    assert len({r.w8 for r in rows}) == 8
