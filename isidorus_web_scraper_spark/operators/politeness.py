@@ -447,6 +447,71 @@ def fetch_all_fused(frontier: DataFrame, page_fn) -> DataFrame:
     return frontier.mapInPandas(gen, out_schema)
 
 
+def detect_trap_hosts(
+    frontier: DataFrame, min_urls: int = 10, ratio: int = 8
+) -> DataFrame:
+    """Frontier-poisoning detector: hosts whose distinct-URL count
+    dwarfs their distinct path-TEMPLATE count (digit runs collapsed to
+    '#') are URL-space explosions — calendars, session ids, faceted
+    search. Returns the flagged hosts (one column, ``host``).
+
+    Scale: one distinct + one map-side-combined hash aggregate over the
+    frontier; the collapse is a codegen'd regexp_replace. Thresholds
+    are tuned for real URL spaces — a synthetic corpus whose every path
+    is '/p<N>.html' collapses to one template per host and flags
+    everywhere, which is the detector working as specified."""
+    f = frontier.select(
+        F.coalesce(host_col("url"), F.lit("\x00invalid")).alias("host"),
+        F.coalesce(path_col("url"), F.lit("")).alias("path"),
+    )
+    t = f.withColumn("template", F.regexp_replace("path", "[0-9]+", "#"))
+    agg = t.groupBy("host").agg(
+        F.count_distinct("path").alias("n_urls"),
+        F.count_distinct("template").alias("n_templates"),
+    )
+    return agg.filter(
+        (F.col("n_urls") >= int(min_urls))
+        & (F.col("n_urls") >= int(ratio) * F.col("n_templates"))
+    ).select("host")
+
+
+def trap_override(
+    frontier: DataFrame,
+    politeness: DataFrame | None,
+    min_urls: int = 10,
+    ratio: int = 8,
+) -> DataFrame | None:
+    """Compose trap detection into the politeness config: flagged hosts
+    get ``robots_disallow=['/']`` with allow rules stripped — their
+    rows become robots_blocked (hard-dropped, frontier drains) through
+    the existing block machinery rather than deferred forever by a
+    zero budget. Non-trap hosts' config passes through untouched; a
+    trap host's budget/delay are preserved (moot under the block, but
+    the row stays honest if the flag is later lifted)."""
+    traps = detect_trap_hosts(frontier, min_urls, ratio)
+    block = F.array(F.lit("/"))
+    if politeness is None:
+        return traps.select(
+            "host",
+            F.lit(None).cast("int").alias("max_fetches_per_round"),
+            block.alias("robots_disallow"),
+            F.lit(None).cast("array<string>").alias("robots_allow"),
+            F.lit(0).alias("crawl_delay_rounds"),
+        )
+    pol = politeness
+    if "robots_allow" not in pol.columns:
+        pol = pol.withColumn("robots_allow", F.lit(None).cast("array<string>"))
+    keep = pol.join(traps, "host", "left_anti")
+    trap_rows = traps.join(pol, "host", "left").select(
+        "host",
+        "max_fetches_per_round",
+        block.alias("robots_disallow"),
+        F.lit(None).cast("array<string>").alias("robots_allow"),
+        F.coalesce("crawl_delay_rounds", F.lit(0)).alias("crawl_delay_rounds"),
+    )
+    return keep.unionByName(trap_rows)
+
+
 def allocate_global_budget(
     frontier: DataFrame, global_budget: int, politeness: DataFrame | None = None
 ) -> DataFrame:

@@ -207,6 +207,18 @@ class CrawlConfig:
     # robots/static politeness (min(static, allocation); robots rules
     # and crawl-delay carry through). None = off.
     global_budget: int | None = None
+    # crawl-trap defense: per round, hosts whose frontier URL space
+    # explodes over a handful of path templates (digit-collapsed —
+    # calendars, session ids, facets) get robots_disallow=['/'] forced
+    # into the config, so their rows hard-drop through the existing
+    # robots machinery and the frontier drains instead of deferring
+    # forever (operators/politeness.detect_trap_hosts/trap_override).
+    # Off by default: the synthetic corpora's '/p<N>.html' paths
+    # collapse to one template per host, so EVERY host would flag —
+    # the thresholds target real URL spaces.
+    detect_traps: bool = False
+    trap_min_urls: int = 10
+    trap_url_template_ratio: int = 8
     debug_timing: bool = False
 
 
@@ -547,6 +559,14 @@ class CrawlEngine:
             with self._timed("robots discovery"):
                 self._discover_robots(frontier, round_no)
             pol = self._politeness_for_round()
+        if cfg.detect_traps:
+            # URL-space explosions become hard robots blocks BEFORE the
+            # budget apportionment, so a trap's queue never eats budget
+            from ..operators.politeness import trap_override
+
+            pol = trap_override(
+                frontier, pol, cfg.trap_min_urls, cfg.trap_url_template_ratio
+            )
         if cfg.global_budget is not None:
             # adaptive backpressure: ONE global budget apportioned
             # across this round's hosts ∝ queue size (Hamilton rule);

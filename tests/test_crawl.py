@@ -804,3 +804,83 @@ def test_global_budget_exact_integer_quota(spark):
     for h, n in sizes.items():
         base = (G * n) // total_q
         assert out[f"{h}.test"] in (base, base + 1)
+
+
+def test_trap_override_blocks_only_trap_hosts(spark):
+    """trap.test explodes 40 URLs over one '/cal/#' template -> its rows
+    hard-drop as robots_blocked (frontier drains; a zero budget would
+    defer forever); ok.test's 12 URLs over 4 alpha templates pass, and
+    its existing config (budget, robots) survives the override."""
+    from isidorus_web_scraper_spark.operators.politeness import (
+        ACTION_FETCH,
+        ACTION_ROBOTS,
+        schedule_round,
+        trap_override,
+    )
+
+    rows = [(1, 1, f"http://trap.test/cal/{i}", 2, 0) for i in range(40)]
+    secs = ("about", "docs", "blog", "shop")
+    rows += [
+        (1, 1, f"http://ok.test/{secs[i % 4]}/{i % 3}", 2, 0) for i in range(12)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "scraping_id long, user_id long, url string, depth int, round int"
+    )
+    static = spark.createDataFrame(
+        [("ok.test", 5, ["/blog"], 0)],
+        "host string, max_fetches_per_round int, robots_disallow array<string>, "
+        "crawl_delay_rounds int",
+    )
+    pol = trap_override(frontier, static)
+    acts = {}
+    for r in schedule_round(frontier, pol, 0).collect():
+        acts.setdefault((r.host, r.action), 0)
+        acts[(r.host, r.action)] += 1
+    assert acts[("trap.test", ACTION_ROBOTS)] == 40
+    assert ("trap.test", ACTION_FETCH) not in acts
+    # ok.test: /blog rows still robots-blocked by its own config,
+    # budget 5 enforced on the rest
+    assert acts[("ok.test", ACTION_ROBOTS)] == 3  # i%4==2 -> 3 rows
+    assert acts[("ok.test", ACTION_FETCH)] == 5
+    # with no pre-existing config the trap rows are still built
+    pol2 = trap_override(frontier, None)
+    got = {r.host: r.robots_disallow for r in pol2.collect()}
+    assert got == {"trap.test": ["/"]}
+
+
+def test_detect_traps_crawl_terminates_without_livelock(spark, tmp_path):
+    """Engine knob: the synthetic corpus's '/p<N>.html' paths collapse
+    to one template per host, so once a host's frontier slice reaches
+    the threshold its rows hard-drop — the crawl must TERMINATE with
+    the frontier drained (blocked, not deferred-forever) and fetch a
+    subset of the permissive crawl's pages."""
+    docs = generate_documents(spark, n_hosts=2).persist()
+    seeds = [(61, 1, "http://h0.test/p0.html", 3)]
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "wh_trap"),
+        documents=docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            detect_traps=True,
+            trap_min_urls=10,
+            max_rounds=40,
+        ),
+    )
+    eng.start(seeds)
+    stats = eng.run()
+    assert stats[-1].new_urls + stats[-1].deferred == 0  # drained
+    assert sum(s.robots_blocked for s in stats) > 0  # traps actually hit
+    ref = CrawlEngine(
+        spark,
+        str(tmp_path / "wh_ref_trap"),
+        documents=docs,
+        config=CrawlConfig(bloom_expected_urls=4096),
+    )
+    ref.start(seeds)
+    ref.run()
+    pages, _, _, _, _ = spark_end_state(eng)
+    ref_pages, _, _, _, _ = spark_end_state(ref)
+    assert set(pages) <= set(ref_pages)
+    for k, (content, summary, _r) in pages.items():
+        assert (content, summary) == ref_pages[k][:2]
