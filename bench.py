@@ -95,6 +95,10 @@ BENCH_QUERIES = [
     "bm25_indexed",
     # r5 session 3: the zero-shuffle JVM span fold representative
     "caption_align",
+    # r5 session 4: the corpus-wide bigram LM (two corpus-scale
+    # shuffles + a pair-keyed join) and the iterative graph centrality
+    "lm_bigram_familiarity",
+    "hits_hub_authority",
 ]
 
 

@@ -3911,6 +3911,77 @@ def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Retry/backoff scheduling (round 5): transient fetch failures (5xx,
+# timeouts) retry with capped exponential backoff — the schedule the
+# reference's bare http.Get (page_fetcher.go:14-20) lacks entirely.
+# Each URL's failure count is synthesized deterministically (md5 gate,
+# ~0-4 failures); the retry rounds are the prefix sums of min(2^i, 32),
+# computed as ONE JVM aggregate fold per row — no iteration, no join.
+# ===========================================================================
+
+
+@query(
+    "retry_backoff_schedule",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('retry:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 8 AS gate
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             CASE WHEN gate < 4 THEN 0 WHEN gate < 6 THEN 1
+                  WHEN gate = 6 THEN 3 ELSE 5 END AS failures
+      FROM f
+    )
+    SELECT doc_id, failures,
+           failures >= 5 AS dead,
+           CAST(CASE WHEN failures >= 5 THEN NULL
+                ELSE coalesce(list_sum(
+                  [least(2 ** i, 32) for i in range(1, failures + 1)]), 0)
+                END AS BIGINT) AS wait_rounds,
+           CAST(failures + 1 AS BIGINT) AS attempts
+    FROM a
+    """,
+)
+def retry_backoff_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL retry schedule under capped exponential backoff
+    (min(2^attempt, 32) rounds between attempts, dead after 5
+    failures): total wait = Σ of the per-attempt delays, NULL for dead
+    URLs. All integer; the delay fold is a JVM transform+aggregate over
+    a per-row sequence — zero joins, zero shuffles beyond the scan, so
+    a 10^10-URL retry ledger prices at scan speed. The engine analog
+    consumes this as frontier rows tagged with a future round (the
+    crawl-delay machinery already defers by round arithmetic)."""
+    docs = load(spark, sf_dir, "documents")
+    gate = md5_long(
+        F.concat(F.lit("retry:"), F.col("doc_id").cast("string"))
+    ) % 8
+    failures = (
+        F.when(gate < 4, 0)
+        .when(gate < 6, 1)
+        .when(gate == 6, 3)
+        .otherwise(5)
+    )
+    a = docs.select("doc_id", failures.alias("failures"))
+    wait = F.aggregate(
+        F.sequence(F.lit(1), F.col("failures")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.least(F.pow(F.lit(2), i).cast("long"), F.lit(32)),
+    )
+    return a.select(
+        "doc_id",
+        "failures",
+        (F.col("failures") >= 5).alias("dead"),
+        F.when(F.col("failures") >= 5, F.lit(None).cast("bigint"))
+        .otherwise(F.when(F.col("failures") == 0, F.lit(0)).otherwise(wait))
+        .alias("wait_rounds"),
+        (F.col("failures") + 1).cast("bigint").alias("attempts"),
+    )
+
+
+# ===========================================================================
 # Rendezvous (HRW) routing (round 5): the fetcher-assignment shard map —
 # every host goes to the worker with the highest hash(host, worker)
 # score. The defining property (and the reason over mod-N): adding a
