@@ -3793,12 +3793,15 @@ def lm_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for a perplexity threshold. Docs with < 2 tokens have no
     bigrams and drop out (both engines).
 
-    Scale: three shuffles, all hash-based — bigram-count agg (map-side
-    combined; the model table), a pair-keyed shuffle join of doc-pairs
-    to counts (AQE-sized; at 100 TB the key becomes xxhash64(pair), 8
-    bytes instead of the string), and the per-doc rollup. No windows,
-    no floats, no Python; a 10^8-copy boilerplate bigram is a partial-
-    aggregated key, never one task's sort."""
+    Scale: three hash shuffles over DISTINCT (doc, pair) rows, not raw
+    occurrences — the per-doc pair count t folds first (one map-side-
+    combined agg, materialized once via localCheckpoint so the corpus
+    tokenizes once; plan-audited), the model is c = Σ t per pair over
+    that frame, the join ships the deduplicated frame (AQE-sized; at
+    100 TB the key becomes xxhash64(pair)), and the doc rollup sums
+    t and t·c. No windows, no floats, no Python; a 10^8-copy
+    boilerplate bigram is a partial-aggregated key, never one task's
+    sort."""
     docs = load(spark, sf_dir, "documents")
     ws = words(F.col("text"))
     pairs = F.when(
@@ -3810,14 +3813,19 @@ def lm_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    doc_pairs = docs.select("doc_id", F.explode(pairs).alias("pair"))
-    counts = doc_pairs.groupBy("pair").agg(F.count("*").alias("c"))
+    dp = (
+        docs.select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("doc_id", "pair")
+        .agg(F.count("*").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    counts = dp.groupBy("pair").agg(F.sum("t").alias("c"))
     return (
-        doc_pairs.join(counts, "pair")
+        dp.join(counts, "pair")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("c").alias("familiarity_sum"),
+            F.sum("t").alias("n_bigrams"),
+            F.sum(F.col("t") * F.col("c")).alias("familiarity_sum"),
         )
         .select(
             "doc_id",
@@ -4091,14 +4099,22 @@ def rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document, term-asc tie-break.
 
-    Scale: tf = one (doc,term) hash agg; df = one term agg OVER tf
-    (never re-scans the corpus); N broadcasts as a one-row aggregate;
-    the only window partitions by doc_id with per-doc width bounded by
-    the 100 KB text cap — no global sort anywhere. At 100 TB the join
-    key becomes xxhash64(term)."""
+    Scale: tf = one (doc,term) hash agg, MATERIALIZED once
+    (localCheckpoint) because three consumers read it (df agg, N agg,
+    join probe) and Spark would otherwise re-tokenize the corpus per
+    consumer (plan-audited: 2 parquet scans before, 1 after); df = one
+    term agg over the materialized tf; N broadcasts as a one-row
+    aggregate; the only window partitions by doc_id with per-doc width
+    bounded by the 100 KB text cap — no global sort anywhere. At 100 TB
+    the checkpoint becomes a persisted tf table and the join key
+    xxhash64(term)."""
     docs = load(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
-    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = (
+        w.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = tf.agg(F.count_distinct("doc_id").alias("n"))
     score = F.col("tf") * F.expr("(1000000 * n) div df")
