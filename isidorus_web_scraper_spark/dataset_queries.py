@@ -3919,6 +3919,218 @@ def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Triangle counting (round 5): the classic distributed-graph statistic
+# (clustering coefficient's numerator, spam-farm detection on link
+# graphs). Degree-ordered orientation bounds wedge explosion: each
+# undirected edge points low-degree → high-degree (id tie-break), so a
+# d-degree hub emits wedges only toward HIGHER-ranked neighbors —
+# O(Σ d_out²) with d_out ≤ √(2m)-ish, the standard MapReduce-triangles
+# bound — instead of a hub's d² wedges.
+# ===========================================================================
+
+
+@query(
+    "triangle_count",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS a, (2 * doc_id + 1) % (SELECT n FROM nn) AS b
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (3 * doc_id + 7) % (SELECT n FROM nn) FROM documents
+    ),
+    und AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a != b
+    ),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT u AS id FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY id
+    ),
+    ori AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM und e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+    ),
+    wedge AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM ori e1 JOIN ori e2 ON e2.s = e1.t
+    ),
+    tri AS (
+      -- orientation is a total order, so a wedge a->b->c closes only
+      -- via the up-rank edge a->c: a plain equi-join, never a nested
+      -- loop over an OR predicate
+      SELECT w.a, w.b, w.c FROM wedge w
+      JOIN ori e3 ON e3.s = w.a AND e3.t = w.c
+    ),
+    pern AS (
+      SELECT id, count(*) AS n_triangles FROM (
+        SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY id
+    )
+    SELECT id AS doc_id, CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM pern
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected 2-out graph.
+
+    Plan: dedup to canonical undirected edges, orient each edge by
+    (degree, id) ascending, one self-join on the middle vertex builds
+    wedges, one equi-join on (a, c) closes them (rank is a total order,
+    so the closing edge is always oriented a→c — never an OR-predicate
+    nested loop), then the per-node explode+count. Three shuffle joins
+    + two hash aggs, no windows; the orientation is what makes the
+    wedge join survive a zipf hub at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n"))
+    raw = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("a"),
+            ((2 * F.col("doc_id") + 1) % F.col("n")).alias("b"),
+        )
+        .unionAll(
+            docs.crossJoin(F.broadcast(n)).select(
+                F.col("doc_id").alias("a"),
+                ((3 * F.col("doc_id") + 7) % F.col("n")).alias("b"),
+            )
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    return _triangle_counts(raw)
+
+
+def _triangle_counts(raw: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counting over raw (a, b) edge rows —
+    separated so tests can drive crafted graphs (K4, squares) with
+    hand-countable triangles."""
+    und = (
+        raw.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = ori.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    wedge = e1.join(e2, "b")
+    # the closing edge of wedge a->b->c is always oriented a->c (rank
+    # is a total order), so the close is a plain equi-join on (a, c)
+    e3 = ori.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = wedge.join(e3, ["a", "c"]).select("a", "b", "c")
+    return (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .select(F.col("id").alias("doc_id"), "n_triangles")
+    )
+
+
+# ===========================================================================
+# Adaptive host throttling (round 5): the feedback half of politeness —
+# a host's fetch budget follows its observed latency (slow host = small
+# budget; the AIMD-ish curve every production crawler runs). Latencies
+# are synthesized deterministically; p95 is the exact nearest-rank pick
+# (events_value_percentiles' ceil convention), budget the banded map.
+# ===========================================================================
+
+
+@query(
+    "adaptive_host_throttle",
+    """
+    WITH probes AS (
+      SELECT doc_id % 31 AS host,
+             50 + ('0x' || substr(md5('lat:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  % (50 + 60 * (doc_id % 31)) AS latency_ms
+      FROM documents
+    ),
+    r AS (
+      SELECT host, latency_ms,
+             row_number() OVER (PARTITION BY host ORDER BY latency_ms) AS rn,
+             count(*) OVER (PARTITION BY host) AS n
+      FROM probes
+    ),
+    p AS (
+      SELECT host,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN latency_ms END) AS p95_ms
+      FROM r GROUP BY host
+    )
+    SELECT host, p95_ms,
+           CAST(CASE WHEN p95_ms < 200 THEN 16
+                     WHEN p95_ms < 800 THEN 8
+                     ELSE 2 END AS INTEGER) AS max_fetches_per_round
+    FROM p
+    """,
+)
+def adaptive_host_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host p95 fetch latency → politeness budget band (16 / 8 / 2)
+    — the config row feeds schedule_round directly (same column name).
+    Hosts are seeded with latency ranges that grow with host id, so the
+    bands are genuinely exercised.
+
+    Scale: exact nearest-rank p95 needs the per-host sort window (host
+    cardinality ≪ probes; per-host width is the probe retention
+    window, bounded); the 100-TB path swaps in approx_percentile's
+    mergeable sketch — this exact row exists to calibrate it, like
+    events_value_percentiles."""
+    docs = load(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 31).alias("host")
+    lat = (
+        F.lit(50)
+        + md5_long(F.concat(F.lit("lat:"), F.col("doc_id").cast("string")))
+        % (50 + 60 * (F.col("doc_id") % 31))
+    ).alias("latency_ms")
+    probes = docs.select(host, lat)
+    kw = Window.partitionBy("host")
+    r = probes.withColumn(
+        "rn", F.row_number().over(kw.orderBy("latency_ms"))
+    ).withColumn("n", F.count("*").over(kw))
+    p = r.groupBy("host").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("bigint"),
+                F.col("latency_ms"),
+            )
+        ).alias("p95_ms")
+    )
+    return p.select(
+        "host",
+        "p95_ms",
+        F.when(F.col("p95_ms") < 200, 16)
+        .when(F.col("p95_ms") < 800, 8)
+        .otherwise(2)
+        .cast("int")
+        .alias("max_fetches_per_round"),
+    )
+
+
+# ===========================================================================
 # Retry/backoff scheduling (round 5): transient fetch failures (5xx,
 # timeouts) retry with capped exponential backoff — the schedule the
 # reference's bare http.Get (page_fetcher.go:14-20) lacks entirely.

@@ -89,3 +89,31 @@ def test_hits_chain_decays(spark):
     assert got[1][0] == got[1][1]  # symmetric position in the chain
     assert max(v[0] for v in got.values()) == 1_000_000
     assert max(v[1] for v in got.values()) == 1_000_000
+
+
+def test_triangle_counts_k4_and_square(spark):
+    """K4: every node sits in C(3,2)=3 triangles; a 4-cycle without
+    diagonals has none; duplicate/reversed raw edges collapse."""
+    from isidorus_web_scraper_spark.dataset_queries import _triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    got = {
+        r.doc_id: r.n_triangles
+        for r in _triangle_counts(
+            spark.createDataFrame(k4, "a long, b long")
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert (
+        _triangle_counts(spark.createDataFrame(square, "a long, b long")).count()
+        == 0
+    )
+    # one diagonal -> two triangles sharing it: 0-1-2 and 0-2-3
+    got2 = {
+        r.doc_id: r.n_triangles
+        for r in _triangle_counts(
+            spark.createDataFrame(square + [(0, 2)], "a long, b long")
+        ).collect()
+    }
+    assert got2 == {0: 2, 2: 2, 1: 1, 3: 1}
