@@ -2200,6 +2200,72 @@ def _asof_plan(events: DataFrame) -> DataFrame:
 
 
 @query(
+    "events_attribution_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 3600000
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution: every (view → purchase) pair of the same user with
+    the view in the hour before the purchase — the stream-stream-join
+    workload (ad attribution, funnel stitching). The batch plan BINS
+    the range like range_join_binned: a purchase's 1-hour lookback
+    covers ≤2 hour buckets, so the purchase side explodes into its
+    buckets and the join is a plain shuffled hash equi-join on
+    (user, bucket) with the exact predicate as a residual — O(matches),
+    never a per-user nested loop (which is what the oracle's inequality
+    join plans, and what a 10^10-event attribution cannot afford).
+
+    The STREAMING twin (tests/test_streaming.py) runs the same pairing
+    as a real watermarked stream-stream interval join — Spark's state
+    pruning bounds both sides by the watermark; end state == this batch
+    result (pinned)."""
+    events = load(spark, sf_dir, "events")
+    hour = lambda c: F.floor(c / F.lit(3_600_000))  # noqa: E731
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        ntz_epoch_ms(F.col("ts")).alias("v_ms"),
+    ).withColumn("hr", hour(F.col("v_ms")))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        ntz_epoch_ms(F.col("ts")).alias("p_ms"),
+    )
+    binned_p = purchases.withColumn(
+        "hr",
+        F.explode(
+            F.sequence(
+                hour(F.col("p_ms") - F.lit(3_600_000)), hour(F.col("p_ms"))
+            )
+        ),
+    )
+    return (
+        binned_p.join(
+            views,
+            on=[
+                binned_p.p_user == views.v_user,
+                binned_p.hr == views.hr,
+                views.v_ms <= binned_p.p_ms,
+                binned_p.p_ms - views.v_ms <= F.lit(3_600_000),
+            ],
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            (F.col("p_ms") - F.col("v_ms")).alias("gap_ms"),
+        )
+    )
+
+
+@query(
     "range_join_binned",
     """
     WITH errors AS (

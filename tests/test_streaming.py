@@ -484,3 +484,72 @@ def test_late_data_policy_matches_real_stream(spark, sf_small, tmp_path):
     )
     assert dropped == late_groups
     assert sum(r.n_late for r in want_rows) >= dropped > 0
+
+
+def test_stream_stream_attribution_join(spark, sf_small, event_stream_dir, tmp_path):
+    """Real watermarked stream-stream interval join (view -> purchase
+    within 1h per user) == the batch events_attribution_join — the
+    state-pruned streaming twin of the binned batch plan. The stream
+    dir's 3 micro-batches interleave users/timestamps, so cross-batch
+    pairs only survive if join state is genuinely retained until the
+    watermark passes; a 2h delay covers the fixture's disorder (the 3-way
+    event_id split interleaves the whole 30-day span, so a short delay
+    would drop genuinely-late views), making the finite-stream end
+    state exactly the batch join."""
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.dataset_queries import (
+        events_attribution_join,
+        ntz_epoch_ms,
+    )
+
+    stream = read_event_stream(spark, event_stream_dir)
+    views = (
+        stream.filter("event_type = 'view'")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1000 hours")
+    )
+    purchases = (
+        stream.filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1000 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND v_ts <= p_ts "
+            "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        "purchase_id",
+        "view_id",
+        (ntz_epoch_ms(F.col("p_ts")) - ntz_epoch_ms(F.col("v_ts"))).alias(
+            "gap_ms"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.purchase_id, r.view_id, r.gap_ms)
+        for r in spark.table("attr_join").collect()
+    )
+    want = sorted(
+        (r.purchase_id, r.view_id, r.gap_ms)
+        for r in events_attribution_join(spark, sf_small).collect()
+    )
+    assert got == want and len(got) > 0
