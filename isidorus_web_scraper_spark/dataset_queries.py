@@ -3985,6 +3985,175 @@ def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Funnel conversion (round 5): the ordered-step user journey (view →
+# click → purchase, each step at-or-after the previous step's FIRST
+# occurrence) — product analytics' workhorse query, and a shape the
+# pure relational algebra handles without a per-user state machine.
+# ===========================================================================
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_ms(ts)) AS v_ms FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS c_ms
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= v.v_ms
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS p_ms
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.c_ms
+      GROUP BY 1
+    )
+    SELECT v.user_id, v.v_ms, c.c_ms, p.p_ms,
+           CAST(CASE WHEN p.p_ms IS NOT NULL THEN 3
+                     WHEN c.c_ms IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: first view, first click at-or-after it, first
+    purchase at-or-after that; stage = how deep the journey got. All
+    integer epoch-ms.
+
+    Scale: three conditional-min hash aggregates chained through joins
+    on user_id — each intermediate is USER-cardinality (≪ events) and
+    joins back as the small side; the events frame is filtered to the
+    three step types and materialized once (localCheckpoint) so the
+    corpus scans once, not per step. No windows, no per-user state
+    machine, no event-order sort."""
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", ntz_epoch_ms(F.col("ts")).alias("ms"))
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("v_ms"))
+    )
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ms") >= F.col("v_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("c_ms"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ms") >= F.col("c_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("p_ms"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "v_ms",
+            "c_ms",
+            "p_ms",
+            F.when(F.col("p_ms").isNotNull(), 3)
+            .when(F.col("c_ms").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+
+
+# ===========================================================================
+# Content-defined chunking (round 5): dedup STORAGE's counterpart to
+# the dedup queries — Rabin/FastCDC-style boundaries that survive
+# insertions (a fixed-size chunker re-aligns everything after an edit;
+# a content-defined one shifts only the touched chunk). Boundary rule:
+# a word position opens a new chunk iff md5(its 4-gram) % 64 == 0 —
+# same gram family as winnowing, so expected chunk ≈ 64 words.
+# ===========================================================================
+
+
+@query(
+    "cdc_chunking",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(ws) AS n_words,
+             [i for i in range(2, len(ws) - 2)
+              if ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT % 64 = 0]
+               AS bounds
+      FROM w WHERE len(ws) >= 4
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(bounds) + 1 AS BIGINT) AS n_chunks,
+           CAST(coalesce(list_sum(bounds), 0) AS BIGINT) AS boundary_checksum,
+           CAST(n_words // (len(bounds) + 1) AS BIGINT) AS mean_chunk_words
+    FROM g
+    """,
+)
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content-defined chunk statistics: boundary positions
+    (1-indexed gram starts, position 1 never a boundary — a chunk can't
+    be empty), chunk count, boundary checksum (order-free identity of
+    the chunking), integer mean chunk size. Docs shorter than one gram
+    emit nothing (both engines).
+
+    Scale: everything is a per-row JVM fold (transform + filter over
+    the gram positions) — zero shuffles, zero Python; chunk identity at
+    100 TB is then one hash agg over (doc, boundary-window) keys, the
+    same shape as dedup_exact. Insert-stability is the design point:
+    editing one word moves only boundaries whose 4-gram covers it."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 4)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("ws"), i),
+        F.element_at(F.col("ws"), i + 1),
+        F.element_at(F.col("ws"), i + 2),
+        F.element_at(F.col("ws"), i + 3),
+    )
+    # sequence(2, size-3) counts DOWN when size == 4 (the word_ngrams
+    # footgun): guard to the empty list like DuckDB's exclusive range
+    bounds = F.when(
+        F.size("ws") >= 5,
+        F.filter(
+            F.sequence(F.lit(2), F.size("ws") - 3),
+            lambda i: md5_long(gram(i)) % 64 == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    g = d.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        bounds.alias("bounds"),
+    )
+    return g.select(
+        "doc_id",
+        "n_words",
+        (F.size("bounds") + 1).cast("bigint").alias("n_chunks"),
+        F.coalesce(
+            F.aggregate(
+                "bounds", F.lit(0).cast("bigint"), lambda a, b: a + b
+            ),
+            F.lit(0),
+        ).alias("boundary_checksum"),
+        F.expr("n_words div (size(bounds) + 1)")
+        .cast("bigint")
+        .alias("mean_chunk_words"),
+    )
+
+
+# ===========================================================================
 # Triangle counting (round 5): the classic distributed-graph statistic
 # (clustering coefficient's numerator, spam-farm detection on link
 # graphs). Degree-ordered orientation bounds wedge explosion: each
