@@ -219,6 +219,21 @@ class CrawlConfig:
     detect_traps: bool = False
     trap_min_urls: int = 10
     trap_url_template_ratio: int = 8
+    # transient-failure retry: a failed fetch re-enters the NEXT round's
+    # frontier (riding the deferred branch — no re-claim, no schema
+    # change) until the URL has been attempted retry_max_attempts times
+    # TOTAL; the committed fetch_log is the attempts ledger, so the cap
+    # survives resume for free. 0 = off (reference parity:
+    # page_fetcher.go drops failures permanently). Termination: every
+    # failed attempt adds a ledger row, so a permanently-dead URL stops
+    # after the cap.
+    retry_max_attempts: int = 0
+    # transient-outage injector (tests/chaos): a boolean SQL expression
+    # over (url, round, ...) evaluated on the resolved frame; rows where
+    # it is FALSE are treated as fetch failures (status 503) even though
+    # the corpus resolved them — the deterministic stand-in for network
+    # flakiness that a static corpus cannot otherwise express.
+    availability_sql: str | None = None
     debug_timing: bool = False
 
 
@@ -612,11 +627,20 @@ class CrawlEngine:
                     page_fn=self.page_fn,
                     n_parts=max(parts, fetch_parts),
                 )
-            okc = (F.col("action") == F.lit(ACTION_FETCH)) & F.col(
+            avail = (
+                F.expr(cfg.availability_sql)
+                if cfg.availability_sql
+                else F.lit(True)
+            )
+            resolved_c = (F.col("action") == F.lit(ACTION_FETCH)) & F.col(
                 "spans"
             ).isNotNull()
+            okc = resolved_c & avail
             scheduled = (
                 fused.withColumn("ok", okc)
+                # resolved by the corpus but transiently unavailable
+                # (availability_sql): a 503, retryable
+                .withColumn("transient", resolved_c & ~avail)
                 .withColumn("content", F.when(F.col("ok"), content_col("spans")))
                 .withColumn("links", F.when(F.col("ok"), links_col("spans")))
                 .withColumn("images", F.when(F.col("ok"), images_col("spans")))
@@ -660,8 +684,18 @@ class CrawlEngine:
                 fetched = fetched.repartition(
                     cfg.repartition_parsed, url_hash_col("url")
                 )
+            avail = (
+                F.expr(cfg.availability_sql)
+                if cfg.availability_sql
+                else F.lit(True)
+            )
             parsed = (
-                fetched.withColumn("ok", F.col("spans").isNotNull())
+                fetched.withColumn(
+                    "ok", F.col("spans").isNotNull() & avail
+                )
+                .withColumn(
+                    "transient", F.col("spans").isNotNull() & ~avail
+                )
                 .withColumn("content", F.when(F.col("ok"), content_col("spans")))
                 .withColumn("links", F.when(F.col("ok"), links_col("spans")))
                 .withColumn("images", F.when(F.col("ok"), images_col("spans")))
@@ -678,11 +712,38 @@ class CrawlEngine:
             "scraping_id",
             "url",
             "round",
-            F.when(F.col("ok"), F.lit(200)).otherwise(F.lit(404)).alias("status"),
+            F.when(F.col("ok"), F.lit(200))
+            .when(F.col("transient"), F.lit(503))
+            .otherwise(F.lit(404))
+            .alias("status"),
             F.when(F.col("ok"), F.lit(None).cast("string"))
+            .when(F.col("transient"), F.lit("transient error"))
             .otherwise(F.lit("fetch error"))
             .alias("error"),
         )
+
+        retries = None
+        if cfg.retry_max_attempts > 0:
+            # manifest snapshot taken NOW (before the wall appends this
+            # round's fetch_log), so prior_fails counts EARLIER rounds
+            # only: attempts so far = prior + 1 (this one)
+            prior = (
+                self.wh.read("fetch_log")
+                .filter(F.col("error").isNotNull())
+                .groupBy("scraping_id", "url")
+                .agg(F.count("*").alias("prior_fails"))
+            )
+            retries = (
+                # only transient (503) failures retry: a corpus miss
+                # (404) is permanent by construction
+                parsed.filter(F.col("transient"))
+                .join(prior, ["scraping_id", "url"], "left")
+                .filter(
+                    F.coalesce(F.col("prior_fails"), F.lit(0)) + 1
+                    < F.lit(int(cfg.retry_max_attempts))
+                )
+                .select("scraping_id", "user_id", "url", "depth", "round")
+            )
 
         ok = parsed.filter("ok")
 
@@ -904,6 +965,18 @@ class CrawlEngine:
                 (F.col("round") + 1).alias("round"),
             )
         )
+        if retries is not None:
+            # retried rows ride the deferred branch: already claimed at
+            # discovery, so no seen write and no re-claim
+            next_frontier = next_frontier.unionByName(
+                retries.select(
+                    "scraping_id",
+                    "user_id",
+                    "url",
+                    "depth",
+                    (F.col("round") + 1).alias("round"),
+                )
+            )
         seen_new = new_urls.select(
             "scraping_id",
             "url",
@@ -1070,6 +1143,14 @@ class CrawlEngine:
                     futs.append(pool.submit(_write_postings))
                 if cfg.index_grams and cfg.indexer_enabled:
                     futs.append(pool.submit(_write_grams))
+                retry_fut = None
+                if retries is not None:
+                    # retried rows are next-round frontier work the
+                    # scheduler aggregates don't see — count them on the
+                    # wall so run()'s carried urls_in stays exact (an
+                    # all-retries round must not read as drained)
+                    retry_fut = pool.submit(retries.count)
+                    futs.append(retry_fut)
                 host_fut = None
                 if cfg.discover_robots:
                     # the only hosts the NEXT frontier can introduce are
@@ -1094,6 +1175,7 @@ class CrawlEngine:
         n_new = results[6]
         parsed_agg = results[7]
         sched_agg = results[8]
+        n_retries = retry_fut.result() if retry_fut is not None else 0
         if host_fut is not None:
             self._next_round_hosts = host_fut.result()
 
@@ -1112,7 +1194,10 @@ class CrawlEngine:
             fetch_errors=parsed_agg["errors"] or 0,
             links_extracted=parsed_agg["links"] or 0,
             new_urls=n_new,
-            deferred=sched_agg["deferred"] or 0,
+            # retries are "try again next round" work, the same carried-
+            # frontier semantics as politeness deferral — counting them
+            # here keeps run()'s urls_in = new_urls + deferred exact
+            deferred=(sched_agg["deferred"] or 0) + n_retries,
             robots_blocked=sched_agg["robots"] or 0,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )

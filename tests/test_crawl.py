@@ -884,3 +884,76 @@ def test_detect_traps_crawl_terminates_without_livelock(spark, tmp_path):
     assert set(pages) <= set(ref_pages)
     for k, (content, summary, _r) in pages.items():
         assert (content, summary) == ref_pages[k][:2]
+
+
+def test_retry_transient_failure_succeeds_next_round(spark, tmp_path):
+    """A 503 (availability injector) re-enters the next round's frontier
+    and succeeds: end pages equal the healthy crawl's (content and
+    summary), the victim page lands one round later, and the ledger
+    shows 503 -> 200. No double fetch, no re-claim."""
+    docs = generate_documents(spark, n_hosts=2).persist()
+    seeds = [(71, 1, "http://h0.test/p0.html", 3)]
+    cfg = CrawlConfig(
+        bloom_expected_urls=4096,
+        default_budget=10**9,
+        retry_max_attempts=3,
+        availability_sql="NOT (url LIKE '%h0.test/p1.html' AND round <= 1)",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "wh_r"), documents=docs, config=cfg)
+    eng.start(seeds)
+    stats = eng.run()
+    ref = CrawlEngine(
+        spark,
+        str(tmp_path / "wh_h"),
+        documents=docs,
+        config=CrawlConfig(bloom_expected_urls=4096, default_budget=10**9),
+    )
+    ref.start(seeds)
+    ref.run()
+    pages, seen, _, _, jobs = spark_end_state(eng)
+    ref_pages, ref_seen, _, _, _ = spark_end_state(ref)
+    assert set(pages) == set(ref_pages)
+    for k, (content, summary, _r) in pages.items():
+        assert (content, summary) == ref_pages[k][:2]
+    assert seen == ref_seen
+    assert jobs[71][0] == "COMPLETED"
+    log = sorted(
+        (r.round, r.status)
+        for r in eng.wh.read("fetch_log")
+        .filter("url = 'http://h0.test/p1.html'")
+        .collect()
+    )
+    assert log == [(1, 503), (2, 200)]
+    # the victim page committed in round 2, one later than healthy
+    assert pages[(71, "http://h0.test/p1.html")][2] == 2
+    assert ref_pages[(71, "http://h0.test/p1.html")][2] == 1
+    # retries were accounted as carried work (deferred) in round 1
+    assert {s.round: s.deferred for s in stats}[1] >= 1
+    # no double fetch
+    urls = [r.url for r in eng.wh.read("pages").collect()]
+    assert len(urls) == len(set(urls))
+
+
+def test_retry_attempts_cap_terminates(spark, tmp_path):
+    """A permanently-503 URL stops after retry_max_attempts total
+    attempts (the committed fetch_log is the ledger) and the crawl
+    drains instead of retrying forever."""
+    docs = generate_documents(spark, n_hosts=2).persist()
+    seeds = [(72, 1, "http://h0.test/p0.html", 2)]
+    cfg = CrawlConfig(
+        bloom_expected_urls=4096,
+        default_budget=10**9,
+        retry_max_attempts=3,
+        availability_sql="NOT (url LIKE '%h0.test/p1.html')",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "wh_c"), documents=docs, config=cfg)
+    eng.start(seeds)
+    stats = eng.run()
+    assert stats[-1].new_urls + stats[-1].deferred == 0  # drained
+    log = eng.wh.read("fetch_log").filter(
+        "url = 'http://h0.test/p1.html'"
+    ).collect()
+    assert len(log) == 3 and all(r.status == 503 for r in log)
+    assert (72, "http://h0.test/p1.html") not in {
+        (r.scraping_id, r.url) for r in eng.wh.read("pages").collect()
+    }
