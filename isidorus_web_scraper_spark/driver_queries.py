@@ -1411,6 +1411,92 @@ def sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sitemap INDEX files (round 5): large sites shard their sitemap into a
+# <sitemapindex> of child <sitemap> files (the 50k-URL protocol cap) —
+# the crawler must recurse one level: parse the index, fetch the
+# children, parse those. Both levels are xpath over synthesized XML,
+# stitched by a key join (the "fetch" of a child = joining its content
+# by URL, the corpus-table fetch shape).
+# ---------------------------------------------------------------------------
+@query(
+    "sitemap_index_parse",
+    """
+    SELECT 'http://h' || (doc_id % 23)::VARCHAR || '.test/sm'
+             || (doc_id % 2)::VARCHAR || '.xml' AS child_sitemap,
+           'http://h' || (doc_id % 23)::VARCHAR || '.test/p'
+             || doc_id::VARCHAR || '.html' AS url
+    FROM documents
+    """,
+)
+def sitemap_index_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap recursion: per host, a <sitemapindex> names two
+    child sitemaps (sm0/sm1); each doc's URL lives in child
+    doc_id % 2. The index parse yields child URLs; the child "fetch" is
+    an equi-join on the child URL against the child-content table (the
+    partition-pruned corpus-store shape); the child parse yields the
+    final seed URLs, attributed to their child sitemap.
+
+    Scale: two xpath passes (whole-stage-codegen JVM, per-host-file
+    parallelism) + one equi-join keyed by child URL; at 100 TB the
+    child table is the fetched blob store and the join prunes to the
+    index's children."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 23
+    child_url = F.concat(
+        F.lit("http://h"), h.cast("string"), F.lit(".test/sm"),
+        (F.col("doc_id") % 2).cast("string"), F.lit(".xml"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>http://h"), h.cast("string"), F.lit(".test/p"),
+        F.col("doc_id").cast("string"), F.lit(".html</loc></url>"),
+    )
+    children = (
+        docs.select(
+            child_url.alias("child_sitemap"),
+            F.struct(F.col("doc_id"), entry.alias("e")).alias("s"),
+        )
+        .groupBy("child_sitemap")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("s")), lambda x: x["e"]
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    idx_entry = F.concat(
+        F.lit("<sitemap><loc>"), child_url, F.lit("</loc></sitemap>")
+    )
+    indexes = (
+        docs.select(h.alias("h"), idx_entry.alias("e"))
+        .distinct()
+        .groupBy("h")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex>'),
+                F.array_join(F.sort_array(F.collect_list("e")), ""),
+                F.lit("</sitemapindex>"),
+            ).alias("ixml")
+        )
+    )
+    idx_children = indexes.select(
+        F.explode(
+            F.xpath("ixml", F.lit("/sitemapindex/sitemap/loc/text()"))
+        ).alias("child_sitemap")
+    )
+    fetched = idx_children.join(children, "child_sitemap")
+    return fetched.select(
+        "child_sitemap",
+        F.explode(F.xpath("xml", F.lit("/urlset/url/loc/text()"))).alias("url"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # robots.txt Sitemap: directives (round 5) — the discovery half of the
 # sitemap path: RFC 9309 makes Sitemap lines GLOBAL (valid anywhere,
 # independent of User-agent sections), so extraction is one
