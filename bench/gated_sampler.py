@@ -71,6 +71,14 @@ def foreign_spark_work() -> bool:
                 return True
             if t == "pytest" and i and toks[i - 1] == "-m":
                 return True
+        # any live Spark JVM is foreign at check time — our own probes
+        # and grids only start after this returns False, so an ad-hoc
+        # driver-sim/explain session that never touched the busy flag
+        # can't silently crush a probe inside a healthy window (it did,
+        # 2026-08-18 11:16Z — the first in-band window in days)
+        names = [t.rsplit("/", 1)[-1] for t in toks]
+        if "java" in names and any("spark" in t.lower() for t in toks):
+            return True
     return False
 
 
