@@ -8,8 +8,10 @@ inside ``groupBy(host).applyInPandas``, with robots rules broadcast as
 a small config table.
 
 Semantics per round:
-- robots: a URL whose path starts with any disallow prefix for its host
-  is dropped (action='robots_blocked') — it was already claimed into
+- robots: RFC 9309 §2.2.2 longest-match precedence over the host's
+  Allow/Disallow prefixes (``robots_blocked_col``) — the most specific
+  matching rule decides, Allow wins equal-length ties; a blocked URL is
+  dropped (action='robots_blocked') — it was already claimed into
   the seen set at discovery (matching the reference where SAdd precedes
   enqueue), so it is never re-attempted;
 - crawl-delay: a host with ``crawl_delay_rounds=d`` fetches only on
