@@ -63,12 +63,49 @@ def seed_url(n_hosts: int = 20) -> str:
     return page_url(0, 0)
 
 
+def redirect_url(host_idx: int, j: int) -> str:
+    """A 301 address: ``/r<j>.html`` resolves via :func:`redirect_target`."""
+    return f"http://{host_name(host_idx)}/r{j}.html"
+
+
+def redirect_target(host_idx: int, j: int, base: int = 64) -> str:
+    """Where ``/r<j>.html`` points — pure function of (host, j):
+
+    - ``j % 16 == 3`` → ``r(j+1)`` and ``j % 16 == 4`` → ``r(j-1)``:
+      every (16k+3, 16k+4) pair is a 2-cycle (a redirect LOOP — the
+      engine must terminate on these via its seen-claim set);
+    - ``j % 16 == 5`` → ``r(j+11)`` whose ``(j+11) % 16 == 0`` resolves
+      to a page: a 2-hop CHAIN;
+    - anything else → ``page_url(host, j % pages_per_host(host))``.
+    """
+    m = j % 16
+    if m == 3:
+        return redirect_url(host_idx, j + 1)
+    if m == 4:
+        return redirect_url(host_idx, j - 1)
+    if m == 5:
+        return redirect_url(host_idx, j + 11)
+    return page_url(host_idx, j % pages_per_host(host_idx, base))
+
+
+def _redirect_j_for(tp: int, pages: int) -> int | None:
+    """Smallest j ≡ tp (mod pages) that one-hop-resolves to page tp
+    (j % 16 ∉ {3,4,5}), or None when no such j exists in 16 steps
+    (possible when pages % 16 == 0 and tp % 16 ∈ {3,4,5})."""
+    for m in range(16):
+        j = tp + m * pages
+        if j % 16 not in (3, 4, 5):
+            return j
+    return None
+
+
 def page_spans(
     url: str,
     n_hosts: int = 20,
     links_out: int = 8,
     big_page_every: int = 1000,
     base: int = 64,
+    redirects: bool | str = False,
 ) -> list[dict] | None:
     """The page behind ``url``, or None (404) if outside the address space.
 
@@ -76,8 +113,38 @@ def page_spans(
     Span stream mimics reference tokenizer output: interleaved text,
     link (10% relative/non-http) and image spans with document-order
     offsets.
+
+    ``redirects`` (default False — the frozen r1-r4 corpus, byte-
+    identical): when truthy, the host also serves ``/r<j>.html``
+    addresses that answer with a single ``kind='redirect'`` span whose
+    ``media_ref`` is :func:`redirect_target` (the simulated 301
+    Location), and ~25% of emitted page links route via a one-hop
+    redirect to the SAME target page. ``redirects="resolved"`` draws
+    the identical rng sequence but emits the resolved page URL
+    directly — the equivalence twin for testing that a
+    follow-redirects crawl reaches exactly the pages a direct-link
+    crawl reaches.
     """
-    if not url.startswith("http://h") or ".test/p" not in url:
+    if not url.startswith("http://h"):
+        return None
+    if redirects and ".test/r" in url:
+        try:
+            hpart, jpart = url[len("http://h") :].split(".test/r")
+            h = int(hpart)
+            j = int(jpart.removesuffix(".html"))
+        except ValueError:
+            return None
+        if h < 0 or h >= n_hosts or j < 0:
+            return None
+        return [
+            {
+                "kind": "redirect",
+                "text": None,
+                "media_ref": redirect_target(h, j, base),
+                "offset": 0,
+            }
+        ]
+    if ".test/p" not in url:
         return None
     try:
         hpart, ppart = url[len("http://h") :].split(".test/p")
@@ -120,7 +187,15 @@ def page_spans(
                 th = rng.randrange(n_hosts)
                 th = min(th, rng.randrange(n_hosts))  # bias to hot hosts
             tp = rng.randrange(pages_per_host(th, base))
-            emit("link", media_ref=page_url(th, tp))
+            target = page_url(th, tp)
+            if redirects:
+                # same rng sequence for True and "resolved": the draw
+                # happens either way, only the emitted string differs
+                if rng.random() < 0.25:
+                    j = _redirect_j_for(tp, pages_per_host(th, base))
+                    if j is not None and redirects is True:
+                        target = redirect_url(th, j)
+            emit("link", media_ref=target)
     for _ in range(rng.randint(0, 3)):
         emit("image", media_ref=f"http://img{h}.test/i{rng.randrange(50)}.png")
     return spans
@@ -195,7 +270,11 @@ def generate_documents_html(
 
 
 def make_resolver(
-    n_hosts: int = 20, base: int = 64, links_out: int = 8, big_page_every: int = 1000
+    n_hosts: int = 20,
+    base: int = 64,
+    links_out: int = 8,
+    big_page_every: int = 1000,
+    redirects: bool | str = False,
 ):
     """Generator-backed fetch: resolve frontier URLs to spans *on the
     executors* with the pure page function — no corpus scan, no join.
@@ -221,6 +300,7 @@ def make_resolver(
                         links_out=links_out,
                         big_page_every=big_page_every,
                         base=base,
+                        redirects=redirects,
                     )
                 )
                 yield pdf
@@ -275,6 +355,7 @@ def make_page_fn(
     big_page_every: int = 1000,
     fatness: int = 8,
     mode: str = "html",
+    redirects: bool | str = False,
 ):
     """BATCH fetch+parse callable (``pd.Series[url] -> pd.Series[spans]``,
     null = 404) for the FUSED schedule+fetch+parse operator
@@ -288,13 +369,18 @@ def make_page_fn(
     ``http.Get`` per URL, `page_fetcher.go:14-20`). ``mode='html'``
     renders the synthetic page and runs the REAL tokenizer (identical
     output to resolver-mode parse_html_udf); ``mode='spans'`` skips the
-    render."""
+    render. Redirects (see :func:`page_spans`) exist only in the spans
+    form — a 301 is a status line + Location header, not a parseable
+    body, so the html renderer has nothing to render for one."""
+    if redirects is True and mode == "html":
+        raise ValueError("redirects require mode='spans'")
     if mode == "spans":
         def fn_spans(urls: pd.Series) -> pd.Series:
             return urls.map(
                 lambda u: page_spans(
                     u, n_hosts=n_hosts, links_out=links_out,
                     big_page_every=big_page_every, base=base,
+                    redirects=redirects,
                 )
             )
 

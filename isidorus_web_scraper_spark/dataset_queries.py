@@ -1915,6 +1915,57 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_window",
+    """
+    WITH panes AS (
+      SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+             event_type, value
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM panes
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING windows (size 2 h, slide 1 h) — the overlap shape
+    tumbling can't express (trending/rate metrics look at the last K
+    hours every hour). Batch twin of streaming.events.sliding_counts;
+    tests/test_streaming.py pins a REAL watermarked stream against this
+    result.
+
+    Spark assigns each event to size/slide = 2 panes inside the window
+    aggregate (an internal explode); the oracle makes the same fan-out
+    explicit with unnest([0,1]). Value sums ride DECIMAL(18,2) so the
+    overlap's double-counting stays exact in both engines. Scale shape:
+    one hash aggregate over a 2× fanned-out frame — map-side partial
+    aggregation absorbs the fan-out before the shuffle, so wire cost is
+    O(distinct (window, type) per partition), not O(2·|events|)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            # window on an NTZ column yields NTZ bounds; cast pins the
+            # contract if the reader ever infers a zoned timestamp
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "events_late_data_policy",
     """
     WITH e AS (
@@ -4293,6 +4344,112 @@ def _triangle_counts(raw: DataFrame) -> DataFrame:
 # are synthesized deterministically; p95 is the exact nearest-rank pick
 # (events_value_percentiles' ceil convention), budget the banded map.
 # ===========================================================================
+
+
+@query(
+    "redirect_resolution",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS src,
+             CASE WHEN doc_id % 64 = 1 THEN doc_id + 1
+                  ELSE doc_id - 1 END AS dst
+      FROM documents WHERE doc_id % 8 <> 0
+    ),
+    w(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM edges
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM w JOIN edges e ON e.src = w.cur
+      WHERE w.hops < 8
+    ),
+    resolved AS (
+      SELECT src, arg_min(cur, hops) AS final_id,
+             CAST(min(hops) AS BIGINT) AS hops
+      FROM w WHERE cur NOT IN (SELECT src FROM edges)
+      GROUP BY src
+    )
+    SELECT e.src AS src_id, r.final_id, r.hops,
+           r.src IS NOT NULL AS resolved
+    FROM edges e LEFT JOIN resolved r ON r.src = e.src
+    """,
+)
+def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every redirect to its FINAL target + hop count over the
+    deterministic redirect function-graph (src = every doc_id % 8 != 0;
+    dst = id-1, except ids ≡ 1 (mod 64) point FORWARD to id+1, making
+    every (64k+1, 64k+2) pair a 2-cycle that poisons the 64k+3..64k+7
+    chains above it — the loop/unresolved path a real redirect resolver
+    must survive). Hop cap 8, engine-side loop handling mirrored by the
+    oracle's bounded recursion.
+
+    This is the OFFLINE twin of CrawlConfig.follow_redirects (which
+    resolves hops one crawl round at a time): given a captured redirect
+    edge table — every crawl log has one — collapse chains before
+    frontier expansion, dedup, or link-graph analytics.
+
+    Scale shape: POINTER DOUBLING, not step-at-a-time walking — state
+    after 2^k hops composes with itself (done rows pass through, live
+    rows join on their current node), so an H-hop cap costs O(log H)
+    self-joins/shuffles instead of O(H); each round is one equi-join +
+    localCheckpoint (bounded lineage, AQE-skew-splittable), and a
+    function graph keeps the frame at exactly one row per origin
+    forever — no blow-up. The DuckDB oracle walks the same chains with
+    bounded WITH RECURSIVE (its rowcount is O(H·|edges|); the doubling
+    plan's is O(log H · |edges|) — the difference IS the scale story).
+    """
+    docs = load(spark, sf_dir, "documents")
+    edges = (
+        docs.filter(F.col("doc_id") % 8 != 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.when(F.col("doc_id") % 64 == 1, F.col("doc_id") + 1)
+            .otherwise(F.col("doc_id") - 1)
+            .alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _resolve_redirect_chains(edges, max_hops=8)
+
+
+def _resolve_redirect_chains(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Pointer-doubling resolution over a function graph (each src has
+    exactly one outgoing edge) — separated so tests can drive crafted
+    chains/loops with hand-computable hop counts. Returns one row per
+    src: (src_id, final_id, hops, resolved)."""
+    srcs = edges.select(F.col("src").alias("s")).distinct()
+    f = edges.join(srcs, edges["dst"] == srcs["s"], "left").select(
+        "src",
+        "dst",
+        F.lit(1).cast("bigint").alias("steps"),
+        F.col("s").isNull().alias("done"),
+    )
+    rounds = max(1, (max_hops - 1).bit_length())  # 2^rounds >= max_hops
+    for _ in range(rounds):
+        f = f.localCheckpoint(eager=True)
+        live = f.filter(~F.col("done"))
+        nxt = f.select(
+            F.col("src").alias("j_src"),
+            F.col("dst").alias("j_dst"),
+            F.col("steps").alias("j_steps"),
+            F.col("done").alias("j_done"),
+        )
+        advanced = (
+            live.join(nxt, live["dst"] == nxt["j_src"])
+            .select(
+                "src",
+                F.col("j_dst").alias("dst"),
+                (F.col("steps") + F.col("j_steps")).alias("steps"),
+                F.col("j_done").alias("done"),
+            )
+        )
+        f = f.filter("done").unionByName(advanced)
+    done = F.col("done") & (F.col("steps") <= max_hops)
+    return f.select(
+        F.col("src").alias("src_id"),
+        F.when(done, F.col("dst")).alias("final_id"),
+        F.when(done, F.col("steps")).alias("hops"),
+        done.alias("resolved"),
+    )
 
 
 @query(

@@ -55,6 +55,19 @@ def images_col(spans: Column | str) -> Column:
     )
 
 
+def location_col(spans: Column | str) -> Column:
+    """The 301 Location, if this fetch answered with a redirect span
+    (corpus.redirect_target — the batch stand-in for the Location
+    header Go's http.Client chases transparently, up to 10 hops, under
+    `page_fetcher.go`'s plain http.Get). NULL for ordinary pages.
+    ``F.get`` (0-based) is the ANSI-safe probe: it returns NULL on an
+    empty filter result where ``element_at`` would raise."""
+    c = F.col(spans) if isinstance(spans, str) else spans
+    return F.get(
+        F.filter(c, lambda s: s["kind"] == F.lit("redirect")), F.lit(0)
+    )["media_ref"]
+
+
 def crawlable_links_col(spans: Column | str) -> Column:
     """Links eligible for recursion: ``strings.HasPrefix(link, "http")``
     (`scraper_service.go:264`; test `scraper_service_test.go:410-446`)."""

@@ -52,7 +52,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.spans import content_col, images_col, links_col
+from ..functions.spans import content_col, images_col, links_col, location_col
 from ..functions.spark_udfs import make_explain_image_udf, make_summarize_udf
 from ..functions.url import url_hash_col
 from ..operators.bloom import (
@@ -228,6 +228,18 @@ class CrawlConfig:
     # failed attempt adds a ledger row, so a permanently-dead URL stops
     # after the cap.
     retry_max_attempts: int = 0
+    # follow 301s: a fetch that answers with a redirect span (see
+    # corpus.page_spans(redirects=True)) logs status=301 and its
+    # Location re-enters the claims pipeline at the SAME depth (the
+    # target IS this fetch, not a deeper hop) — it anti-joins `seen`
+    # like any link, so redirect LOOPS terminate structurally: every
+    # URL is claimed at most once per scraping, a guarantee strictly
+    # stronger than the 10-hop cap Go's http.Client applies while
+    # following Locations transparently (page_fetcher.go's http.Get).
+    # Off by default only because each hop costs a crawl round here;
+    # when off, 301s still log but dead-end (a client with redirect
+    # following disabled).
+    follow_redirects: bool = False
     # transient-outage injector (tests/chaos): a boolean SQL expression
     # over (url, round, ...) evaluated on the resolved frame; rows where
     # it is FALSE are treated as fetch failures (status 503) even though
@@ -635,9 +647,15 @@ class CrawlEngine:
             resolved_c = (F.col("action") == F.lit(ACTION_FETCH)) & F.col(
                 "spans"
             ).isNotNull()
-            okc = resolved_c & avail
             scheduled = (
-                fused.withColumn("ok", okc)
+                # a redirect answer carries a Location instead of a body:
+                # it is neither ok (no content/links) nor an error
+                fused.withColumn(
+                    "location", F.when(resolved_c & avail, location_col("spans"))
+                )
+                .withColumn(
+                    "ok", resolved_c & avail & F.col("location").isNull()
+                )
                 # resolved by the corpus but transiently unavailable
                 # (availability_sql): a 503, retryable
                 .withColumn("transient", resolved_c & ~avail)
@@ -691,7 +709,17 @@ class CrawlEngine:
             )
             parsed = (
                 fetched.withColumn(
-                    "ok", F.col("spans").isNotNull() & avail
+                    "location",
+                    F.when(
+                        F.col("spans").isNotNull() & avail,
+                        location_col("spans"),
+                    ),
+                )
+                .withColumn(
+                    "ok",
+                    F.col("spans").isNotNull()
+                    & avail
+                    & F.col("location").isNull(),
                 )
                 .withColumn(
                     "transient", F.col("spans").isNotNull() & ~avail
@@ -714,9 +742,13 @@ class CrawlEngine:
             "round",
             F.when(F.col("ok"), F.lit(200))
             .when(F.col("transient"), F.lit(503))
+            .when(F.col("location").isNotNull(), F.lit(301))
             .otherwise(F.lit(404))
             .alias("status"),
-            F.when(F.col("ok"), F.lit(None).cast("string"))
+            # a 301 is not an error: NULL keeps it out of the retry
+            # ledger's prior-failure count (error IS NOT NULL)
+            F.when(F.col("ok") | F.col("location").isNotNull(),
+                   F.lit(None).cast("string"))
             .when(F.col("transient"), F.lit("transient error"))
             .otherwise(F.lit("fetch error"))
             .alias("error"),
@@ -852,6 +884,24 @@ class CrawlEngine:
             )
             .filter(F.col("url").startswith("http"))  # P4
         )
+        if cfg.follow_redirects:
+            # 301 Locations ride the SAME claims pipeline as links but at
+            # UNCHANGED depth (the target is this fetch's answer, not a
+            # deeper hop) and past the depth gate (a depth-0 redirect
+            # still resolves). The seen anti-join then claims each hop
+            # once per scraping — redirect loops drain structurally.
+            candidates = candidates.unionByName(
+                parsed.filter(F.col("location").isNotNull())
+                .select(
+                    "scraping_id",
+                    "user_id",
+                    "round",
+                    F.col("url").alias("parent_url"),
+                    F.col("depth").alias("child_depth"),
+                    F.col("location").alias("url"),
+                )
+                .filter(F.col("url").startswith("http"))
+            )
         # intra-round first-wins: FIFO parity = earliest-discovered parent
         # wins ⇒ max remaining depth; provenance = min parent (deterministic
         # aggregate, never dropDuplicates — SURVEY.md §7 hard-parts)
@@ -1098,7 +1148,9 @@ class CrawlEngine:
             ).agg(
                 F.count("*").alias("attempted"),
                 F.sum(F.col("ok").cast("long")).alias("fetched"),
-                F.sum((~F.col("ok")).cast("long")).alias("fetch_errors"),
+                F.sum(
+                    ((~F.col("ok")) & F.col("location").isNull()).cast("long")
+                ).alias("fetch_errors"),
                 F.sum(
                     F.when(F.col("ok"), F.size("links")).otherwise(F.lit(0))
                 ).alias("links_extracted"),
@@ -1118,7 +1170,12 @@ class CrawlEngine:
                     pool.submit(
                         lambda: parsed.agg(
                             F.sum(F.col("ok").cast("long")).alias("fetched"),
-                            F.sum((~F.col("ok")).cast("long")).alias("errors"),
+                            # 301s are neither fetched nor errors — their
+                            # outcome is the target fetch, next round
+                            F.sum(
+                                ((~F.col("ok")) & F.col("location").isNull())
+                                .cast("long")
+                            ).alias("errors"),
                             F.sum(
                                 F.when(F.col("ok"), F.size("links")).otherwise(
                                     F.lit(0)

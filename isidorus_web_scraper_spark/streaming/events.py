@@ -62,6 +62,30 @@ def windowed_counts(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """SLIDING event-time windows (size 2 h, slide 1 h): every event
+    lands in size/slide = 2 overlapping windows. The third window shape
+    (tumbling=windowed_counts, session=sessionized) — trending/rate
+    metrics need overlap, and the state-size story changes: watermark
+    eviction holds size/slide live panes per key instead of one."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _SESSION_OUT = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )

@@ -5,11 +5,15 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from isidorus_web_scraper_spark.dataset_queries import events_tumbling_window
+from isidorus_web_scraper_spark.dataset_queries import (
+    events_sliding_window,
+    events_tumbling_window,
+)
 from isidorus_web_scraper_spark.streaming.events import (
     read_event_stream,
     run_to_memory,
     sessionized,
+    sliding_counts,
     windowed_counts,
 )
 
@@ -47,6 +51,27 @@ def test_stream_equals_batch(spark, sf_small, event_stream_dir, tmp_path):
         for r in events_tumbling_window(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_sliding_stream_equals_batch(spark, sf_small, event_stream_dir, tmp_path):
+    # every event must appear in BOTH of its overlapping panes, across
+    # micro-batch boundaries (the fixture splits events over 3 files)
+    stream = read_event_stream(spark, event_stream_dir)
+    run_to_memory(
+        sliding_counts(stream), "slide_counts", str(tmp_path / "ckpt_s"), "complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 5))
+        for r in spark.table("slide_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 5))
+        for r in events_sliding_window(spark, sf_small).collect()
+    }
+    assert got == want
+    # overlap invariant: total pane-events == 2 * |events|
+    n_events = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    assert sum(n for n, _ in got.values()) == 2 * n_events
 
 
 def test_sessionization_stateful(spark, event_stream_dir, tmp_path):
