@@ -5257,3 +5257,166 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ===========================================================================
+# Vocabulary fuzzy matching (SymSpell deletion-neighborhood index) — typo
+# clustering / spell-candidate generation over a corpus vocabulary without
+# an all-pairs edit-distance join
+# ===========================================================================
+
+
+@query(
+    "symspell_fuzzy_pairs",
+    r"""
+    WITH vocab AS (
+      SELECT DISTINCT t AS term FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      ) WHERE regexp_matches(t, '^[a-z]{3,}$')
+    )
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+    FROM vocab a JOIN vocab b ON a.term < b.term
+    WHERE levenshtein(a.term, b.term) <= 2
+    """,
+)
+def symspell_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vocabulary term pairs within edit distance <= 2 — the typo-
+    correction / query-expansion primitive (SymSpell): candidates come
+    from a DELETION-NEIGHBORHOOD equi-join, never an all-pairs
+    levenshtein scan.
+
+    SymSpell's invariant: lev(a, b) <= d implies the <=d-deletion
+    neighborhoods of a and b intersect (delete from each side the
+    positions an optimal alignment edits). Intersection is necessary
+    but not sufficient ("ab"/"ba" share deletes at lev 2 margins), so
+    candidates are verified with the real JVM levenshtein — the index
+    prunes, the verify step restores exactness. The oracle brute-forces
+    the a < b cross join with the same levenshtein (exactness is the
+    contract; the PLAN is the difference).
+
+    Scale shape: a 100-TB corpus vocabulary is ~10^7-10^8 terms — an
+    all-pairs join is 10^14+ levenshtein calls; the deletion index is
+    O(V * L^2) keys (L ~ 8 => ~40 keys/term), the join is a plain
+    hash equi-join on the key, and verification touches only bucket
+    cohabitants. All JVM: substr/sequence/transform build the
+    neighborhoods, F.levenshtein verifies — zero Python."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(words(F.col("text"))).alias("term"))
+        .filter(F.col("term").rlike(r"^[a-z]{3,}$"))
+        .distinct()
+    )
+    t, L = F.col("term"), F.length("term")
+    # substr is 1-based; substr(t, p, 0) == "" makes the edges exact
+    d1 = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda i: F.concat(F.substr(t, F.lit(1), i - 1), F.substr(t, i + 1, L)),
+    )
+    d2 = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), L - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, L),
+                lambda j: F.concat(
+                    F.substr(t, F.lit(1), i - 1),
+                    F.substr(t, i + 1, j - i - 1),
+                    F.substr(t, j + 1, L),
+                ),
+            ),
+        )
+    )
+    keyed = vocab.select(
+        "term",
+        F.explode(
+            F.array_distinct(F.concat(F.array(t), d1, d2))
+        ).alias("del_key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.del_key") == F.col("b.del_key"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .select(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .distinct()  # many shared keys per true pair; verify each pair once
+        .withColumn(
+            "dist", F.levenshtein("term_a", "term_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+# ===========================================================================
+# Heavy hitters (two-pass Misra-Gries) — frequent-term mining when the
+# distinct-key space is too large to shuffle
+# ===========================================================================
+
+
+@query(
+    "heavy_hitters",
+    """
+    WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+    g AS (SELECT ws[i] || ' ' || ws[i + 1] AS term
+          FROM w, unnest(range(1, len(ws))) AS r(i)),
+    tot AS (SELECT count(*) AS n FROM g)
+    SELECT term, count(*) AS freq
+    FROM g GROUP BY term
+    HAVING count(*) * 600 > (SELECT n FROM tot)
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters — every word bigram with frequency strictly
+    above n/k (k=600) — via the classic TWO-PASS Misra-Gries scheme:
+
+    pass 1 builds a k-counter MG summary PER PARTITION (mapInPandas:
+    per-Arrow-batch exact counts folded with the Agarwal-et-al
+    mergeable-summaries step — add pointwise, subtract the (k+1)-st
+    largest, drop <= 0 — so each partition ships <= k candidate rows,
+    error <= n_p/(k+1)); pass 2 exact-counts ONLY the candidate terms
+    (broadcast semi-join) and keeps freq * k > n. Pigeonhole makes the
+    union of partition summaries a SUPERSET of every global heavy
+    hitter (freq > n/k => some partition has freq_p > n_p/k), and the
+    exact second pass discards over-admitted candidates — so the output
+    is EXACTLY {t : freq(t) * k > n}, independent of partitioning (a
+    pytest pins repartition invariance).
+
+    Scale shape: heavy-tailed n-gram spaces at 100 TB have |distinct|
+    ~ |rows|; a plain groupBy shuffles every distinct key's partial
+    aggregate, while this shuffles <= k rows per partition (the sketch)
+    plus the candidate-row subset — the shuffle is bounded by the
+    answer size, not the keyspace. The integer guard freq * k > n
+    avoids float division in both engines."""
+    import pandas as pd  # local: workers must not need this module
+
+    k = 600
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_ngrams(words(F.col("text")), 2)).alias("term")
+    )
+
+    def mg_partition(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for term, c in pdf["term"].value_counts().items():
+                acc[term] = acc.get(term, 0) + int(c)
+            if len(acc) > k:
+                kth = sorted(acc.values(), reverse=True)[k]
+                acc = {t: c - kth for t, c in acc.items() if c > kth}
+        if acc:
+            yield pd.DataFrame({"term": list(acc)})
+
+    candidates = grams.mapInPandas(mg_partition, "term string").distinct()
+    total = grams.agg(F.count("*").alias("n"))
+    return (
+        grams.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * k > F.col("n"))
+        .select("term", "freq")
+    )
