@@ -5420,3 +5420,217 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") * k > F.col("n"))
         .select("term", "freq")
     )
+
+
+# ===========================================================================
+# Distinct-count sketch (HyperLogLog, engine-portable) — cardinality at
+# 100 TB without an exact-distinct shuffle
+# ===========================================================================
+
+
+@query(
+    "hll_distinct_users",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hash
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, hash % 128 AS register,
+             max(CASE WHEN hash // 128 > 0
+                      THEN 53 - length(bin(hash // 128)) + 1
+                      ELSE 54 END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS n_present,
+             sum((2::BIGINT) ^ (54 - rho))::BIGINT AS t_present
+      FROM reg GROUP BY 1
+    ),
+    e AS (
+      SELECT event_type,
+             (t_present + (128 - n_present) * (2::BIGINT ^ 54))::BIGINT
+               AS t_sum,
+             128 - n_present AS v_empty
+      FROM s
+    )
+    SELECT e.event_type,
+           x.n_exact,
+           e.t_sum,
+           CASE WHEN 2.1111058772341745e+20 / e.t_sum <= 320.0
+                     AND e.v_empty > 0
+                THEN 128.0 * ln(128.0 / e.v_empty)
+                ELSE 2.1111058772341745e+20 / e.t_sum END AS hll_estimate
+    FROM e JOIN (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    ) x USING (event_type)
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by a hand-rolled, ENGINE-PORTABLE
+    HyperLogLog (m=128 registers, md5-derived hash: 7 low bits pick the
+    register, rho = leading-zero rank of the 53-bit remainder), with
+    the standard small-range linear-counting correction (raw < 2.5m and
+    empty registers present => m*ln(m/V)). Exact count rides along so
+    the sketch error is visible in the row.
+
+    Spark's own approx_count_distinct is a (different, JVM-private)
+    HLL++ — useless for a cross-engine oracle; this one is built from
+    portable primitives (md5, bin-length, integer div/mod), so DuckDB
+    computes the IDENTICAL registers and the float estimate reduces to
+    one division (or one ln) of exact integers — deterministic to the
+    comparator's rounding in both engines.
+
+    Scale shape: registers are MAX-MERGEABLE — the groupBy(type,
+    register) max(rho) does map-side partial max, so each partition
+    ships <= m rows per group key regardless of row count, and the
+    register table IS the resumable sketch state (OR-in new days by
+    max). The exact-distinct column here is the oracle's luxury at
+    sf0.01; at 100 TB only the sketch side runs. t_sum =
+    sum_j 2^(54 - M_j) stays an exact bigint (<= 128 * 2^54 < 2^62),
+    so all cross-engine arithmetic is integer until the final
+    division."""
+    events = load(spark, sf_dir, "events")
+    hash_c = md5_long(F.col("user_id").cast("string"))
+    h = events.select(
+        "event_type",
+        (hash_c % 128).alias("register"),
+        (hash_c / F.lit(128)).cast("bigint").alias("rest"),
+    )
+    reg = h.groupBy("event_type", "register").agg(
+        F.max(
+            F.when(
+                F.col("rest") > 0,
+                F.lit(53) - F.length(F.bin("rest")) + F.lit(1),
+            ).otherwise(F.lit(54))
+        ).alias("rho")
+    )
+    two = F.lit(2).cast("bigint")
+    s = reg.groupBy("event_type").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(two, F.lit(54) - F.col("rho")).cast("bigint"))
+        .cast("bigint")
+        .alias("t_present"),
+    )
+    e = s.select(
+        "event_type",
+        (
+            F.col("t_present")
+            + (F.lit(128) - F.col("n_present"))
+            * F.pow(two, F.lit(54)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("t_sum"),
+        (F.lit(128) - F.col("n_present")).alias("v_empty"),
+    )
+    raw = F.lit(2.1111058772341745e20) / F.col("t_sum")
+    est = F.when(
+        (raw <= 320.0) & (F.col("v_empty") > 0),
+        F.lit(128.0) * F.log(F.lit(128.0) / F.col("v_empty")),
+    ).otherwise(raw)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        e.join(exact, "event_type")
+        .select("event_type", "n_exact", "t_sum", est.alias("hll_estimate"))
+    )
+
+
+# ===========================================================================
+# Community detection (synchronous label propagation) — the mode-of-
+# neighbors semantics connected components can't express
+# ===========================================================================
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA oracle (generated, like _pagerank_sql):
+    one vote CTE + one argmax CTE per round."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""
+    v{i} AS (
+      SELECT e.src AS id, l.label, count(*) AS c
+      FROM bidir e JOIN l{i - 1} l ON l.id = e.dst
+      GROUP BY 1, 2
+    ),
+    l{i} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, label) rn
+        FROM v{i}) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    und AS (
+      SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+      WHERE doc_id % 16 <> 15 AND doc_id + 1 < (SELECT n FROM nn)
+      UNION ALL
+      SELECT doc_id, doc_id + 16 FROM documents
+      WHERE doc_id % 64 = 0 AND doc_id + 16 < (SELECT n FROM nn)
+    ),
+    bidir AS (
+      SELECT u AS src, v AS dst FROM und
+      UNION ALL SELECT v, u FROM und
+    ),
+    l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+    {",".join(steps)}
+    SELECT id AS node_id, label AS community FROM l{rounds}
+    """
+
+
+@query("label_propagation", _lpa_sql(4))
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels after EXACTLY 4 synchronous label-propagation
+    rounds over a planted block-chain graph (chains of 16 consecutive
+    doc_ids + a bridge every 64): each round every node adopts the most
+    frequent label among its neighbors, ties broken by MIN label — the
+    fixed-round contract makes partial convergence part of the spec, so
+    the result is deterministic without an unbounded fixpoint.
+
+    vs dedup_clusters (pointer-jumping CC): LPA's vote is a MODE, not a
+    min — it separates densely-knit blocks that CC would merge through
+    a single bridge edge. The argmax is min(struct(-count, label)) — a
+    plain aggregate, no per-node sort window.
+
+    Scale shape: per round, one equi-join (labels onto the bidirected
+    edge list) + two hash aggregates, all key-partitioned — O(E) per
+    round with map-side partial counts, localCheckpoint bounds lineage
+    exactly like the pagerank/HITS iterations. Rounds are a constant,
+    so the whole plan is 4 shuffle stages, AQE-skew-splittable; no
+    driver-side state."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()  # dense 0..n-1 ids (same contract as pagerank/CC)
+    d = F.col("doc_id")
+    und = (
+        docs.filter((d % 16 != 15) & (d + 1 < n))
+        .select(d.alias("u"), (d + 1).alias("v"))
+        .unionByName(
+            docs.filter((d % 64 == 0) & (d + 16 < n)).select(
+                d.alias("u"), (d + 16).alias("v")
+            )
+        )
+    )
+    bidir = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+    lbl = docs.select(d.alias("id"), d.alias("label"))
+    for _ in range(4):
+        votes = (
+            bidir.join(lbl, bidir["dst"] == lbl["id"])
+            .groupBy(F.col("src").alias("nid"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        lbl = (
+            votes.groupBy("nid")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("m"))
+            .select(F.col("nid").alias("id"), F.col("m.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return lbl.select(F.col("id").alias("node_id"), F.col("label").alias("community"))
