@@ -240,6 +240,18 @@ class CrawlConfig:
     # when off, 301s still log but dead-end (a client with redirect
     # following disabled).
     follow_redirects: bool = False
+    # conditional refetch (If-Modified-Since with a strong validator =
+    # content sha256): when a fetched page's content hash equals the
+    # latest copy already stored in `pages` (ANY prior scraping), the
+    # fetch logs 304 and the stored summary is REUSED — the summarizer
+    # (an LLM call per page in the reference,
+    # summarizer_factory.go-analog) never sees unchanged content (its
+    # input column is NULL-masked for 304 rows, so even a pandas-UDF
+    # provider does no per-row work). Links/images/index rows still
+    # flow (the body is in hand here; the modeled saving is the derived
+    # LLM/recompute work, which at 100 TB recrawls dominates). Off by
+    # default: it adds one pages probe join per round.
+    conditional_fetch: bool = False
     # transient-outage injector (tests/chaos): a boolean SQL expression
     # over (url, round, ...) evaluated on the resolved frame; rows where
     # it is FALSE are treated as fetch failures (status 503) even though
@@ -731,16 +743,64 @@ class CrawlEngine:
                 .persist()
             )
 
+        # ---- conditional refetch (If-Modified-Since twin) ----
+        cond_latest = None
+        if cfg.conditional_fetch:
+            # latest stored copy per refetched URL (any scraping): the
+            # probe carries only (url, hash, summary) — never cached
+            # page content — and is semi-joined to THIS round's URLs
+            # before the latest-pick window, so its size is bounded by
+            # the round, not the table. Production refinement: persist
+            # a content_hash column in `pages` and bucket by url hash
+            # so the probe prunes to touched buckets (corpus_store's
+            # shape); here the hash is computed on read.
+            stored = self.wh.read("pages").select(
+                "url",
+                F.sha2(F.col("content"), 256).alias("prior_hash"),
+                F.col("summary").alias("prior_summary"),
+                F.col("round").alias("prior_round"),
+                F.col("scraping_id").alias("prior_scraping"),
+            )
+            cond_latest = (
+                stored.join(parsed.filter("ok").select("url").distinct(), "url")
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("url").orderBy(
+                            F.col("prior_round").desc(),
+                            F.col("prior_scraping").desc(),
+                        )
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("url", "prior_hash", "prior_summary")
+                .persist()
+            )
+            enriched = parsed.join(cond_latest, "url", "left")
+        else:
+            enriched = parsed.withColumn(
+                "prior_hash", F.lit(None).cast("string")
+            ).withColumn("prior_summary", F.lit(None).cast("string"))
+        enriched = enriched.withColumn(
+            "not_modified",
+            F.col("ok")
+            & F.coalesce(
+                F.sha2(F.col("content"), 256) == F.col("prior_hash"),
+                F.lit(False),
+            ),
+        )
+
         # NOTE constant-plan rounds: every output tags its round from the
         # frontier rows' `round` COLUMN, never a per-round literal — the
         # generated stage code is byte-identical across rounds, so the
         # JVM codegen cache hits instead of recompiling every round
         # (BENCH §6 item 1; the commit props dict is driver-side only).
-        fetch_log = parsed.select(
+        fetch_log = enriched.select(
             "scraping_id",
             "url",
             "round",
-            F.when(F.col("ok"), F.lit(200))
+            F.when(F.col("not_modified"), F.lit(304))
+            .when(F.col("ok"), F.lit(200))
             .when(F.col("transient"), F.lit(503))
             .when(F.col("location").isNotNull(), F.lit(301))
             .otherwise(F.lit(404))
@@ -777,16 +837,28 @@ class CrawlEngine:
                 .select("scraping_id", "user_id", "url", "depth", "round")
             )
 
-        ok = parsed.filter("ok")
+        # summary computed ONCE here, shared by the pages writer and the
+        # gram indexer (they used to re-evaluate the same expression —
+        # now identical by construction). 304 rows reuse the stored
+        # summary AND null-mask the summarizer's input, so no provider
+        # (JVM or pandas-UDF) does per-row work on unchanged content.
+        ok = enriched.filter("ok").withColumn(
+            "summary",
+            F.when(F.col("not_modified"), F.col("prior_summary")).otherwise(
+                F.when(
+                    (F.length("content") > 0) & F.lit(cfg.summarizer_enabled),
+                    self._summarize(
+                        F.when(~F.col("not_modified"), F.col("content"))
+                    ),
+                )
+            ),
+        )
 
         pages = ok.select(
             "scraping_id",
             "url",
             "content",
-            F.when(
-                (F.length("content") > 0) & F.lit(cfg.summarizer_enabled),
-                self._summarize("content"),
-            ).alias("summary"),
+            "summary",
             "round",
         )
 
@@ -1103,15 +1175,11 @@ class CrawlEngine:
             # incremental substring (n-gram) index: distinct content +
             # summary grams per page under the same (round, term_bucket)
             # layout — rollback/compaction ride the postings machinery.
-            # The summary expression is re-evaluated off the cached `ok`
-            # blocks, identical to the pages writer's column. INVARIANT:
-            # this requires a DETERMINISTIC summarizer — true for every
-            # provider this environment ships (mock = constant JVM
-            # expression, so the re-eval is free; network providers =
-            # constant fallback). A real nondeterministic LLM provider
-            # must instead build grams from the COMMITTED pages rows
-            # (read-back after the pages future completes) or the gram
-            # index can index a different summary than pages stores.
+            # `summary` is the SAME column expression the pages writer
+            # selects (computed once on `ok`), evaluated off the cached
+            # parsed blocks — grams can never index a different summary
+            # than pages stores, even for a nondeterministic provider,
+            # because both read one expression tree over one cache.
             from ..sources.postings import build_grams, write_postings
 
             src = ok.select(
@@ -1120,10 +1188,7 @@ class CrawlEngine:
                 "user_id",
                 "round",
                 "content",
-                F.when(
-                    (F.length("content") > 0) & F.lit(cfg.summarizer_enabled),
-                    self._summarize("content"),
-                ).alias("summary"),
+                "summary",
             )
             write_postings(
                 build_grams(
@@ -1283,6 +1348,8 @@ class CrawlEngine:
         )
         scheduled.unpersist()
         parsed.unpersist()
+        if cond_latest is not None:
+            cond_latest.unpersist()
         new_urls.unpersist()
         for df in to_unpersist:
             df.unpersist()
