@@ -5634,3 +5634,123 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return lbl.select(F.col("id").alias("node_id"), F.col("label").alias("community"))
+
+
+# ===========================================================================
+# Cohort retention + integer-exact trend regression — the product-
+# analytics pair every events warehouse serves
+# ===========================================================================
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+    ),
+    first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+    SELECT f.cohort_week,
+           e.week - f.cohort_week AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM e JOIN first f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by their FIRST active
+    week (the cohort), counted again in every later week at offset k —
+    the churn/stickiness readout. All integer arithmetic (absolute
+    epoch-weeks, ms floor-division), so the engines agree exactly.
+
+    Scale shape: one user-keyed aggregate (min week), one user-keyed
+    equi-join back (co-partitioned — same key, AQE reuses the
+    exchange), one (cohort, offset) count-distinct. No windows, no
+    per-user state machine; user_id is the only shuffle key until the
+    final small rollup."""
+    events = load(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.floor(ntz_epoch_ms(F.col("ts")) / F.lit(604800000)).alias("week"),
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "events_trend_ols",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts)
+                  - epoch_ms(TIMESTAMP '2024-01-01') AS HUGEINT) AS t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(t) AS sx, sum(cents) AS sy,
+             sum(t * cents) AS sxy, sum(t * t) AS sxx
+      FROM b GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 864000.0
+             AS slope_per_day
+    FROM s
+    """,
+)
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend (value per DAY) with the normal
+    equations kept in EXACT integer arithmetic until one final double
+    division: time is ms since a fixed baseline (small offsets keep
+    t*t inside 128 bits), value is exact cents via DECIMAL(18,2), and
+    the moment sums ride DECIMAL(38,0) in Spark / HUGEINT in DuckDB —
+    the same integerization discipline as lm_bigram_familiarity.
+    slope = (n*sxy - sx*sy)/(n*sxx - sx^2); x864000 converts cents/ms
+    to value-units/day.
+
+    Scale shape: ONE columnar pass — five map-side-combined partial
+    sums per (partition, type), a shuffle of O(|types|) rows, zero
+    joins/windows. This is the streaming-friendly form of regression
+    (the moment sums are mergeable, so the same aggregate serves an
+    incremental foreachBatch fold)."""
+    events = load(spark, sf_dir, "events")
+    d19 = "decimal(19,0)"
+    b = events.select(
+        "event_type",
+        (
+            ntz_epoch_ms(F.col("ts"))
+            - ntz_epoch_ms(F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .cast(d19)
+        .alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast(d19)
+        .alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    s = b.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("t").cast(d38).alias("sx"),
+        F.sum("cents").cast(d38).alias("sy"),
+        F.sum((F.col("t") * F.col("cents")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("t") * F.col("t")).cast(d38)).cast(d38).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38)
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38)
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (num.cast("double") / den.cast("double") * F.lit(864000.0)).alias(
+            "slope_per_day"
+        ),
+    )
