@@ -2278,7 +2278,13 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a real watermarked stream-stream interval join — Spark's state
     pruning bounds both sides by the watermark; end state == this batch
     result (pinned)."""
-    events = load(spark, sf_dir, "events")
+    _purchases, pairs = _attribution_binned(load(spark, sf_dir, "events"))
+    return pairs
+
+
+def _attribution_binned(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The binned attribution plan, shared by the inner and left-outer
+    variants: returns (purchases, matched pairs)."""
     hour = lambda c: F.floor(c / F.lit(3_600_000))  # noqa: E731
     views = events.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
@@ -2298,7 +2304,7 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return (
+    pairs = (
         binned_p.join(
             views,
             on=[
@@ -2314,6 +2320,52 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_ms") - F.col("v_ms")).alias("gap_ms"),
         )
     )
+    return purchases, pairs
+
+
+@query(
+    "events_attribution_left",
+    """
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 3600000
+    """,
+)
+def events_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER attribution: every purchase, paired with each view of
+    the same user in the prior hour — or a NULL view row if none
+    exists (the unattributed-conversion report; inner-join attribution
+    silently hides exactly the purchases a marketer most wants to see).
+
+    Plan: the binned inner pairs (shared with events_attribution_join)
+    UNION one NULL row per unmatched purchase via a left ANTI join on
+    purchase_id — the standard decomposition that keeps the outer
+    semantics while the expensive pairing stays a bucketed equi-join
+    (a direct left-outer over the EXPLODED purchase side would emit
+    one null per bucket, not per purchase). Scale: anti join is
+    purchase-keyed, broadcast-able when matches are sparse.
+
+    The STREAMING twin (tests/test_streaming.py) is a real watermarked
+    stream-stream LEFT OUTER interval join: Spark emits the NULL rows
+    only once the watermark passes a purchase's join window — the test
+    appends a future flush sentinel so the finite stream's end state
+    equals this batch result exactly."""
+    events = load(spark, sf_dir, "events")
+    purchases, pairs = _attribution_binned(events)
+    unmatched = (
+        purchases.join(pairs, "purchase_id", "left_anti")
+        .select(
+            "purchase_id",
+            F.lit(None).cast("long").alias("view_id"),
+            F.lit(None).cast("long").alias("gap_ms"),
+        )
+    )
+    return pairs.unionByName(unmatched)
 
 
 @query(

@@ -578,3 +578,107 @@ def test_stream_stream_attribution_join(spark, sf_small, event_stream_dir, tmp_p
         for r in events_attribution_join(spark, sf_small).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_attribution(
+    spark, sf_small, event_stream_dir, tmp_path
+):
+    """Real watermarked stream-stream LEFT OUTER interval join ==
+    events_attribution_left. Outer (NULL-view) rows only materialize
+    once the watermark passes a purchase's join window, so the fixture
+    appends a FLUSH sentinel 2000h past the data (filtered out of both
+    join sides — its only job is to advance the watermark): without it,
+    a finite stream ends with every unmatched purchase still parked in
+    state and the outer rows never emit."""
+    import glob
+    import shutil
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.dataset_queries import (
+        events_attribution_left,
+        ntz_epoch_ms,
+    )
+
+    d = tmp_path / "stream_flush"
+    d.mkdir()
+    for f in sorted(glob.glob(f"{event_stream_dir}/chunk*.parquet")):
+        shutil.copy(f, d / f.split("/")[-1])
+    max_ts = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    flush_ts = datetime.fromtimestamp(max_ts.timestamp() + 2000 * 3600)
+    spark.createDataFrame(
+        [(10**9, flush_ts, 0, "flush", 0.0, None)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "zz_flush"))
+    for i, f in enumerate(glob.glob(str(d / "zz_flush" / "*.parquet"))):
+        shutil.move(f, d / "zzchunk_flush.parquet")
+    shutil.rmtree(d / "zz_flush")
+
+    stream = read_event_stream(spark, str(d))
+    # the sentinel must flow THROUGH both watermark operators (a row
+    # filtered out below withWatermark never advances it) — and the
+    # purchase-side trim must predicate ON the watermark column:
+    # Catalyst pushes watermark-column-free filters (e.g. by event_id)
+    # BELOW EventTimeWatermark, which silently drops the sentinel
+    # before the operator whose watermark it exists to advance (found
+    # the hard way; the min-policy then pins the global watermark to
+    # the stale side forever and no outer row ever emits)
+    views = (
+        stream.filter("event_type IN ('view', 'flush')")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1000 hours")
+    )
+    purchases = (
+        stream.filter("event_type IN ('purchase', 'flush')")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1000 hours")
+        .filter(F.col("p_ts") <= F.lit(max_ts))
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "v_user = p_user AND v_ts <= p_ts "
+            "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "view_id",
+        (ntz_epoch_ms(F.col("p_ts")) - ntz_epoch_ms(F.col("v_ts"))).alias(
+            "gap_ms"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_left")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attr_left"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.purchase_id, r.view_id, r.gap_ms)
+        for r in spark.table("attr_left").collect()
+    )
+    want = sorted(
+        (r.purchase_id, r.view_id, r.gap_ms)
+        for r in events_attribution_left(spark, sf_small).collect()
+    )
+    assert got == want
+    n_outer = sum(1 for _, v, _ in got if v is None)
+    assert n_outer > 0 and n_outer < len(got)  # both outer & inner rows
