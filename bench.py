@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     # shuffles + a pair-keyed join) and the iterative graph centrality
     "lm_bigram_familiarity",
     "hits_hub_authority",
+    # r5 session 5: the two-pass Misra-Gries sketch (mapInPandas pass 1
+    # + broadcast-candidate exact pass 2) and the deletion-index join
+    "heavy_hitters",
+    "symspell_fuzzy_pairs",
 ]
 
 

@@ -5806,3 +5806,167 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_per_day"
         ),
     )
+
+
+# ===========================================================================
+# Boilerplate detection — per-site template text identified by within-host
+# document frequency (the corpus-prep step before dedup/quality)
+# ===========================================================================
+
+
+@query(
+    "boilerplate_detection",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 25 AS host,
+             string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, host, ws[i] || ' ' || ws[i + 1] AS gram
+      FROM d, unnest(range(1, len(ws))) AS r(i)
+    ),
+    hostn AS (SELECT host, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1),
+    df AS (
+      SELECT host, gram, count(*) AS hdf FROM g GROUP BY 1, 2
+    ),
+    boiler AS (
+      SELECT df.host, df.gram
+      FROM df JOIN hostn USING (host)
+      WHERE df.hdf * 2 > hostn.n_docs
+    )
+    SELECT g.doc_id, g.host,
+           count(*) AS n_grams,
+           CAST(count(b.gram) AS BIGINT) AS n_boiler
+    FROM g LEFT JOIN boiler b ON b.host = g.host AND b.gram = g.gram
+    GROUP BY 1, 2
+    """,
+)
+def boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate text per synthetic site (host = doc_id %
+    25): a bigram is BOILERPLATE for a host when it appears in a
+    strict majority of that host's documents (hdf * 2 > n_docs —
+    integer guard, no float threshold); each document then reports its
+    distinct-bigram count and how many of those are boilerplate — the
+    input to the nav/footer-stripping step every web corpus runs
+    before dedup and quality scoring (re-used template text otherwise
+    dominates near-dup signatures and poisons quality ratios).
+
+    Scale shape: explode → per-doc DISTINCT (one gram-keyed shuffle
+    with map-side combine) → (host, gram) document-frequency aggregate
+    → join back on the same (host, gram) key, so AQE reuses the
+    exchange; everything is keyed by gram/host — no all-pairs, no
+    per-host collect. The within-host df is the classic boilerplate
+    statistic (line-level in CCNet; bigram-level here keeps the oracle
+    exact)."""
+    docs = load(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 25).alias("host"),
+            F.explode(word_ngrams(words(F.col("text")), 2)).alias("gram"),
+        )
+        .distinct()
+    )
+    hostn = g.groupBy("host").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df = g.groupBy("host", "gram").agg(F.count("*").alias("hdf"))
+    boiler = (
+        df.join(hostn, "host")
+        .filter(F.col("hdf") * 2 > F.col("n_docs"))
+        .select("host", "gram", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        g.join(boiler, ["host", "gram"], "left")
+        .groupBy("doc_id", "host")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+
+
+@query(
+    "warc_cdx_index",
+    r"""
+    WITH rec AS (
+      SELECT doc_id, doc_id % 16 AS warc_file,
+             'http://warc.test/doc' || doc_id AS url,
+             'HTTP/1.1 200 OK' || e'\r\n' || 'Content-Type: text/html'
+               || e'\r\n\r\n' || text AS http,
+             text
+      FROM documents
+    ),
+    full_rec AS (
+      SELECT doc_id, warc_file, url,
+             'WARC/1.0' || e'\r\n' || 'WARC-Type: response' || e'\r\n'
+             || 'WARC-Target-URI: ' || url || e'\r\n'
+             || 'WARC-Date: 2026-01-01T00:00:00Z' || e'\r\n'
+             || 'WARC-Record-ID: <urn:md5:' || md5(url) || '>' || e'\r\n'
+             || 'Content-Type: application/http; msgtype=response' || e'\r\n'
+             || 'Content-Length: ' || CAST(strlen(http) AS VARCHAR)
+             || e'\r\n\r\n' || http || e'\r\n\r\n' AS r,
+             sha256(text) AS digest
+      FROM rec
+    )
+    SELECT 'test,warc)/doc' || doc_id AS urlkey,
+           url, warc_file,
+           CAST(coalesce(sum(strlen(r)) OVER (
+             PARTITION BY warc_file ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS rec_offset,
+           CAST(strlen(r) AS BIGINT) AS rec_length,
+           digest
+    FROM full_rec
+    """,
+)
+def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDX index for warc_roundtrip's synthesized WARC files: one
+    row per record with its container file, BYTE offset, byte length
+    and payload sha256 — the (urlkey, file, offset, length, digest)
+    tuple web archives use for random access (a CDX hit seeks straight
+    to the record; no file scan). Offsets are a per-file prefix sum of
+    serialized record lengths in concatenation (doc_id) order — pure
+    window arithmetic over the SAME JVM serializer expression the
+    roundtrip uses, so a byte-slice at (offset, length) is exactly the
+    record (pinned byte-for-byte in tests/test_warc.py). urlkey is the
+    SURT form of the fixed-host URL space.
+
+    Scale shape: building CDX alongside the WARC write costs one
+    window over data already partitioned by file — each partition's
+    prefix sum is local (partitionBy = the file), no extra shuffle
+    beyond the file grouping the writer needs anyway; lookups then hit
+    a sorted, bucketable (urlkey → file, offset) table instead of
+    scanning archives."""
+    from .sources.warc import warc_records_col
+
+    docs = load(spark, sf_dir, "documents")
+    rec = warc_records_col(
+        F.concat(F.lit("http://warc.test/doc"), F.col("doc_id")),
+        F.col("text"),
+    )
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("warc_file"),
+        F.concat(F.lit("http://warc.test/doc"), F.col("doc_id")).alias("url"),
+        F.octet_length(rec).cast("bigint").alias("rec_length"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+    )
+    w = (
+        Window.partitionBy("warc_file")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        F.concat(F.lit("test,warc)/doc"), F.col("doc_id")).alias("urlkey"),
+        "url",
+        "warc_file",
+        F.coalesce(F.sum("rec_length").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("rec_offset"),
+        "rec_length",
+        "digest",
+    )
