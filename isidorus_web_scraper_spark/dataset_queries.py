@@ -5970,3 +5970,144 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_length",
         "digest",
     )
+
+
+# ===========================================================================
+# Multi-dimensional OLAP surface: CUBE grouping sets + PIVOT — the two
+# reshaping operators a reporting layer asks of an analytics engine
+# ===========================================================================
+
+
+@query(
+    "orders_cube",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           o_orderpriority AS priority,
+           CAST(grouping(year(o_orderdate)) * 2
+                + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (order year, priority): all four grouping sets —
+    cells, both one-dimension margins, and the grand total — in ONE
+    aggregate. gid (the grouping_id bitmask) disambiguates a margin
+    row from a hypothetical NULL dimension value, same encoding in
+    both engines (bit 2 = year rolled up, bit 1 = priority).
+
+    Scale shape: Spark expands CUBE internally (Expand node: 4 rows
+    per input row) then runs a single hash aggregate — map-side
+    partial aggregation collapses the expansion before the shuffle, so
+    the wire carries O(distinct cells), not 4x|orders|; one shuffle
+    for all four groupings vs four separate scans. Money sums ride
+    DECIMAL(18,2) so margins are exact in both engines."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .cube("order_year", "priority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "events_hourly_pivot",
+    """
+    SELECT hour(ts) AS hour_of_day,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'error') AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'view') AS n_view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event-type count matrix via the DataFrame PIVOT
+    operator — the long-to-wide reshape every reporting layer needs.
+    The pivot VALUES are passed explicitly (the five types), which is
+    the scale rule: without them Spark first runs a distinct scan to
+    discover columns AND the output schema becomes data-dependent —
+    with them it is one groupBy(hour) aggregate with five conditional
+    counts, exactly the plan the oracle's FILTER clauses describe.
+    Missing cells surface as 0, not NULL (count semantics)."""
+    events = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        events.select(F.hour("ts").alias("hour_of_day"), "event_type")
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "hour_of_day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+@query(
+    "training_shards",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM t
+    )
+    SELECT CAST((rk - 1) % 16 AS BIGINT) AS shard,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM r GROUP BY 1
+    """,
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: docs ranked by token count
+    (ties by doc_id) and dealt round-robin across 16 shards — the
+    "sorted snake" dealing that keeps per-shard token totals within
+    one max-doc of each other without sequential bin-packing; output
+    is the per-shard manifest a trainer's data loader consumes.
+
+    Scale shape: the global sort LOOKS like the bottleneck but is a
+    rank-only pass over (doc_id, n_tokens) pairs — 16 bytes/doc, never
+    the text; at 10^10 docs that's a ~160 GB range-partitioned sort of
+    a projection, after which the shard id is a pure mod and the
+    actual payload moves AT MOST once, partitioned by shard. (The
+    fully-sortless alternative — hash dealing — loses the balance
+    guarantee; this is the standard tradeoff, made explicit here.)"""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("n_tokens")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    )
+    return (
+        t.withColumn("shard", ((rk - 1) % 16).cast("bigint"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
