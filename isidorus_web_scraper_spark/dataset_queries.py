@@ -5453,17 +5453,29 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mg_partition(batches):
         acc: dict = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for term, c in pdf["term"].value_counts().items():
                 acc[term] = acc.get(term, 0) + int(c)
             if len(acc) > k:
                 kth = sorted(acc.values(), reverse=True)[k]
                 acc = {t: c - kth for t, c in acc.items() if c > kth}
-        if acc:
-            yield pd.DataFrame({"term": list(acc)})
+        # one NULL-term row carries the partition's row count, so the
+        # global n rides pass 1 instead of costing a third corpus scan
+        # (review finding, round 5 session 5)
+        if seen:
+            yield pd.DataFrame(
+                {"term": list(acc) + [None], "pn": [0] * len(acc) + [seen]}
+            )
 
-    candidates = grams.mapInPandas(mg_partition, "term string").distinct()
-    total = grams.agg(F.count("*").alias("n"))
+    summaries = grams.mapInPandas(
+        mg_partition, "term string, pn long"
+    ).localCheckpoint(eager=True)  # <= k+1 rows/partition; scanned twice
+    candidates = summaries.filter(F.col("term").isNotNull()).select(
+        "term"
+    ).distinct()
+    total = summaries.agg(F.sum("pn").alias("n"))
     return (
         grams.join(F.broadcast(candidates), "term")
         .groupBy("term")
@@ -5551,7 +5563,11 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = events.select(
         "event_type",
         (hash_c % 128).alias("register"),
-        (hash_c / F.lit(128)).cast("bigint").alias("rest"),
+        # shiftright IS hash // 128 for the non-negative 60-bit hash —
+        # a `/` here would round-trip through double (53-bit mantissa)
+        # and flip rho at power-of-two boundaries vs the oracle's exact
+        # integer division (review finding, round 5 session 5)
+        F.shiftright(hash_c, 7).alias("rest"),
     )
     reg = h.groupBy("event_type", "register").agg(
         F.max(

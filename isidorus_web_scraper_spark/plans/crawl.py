@@ -749,12 +749,17 @@ class CrawlEngine:
             # latest stored copy per refetched URL (any scraping): the
             # probe carries only (url, hash, summary) — never cached
             # page content — and is semi-joined to THIS round's URLs
-            # before the latest-pick window, so its size is bounded by
-            # the round, not the table. Production refinement: persist
-            # a content_hash column in `pages` and bucket by url hash
-            # so the probe prunes to touched buckets (corpus_store's
-            # shape); here the hash is computed on read.
-            stored = self.wh.read("pages").select(
+            # BEFORE the hash projection (Catalyst collapses projections
+            # but never reorders a Project below a Join above it, so a
+            # sha2-then-join shape would read and hash every stored body
+            # each round; join-then-sha2 bounds the hashed bytes by the
+            # round — review finding, round 5 session 5). Production
+            # refinement: persist a content_hash column in `pages` and
+            # bucket by url hash so the probe prunes to touched buckets
+            # (corpus_store's shape); here the hash is computed on read.
+            stored = self.wh.read("pages").join(
+                parsed.filter("ok").select("url").distinct(), "url"
+            ).select(
                 "url",
                 F.sha2(F.col("content"), 256).alias("prior_hash"),
                 F.col("summary").alias("prior_summary"),
@@ -762,7 +767,7 @@ class CrawlEngine:
                 F.col("scraping_id").alias("prior_scraping"),
             )
             cond_latest = (
-                stored.join(parsed.filter("ok").select("url").distinct(), "url")
+                stored
                 .withColumn(
                     "rn",
                     F.row_number().over(
@@ -837,19 +842,31 @@ class CrawlEngine:
                 .select("scraping_id", "user_id", "url", "depth", "round")
             )
 
-        # summary computed ONCE here, shared by the pages writer and the
-        # gram indexer (they used to re-evaluate the same expression —
-        # now identical by construction). 304 rows reuse the stored
-        # summary AND null-mask the summarizer's input, so no provider
-        # (JVM or pandas-UDF) does per-row work on unchanged content.
+        # summary computed ONCE here as a single expression shared by
+        # the pages writer and the gram indexer. NOTE this is one
+        # expression over one cache, but the two writers are separate
+        # JOBS that each re-evaluate it above the cached blocks — so a
+        # genuinely NONDETERMINISTIC summarizer provider still needs
+        # grams built from committed pages rows (read-back); every
+        # provider this environment ships is deterministic (mock =
+        # constant JVM expr, network = constant fallback).
+        #
+        # 304 reuse gate: reuse needs a summary to actually EXIST in
+        # the stored copy (prior crawl may have run with the summarizer
+        # disabled — unchanged content must not pin its summary to NULL
+        # forever); empty content legitimately summarizes to NULL, so
+        # reusing NULL there is exact. Reused rows NULL-mask the
+        # summarizer's input, so no provider (JVM or pandas-UDF) does
+        # per-row work on unchanged content.
+        reuse = F.col("not_modified") & (
+            F.col("prior_summary").isNotNull() | (F.length("content") == 0)
+        )
         ok = enriched.filter("ok").withColumn(
             "summary",
-            F.when(F.col("not_modified"), F.col("prior_summary")).otherwise(
+            F.when(reuse, F.col("prior_summary")).otherwise(
                 F.when(
                     (F.length("content") > 0) & F.lit(cfg.summarizer_enabled),
-                    self._summarize(
-                        F.when(~F.col("not_modified"), F.col("content"))
-                    ),
+                    self._summarize(F.when(~reuse, F.col("content"))),
                 )
             ),
         )
@@ -1177,9 +1194,13 @@ class CrawlEngine:
             # layout — rollback/compaction ride the postings machinery.
             # `summary` is the SAME column expression the pages writer
             # selects (computed once on `ok`), evaluated off the cached
-            # parsed blocks — grams can never index a different summary
-            # than pages stores, even for a nondeterministic provider,
-            # because both read one expression tree over one cache.
+            # parsed blocks. INVARIANT (unchanged from the pre-refactor
+            # shape): this write is a separate JOB from the pages write,
+            # so the expression is re-EVALUATED even though it is no
+            # longer re-STATED — a nondeterministic summarizer provider
+            # must instead build grams from the COMMITTED pages rows
+            # (read-back after the pages future completes). True for no
+            # provider this environment ships.
             from ..sources.postings import build_grams, write_postings
 
             src = ok.select(

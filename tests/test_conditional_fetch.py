@@ -110,3 +110,45 @@ def test_new_urls_still_200_and_get_summarized(spark, tmp_path):
     )
     assert new_summary == "RECOMPUTED"  # fresh page went through the UDF
     assert acc.value >= 1
+
+
+def test_304_does_not_pin_missing_summary(spark, tmp_path):
+    # crawl 1 stores pages WITHOUT summaries (summarizer disabled);
+    # an unchanged-content recrawl must still COMPUTE them — reuse
+    # requires a stored summary to exist (review finding, r5 s5)
+    wh = str(tmp_path / "wh")
+    first = CrawlEngine(
+        spark,
+        wh,
+        resolver=make_resolver(n_hosts=4),
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            default_budget=1_000_000_000,
+            summarizer_enabled=False,
+        ),
+    )
+    first.start([(1, 1, page_url(0, 0), 1)])
+    first.run()
+    assert all(
+        r.summary is None for r in first.wh.read("pages").collect()
+    )
+
+    second = _engine(spark, wh, conditional=True)
+    acc, second._summarize = _counting_summarizer(spark)
+    second.start([(2, 1, page_url(0, 0), 1)])
+    second.run()
+    log2 = {
+        r.url: r.status
+        for r in second.wh.read("fetch_log")
+        .filter(F.col("scraping_id") == 2)
+        .collect()
+    }
+    assert all(s == 304 for s in log2.values())  # content IS unchanged
+    pages2 = [
+        r.summary
+        for r in second.wh.read("pages")
+        .filter(F.col("scraping_id") == 2)
+        .collect()
+    ]
+    assert pages2 and all(s == "RECOMPUTED" for s in pages2)
+    assert acc.value >= len(pages2)
