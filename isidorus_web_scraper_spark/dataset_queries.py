@@ -6127,3 +6127,74 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n_days,
+             sum(n_events) AS sx,
+             sum(n_events * n_events) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           (s.n_days * d.n_events - s.sx)
+             * (s.n_days * d.n_events - s.sx) AS z_num,
+           4 * (s.n_days * s.sxx - s.sx * s.sx) AS z_den
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE (s.n_days * d.n_events - s.sx)
+            * (s.n_days * d.n_events - s.sx)
+          > 4 * (s.n_days * s.sxx - s.sx * s.sx)
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry anomaly detection: daily event counts per type whose
+    z-score exceeds 2, decided ENTIRELY in integers — z² > 4 rewrites
+    to (n·x − Σx)² > 4·(n·Σxx − Σx²) (both sides integer products of
+    counts), so no engine ever computes a mean, a variance, or a
+    square root and the flagged set is bit-identical by construction.
+    The z_num/z_den witnesses ride along so a consumer can rank by
+    severity without re-deriving the moments. This is the alerting
+    query a crawl operator runs over fetch_log/metrics telemetry
+    (error spikes, throughput collapses); expressed over events so the
+    oracle pins it.
+
+    Scale shape: one (type, day) count aggregate (map-side combined),
+    one tiny per-type moment rollup broadcast back onto the daily
+    frame — two shuffles of rollup-sized frames; the raw events shuffle
+    once. Counts at 10^10 rows still fit bigint (squares of daily
+    counts ≤ (10^10)² need DECIMAL — at that scale cast the moment
+    arithmetic to DECIMAL(38,0) exactly like events_trend_ols)."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sxx"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    z_num = (
+        (F.col("n_days") * F.col("n_events") - F.col("sx"))
+        * (F.col("n_days") * F.col("n_events") - F.col("sx"))
+    )
+    z_den = 4 * (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        j.filter(z_num > z_den)
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "n_events",
+            z_num.alias("z_num"),
+            z_den.alias("z_den"),
+        )
+    )
