@@ -6198,3 +6198,64 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             z_den.alias("z_den"),
         )
     )
+
+
+@query(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    f AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk,
+             sum(c) OVER () AS total
+      FROM f
+    ),
+    ks AS (SELECT unnest([8, 16, 24]) AS k)
+    SELECT ks.k,
+           sum(CASE WHEN r.rk <= ks.k THEN r.c ELSE 0 END) AS covered,
+           CAST(max(r.total) AS BIGINT) AS total_tokens
+    FROM r, ks
+    GROUP BY ks.k
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary sizing: corpus token coverage of the top-k
+    frequency-ranked vocabulary at k = 8/16/24 (the coverage curve that
+    decides how large a vocab must be before <unk> rates are
+    acceptable). Ties rank deterministically by (count desc, term).
+    Counts stay integers end to end; the consumer divides covered /
+    total_tokens itself.
+
+    Scale shape: one token-keyed count aggregate, then ranking a frame
+    whose size is |vocab| (already tiny relative to the corpus — the
+    entire point of the curve) — the global sort never touches the
+    corpus; the k-fan-out is a 3-row broadcast cross join. Same
+    discipline as training_shards: sort the projection, not the
+    payload."""
+    docs = load(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(words(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    r = f.select(
+        "c",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("t"))
+        ).alias("rk"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(24))).alias("k")
+    )
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+            .alias("covered"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+        )
+    )
