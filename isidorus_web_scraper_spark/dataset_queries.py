@@ -6259,3 +6259,394 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("bigint").alias("total_tokens"),
         )
     )
+
+def _kcore_sql(k: int = 5, max_rounds: int = 12) -> str:
+    """Bounded k-core peeling as unrolled CTE rounds (same generated-
+    oracle pattern as _pagerank_sql). Both engines run the SAME round
+    cap, so results agree even if some scale needed more rounds.
+    MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    round references the previous alive set three times — un-
+    materialized, the scan tree grows 3^rounds and exhausts fds."""
+    rounds = []
+    for r in range(1, max_rounds + 1):
+        rounds.append(
+            f"""deg{r} AS MATERIALIZED (
+      SELECT s.v, count(*) AS c FROM sym s
+      JOIN alive{r - 1} x ON x.doc_id = s.v
+      JOIN alive{r - 1} y ON y.doc_id = s.w
+      GROUP BY s.v
+    ),
+    rm{r} AS MATERIALIZED (
+      SELECT a.doc_id FROM alive{r - 1} a
+      LEFT JOIN deg{r} d ON d.v = a.doc_id
+      WHERE coalesce(d.c, 0) < {k}
+    ),
+    alive{r} AS MATERIALIZED (
+      SELECT doc_id FROM alive{r - 1}
+      EXCEPT SELECT doc_id FROM rm{r}
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    removed = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {r} AS removed_round FROM rm{r}"
+        for r in range(1, max_rounds + 1)
+    )
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    gen AS (
+      SELECT doc_id AS src, (doc_id * doc_id + 1) % n AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, ((doc_id * doc_id % n) * doc_id + 2) % n
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (2 * doc_id + 1) % n FROM documents, nn
+      UNION ALL
+      SELECT doc_id,
+             16 * (((doc_id // 16) + s.s) % (n // 16))
+      FROM documents, nn, (SELECT unnest([1, 2, 3, 4, 5]) AS s) s
+      WHERE doc_id % 16 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM gen WHERE src <> dst
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ),
+    alive0 AS MATERIALIZED (SELECT doc_id FROM documents),
+    {chain},
+    removed AS (
+      {removed}
+    )
+    SELECT d.doc_id,
+           CAST(r.removed_round AS BIGINT) AS removed_round,
+           r.doc_id IS NULL AS in_core
+    FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
+    """
+
+
+@query("kcore_linkfarm", _kcore_sql())
+def kcore_linkfarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm detection by k-core peeling (k=5): repeatedly delete
+    nodes of live-degree < k; what survives is the maximal subgraph
+    where everyone keeps >= k live neighbours — the classic web-spam
+    signal (dense mutual-link farms survive, organic periphery peels
+    away shell by shell). The graph plants exactly that: three
+    quadratic-collision generators give a heavy-tailed organic layer
+    that cascades over ~9-10 peel rounds, plus a circulant "farm"
+    (every 16th doc linked to its next five farm neighbours, internal
+    degree 10) that the peel can never touch. Output per node: the
+    peel round that removed it (NULL = core member) — the shell index,
+    which pins the full cascade order, not just the final core.
+
+    Both engines run the SAME bounded round cap (12; observed fixpoint
+    is 9-10 at sf 0.001-0.1), so results agree by construction even
+    before convergence; Spark additionally early-exits on an empty
+    peel round.
+
+    Scale shape: per round one hash agg over the LIVE symmetric edge
+    list + two left-anti joins that shrink it — the edge frame only
+    ever gets smaller, O(rounds) shuffles total, per-round
+    localCheckpoint bounds lineage exactly like dedup_clusters'
+    pointer-jumping loop. No window, no global sort; the removal-round
+    union is `rounds` checkpointed fragments. At crawl scale the same
+    loop runs on the real host link graph (cube overflow note: the
+    cubic generator is testdata-only)."""
+    docs = load(spark, sf_dir, "documents")
+    nn = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(nn))
+    did = F.col("doc_id")
+    gens = [
+        (did * did + 1) % F.col("n"),
+        ((did * did % F.col("n")) * did + 2) % F.col("n"),
+        (2 * did + 1) % F.col("n"),
+    ]
+    gen = None
+    for g in gens:
+        part = base.select(did.alias("src"), g.alias("dst"))
+        gen = part if gen is None else gen.unionAll(part)
+    farm = (
+        base.filter(did % 16 == 0)
+        .select(
+            did.alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("s"),
+            F.col("n"),
+        )
+        .select(
+            "src",
+            (
+                16
+                * ((F.expr("src div 16") + F.col("s")) % F.expr("n div 16"))
+            ).alias("dst"),
+        )
+    )
+    gen = gen.unionAll(farm)
+    edges = (
+        gen.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return _kcore_peel(edges, docs.select("doc_id"), k=5, max_rounds=12)
+
+
+def _kcore_peel(
+    edges: DataFrame, nodes: DataFrame, k: int, max_rounds: int
+) -> DataFrame:
+    """The peeling loop, separated so tests can drive crafted graphs
+    (cliques, chains, stars) against a brute-force Python peeler.
+    ``edges`` is the distinct undirected pair list (a < b); returns one
+    row per node: (doc_id, removed_round, in_core)."""
+    sym = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    alive = nodes.select("doc_id").localCheckpoint(eager=True)
+    removed: DataFrame | None = None
+    for r in range(1, max_rounds + 1):
+        deg = sym.groupBy("v").agg(F.count("*").alias("c"))
+        rm = (
+            alive.join(deg, alive["doc_id"] == deg["v"], "left")
+            .filter(F.coalesce(F.col("c"), F.lit(0)) < k)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        if rm.isEmpty():
+            break
+        tagged = rm.select(
+            "doc_id", F.lit(r).cast("bigint").alias("removed_round")
+        )
+        removed = tagged if removed is None else removed.unionByName(tagged)
+        alive = alive.join(rm, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        sym = (
+            sym.join(rm.withColumnRenamed("doc_id", "v"), "v", "left_anti")
+            .join(rm.withColumnRenamed("doc_id", "w"), "w", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if removed is None:
+        removed = nodes.select(
+            "doc_id", F.lit(None).cast("bigint").alias("removed_round")
+        ).limit(0)
+    return (
+        nodes.select("doc_id")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "removed_round",
+            F.col("removed_round").isNull().alias("in_core"),
+        )
+    )
+
+
+@query(
+    "events_gapfill",
+    """
+    WITH h AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS hour_idx FROM events
+    ),
+    c AS (
+      SELECT event_type, hour_idx, count(*) AS n_events
+      FROM h GROUP BY event_type, hour_idx
+    ),
+    span AS (
+      SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
+      FROM h GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1)) AS hour_idx
+      FROM span
+    )
+    SELECT g.event_type, g.hour_idx,
+           CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events,
+           c.hour_idx IS NULL AS is_gap
+    FROM grid g LEFT JOIN c
+      ON c.event_type = g.event_type AND c.hour_idx = g.hour_idx
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: a dense per-type hourly
+    grid from each type's first to last observed hour, missing hours
+    emitted as explicit zero rows (is_gap marks them) — the
+    regularization every downstream window/trend/anomaly consumer
+    assumes, done once here instead of NULL-handling everywhere.
+    Hours are zone-free integer epoch-hour indexes (ntz_epoch_ms div
+    3.6e6 ≙ epoch_ms // 3600000), so no engine ever interprets a
+    timestamp.
+
+    Scale shape: the grid is generated from a types-sized span frame
+    (sequence+explode — O(types × span_hours) rows, data-independent
+    of event count), then one left join against the hourly rollup on
+    (type, hour). No window, no global sort; the only event-sized
+    shuffle is the rollup itself. A sparse 100-TB event table gapfills
+    in grid-size memory."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.floor(ntz_epoch_ms(F.col("ts")) / F.lit(3_600_000)).alias(
+            "hour_idx"
+        ),
+    )
+    c = h.groupBy("event_type", "hour_idx").agg(
+        F.count("*").alias("n_raw")
+    )
+    span = h.groupBy("event_type").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_idx"),
+    )
+    return grid.join(c, ["event_type", "hour_idx"], "left").select(
+        "event_type",
+        "hour_idx",
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n_raw").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             epoch_ms(ts) AS ts_ms
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, state, ts_ms,
+             sum(CASE WHEN prev IS NULL OR prev <> state THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, island, min(state) AS state,
+             min(ts_ms) AS valid_from_ms,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM m GROUP BY user_id, island
+    )
+    SELECT user_id, state, valid_from_ms,
+           lead(valid_from_ms)
+             OVER (PARTITION BY user_id ORDER BY island) AS valid_to_ms,
+           n_events,
+           lead(valid_from_ms)
+             OVER (PARTITION BY user_id ORDER BY island) IS NULL
+             AS is_current
+    FROM g
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event-type stream into validity intervals — a new interval opens
+    only when the state CHANGES (gaps-and-islands: lag-change flag →
+    running-sum island id → per-island min/count), valid_to chains to
+    the next interval's valid_from, the open interval is is_current.
+    This is the standard dimension-table construction every warehouse
+    repaints from an event log. Interval bounds are zone-free integer
+    epoch-ms; (ts, event_id) breaks ordering ties deterministically.
+
+    Scale shape: user_id is the ONLY shuffle key — both windows and
+    the island rollup partition by it (one exchange, reused thrice by
+    Catalyst); per-user sort width is that user's event count, never
+    global. The island id needs no join-back: the running sum rides
+    the same sorted pass that detected the change."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        ntz_epoch_ms(F.col("ts")).alias("ts_ms"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    m = o.select(
+        "user_id",
+        "state",
+        "ts_ms",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("state")), 1
+            ).otherwise(0)
+        )
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("island"),
+    )
+    g = m.groupBy("user_id", "island").agg(
+        F.min("state").alias("state"),
+        F.min("ts_ms").alias("valid_from_ms"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    iw = Window.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("valid_from_ms").over(iw)
+    return g.select(
+        "user_id",
+        "state",
+        "valid_from_ms",
+        nxt.alias("valid_to_ms"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "autocomplete_prefix",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    f AS (
+      SELECT t AS term, count(*) AS c FROM toks
+      WHERE length(t) >= 3 GROUP BY t
+    ),
+    r AS (
+      SELECT substr(term, 1, 3) AS prefix, term, CAST(c AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY substr(term, 1, 3)
+                                ORDER BY c DESC, term) AS rnk
+      FROM f
+    )
+    SELECT prefix, rnk, term, c FROM r WHERE rnk <= 3
+    """,
+)
+def autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-ahead completion index: the top-3 corpus completions per
+    3-char prefix, ranked (count desc, term) — the edge-n-gram index a
+    search box queries on every keystroke (search-as-you-type's
+    server-side table, built offline like OpenSearch's edge-ngram
+    analyzer). Tokens shorter than the prefix are excluded.
+
+    Scale shape: the corpus-sized work is one token-count hash agg;
+    the rank window partitions the |vocab|-sized count frame by
+    prefix (tiny groups, never the corpus). Generalizing to
+    all-prefix-lengths is an explode over 1..len — output stays
+    vocab-bounded. Serving is a broadcast-sized lookup table."""
+    docs = load(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(words(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pw = Window.partitionBy("prefix").orderBy(
+        F.col("c").desc(), F.col("term")
+    )
+    return (
+        f.select(F.substring("term", 1, 3).alias("prefix"), "term", "c")
+        .withColumn("rnk", F.row_number().over(pw).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("prefix", "rnk", "term", "c")
+    )
