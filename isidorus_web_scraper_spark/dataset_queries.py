@@ -6650,3 +6650,277 @@ def autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("prefix", "rnk", "term", "c")
     )
+
+@query(
+    "events_rfm",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT user_id,
+             (SELECT max(ms) FROM p) - max(ms) AS rec_ms,
+             count(*) AS frequency,
+             sum(cents) AS monetary
+      FROM p GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id,
+             rec_ms // 86400000 AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency,
+             CAST(monetary AS BIGINT) AS monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY rec_ms DESC, user_id)
+                  AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id)
+                  AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id)
+                  AS BIGINT) AS m_score
+      FROM u
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                ELSE 'other' END AS segment
+    FROM s
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events: per-user
+    recency (whole days since last purchase, measured from the
+    dataset's last purchase so the query is reproducible), frequency,
+    and exact-cents monetary (DECIMAL(18,2)→cents, integer sums —
+    float summation order can differ between engines, integer sums
+    cannot), then quintile scores via ntile(5) with a user_id
+    tie-break (ntile assigns identical bucket boundaries in both
+    engines given a total order) and the classic segment labels.
+
+    Scale shape: events collapse to ONE user-sized frame in a single
+    hash agg; the three ntile windows globally sort that frame, not
+    the events (users ≪ events — and at 100-TB user counts the
+    quintile cut-points come from approx_percentile instead, scores by
+    broadcast range lookup; this exact ntile is the calibration
+    oracle, same contract as events_value_percentiles)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ntz_epoch_ms(F.col("ts")).alias("ms"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(19,0)")
+        .alias("cents"),
+    )
+    mx = p.agg(F.max("ms").alias("mx"))
+    u = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ms").alias("last_ms"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.col("mx") - F.col("last_ms")).alias("rec_ms"),
+            "frequency",
+            "monetary",
+        )
+    )
+    s = u.select(
+        "user_id",
+        F.expr("rec_ms div 86400000").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary").cast("bigint").alias("monetary_cents"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec_ms").desc(), F.col("user_id")))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").asc(), F.col("user_id")))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("r_score") >= 4, "recent")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .otherwise("other")
+    )
+    return s.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
+
+
+@query(
+    "ab_test_zprop",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+        CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+             AS HUGEINT) AS x0,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+             AS HUGEINT) AS x1
+      FROM u
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+           CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           CAST((x0 * n1 - x1 * n0) * (x0 * n1 - x1 * n0) * (n0 + n1)
+                AS BIGINT) AS z_num,
+           CAST((x0 + x1) * (n0 + n1 - x0 - x1) * n0 * n1
+                AS BIGINT) AS z_den,
+           (x0 * n1 - x1 * n0) * (x0 * n1 - x1 * n0) * (n0 + n1)
+             > 4 * (x0 + x1) * (n0 + n1 - x0 - x1) * n0 * n1
+             AS significant
+    FROM v
+    """,
+)
+def ab_test_zprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment (variant = user_id
+    parity, conversion = any purchase): z² > 4 (|z| > 2, ~95%) decided
+    ENTIRELY in integers by cross-multiplication —
+    (x0·n1 − x1·n0)²·N > 4·x·(N−x)·n0·n1 with x = x0+x1, N = n0+n1 —
+    no pooled-rate division, no sqrt, so the verdict is bit-identical
+    across engines (same discipline as events_anomaly_zscore, extended
+    to the two-sample statistic). z_num/z_den witnesses ride along for
+    effect-size ranking. Intermediates ride DECIMAL(38,0) ≙ HUGEINT
+    ((x·n)²·N needs ~84 bits at 10^6-user experiments; int64 would
+    wrap silently).
+
+    Scale shape: one user-keyed conversion agg (events collapse
+    map-side), then a single conditional-aggregate rollup to ONE row —
+    no join between variants, no second pass."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    d38 = "decimal(38,0)"
+    v = u.select(
+        (F.col("user_id") % 2).alias("variant"), "converted"
+    ).agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast(d38)
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast(d38)
+        .alias("x0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast(d38)
+        .alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast(d38)
+        .alias("x1"),
+    )
+    diff = F.col("x0") * F.col("n1") - F.col("x1") * F.col("n0")
+    n = F.col("n0") + F.col("n1")
+    x = F.col("x0") + F.col("x1")
+    z_num = diff * diff * n
+    z_den = x * (n - x) * F.col("n0") * F.col("n1")
+    return v.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("x0").cast("bigint").alias("x0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("x1").cast("bigint").alias("x1"),
+        z_num.cast("bigint").alias("z_num"),
+        z_den.cast("bigint").alias("z_den"),
+        (z_num > 4 * z_den).alias("significant"),
+    )
+
+
+@query(
+    "documents_profile",
+    """
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           min(lang), max(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(count(*) - count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           min(source), max(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           CAST(count(*) - count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'text_len', count(*),
+           CAST(count(*) - count(text) AS BIGINT),
+           CAST(count(DISTINCT length(text)) AS BIGINT),
+           CAST(min(length(text)) AS VARCHAR),
+           CAST(max(length(text)) AS VARCHAR)
+    FROM documents
+    """,
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling rollup — the quality report every ingestion run
+    stamps before data is trusted: per column (and derived text
+    length) row count, null count, distinct count, min/max (stringified
+    so the long format has one schema; bigint→string renders
+    identically in both engines, character min/max is binary collation
+    in both). The text column itself is profiled by LENGTH, not value,
+    so the report stays bounded.
+
+    Scale shape: ONE pass — all five profiles are conditional
+    aggregates of the same scan (Catalyst caches the exchange across
+    the union branches; count(DISTINCT) expands to per-column
+    partial-distinct map-side). No row ever leaves as output; the
+    report is O(columns)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def prof(name: str, col: Column, nullsrc: Column) -> DataFrame:
+        return docs.agg(
+            F.lit(name).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(nullsrc)).cast("bigint").alias("n_null"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        )
+    out = prof("doc_id", F.col("doc_id"), F.col("doc_id"))
+    for name, c in [
+        ("lang", F.col("lang")),
+        ("source", F.col("source")),
+        ("n_chars", F.col("n_chars")),
+    ]:
+        out = out.unionByName(prof(name, c, c))
+    return out.unionByName(
+        prof("text_len", F.length("text"), F.col("text"))
+    )
