@@ -6924,3 +6924,202 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(
         prof("text_len", F.length("text"), F.col("text"))
     )
+
+# ---------------------------------------------------------------------------
+# TPC-H-style OLAP over the dimension tables (region/nation/supplier/
+# part were otherwise unused inputs)
+# ---------------------------------------------------------------------------
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation from orders
+    where the customer and the line's supplier share a nation, one
+    region, one order year — the canonical star-schema join chain
+    (region→nation→customer→orders→lineitem→supplier).
+
+    Scale shape: region/nation/supplier are BROADCAST (the classic
+    dim-table move — no shuffle for 3 of the 5 joins); the only big
+    shuffles are fact-sized: orders⋈customer on custkey and
+    lineitem⋈orders on orderkey, both with the date filter pushed to
+    the orders scan (year prune) and the same-nation predicate applied
+    as a join condition, not a post-filter. Revenue sums ride
+    DECIMAL(18,4) exactly; the one double cast is the final render
+    (same convention as top_orders_by_revenue)."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    cn = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n.n_nationkey,
+    )
+    oc = o.join(cn, o.o_custkey == cn.c_custkey)
+    lo = li.join(oc, li.l_orderkey == oc.o_orderkey)
+    los = lo.join(
+        F.broadcast(s),
+        (s.s_suppkey == lo.l_suppkey) & (s.s_nationkey == lo.c_nationkey),
+    )
+    return los.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+    SELECT EXTRACT(year FROM l_shipdate) * 100
+             + EXTRACT(month FROM l_shipdate) AS ship_month,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000
+                AS BIGINT) AS promo_rev_x10000,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) * 10000
+                AS BIGINT) AS total_rev_x10000
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): per ship month, promo-part revenue
+    vs total revenue — reported as exact x10000 integer witnesses (the
+    consumer divides; shipping the ratio itself would put a float
+    division's ulps between the engines). Months are zone-free
+    year*100+month ints from the NTZ ship date.
+
+    Scale shape: ONE fact-sized join (lineitem⋈part on partkey, part
+    BROADCAST — at 100 TB part is ~200M rows ≈ a few GB, still under
+    the executor broadcast budget; beyond that it becomes the shuffle
+    side of an AQE-chosen join) + one month-keyed rollup whose
+    conditional promo sum rides the same pass. No second scan for the
+    denominator."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("ship_month")
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("promo_rev_x10000"),
+            (F.sum(rev) * 10000).cast("bigint").alias("total_rev_x10000"),
+        )
+    )
+
+@query(
+    "term_drift_chi2",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS snap,
+             unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT t,
+             CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS a,
+             CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS b
+      FROM toks GROUP BY t
+    ),
+    tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM f)
+    SELECT t AS term,
+           CAST(a AS BIGINT) AS cnt_a, CAST(b AS BIGINT) AS cnt_b
+    FROM f, tot
+    WHERE (ta + tb) * (a * (tb - b) - b * (ta - a))
+                    * (a * (tb - b) - b * (ta - a))
+          > 4 * (a + b) * (ta - a + tb - b) * ta * tb
+    """,
+)
+def term_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift detection between two corpus slices (here: the
+    English slice vs the rest — in production, consecutive crawl
+    snapshots): per term a 2x2 chi-square with cells (a, A−a, b, B−b),
+    flagged when chi² > 4, decided ENTIRELY by integer
+    cross-multiplication — N·(a·d − b·c)² > 4·(a+b)(c+d)·A·B — the
+    two-sample drift monitor every distribution-shift alarm wants,
+    bit-identical across engines (no expected-count division, no
+    float). Intermediates ride DECIMAL(38,0) ≙ HUGEINT (the squared
+    product wraps int64 beyond ~10^5-token slices); at true web scale
+    the statistic switches to double — this exact twin calibrates it.
+
+    Scale shape: one token-keyed count agg (conditional sums fold both
+    slices in the same pass — no per-slice scan, no join between
+    slices), then a 1-row broadcast of the totals onto the vocab-sized
+    frame. Output is only the drifted terms."""
+    docs = load(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    toks = docs.select(
+        F.when(F.col("lang") == "en", 0).otherwise(1).alias("snap"),
+        F.explode(words(F.col("text"))).alias("t"),
+    )
+    f = toks.groupBy("t").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast(d38)
+        .alias("a"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast(d38)
+        .alias("b"),
+    )
+    tot = f.agg(
+        F.sum("a").cast(d38).alias("ta"), F.sum("b").cast(d38).alias("tb")
+    )
+    j = f.crossJoin(F.broadcast(tot))
+    diff = F.col("a") * (F.col("tb") - F.col("b")) - F.col("b") * (
+        F.col("ta") - F.col("a")
+    )
+    num = (F.col("ta") + F.col("tb")) * diff * diff
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("ta") - F.col("a") + F.col("tb") - F.col("b"))
+        * F.col("ta")
+        * F.col("tb")
+    )
+    return j.filter(num > 4 * den).select(
+        F.col("t").alias("term"),
+        F.col("a").cast("bigint").alias("cnt_a"),
+        F.col("b").cast("bigint").alias("cnt_b"),
+    )
