@@ -252,6 +252,10 @@ class CrawlConfig:
     # LLM/recompute work, which at 100 TB recrawls dominates). Off by
     # default: it adds one pages probe join per round.
     conditional_fetch: bool = False
+    # seed from robots.txt `Sitemap:` directives at host discovery
+    # (requires discover_robots; locs enter the normal claims pipeline
+    # attributed to the host's introducing frontier row at depth-1)
+    sitemap_seeding: bool = False
     # transient-outage injector (tests/chaos): a boolean SQL expression
     # over (url, round, ...) evaluated on the resolved frame; rows where
     # it is FALSE are treated as fetch failures (status 503) even though
@@ -314,6 +318,11 @@ class CrawlEngine:
         # when the sizing implies a GB-scale driver sketch AND a
         # sharded layout exists to persist; driver otherwise. The
         # resolved value is what every later check sees.
+        if self.config.sitemap_seeding and not self.config.discover_robots:
+            raise ValueError(
+                "sitemap_seeding requires discover_robots (sitemaps are "
+                "found via the robots.txt probe)"
+            )
         if self.config.sketch_store == "auto":
             self.config.sketch_store = (
                 "warehouse"
@@ -476,14 +485,40 @@ class CrawlEngine:
             "left",
         )
 
+    @staticmethod
+    def _payload_text(resolved: DataFrame):
+        """RAW text of a resolved payload row — the corpus-agnostic
+        read used by the robots and sitemap probes (html corpora carry
+        the file verbatim; span corpora refold text spans in document
+        order)."""
+        if "html" in resolved.columns:
+            return F.col("html")
+        return F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            "\n",
+        )
+
     # ----------------------------------------------------------- robots
-    def _discover_robots(self, frontier: DataFrame, round_no: int) -> None:
+    def _discover_robots(
+        self, frontier: DataFrame, round_no: int
+    ) -> DataFrame | None:
         """Probe http://<host>/robots.txt for hosts not yet probed (the
         `robots` table records every outcome, 404s included, so each
         host is probed exactly once per warehouse — resume-safe). Runs
         at the START of the round so a host's rules apply to its very
         first fetch, like a real crawler; the reference has no robots
         handling at all (page_fetcher.go:14-20).
+
+        With ``sitemap_seeding`` on, returns the sitemap-discovered
+        frontier candidates for this round's NEW hosts (columns match
+        the link-candidate shape; run_round unions them into the same
+        first-wins + seen-anti-join claims pipeline, so sitemap entries
+        dedup against spidered links for free). Probe-once-per-host
+        falls out of the robots gate: a host's sitemaps are only ever
+        read in the round that first probed it.
 
         Steady-state cost: the probed-host set is driver-resident
         (loaded ONCE per engine) and the previous round's wall already
@@ -513,7 +548,7 @@ class CrawlEngine:
             } - self._robots_probed
         cand.discard(None)
         if not cand:
-            return
+            return None
         to_fetch = self.spark.createDataFrame(
             [(h,) for h in sorted(cand)], "host string"
         ).select(
@@ -523,23 +558,13 @@ class CrawlEngine:
             ),
         )
         resolved = self._resolve_payload(to_fetch)
-        if "html" in resolved.columns:
-            # raw-text corpus: the payload IS the robots file
-            txt = F.col("html")
-        else:
-            # span corpus: refold the text spans in document order
-            txt = F.array_join(
-                F.transform(
-                    F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
-                    lambda s: s["text"],
-                ),
-                "\n",
-            )
+        txt = self._payload_text(resolved)
         from ..functions.robots import politeness_from_robots
 
         raw = resolved.select(
             "host", txt.alias("robots_txt"), F.lit(round_no).alias("round")
         ).persist()
+        sm_cands: DataFrame | None = None
         try:
             self.wh.append("robots", raw, {"round": round_no})
             # parse ONCE, at discovery, only for this round's new hosts —
@@ -549,9 +574,103 @@ class CrawlEngine:
                 raw.filter(F.col("robots_txt").isNotNull())
             ).withColumn("round", F.lit(round_no))
             self.wh.append("robots_rules", rules, {"round": round_no})
+            if self.config.sitemap_seeding:
+                sm_cands = self._seed_from_sitemaps(raw, frontier, round_no)
         finally:
             raw.unpersist()
         self._robots_probed |= cand
+        return sm_cands
+
+    def _seed_from_sitemaps(
+        self, raw: DataFrame, frontier: DataFrame, round_no: int
+    ) -> DataFrame | None:
+        """Turn the newly-probed hosts' ``Sitemap:`` directives into
+        frontier candidates: fetch each advertised sitemap through the
+        SAME corpus machinery as pages, recurse ONE level into
+        <sitemapindex> shards (the 50k-URL protocol cap shape), and
+        attribute every <loc> to the introducing frontier row — the
+        host's min-scraping_id row, at that row's depth − 1, exactly as
+        if the loc were a link parsed from it (a depth-0 introducer
+        seeds nothing, like the link depth gate). Loc extraction is a
+        lenient regexp, not strict xpath: a real crawler must survive
+        malformed XML and a sitemap URL that resolves to an HTML page
+        (the standalone sitemap_parse queries keep the strict-xpath
+        form; this is the fault-tolerant engine path).
+
+        Scale: runs only on new-host rounds; two bounded fetch-joins
+        (sitemaps, then index children) + one regexp explode,
+        checkpointed once so the claims stage never re-joins the
+        corpus. The candidates then ride the normal claims pipeline —
+        sitemap floods dedup/claim like any link burst."""
+        from ..functions.robots import robots_sitemaps
+        from ..functions.url import host_col
+
+        loc_re = F.lit(r"<loc>\s*([^<\s]+)\s*</loc>")
+
+        def locs_of(xml_df: DataFrame) -> DataFrame:
+            return xml_df.select(
+                "host",
+                F.col("url").alias("sitemap_url"),
+                F.explode(
+                    F.regexp_extract_all(F.col("xml"), loc_re, F.lit(1))
+                ).alias("loc"),
+            )
+
+        sm_urls = robots_sitemaps(raw).select(
+            "host", F.col("sitemap_url").alias("url")
+        )
+        lvl1 = self._resolve_payload(sm_urls)
+        lvl1 = lvl1.select(
+            "host", "url", self._payload_text(lvl1).alias("xml")
+        ).filter(F.col("xml").isNotNull())
+        l1 = locs_of(lvl1)
+        # <sitemapindex> locs name CHILD SITEMAPS, not pages: fetch and
+        # parse them; <urlset> locs are the page seeds directly
+        is_idx = F.col("xml").contains("<sitemapindex")
+        pages1 = l1.join(
+            lvl1.filter(~is_idx).select("host", F.col("url").alias("sitemap_url")),
+            ["host", "sitemap_url"],
+        )
+        children = l1.join(
+            lvl1.filter(is_idx).select("host", F.col("url").alias("sitemap_url")),
+            ["host", "sitemap_url"],
+        ).select("host", F.col("loc").alias("url"))
+        lvl2 = self._resolve_payload(children)
+        lvl2 = lvl2.select(
+            "host", "url", self._payload_text(lvl2).alias("xml")
+        ).filter(F.col("xml").isNotNull())
+        locs = (
+            pages1.unionByName(locs_of(lvl2))
+            .filter(F.col("loc").startswith("http"))  # P4, same as links
+            .localCheckpoint(eager=True)  # claims must not re-join corpus
+        )
+        # introducer: the host's min-scraping_id frontier row; its max
+        # remaining depth (FIFO parity with link claims), user constant
+        # per scraping
+        fh = frontier.select(
+            "scraping_id",
+            "user_id",
+            "depth",
+            host_col("url").alias("host"),
+        )
+        mins = fh.groupBy("host").agg(F.min("scraping_id").alias("scraping_id"))
+        intro = (
+            fh.join(mins, ["host", "scraping_id"])
+            .groupBy("host", "scraping_id")
+            .agg(F.max("user_id").alias("user_id"), F.max("depth").alias("depth"))
+        )
+        return (
+            locs.join(intro, "host")
+            .filter(F.col("depth") > 0)  # depth gate (P6)
+            .select(
+                "scraping_id",
+                "user_id",
+                F.lit(round_no).alias("round"),
+                F.col("sitemap_url").alias("parent_url"),
+                (F.col("depth") - 1).alias("child_depth"),
+                F.col("loc").alias("url"),
+            )
+        )
 
     def _politeness_for_round(self) -> DataFrame:
         """The scheduler's config = user-provided politeness (wins per
@@ -594,9 +713,10 @@ class CrawlEngine:
         if urls_in is None:
             urls_in = frontier.count()
         pol = self.politeness
+        sm_cands: DataFrame | None = None
         if cfg.discover_robots:
             with self._timed("robots discovery"):
-                self._discover_robots(frontier, round_no)
+                sm_cands = self._discover_robots(frontier, round_no)
             pol = self._politeness_for_round()
         if cfg.detect_traps:
             # URL-space explosions become hard robots blocks BEFORE the
@@ -991,6 +1111,10 @@ class CrawlEngine:
                 )
                 .filter(F.col("url").startswith("http"))
             )
+        if sm_cands is not None:
+            # sitemap-discovered seeds (new-host rounds only) claim
+            # through the same first-wins + anti-join as spidered links
+            candidates = candidates.unionByName(sm_cands)
         # intra-round first-wins: FIFO parity = earliest-discovered parent
         # wins ⇒ max remaining depth; provenance = min parent (deterministic
         # aggregate, never dropDuplicates — SURVEY.md §7 hard-parts)
