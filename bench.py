@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     # + broadcast-candidate exact pass 2) and the deletion-index join
     "heavy_hitters",
     "symspell_fuzzy_pairs",
+    # r5 session 6: the bounded iterative peel (k-core, ~10 driver-
+    # gated rounds over a shrinking edge frame) and the 5-way
+    # broadcast-dim star join (TPC-H Q5 shape)
+    "kcore_linkfarm",
+    "local_supplier_volume",
 ]
 
 
