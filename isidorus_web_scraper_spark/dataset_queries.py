@@ -6260,6 +6260,78 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# The deterministic undirected "web" graph shared by kcore_linkfarm and
+# graph_bfs_levels: three quadratic-collision generators (heavy-tailed
+# organic layer) + a circulant farm over every 16th doc (planted dense
+# subgraph, internal degree 10). SQL twin of _linkgraph_edges.
+_LINKGRAPH_SQL_CTES = """nn AS (SELECT count(*) AS n FROM documents),
+    gen AS (
+      SELECT doc_id AS src, (doc_id * doc_id + 1) % n AS dst
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, ((doc_id * doc_id % n) * doc_id + 2) % n
+      FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (2 * doc_id + 1) % n FROM documents, nn
+      UNION ALL
+      SELECT doc_id,
+             16 * (((doc_id // 16) + s.s) % (n // 16))
+      FROM documents, nn, (SELECT unnest([1, 2, 3, 4, 5]) AS s) s
+      WHERE doc_id % 16 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM gen WHERE src <> dst
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS v, b AS w FROM edges
+      UNION ALL SELECT b, a FROM edges
+    )"""
+
+
+def _linkgraph_edges(docs: DataFrame) -> DataFrame:
+    """Spark twin of _LINKGRAPH_SQL_CTES' ``edges``: the distinct
+    undirected pair list (a < b), checkpointed (it feeds iterative
+    loops)."""
+    nn = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(nn))
+    did = F.col("doc_id")
+    gens = [
+        (did * did + 1) % F.col("n"),
+        ((did * did % F.col("n")) * did + 2) % F.col("n"),
+        (2 * did + 1) % F.col("n"),
+    ]
+    gen = None
+    for g in gens:
+        part = base.select(did.alias("src"), g.alias("dst"))
+        gen = part if gen is None else gen.unionAll(part)
+    farm = (
+        base.filter(did % 16 == 0)
+        .select(
+            did.alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("s"),
+            F.col("n"),
+        )
+        .select(
+            "src",
+            (
+                16
+                * ((F.expr("src div 16") + F.col("s")) % F.expr("n div 16"))
+            ).alias("dst"),
+        )
+    )
+    gen = gen.unionAll(farm)
+    return (
+        gen.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def _kcore_sql(k: int = 5, max_rounds: int = 12) -> str:
     """Bounded k-core peeling as unrolled CTE rounds (same generated-
     oracle pattern as _pagerank_sql). Both engines run the SAME round
@@ -6292,29 +6364,7 @@ def _kcore_sql(k: int = 5, max_rounds: int = 12) -> str:
         for r in range(1, max_rounds + 1)
     )
     return f"""
-    WITH nn AS (SELECT count(*) AS n FROM documents),
-    gen AS (
-      SELECT doc_id AS src, (doc_id * doc_id + 1) % n AS dst
-      FROM documents, nn
-      UNION ALL
-      SELECT doc_id, ((doc_id * doc_id % n) * doc_id + 2) % n
-      FROM documents, nn
-      UNION ALL
-      SELECT doc_id, (2 * doc_id + 1) % n FROM documents, nn
-      UNION ALL
-      SELECT doc_id,
-             16 * (((doc_id // 16) + s.s) % (n // 16))
-      FROM documents, nn, (SELECT unnest([1, 2, 3, 4, 5]) AS s) s
-      WHERE doc_id % 16 = 0
-    ),
-    edges AS (
-      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-      FROM gen WHERE src <> dst
-    ),
-    sym AS MATERIALIZED (
-      SELECT a AS v, b AS w FROM edges
-      UNION ALL SELECT b, a FROM edges
-    ),
+    WITH {_LINKGRAPH_SQL_CTES},
     alive0 AS MATERIALIZED (SELECT doc_id FROM documents),
     {chain},
     removed AS (
@@ -6355,43 +6405,7 @@ def kcore_linkfarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop runs on the real host link graph (cube overflow note: the
     cubic generator is testdata-only)."""
     docs = load(spark, sf_dir, "documents")
-    nn = docs.agg(F.count("*").alias("n"))
-    base = docs.crossJoin(F.broadcast(nn))
-    did = F.col("doc_id")
-    gens = [
-        (did * did + 1) % F.col("n"),
-        ((did * did % F.col("n")) * did + 2) % F.col("n"),
-        (2 * did + 1) % F.col("n"),
-    ]
-    gen = None
-    for g in gens:
-        part = base.select(did.alias("src"), g.alias("dst"))
-        gen = part if gen is None else gen.unionAll(part)
-    farm = (
-        base.filter(did % 16 == 0)
-        .select(
-            did.alias("src"),
-            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("s"),
-            F.col("n"),
-        )
-        .select(
-            "src",
-            (
-                16
-                * ((F.expr("src div 16") + F.col("s")) % F.expr("n div 16"))
-            ).alias("dst"),
-        )
-    )
-    gen = gen.unionAll(farm)
-    edges = (
-        gen.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _linkgraph_edges(docs)
     return _kcore_peel(edges, docs.select("doc_id"), k=5, max_rounds=12)
 
 
@@ -7122,4 +7136,260 @@ def term_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("term"),
         F.col("a").cast("bigint").alias("cnt_a"),
         F.col("b").cast("bigint").alias("cnt_b"),
+    )
+
+def _bfs_sql(max_levels: int = 6) -> str:
+    """Multi-source BFS as unrolled MATERIALIZED-CTE frontier rounds
+    over the shared link graph — the same bounded-round contract as
+    _kcore_sql (observed eccentricity from the seed set is 4 at
+    sf 0.001-0.1; cap 6 gives margin and both engines truncate
+    identically if ever exceeded)."""
+    rounds = []
+    for r in range(1, max_levels + 1):
+        rounds.append(
+            f"""lvl{r} AS MATERIALIZED (
+      SELECT DISTINCT s.w AS doc_id FROM sym s
+      JOIN lvl{r - 1} f ON f.doc_id = s.v
+      WHERE s.w NOT IN (SELECT doc_id FROM vis{r - 1})
+    ),
+    vis{r} AS MATERIALIZED (
+      SELECT doc_id FROM vis{r - 1}
+      UNION SELECT doc_id FROM lvl{r}
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    levels = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {r} AS level FROM lvl{r}"
+        for r in range(0, max_levels + 1)
+    )
+    return f"""
+    WITH {_LINKGRAPH_SQL_CTES},
+    lvl0 AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+    ),
+    vis0 AS MATERIALIZED (SELECT doc_id FROM lvl0),
+    {chain},
+    lv AS (
+      {levels}
+    )
+    SELECT d.doc_id, CAST(lv.level AS BIGINT) AS level,
+           lv.doc_id IS NOT NULL AS reached
+    FROM documents d LEFT JOIN lv ON lv.doc_id = d.doc_id
+    """
+
+
+@query("graph_bfs_levels", _bfs_sql())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest-hop levels from a seed set (every
+    97th doc) over the shared link graph — the pure-dataset twin of
+    the crawl engine's frontier loop (level k = "round k of a crawl
+    seeded at the seed set with infinite budget"), and the classic
+    level-synchronous distributed SSSP for unweighted graphs. Output:
+    hop distance per node, NULL/false if unreachable within the cap.
+
+    Scale shape per level: one frontier⋈edges equi-join + one
+    left-anti join against the visited set + distinct — frontier-sized
+    work, never graph-sized; per-level localCheckpoint bounds lineage;
+    driver early-exit on an empty frontier (observed depth 4, cap 6
+    shared with the oracle so truncation agrees by construction).
+    Visited stays distributed (anti-join, not a broadcast set) — the
+    10^10-node path."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    return _bfs_levels(edges, docs.select("doc_id"), seeds, max_levels=6)
+
+
+def _bfs_levels(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    max_levels: int,
+) -> DataFrame:
+    """The frontier loop, separated so tests can drive crafted graphs
+    (chains, disconnected components) with hand-computable levels."""
+    sym = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = seeds.localCheckpoint(eager=True)
+    visited = frontier
+    out = frontier.select(
+        "doc_id", F.lit(0).cast("bigint").alias("level")
+    )
+    for r in range(1, max_levels + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("doc_id", "v"), "v")
+            .select(F.col("w").alias("doc_id"))
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(
+            nxt.select("doc_id", F.lit(r).cast("bigint").alias("level"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        nodes.join(out, "doc_id", "left")
+        .select("doc_id", "level", F.col("level").isNotNull().alias("reached"))
+    )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS src_type, nxt AS dst_type, count(*) AS n
+      FROM o WHERE nxt IS NOT NULL
+      GROUP BY event_type, nxt
+    )
+    SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (PARTITION BY src_type
+                                   ORDER BY n DESC, dst_type)
+                AS BIGINT) AS rnk
+    FROM pairs
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behaviour: per
+    (state, next-state) pair the observed count and the per-state rank
+    — the "what do users do after X" table behind next-action
+    prediction, funnel design, and anomaly-flow detection. Successor
+    pairs come from a per-user lead() over the deterministic
+    (ts, event_id) order (the same total order every sequence operator
+    here uses).
+
+    Scale shape: user_id is the only event-sized shuffle key (one
+    window exchange); pairs collapse to a |states|² frame before the
+    rank window touches anything. Raw counts ship instead of
+    probabilities — the consumer divides by the row margin, keeping
+    the output engine-exact integers."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = o.groupBy(
+        F.col("event_type").alias("src_type"), F.col("nxt").alias("dst_type")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    rw = Window.partitionBy("src_type").orderBy(
+        F.col("n").desc(), F.col("dst_type")
+    )
+    return pairs.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.row_number().over(rw).cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "link_integrity",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT src, dst FROM (
+        SELECT doc_id AS src, (2 * doc_id + 1) % n AS dst
+        FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 7) % n FROM documents, nn
+      ) WHERE src <> dst
+    ),
+    fetched AS (SELECT doc_id FROM documents WHERE doc_id % 8 <> 0),
+    dead AS (
+      SELECT l.src, count(*) AS n_dead
+      FROM links l
+      JOIN fetched f ON f.doc_id = l.src
+      LEFT JOIN fetched t ON t.doc_id = l.dst
+      WHERE t.doc_id IS NULL
+      GROUP BY l.src
+    ),
+    orphan AS (
+      SELECT f.doc_id FROM fetched f
+      WHERE NOT EXISTS (
+        SELECT 1 FROM links l
+        JOIN fetched s ON s.doc_id = l.src
+        WHERE l.dst = f.doc_id
+      )
+    )
+    SELECT f.doc_id % 31 AS host,
+           count(*) AS n_pages,
+           CAST(coalesce(sum(d.n_dead), 0) AS BIGINT) AS n_dead_links,
+           CAST(sum(CASE WHEN o.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM fetched f
+    LEFT JOIN dead d ON d.src = f.doc_id
+    LEFT JOIN orphan o ON o.doc_id = f.doc_id
+    GROUP BY f.doc_id % 31
+    """,
+)
+def link_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-health audit over the crawl's link graph: per host the
+    fetched-page count, DEAD outgoing links (target never fetched —
+    the 404 report) and ORPHAN pages (no inbound link from any fetched
+    page — unreachable except by sitemap/direct entry, the navigation
+    gap report). The two classic webmaster integrity signals, from one
+    link table + one fetched set.
+
+    Scale shape: dead = links semi-joined to fetched sources then
+    LEFT-anti'd on targets (two hash joins keyed by page id, no
+    window); orphans = one NOT EXISTS anti-join on the inbound side;
+    the final rollup is host-keyed. Every join key is the page id —
+    co-partitionable end to end (AQE reuses the exchange)."""
+    docs = load(spark, sf_dir, "documents")
+    nn = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(nn))
+    links = (
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((2 * F.col("doc_id") + 1) % F.col("n")).alias("dst"),
+        )
+        .unionAll(
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((3 * F.col("doc_id") + 7) % F.col("n")).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    fetched = docs.filter(F.col("doc_id") % 8 != 0).select("doc_id")
+    dead = (
+        links.join(fetched.withColumnRenamed("doc_id", "src"), "src")
+        .join(
+            fetched.withColumnRenamed("doc_id", "dst"), "dst", "left_anti"
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("n_dead"))
+    )
+    inbound = (
+        links.join(fetched.withColumnRenamed("doc_id", "src"), "src")
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+    )
+    orphan = fetched.join(inbound, "doc_id", "left_anti").select(
+        "doc_id", F.lit(1).alias("is_orphan")
+    )
+    return (
+        fetched.join(dead, fetched["doc_id"] == dead["src"], "left")
+        .join(orphan, "doc_id", "left")
+        .groupBy((F.col("doc_id") % 31).alias("host"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.coalesce(F.sum("n_dead"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dead_links"),
+            F.sum(F.coalesce(F.col("is_orphan"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
     )
