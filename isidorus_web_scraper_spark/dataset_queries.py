@@ -7393,3 +7393,190 @@ def link_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_orphans"),
         )
     )
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH {_MINHASH_SQL_CTES},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT)
+               AS inter,
+             CAST(len(ga.grams) AS BIGINT) AS len_a,
+             CAST(len(gb.grams) AS BIGINT) AS len_b
+      FROM cands c
+      JOIN shingled ga ON ga.doc_id = c.doc_a
+      JOIN shingled gb ON gb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, inter, len_a, len_b
+    FROM v WHERE inter * 10 >= 9 * least(len_a, len_b)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplication: shingle containment of the smaller
+    doc in the larger (inter / min(|A|,|B|) >= 0.9) over the SAME
+    MinHash-LSH candidates as the Jaccard pipeline — catches
+    quote-expansions, boilerplate-wrapped copies and supersets that
+    symmetric Jaccard under-scores (a doc fully contained in one 3x
+    its size has J ~ 0.33 but containment 1.0; Broder's containment
+    companion to resemblance). The verdict is integer
+    cross-multiplication (inter·10 >= 9·min) — no division ships, the
+    witnesses (inter, len_a, len_b) ride along.
+
+    Scale shape: identical to dedup_lsh_verified_jaccard — banded LSH
+    candidates, never all-pairs; verify joins only candidate rows.
+    (Caveat inherited from MinHash theory: LSH recall is tuned for
+    resemblance, so extreme-size-ratio containments may not surface as
+    candidates; a production superset hunt banding on the SMALL doc's
+    shingles alone raises recall — same plan shape.)"""
+    grams = _doc_grams(spark, sf_dir)
+    cands = _band_pairs(_lsh_bands(grams)).select("doc_a", "doc_b").distinct()
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("bigint")
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            F.size("grams_a").cast("bigint").alias("len_a"),
+            F.size("grams_b").cast("bigint").alias("len_b"),
+        )
+        .filter(
+            F.col("inter") * 10 >= 9 * F.least("len_a", "len_b")
+        )
+    )
+
+@query(
+    "host_graph_reciprocity",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT src, dst FROM (
+        SELECT doc_id AS src, (2 * doc_id + 1) % n AS dst
+        FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 7) % n FROM documents, nn
+      ) WHERE src <> dst
+    ),
+    hl AS (
+      SELECT src % 31 AS sh, dst % 31 AS dh FROM links
+      WHERE src % 31 <> dst % 31
+    )
+    SELECT least(sh, dh) AS host_a, greatest(sh, dh) AS host_b,
+           CAST(sum(CASE WHEN sh < dh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ab,
+           CAST(sum(CASE WHEN sh > dh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ba,
+           sum(CASE WHEN sh < dh THEN 1 ELSE 0 END) > 0
+             AND sum(CASE WHEN sh > dh THEN 1 ELSE 0 END) > 0
+             AS reciprocal
+    FROM hl GROUP BY least(sh, dh), greatest(sh, dh)
+    """,
+)
+def host_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph condensation with reciprocity: collapse
+    the page graph to (host_a, host_b) with BOTH directed link counts
+    on the unordered pair — mutual (reciprocal) host linking is the
+    classic link-exchange/spam-ring signal, and the host graph is what
+    Common-Crawl-scale web analysis actually ships (10^10 pages →
+    10^7 hosts). Cross-host edges only; both directions fold in ONE
+    aggregate via conditional sums on the unordered key (no self-join
+    of the condensed graph to find reciprocal pairs).
+
+    Scale shape: one page-sized projection to host pairs, one hash agg
+    keyed by the unordered pair — output is |hosts|²-bounded. The
+    page-level join disappears entirely: host ids derive from the page
+    id, so condensation is a map, not a join."""
+    docs = load(spark, sf_dir, "documents")
+    nn = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(nn))
+    links = (
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((2 * F.col("doc_id") + 1) % F.col("n")).alias("dst"),
+        )
+        .unionAll(
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((3 * F.col("doc_id") + 7) % F.col("n")).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    hl = links.select(
+        (F.col("src") % 31).alias("sh"), (F.col("dst") % 31).alias("dh")
+    ).filter(F.col("sh") != F.col("dh"))
+    fwd = F.sum(F.when(F.col("sh") < F.col("dh"), 1).otherwise(0))
+    bwd = F.sum(F.when(F.col("sh") > F.col("dh"), 1).otherwise(0))
+    return hl.groupBy(
+        F.least("sh", "dh").alias("host_a"),
+        F.greatest("sh", "dh").alias("host_b"),
+    ).agg(
+        fwd.cast("bigint").alias("n_ab"),
+        bwd.cast("bigint").alias("n_ba"),
+        ((fwd > 0) & (bwd > 0)).alias("reciprocal"),
+    )
+
+
+@query(
+    "events_trigram_paths",
+    """
+    WITH o AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (
+      SELECT e1, e2, e3, count(*) AS n
+      FROM o WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    ),
+    r AS (
+      SELECT e1, e2, e3, CAST(n AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3)
+                  AS BIGINT) AS rnk
+      FROM p
+    )
+    SELECT e1, e2, e3, n, rnk FROM r WHERE rnk <= 20
+    """,
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the 20 most frequent 3-step behaviour paths
+    (second-order extension of events_markov_transitions — first-order
+    chains famously over-predict A→B→A ping-pongs that real journeys
+    don't take). Successor pairs come from two lead() offsets over the
+    same per-user (ts, event_id) total order every sequence operator
+    shares — one window exchange serves both.
+
+    Scale shape: user_id is the only event-sized shuffle; paths
+    collapse to a |states|³-bounded frame before the global rank
+    window touches anything (125 rows here; even 10^3 states is
+    rank-able driver-side)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    p = o.groupBy("e1", "e2", "e3").agg(F.count("*").cast("bigint").alias("n"))
+    rw = Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    return (
+        p.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .select("e1", "e2", "e3", "n", "rnk")
+    )
