@@ -6277,7 +6277,7 @@ _LINKGRAPH_SQL_CTES = """nn AS (SELECT count(*) AS n FROM documents),
       SELECT doc_id,
              16 * (((doc_id // 16) + s.s) % (n // 16))
       FROM documents, nn, (SELECT unnest([1, 2, 3, 4, 5]) AS s) s
-      WHERE doc_id % 16 = 0
+      WHERE doc_id % 16 = 0 AND n >= 16
     ),
     edges AS (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -6305,8 +6305,11 @@ def _linkgraph_edges(docs: DataFrame) -> DataFrame:
     for g in gens:
         part = base.select(did.alias("src"), g.alias("dst"))
         gen = part if gen is None else gen.unionAll(part)
+    # n >= 16 guard: with no farm nodes beyond doc 0, (n // 16) is 0
+    # and the modulus would error in DuckDB (Spark's non-ANSI % 0
+    # yields NULL and silently drops the row — engines must agree)
     farm = (
-        base.filter(did % 16 == 0)
+        base.filter((did % 16 == 0) & (F.col("n") >= 16))
         .select(
             did.alias("src"),
             F.explode(F.sequence(F.lit(1), F.lit(5))).alias("s"),
@@ -6804,9 +6807,9 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
            CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
            CAST((x0 * n1 - x1 * n0) * (x0 * n1 - x1 * n0) * (n0 + n1)
-                AS BIGINT) AS z_num,
+                AS DOUBLE) AS z_num,
            CAST((x0 + x1) * (n0 + n1 - x0 - x1) * n0 * n1
-                AS BIGINT) AS z_den,
+                AS DOUBLE) AS z_den,
            (x0 * n1 - x1 * n0) * (x0 * n1 - x1 * n0) * (n0 + n1)
              > 4 * (x0 + x1) * (n0 + n1 - x0 - x1) * n0 * n1
              AS significant
@@ -6861,8 +6864,12 @@ def ab_test_zprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x0").cast("bigint").alias("x0"),
         F.col("n1").cast("bigint").alias("n1"),
         F.col("x1").cast("bigint").alias("x1"),
-        z_num.cast("bigint").alias("z_num"),
-        z_den.cast("bigint").alias("z_den"),
+        # witnesses render as DOUBLE: the exact 38-digit decimals wrap
+        # BIGINT at ~10^4-10^5 users (review finding), and both engines
+        # round-to-nearest the SAME exact integer, so the doubles are
+        # bit-identical — while the verdict itself stays all-integer
+        z_num.cast("double").alias("z_num"),
+        z_den.cast("double").alias("z_den"),
         (z_num > 4 * z_den).alias("significant"),
     )
 
@@ -6912,32 +6919,40 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both). The text column itself is profiled by LENGTH, not value,
     so the report stays bounded.
 
-    Scale shape: ONE pass — all five profiles are conditional
-    aggregates of the same scan (Catalyst caches the exchange across
-    the union branches; count(DISTINCT) expands to per-column
-    partial-distinct map-side). No row ever leaves as output; the
+    Scale shape: ONE scan — every column's measures live in a single
+    .agg() (the multi-countDistinct plans as one Expand over the same
+    pass, never a re-read; a union of five per-column aggs would scan
+    the table five times — review finding), then stack() pivots the
+    one wide row to the long report. No row ever leaves as output; the
     report is O(columns)."""
     docs = load(spark, sf_dir, "documents")
-
-    def prof(name: str, col: Column, nullsrc: Column) -> DataFrame:
-        return docs.agg(
-            F.lit(name).alias("col_name"),
-            F.count("*").alias("n_rows"),
-            (F.count("*") - F.count(nullsrc)).cast("bigint").alias("n_null"),
-            F.countDistinct(col).cast("bigint").alias("n_distinct"),
-            F.min(col).cast("string").alias("min_val"),
-            F.max(col).cast("string").alias("max_val"),
-        )
-    out = prof("doc_id", F.col("doc_id"), F.col("doc_id"))
-    for name, c in [
+    cols = [
+        ("doc_id", F.col("doc_id")),
         ("lang", F.col("lang")),
         ("source", F.col("source")),
         ("n_chars", F.col("n_chars")),
-    ]:
-        out = out.unionByName(prof(name, c, c))
-    return out.unionByName(
-        prof("text_len", F.length("text"), F.col("text"))
+        ("text_len", F.length("text")),
+    ]
+    aggs = [F.count("*").alias("n_rows")]
+    for name, c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"null_{name}"),
+            F.countDistinct(c).cast("bigint").alias(f"dist_{name}"),
+            F.min(c).cast("string").alias(f"min_{name}"),
+            F.max(c).cast("string").alias(f"max_{name}"),
+        ]
+    wide = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', null_{name}, dist_{name}, min_{name}, max_{name}"
+        for name, _ in cols
     )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col_name, n_null, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
 
 # ---------------------------------------------------------------------------
 # TPC-H-style OLAP over the dimension tables (region/nation/supplier/
@@ -7293,10 +7308,9 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "link_integrity",
-    """
-    WITH nn AS (SELECT count(*) AS n FROM documents),
+# the deterministic DIRECTED page-link table shared by link_integrity
+# and host_graph_reciprocity (2-out generators). SQL twin of _pagelinks.
+_PAGELINKS_SQL_CTES = """nn AS (SELECT count(*) AS n FROM documents),
     links AS (
       SELECT src, dst FROM (
         SELECT doc_id AS src, (2 * doc_id + 1) % n AS dst
@@ -7304,7 +7318,32 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id, (3 * doc_id + 7) % n FROM documents, nn
       ) WHERE src <> dst
-    ),
+    )"""
+
+
+def _pagelinks(docs: DataFrame) -> DataFrame:
+    """Spark twin of _PAGELINKS_SQL_CTES: (src, dst) directed links."""
+    nn = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(nn))
+    return (
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((2 * F.col("doc_id") + 1) % F.col("n")).alias("dst"),
+        )
+        .unionAll(
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((3 * F.col("doc_id") + 7) % F.col("n")).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+@query(
+    "link_integrity",
+    f"""
+    WITH {_PAGELINKS_SQL_CTES},
     fetched AS (SELECT doc_id FROM documents WHERE doc_id % 8 <> 0),
     dead AS (
       SELECT l.src, count(*) AS n_dead
@@ -7347,21 +7386,7 @@ def link_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final rollup is host-keyed. Every join key is the page id —
     co-partitionable end to end (AQE reuses the exchange)."""
     docs = load(spark, sf_dir, "documents")
-    nn = docs.agg(F.count("*").alias("n"))
-    base = docs.crossJoin(F.broadcast(nn))
-    links = (
-        base.select(
-            F.col("doc_id").alias("src"),
-            ((2 * F.col("doc_id") + 1) % F.col("n")).alias("dst"),
-        )
-        .unionAll(
-            base.select(
-                F.col("doc_id").alias("src"),
-                ((3 * F.col("doc_id") + 7) % F.col("n")).alias("dst"),
-            )
-        )
-        .filter(F.col("src") != F.col("dst"))
-    )
+    links = _pagelinks(docs)
     fetched = docs.filter(F.col("doc_id") % 8 != 0).select("doc_id")
     dead = (
         links.join(fetched.withColumnRenamed("doc_id", "src"), "src")
@@ -7460,16 +7485,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "host_graph_reciprocity",
-    """
-    WITH nn AS (SELECT count(*) AS n FROM documents),
-    links AS (
-      SELECT src, dst FROM (
-        SELECT doc_id AS src, (2 * doc_id + 1) % n AS dst
-        FROM documents, nn
-        UNION ALL
-        SELECT doc_id, (3 * doc_id + 7) % n FROM documents, nn
-      ) WHERE src <> dst
-    ),
+    f"""
+    WITH {_PAGELINKS_SQL_CTES},
     hl AS (
       SELECT src % 31 AS sh, dst % 31 AS dh FROM links
       WHERE src % 31 <> dst % 31
@@ -7500,21 +7517,7 @@ def host_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     page-level join disappears entirely: host ids derive from the page
     id, so condensation is a map, not a join."""
     docs = load(spark, sf_dir, "documents")
-    nn = docs.agg(F.count("*").alias("n"))
-    base = docs.crossJoin(F.broadcast(nn))
-    links = (
-        base.select(
-            F.col("doc_id").alias("src"),
-            ((2 * F.col("doc_id") + 1) % F.col("n")).alias("dst"),
-        )
-        .unionAll(
-            base.select(
-                F.col("doc_id").alias("src"),
-                ((3 * F.col("doc_id") + 7) % F.col("n")).alias("dst"),
-            )
-        )
-        .filter(F.col("src") != F.col("dst"))
-    )
+    links = _pagelinks(docs)
     hl = links.select(
         (F.col("src") % 31).alias("sh"), (F.col("dst") % 31).alias("dh")
     ).filter(F.col("sh") != F.col("dh"))

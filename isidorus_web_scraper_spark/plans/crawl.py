@@ -588,10 +588,18 @@ class CrawlEngine:
         frontier candidates: fetch each advertised sitemap through the
         SAME corpus machinery as pages, recurse ONE level into
         <sitemapindex> shards (the 50k-URL protocol cap shape), and
-        attribute every <loc> to the introducing frontier row — the
-        host's min-scraping_id row, at that row's depth − 1, exactly as
-        if the loc were a link parsed from it (a depth-0 introducer
-        seeds nothing, like the link depth gate). Loc extraction is a
+        attribute every <loc> to EVERY scraping with a frontier row on
+        that host this round, at that scraping's max remaining depth −
+        1, exactly as if the loc were a link parsed from its page (a
+        depth-0 introducer seeds nothing, like the link depth gate;
+        per-scraping attribution mirrors the link pipeline, where each
+        scraping claims candidates independently — a min-scraping rule
+        would starve co-tenant scrapings of the host's sitemap pages
+        forever, since the host probes once per warehouse). Resume
+        safety rides the robots rollback: run() drops a partial
+        round's robots commit (_rollback_partial) and invalidates the
+        probed-host cache, so a crash between the robots append and
+        the round's claims re-probes AND re-seeds. Loc extraction is a
         lenient regexp, not strict xpath: a real crawler must survive
         malformed XML and a sitemap URL that resolves to an HTML page
         (the standalone sitemap_parse queries keep the strict-xpath
@@ -644,18 +652,16 @@ class CrawlEngine:
             .filter(F.col("loc").startswith("http"))  # P4, same as links
             .localCheckpoint(eager=True)  # claims must not re-join corpus
         )
-        # introducer: the host's min-scraping_id frontier row; its max
-        # remaining depth (FIFO parity with link claims), user constant
-        # per scraping
-        fh = frontier.select(
-            "scraping_id",
-            "user_id",
-            "depth",
-            host_col("url").alias("host"),
-        )
-        mins = fh.groupBy("host").agg(F.min("scraping_id").alias("scraping_id"))
+        # introducers: EVERY scraping with a frontier row on the host,
+        # each at its own max remaining depth (FIFO parity with link
+        # claims; user constant per scraping)
         intro = (
-            fh.join(mins, ["host", "scraping_id"])
+            frontier.select(
+                "scraping_id",
+                "user_id",
+                "depth",
+                host_col("url").alias("host"),
+            )
             .groupBy("host", "scraping_id")
             .agg(F.max("user_id").alias("user_id"), F.max("depth").alias("depth"))
         )

@@ -74,10 +74,11 @@ def test_sitemap_seeds_unlinked_pages(spark, tmp_path):
         "http://h0.test/orphan1.html",
         "http://h0.test/orphan2.html",
     }
-    # provenance: orphans were claimed via the sitemap URL
-    seen = {
-        r.url: r for r in eng.wh.read("frontier").collect()
-    }
+    # attribution: sitemap locs enter at introducer depth - 1 (the
+    # link rule), on the seeding round's NEXT frontier
+    fr = {r.url: r for r in eng.wh.read("frontier").collect()}
+    for u in ("http://h0.test/orphan1.html", "http://h0.test/orphan2.html"):
+        assert fr[u].depth == 1 and fr[u].scraping_id == 70
     # seeding off (robots discovery still on): orphans unreachable
     eng2 = CrawlEngine(
         spark,
@@ -191,6 +192,41 @@ def test_sitemap_and_link_dedup_single_fetch(spark, tmp_path):
         "http://h0.test/both.html",
     }
     assert len(rows) == 2  # claimed once each, despite two discovery paths
+
+
+def test_cotenant_scrapings_both_get_sitemap_seeds(spark, tmp_path):
+    # two scrapings introduce the same host in the same round: EACH
+    # must receive the sitemap locs (per-scraping claim isolation —
+    # the host probes once, but attribution fans out per scraping)
+    docs = spark.createDataFrame(
+        [
+            (
+                "http://h0.test/robots.txt",
+                "Sitemap: http://h0.test/sitemap.xml\n",
+            ),
+            (
+                "http://h0.test/sitemap.xml",
+                _urlset(["http://h0.test/orphan.html"]),
+            ),
+            ("http://h0.test/p0.html", _html([])),
+            ("http://h0.test/p1.html", _html([])),
+            ("http://h0.test/orphan.html", _html([])),
+        ],
+        "doc_id string, html string",
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "w"), documents=docs, config=_cfg())
+    eng.start(
+        [
+            (80, 1, "http://h0.test/p0.html", 2),
+            (81, 2, "http://h0.test/p1.html", 2),
+        ]
+    )
+    eng.run()
+    by_scraping = {}
+    for r in eng.wh.read("pages").collect():
+        by_scraping.setdefault(r.scraping_id, set()).add(r.url)
+    assert "http://h0.test/orphan.html" in by_scraping[80]
+    assert "http://h0.test/orphan.html" in by_scraping[81]
 
 
 def test_sitemap_seeding_requires_discover_robots(spark, tmp_path):
