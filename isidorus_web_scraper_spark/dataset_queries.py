@@ -7583,3 +7583,124 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("e1", "e2", "e3", "n", "rnk")
     )
+
+@query(
+    "order_priority_sla",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN l.first_ship_ms - epoch_ms(o.o_orderdate)
+                              > 30 * CAST(86400000 AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, min(epoch_ms(l_shipdate)) AS first_ship_ms
+      FROM lineitem GROUP BY l_orderkey
+    ) l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape with the columns this schema has: per order
+    priority, how many orders shipped their FIRST line more than 30
+    days after the order date — the fulfilment-SLA breach report. Day
+    arithmetic is zone-free integer epoch-ms (no date-diff function
+    whose week/day semantics could differ between engines).
+
+    Scale shape: lineitem collapses to one row per order in a
+    map-side-combining min agg BEFORE the join (never join the raw
+    fact then aggregate — at 100 TB that ships every line item through
+    the join shuffle instead of one row per order); then one
+    orderkey-keyed join and a priority-sized rollup."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    first = li.groupBy("l_orderkey").agg(
+        F.min(ntz_epoch_ms(F.col("l_shipdate"))).alias("first_ship_ms")
+    )
+    late = (
+        F.col("first_ship_ms") - ntz_epoch_ms(F.col("o_orderdate"))
+        > 30 * 86_400_000
+    )
+    return (
+        o.join(first, first.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        )
+    )
+
+
+@query(
+    "market_basket_lift",
+    """
+    WITH ol AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_type AS t
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM ol),
+    s1 AS (SELECT t, count(*) AS s FROM ol GROUP BY t),
+    pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b, count(*) AS s_ab
+      FROM ol a JOIN ol b ON a.ok = b.ok AND a.t < b.t
+      GROUP BY a.t, b.t
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.s_ab AS BIGINT) AS support_ab,
+           CAST(sa.s AS BIGINT) AS support_a,
+           CAST(sb.s AS BIGINT) AS support_b,
+           CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+           p.s_ab * nb.n_baskets > sa.s * sb.s AS positive_lift
+    FROM pairs p
+    JOIN s1 sa ON sa.t = p.type_a
+    JOIN s1 sb ON sb.t = p.type_b
+    CROSS JOIN nb
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over orders (baskets = orders, items =
+    part types): pairwise co-occurrence support plus the LIFT verdict
+    decided entirely in integers — lift(A,B) > 1 ⇔ s_ab·N > s_a·s_b,
+    no probability division ever computed; all four witnesses ride
+    along so the consumer can rank by exact rational lift. The
+    association-rule primer every recommender bootstrap runs.
+
+    Scale shape: baskets first collapse to DISTINCT (order, type) —
+    the within-basket pair self-join is keyed on the basket id and its
+    width is bounded by the ITEM-TYPE vocabulary per basket (6 types
+    here; never line-item fan-out). Supports and the basket count ride
+    broadcast-sized frames onto the |types|²-bounded pair table."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    ol = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("t"))
+        .distinct()
+    )
+    nb = ol.agg(F.countDistinct("ok").alias("n_baskets"))
+    s1 = ol.groupBy("t").agg(F.count("*").alias("s"))
+    a = ol.select(F.col("ok"), F.col("t").alias("type_a"))
+    b = ol.select(F.col("ok"), F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("s_ab"))
+    )
+    sa = s1.select(F.col("t").alias("type_a"), F.col("s").alias("sa"))
+    sb = s1.select(F.col("t").alias("type_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("s_ab").cast("bigint").alias("support_ab"),
+            F.col("sa").cast("bigint").alias("support_a"),
+            F.col("sb").cast("bigint").alias("support_b"),
+            F.col("n_baskets").cast("bigint").alias("n_baskets"),
+            (F.col("s_ab") * F.col("n_baskets") > F.col("sa") * F.col("sb"))
+            .alias("positive_lift"),
+        )
+    )
