@@ -7704,3 +7704,139 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("positive_lift"),
         )
     )
+
+@query(
+    "bootstrap_poisson_means",
+    """
+    WITH reps AS (SELECT unnest(generate_series(1, 16)) AS b),
+    w AS (
+      SELECT r.b,
+             CASE WHEN h < 3679 THEN 0
+                  WHEN h < 7358 THEN 1
+                  WHEN h < 9197 THEN 2
+                  WHEN h < 9810 THEN 3
+                  ELSE 4 END AS wt,
+             cents
+      FROM (
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+      ) e, reps r,
+      LATERAL (SELECT ('0x' || substr(md5(r.b::VARCHAR || ':'
+                       || e.event_id::VARCHAR), 1, 15))::BIGINT % 10000
+               AS h) x
+    )
+    SELECT b,
+           CAST(sum(wt * cents) AS BIGINT) AS sum_cents,
+           CAST(sum(wt) AS BIGINT) AS n_resampled
+    FROM w GROUP BY b
+    """,
+)
+def bootstrap_poisson_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED bootstrap: 16 Poisson(1) resample replicates of
+    purchase value in ONE pass — each row contributes to replicate b
+    with weight ~ Poisson(1), drawn deterministically from
+    md5(b:event_id) against the integer-threshold pmf (3679/3679/1839/
+    613/rest out of 10^4 ≙ e^{-1}/k!). Per replicate the integer
+    witnesses (sum_cents, n_resampled) ship; the consumer's replicate
+    means' spread IS the CI. This is the standard way to bootstrap at
+    scale — multinomial resampling needs the global N and a shared
+    draw; Poisson bootstrap needs neither, so it maps cleanly.
+
+    Scale shape: one corpus scan, a 16-way broadcast fan-out BEFORE a
+    map-side-combining agg (the shuffle carries 16 partial rows per
+    task, not 16x the data). Exact cents, no float summation."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    reps = spark.range(1, 17).select(F.col("id").cast("bigint").alias("b"))
+    h = (
+        md5_long(
+            F.concat(
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        % 10000
+    )
+    wt = (
+        F.when(h < 3679, 0)
+        .when(h < 7358, 1)
+        .when(h < 9197, 2)
+        .when(h < 9810, 3)
+        .otherwise(4)
+    )
+    return (
+        e.crossJoin(F.broadcast(reps))
+        .select("b", wt.alias("wt"), "cents")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.sum("wt").cast("bigint").alias("n_resampled"),
+        )
+    )
+
+
+@query(
+    "join_skew_profile",
+    """
+    WITH k AS (
+      SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey
+    ),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c, l_orderkey) AS rn,
+             count(*) OVER () AS nk
+      FROM k
+    )
+    SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS total_rows,
+           CAST(max(c) AS BIGINT) AS max_rows_per_key,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT)
+                         THEN c END) AS BIGINT) AS p99_rows_per_key
+    FROM r
+    """,
+)
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for the fact table's hottest join key
+    (lineitem.l_orderkey): key count, total rows, max and exact
+    nearest-rank p99 rows-per-key — the numbers that decide whether a
+    join needs AQE skew splitting, salting, or nothing (skew factor =
+    max/avg; avg = total_rows/n_keys, the consumer divides the shipped
+    integers). Every serious pipeline profiles this before picking a
+    join strategy; at 10^10 rows a blind shuffle join on a key whose
+    max bucket is 10^6x the median is a straggler factory.
+
+    Scale shape: one map-side-combining count agg collapses the fact
+    table to the KEY frame; the rank window sorts keys, not rows (keys
+    ≪ rows; at extreme key cardinality swap approx_percentile — the
+    exact rank here is its calibration twin, same contract as
+    events_value_percentiles)."""
+    li = load(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    r = k.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "l_orderkey"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nk"),
+    )
+    return r.agg(
+        F.max("nk").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+        F.max("c").cast("bigint").alias("max_rows_per_key"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.99) * F.col("nk")).cast("bigint"),
+                F.col("c"),
+            )
+        )
+        .cast("bigint")
+        .alias("p99_rows_per_key"),
+    )
