@@ -7840,3 +7840,112 @@ def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p99_rows_per_key"),
     )
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    m AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS median_cents
+      FROM med GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, v.cents,
+             abs(v.cents - m.median_cents) AS ad
+      FROM v JOIN m USING (event_type)
+    ),
+    mad_r AS (
+      SELECT event_type, ad,
+             row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad_cents
+      FROM mad_r GROUP BY event_type
+    )
+    SELECT d.event_type, m.median_cents, mad.mad_cents,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(CASE WHEN d.ad * 10 > 74 * mad.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN m USING (event_type)
+    JOIN mad USING (event_type)
+    GROUP BY d.event_type, m.median_cents, mad.mad_cents
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    mean/variance-free complement to events_anomaly_zscore (a single
+    wild value drags a mean-based z; the median and MAD shrug it off).
+    Per type: exact lower-median of cents, exact MAD, and the outlier
+    count under the standard |x−med| > 3.5·MAD·0.6745-ish rule folded
+    to integers (ad·10 > 74·MAD ≙ threshold 7.4 ≈ 3.5/0.4726 — any
+    fixed rational works; the point is NO float ever decides). Exact
+    cents via DECIMAL(18,2); lower median ((n+1)//2 nearest rank) is
+    tie-stable without averaging two middles.
+
+    Scale shape: two per-type sort windows (median, then MAD) over
+    type-partitioned frames + one broadcast of the 2-row-per-type
+    med/MAD onto the deviation pass; at 100-TB swap approx_percentile
+    for both medians — this exact twin calibrates it (same contract as
+    events_value_percentiles / adaptive_host_throttle)."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        kw = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(kw.orderBy(col)).alias("rn"),
+            F.count("*").over(kw).alias("n"),
+        )
+        return r.groupBy("event_type").agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col(col)
+                )
+            ).alias(out)
+        )
+
+    m = lower_median(v, "cents", "median_cents")
+    dev = v.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "cents",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("ad"),
+    )
+    mad = lower_median(dev, "ad", "mad_cents")
+    return (
+        dev.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_cents", "mad_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum(
+                F.when(
+                    F.col("ad") * 10 > 74 * F.col("mad_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
