@@ -7949,3 +7949,141 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+@query(
+    "events_wow_change",
+    """
+    WITH w AS (
+      SELECT event_type, epoch_ms(ts) // 604800000 AS week,
+             count(*) AS n
+      FROM events GROUP BY event_type, epoch_ms(ts) // 604800000
+    )
+    SELECT event_type, week, CAST(n AS BIGINT) AS n,
+           CAST(lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS prev_n,
+           CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS delta
+    FROM w
+    """,
+)
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movement report: per type the weekly count, the
+    previous week's count and the raw delta (integer witnesses; the
+    consumer divides for percent change — shipping the ratio would put
+    a float division between the engines). Weeks are zone-free integer
+    epoch-weeks. The report every metrics dashboard opens with.
+
+    Scale shape: events collapse to a (types × weeks) frame in one
+    map-side-combining agg; the lag window sorts that rollup, never
+    the events."""
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type",
+        F.floor(ntz_epoch_ms(F.col("ts")) / F.lit(604_800_000)).alias("week"),
+    ).agg(F.count("*").alias("n"))
+    lw = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(lw)
+    return w.select(
+        "event_type",
+        "week",
+        F.col("n").cast("bigint").alias("n"),
+        prev.cast("bigint").alias("prev_n"),
+        (F.col("n") - prev).cast("bigint").alias("delta"),
+    )
+
+
+@query(
+    "text_dup_ngram_fraction",
+    """
+    WITH occ AS (
+      SELECT doc_id, g
+      FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws
+        FROM documents
+      ), LATERAL (
+        SELECT unnest([array_to_string(ws[i:i+2], ' ')
+                       for i in range(1, len(ws) - 1)]) AS g
+      )
+    ),
+    per AS (
+      SELECT doc_id, g, count(*) AS c FROM occ GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_occ,
+           CAST(sum(c) AS BIGINT) AS total_occ,
+           sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 10 > 2 * sum(c)
+             AS flagged
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style duplicated-n-gram quality signal: per
+    doc, the fraction of word-3-gram OCCURRENCES whose gram repeats
+    within the doc (dup_occ/total_occ > 0.2 flags the doc, decided by
+    integer cross-multiplication dup·10 > 2·total) — catches
+    template/spam pages whose sentence-level twin (text_repetition)
+    misses sub-sentence loops. Occurrence-counting is the exact,
+    well-defined variant of Gopher's 'chars in duplicated n-grams'
+    (interval-union char accounting is ambiguous under overlap; the
+    occurrence ratio orders documents identically).
+
+    Scale shape: one explode + one (doc, gram)-keyed count + one
+    doc-keyed rollup — all map-side-combining aggs keyed by doc;
+    no join, no window, no cross-doc state (the signal is per-doc, so
+    it shards perfectly)."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(words(F.col("text")), 3)).alias("g"),
+    )
+    per = occ.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+    tot = F.sum("c")
+    return per.groupBy("doc_id").agg(
+        dup.cast("bigint").alias("dup_occ"),
+        tot.cast("bigint").alias("total_occ"),
+        (dup * 10 > 2 * tot).alias("flagged"),
+    )
+
+
+@query(
+    "search_multi_term_and",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+      )
+      WHERE t IN ('scan', 'data', 'query')
+    )
+    SELECT doc_id FROM toks GROUP BY doc_id HAVING count(*) = 3
+    """,
+)
+def search_multi_term_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND search by COUNTING — the posting-list intersection
+    every inverted index serves (docs containing ALL query terms):
+    distinct (doc, term) hits filtered to the query vocabulary, then
+    one doc-keyed count with HAVING = |terms| — intersection without
+    any self-join (k-way intersection as one aggregate, the standard
+    trick when term lists are too big to broadcast).
+
+    Scale shape: the term filter prunes the explode output to query
+    terms only BEFORE the distinct (tiny frame); one doc-keyed agg.
+    Against the real postings store this is a 3-partition pruned read
+    + the same counting agg (plans/api.search_pages_indexed shape)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(words(F.col("text"))).alias("t")
+        )
+        .filter(F.col("t").isin("scan", "data", "query"))
+        .distinct()
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == 3)
+        .select("doc_id")
+    )
