@@ -204,6 +204,58 @@ def search_pages_indexed(
     )
 
 
+def search_pages_indexed_and(
+    wh: Warehouse,
+    terms: list[str],
+    user_id: int,
+    postings_path: str,
+    term_buckets: int = 64,
+) -> DataFrame:
+    """Conjunctive (boolean AND) search served by the postings store:
+    docs containing ALL query terms, scored by summed term frequency.
+    The k-way posting-list intersection is ONE counting aggregate
+    (HAVING countDistinct(term) = k) — never a self-join per term, the
+    standard move when posting lists are too large to broadcast.
+
+    Scale shape: a SINGLE pruned index read covers every query term —
+    partition pruning on `term_bucket IN (buckets of the terms)` reads
+    at most k/B of the index (the per-term buckets in one scan instead
+    of k probes), the term IN-filter lands on that pruned scan, then
+    one doc-keyed agg. Duplicate query terms collapse (set semantics,
+    like any boolean retriever)."""
+    from ..sources.postings import _term_bucket, read_postings
+
+    spark = wh.spark
+    ts = sorted({t.lower() for t in terms})
+    if not ts:
+        raise ValueError("search_pages_indexed_and needs at least one term")
+    # one tiny driver job computes every term's bucket
+    buckets = sorted(
+        {
+            int(r.b)
+            for r in spark.createDataFrame([(t,) for t in ts], "t string")
+            .select(_term_bucket(F.col("t"), term_buckets).alias("b"))
+            .collect()
+        }
+    )
+    pruned = (
+        read_postings(spark, postings_path)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(ts))
+        .filter(F.col("user_id") == user_id)
+    )
+    return (
+        pruned.groupBy("url", "scraping_id", "round")
+        .agg(
+            F.countDistinct("term").alias("k"),
+            F.sum("frequency").alias("score"),
+        )
+        .filter(F.col("k") == len(ts))
+        .select("url", "scraping_id", "score")
+        .orderBy(F.desc("score"), "url")
+    )
+
+
 def search_pages_indexed_substring(
     wh: Warehouse,
     term: str,

@@ -468,3 +468,71 @@ def test_phrase_probe_duplicate_terms_and_gaps(spark, tmp_path):
         for r in probe_phrase(spark, path, "do it").collect()
     }
     assert got2 == {1: 2, 2: 2, 3: 1}
+
+
+def test_indexed_and_search_equals_scan_intersection(spark, tmp_path):
+    from isidorus_web_scraper_spark.plans.api import (
+        search_pages,
+        search_pages_indexed_and,
+    )
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    docs = generate_documents(spark, n_hosts=5).persist()
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "w"),
+        documents=docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            default_budget=1_000_000_000,
+            summarizer_enabled=False,
+            index_postings=True,
+        ),
+    )
+    eng.start([(96, 1, "http://h0.test/p0.html", 3)])
+    eng.run()
+
+    # conjunction == intersection of the single-term scan results,
+    # scored by the sum of the per-term scores ('partition'/'bloom'
+    # are corpus vocabulary words with no superstring word, so token
+    # search == substring scan)
+    terms = ["partition", "bloom"]
+    per_term = [
+        {r.url: r.score for r in search_pages(eng.wh, t, 1).collect()}
+        for t in terms
+    ]
+    want = {
+        url: per_term[0][url] + per_term[1][url]
+        for url in set(per_term[0]) & set(per_term[1])
+    }
+    got = {
+        r.url: r.score
+        for r in search_pages_indexed_and(
+            eng.wh, terms, 1, eng.postings_path
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # duplicate query terms collapse to set semantics
+    dup = {
+        r.url: r.score
+        for r in search_pages_indexed_and(
+            eng.wh, ["bloom", "partition", "bloom"], 1, eng.postings_path
+        ).collect()
+    }
+    assert dup == want
+
+    # a never-indexed term empties the conjunction; ACL isolates users
+    assert (
+        search_pages_indexed_and(
+            eng.wh, ["partition", "zzzznotaword"], 1, eng.postings_path
+        ).count()
+        == 0
+    )
+    assert (
+        search_pages_indexed_and(
+            eng.wh, terms, 99, eng.postings_path
+        ).count()
+        == 0
+    )
