@@ -8087,3 +8087,141 @@ def search_multi_term_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k") == 3)
         .select("doc_id")
     )
+
+@query(
+    "events_pareto_share",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, user_id) AS rk,
+             count(*) OVER () AS nu,
+             sum(c) OVER () AS total
+      FROM u
+    ),
+    cum AS (
+      SELECT (rk * 10 - 1) // nu + 1 AS decile, c, total
+      FROM r
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(max(total) AS BIGINT) AS total_events
+    FROM cum GROUP BY decile
+    """,
+)
+def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto) curve: users ranked by event
+    count, bucketed into activity deciles (top decile = heaviest
+    users), each decile's event share shipped as integer witnesses
+    (n_events / total_events — the 80/20 check that decides whether
+    per-user skew needs salting, and whom a rate limiter actually
+    limits). Decile assignment is pure integer arithmetic on the rank
+    ((rk·10−1) div n + 1), so bucket boundaries are identical across
+    engines — ntile would also work, but this form makes the boundary
+    rule explicit.
+
+    Scale shape: events collapse to the user frame in one agg; the
+    rank window sorts users, not events; the decile rollup is 10
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    r = u.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("user_id")))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("nu"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        r.select(
+            (F.expr("(rk * 10 - 1) div nu") + 1).cast("bigint").alias("decile"),
+            "c",
+            "total",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.max("total").cast("bigint").alias("total_events"),
+        )
+    )
+
+
+@query(
+    "events_error_bursts",
+    """
+    WITH m AS (
+      SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY epoch_ms(ts) // 3600000
+    ),
+    tot AS (SELECT sum(n_errors) AS te, count(*) AS th FROM m),
+    hot AS (
+      SELECT hour, n_errors FROM m, tot WHERE n_errors * th > 2 * te
+    ),
+    isl AS (
+      SELECT hour, n_errors,
+             hour - row_number() OVER (ORDER BY hour) AS grp
+      FROM hot
+    )
+    SELECT min(hour) AS start_hour,
+           max(hour) AS end_hour,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n_errors) AS BIGINT) AS n_errors
+    FROM isl GROUP BY grp
+    HAVING count(*) >= 2
+    """,
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection: maximal runs of CONSECUTIVE hours each
+    carrying more than 2x the average hourly error count, reported
+    when the run lasts >= 2 hours — gaps-and-islands-by-subtraction
+    (hour − rank is constant exactly within a consecutive run), how
+    you find incident windows in telemetry without a self-join or a
+    state machine. The threshold is RELATIVE and integer-decided
+    (n·total_hours > 2·total_errors — no average ever divided), so
+    the gate scale-adapts instead of hard-coding a rate.
+
+    Scale shape: errors collapse to the hour rollup first (map-side
+    agg), a 1-row totals broadcast gates hot hours BEFORE the window,
+    the rank window sorts the hot-hour frame (≤ span hours, data-
+    independent of event volume), and bursts are one more rollup. The
+    streaming twin is a session window with a 1-hour gap — this batch
+    form is its backfill/audit query."""
+    ev = load(spark, sf_dir, "events")
+    m = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.floor(ntz_epoch_ms(F.col("ts")) / F.lit(3_600_000)).alias("hour")
+        )
+        .agg(F.count("*").alias("n_errors"))
+    )
+    tot = m.agg(
+        F.sum("n_errors").alias("te"), F.count("*").alias("th")
+    )
+    hot = m.crossJoin(F.broadcast(tot)).filter(
+        F.col("n_errors") * F.col("th") > 2 * F.col("te")
+    )
+    isl = hot.select(
+        "hour",
+        "n_errors",
+        (F.col("hour") - F.row_number().over(Window.orderBy("hour"))).alias(
+            "grp"
+        ),
+    )
+    return (
+        isl.groupBy("grp")
+        .agg(
+            F.min("hour").alias("start_hour"),
+            F.max("hour").alias("end_hour"),
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("n_errors").cast("bigint").alias("n_errors"),
+        )
+        .filter(F.col("n_hours") >= 2)
+        .drop("grp")
+        .select("start_hour", "end_hour", "n_hours", "n_errors")
+    )
