@@ -8225,3 +8225,206 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .select("start_hour", "end_hour", "n_hours", "n_errors")
     )
+
+@query(
+    "daily_revenue_7d",
+    """
+    WITH d AS (
+      SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY epoch_ms(o_orderdate) // 86400000
+    )
+    SELECT day, rev_cents,
+           CAST(sum(rev_cents) OVER (ORDER BY day
+                                     RANGE BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+             AS rev_7d_cents,
+           CAST(count(*) OVER (ORDER BY day
+                               RANGE BETWEEN 6 PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
+             AS days_in_window
+    FROM d
+    """,
+)
+def daily_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue — the moving-window report every revenue
+    dashboard draws — via a RANGE frame over integer epoch-days (RANGE,
+    not ROWS: missing days must still bound the window by VALUE, or a
+    gap silently widens the trailing week — the classic moving-average
+    bug). The 7-day SUM ships with the in-window day count as integer
+    witnesses; the consumer divides for the average. Exact cents via
+    DECIMAL(18,2).
+
+    Scale shape: orders collapse to the day frame in one agg; the
+    range window sorts days, not orders (span-bounded,
+    data-independent). An unpartitioned window over a DAY frame is a
+    single-task sort of a tiny projection — at multi-year spans
+    partition by year with a 6-day overlap carry, same results."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.floor(ntz_epoch_ms(F.col("o_orderdate")) / F.lit(86_400_000)).alias(
+            "day"
+        )
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return d.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("rev_7d_cents"),
+        F.count("*").over(w).cast("bigint").alias("days_in_window"),
+    )
+
+
+@query(
+    "events_inactive_churn",
+    """
+    WITH span AS (
+      SELECT min(epoch_ms(ts)) AS t0, max(epoch_ms(ts)) AS t1 FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             min(epoch_ms(ts)) AS first_ms,
+             max(epoch_ms(ts)) AS last_ms,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT u.user_id,
+           CAST(u.n_events AS BIGINT) AS n_events,
+           (span.t1 - u.last_ms) // 86400000 AS days_silent,
+           u.first_ms < span.t0 + 7 * CAST(86400000 AS BIGINT)
+             AS early_adopter
+    FROM u, span
+    WHERE u.last_ms < span.t1 - CAST(86400000 AS BIGINT)
+    """,
+)
+def events_inactive_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn surface: users silent for the dataset's final day —
+    per churned user the activity volume, exact days-silent, and
+    whether they were an early adopter (first seen in week one) — the
+    input table every retention intervention ranks. Pure integer
+    epoch-ms arithmetic against the dataset's own span (reproducible,
+    no wall-clock).
+
+    Scale shape: one user-keyed agg collapses events; the global span
+    is a 1-row broadcast onto the user frame. No window, no join
+    larger than users."""
+    ev = load(spark, sf_dir, "events")
+    ms = ntz_epoch_ms(F.col("ts"))
+    span = ev.agg(F.min(ms).alias("t0"), F.max(ms).alias("t1"))
+    u = ev.groupBy("user_id").agg(
+        F.min(ms).alias("first_ms"),
+        F.max(ms).alias("last_ms"),
+        F.count("*").alias("n_events"),
+    )
+    week = 7 * F.lit(86_400_000).cast("bigint")
+    return (
+        u.crossJoin(F.broadcast(span))
+        .filter(F.col("last_ms") < F.col("t1") - F.lit(86_400_000).cast("bigint"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr("(t1 - last_ms) div 86400000").alias("days_silent"),
+            (F.col("first_ms") < F.col("t0") + week).alias("early_adopter"),
+        )
+    )
+
+
+@query(
+    "nation_trade_balance",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey AS cust_nation, s.s_nationkey AS supp_nation,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS r
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    outb AS (
+      SELECT supp_nation AS nation, sum(r) AS sold
+      FROM rev WHERE cust_nation <> supp_nation GROUP BY supp_nation
+    ),
+    inb AS (
+      SELECT cust_nation AS nation, sum(r) AS bought
+      FROM rev WHERE cust_nation <> supp_nation GROUP BY cust_nation
+    )
+    SELECT n.n_nationkey AS nation, n.n_name,
+           CAST(coalesce(o.sold, 0) AS BIGINT) AS exported_x10000,
+           CAST(coalesce(i.bought, 0) AS BIGINT) AS imported_x10000,
+           CAST(coalesce(o.sold, 0) - coalesce(i.bought, 0) AS BIGINT)
+             AS balance_x10000
+    FROM nation n
+    LEFT JOIN outb o ON o.nation = n.n_nationkey
+    LEFT JOIN inb i ON i.nation = n.n_nationkey
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7's economics generalized: per nation, cross-nation
+    revenue SOLD (as supplier nation) vs BOUGHT (as customer nation)
+    and the trade balance — exact x10000 integer money end to end.
+    Same-nation trade is excluded from both sides, so the global
+    balance sums to zero (a built-in consistency check the oracle
+    inherits).
+
+    Scale shape: ONE fact pass builds the (cust_nation, supp_nation)
+    revenue matrix — nations² rows — with customer/supplier joins
+    keyed by the fact's own keys (supplier broadcast; orders⋈customer
+    pre-joined on custkey); both rollups and the nation LEFT joins
+    then run on the matrix, which is broadcast-sized at any corpus
+    scale."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("cust_nation"),
+            F.col("s_nationkey").alias("supp_nation"),
+        )
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    outb = rev.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum("r").alias("sold")
+    )
+    inb = rev.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum("r").alias("bought")
+    )
+    return (
+        n.select(F.col("n_nationkey").alias("nation"), "n_name")
+        .join(outb, "nation", "left")
+        .join(inb, "nation", "left")
+        .select(
+            "nation",
+            "n_name",
+            F.coalesce("sold", F.lit(0)).cast("bigint").alias("exported_x10000"),
+            F.coalesce("bought", F.lit(0))
+            .cast("bigint")
+            .alias("imported_x10000"),
+            (F.coalesce("sold", F.lit(0)) - F.coalesce("bought", F.lit(0)))
+            .cast("bigint")
+            .alias("balance_x10000"),
+        )
+    )
