@@ -8428,3 +8428,82 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance_x10000"),
         )
     )
+
+from .driver_queries import ORACLE as _ORACLE  # noqa: E402
+
+
+@query(
+    "warc_revisit_records",
+    f"""
+    WITH cdx AS ({_ORACLE["warc_cdx_index"]}),
+    recap AS (
+      SELECT digest, urlkey, warc_file + 16 AS warc_file,
+             rec_offset, rec_length
+      FROM cdx
+      WHERE CAST(regexp_extract(urlkey, '([0-9]+)$', 1) AS BIGINT) % 5 = 0
+    ),
+    caps AS (
+      SELECT digest, urlkey, warc_file, rec_offset, rec_length FROM cdx
+      UNION ALL
+      SELECT digest, urlkey, warc_file, rec_offset, rec_length FROM recap
+    ),
+    r AS (
+      SELECT digest, urlkey, warc_file, rec_length,
+             row_number() OVER (PARTITION BY digest
+                                ORDER BY warc_file, rec_offset) AS rn,
+             count(*) OVER (PARTITION BY digest) AS n,
+             sum(rec_length) OVER (PARTITION BY digest) AS tot
+      FROM caps
+    )
+    SELECT digest,
+           CAST(n AS BIGINT) AS n_records,
+           urlkey AS canonical_urlkey,
+           warc_file AS canonical_file,
+           CAST(tot - rec_length AS BIGINT) AS bytes_saved
+    FROM r WHERE rn = 1 AND n >= 2
+    """,
+)
+def warc_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record planning: URL-agnostic content dedup over
+    the archive's CDX by payload digest — every digest stored more
+    than once keeps its FIRST copy (archive order: file, then offset)
+    as the canonical response and the rest become revisit stubs, the
+    exact WARC-Type: revisit mechanism web archives use; bytes_saved
+    is the storage the rewrite reclaims. The capture space models a
+    second crawl pass that re-captured every 5th doc unchanged
+    (mirror files +16) — the recrawl situation that produces
+    revisits; digests collide because content, not URL+date, keys
+    them. Composes the CDX operator
+    (the oracle literally embeds warc_cdx_index's SQL as a CTE — one
+    definition, two consumers).
+
+    Scale shape: one digest-keyed window over the CDX (index-sized,
+    never archive-sized — that is the point of CDX); first-copy choice
+    is deterministic archive order, no dropDuplicates."""
+    cdx = warc_cdx_index(spark, sf_dir).select(
+        "digest", "urlkey", "warc_file", "rec_offset", "rec_length"
+    )
+    recap = cdx.filter(
+        F.regexp_extract(F.col("urlkey"), "([0-9]+)$", 1).cast("bigint") % 5
+        == 0
+    ).withColumn("warc_file", F.col("warc_file") + 16)
+    caps = cdx.unionByName(recap)
+    kw = Window.partitionBy("digest")
+    r = caps.select(
+        "digest",
+        "urlkey",
+        "warc_file",
+        "rec_length",
+        F.row_number()
+        .over(kw.orderBy("warc_file", "rec_offset"))
+        .alias("rn"),
+        F.count("*").over(kw).alias("n"),
+        F.sum("rec_length").over(kw).alias("tot"),
+    )
+    return r.filter((F.col("rn") == 1) & (F.col("n") >= 2)).select(
+        "digest",
+        F.col("n").cast("bigint").alias("n_records"),
+        F.col("urlkey").alias("canonical_urlkey"),
+        F.col("warc_file").alias("canonical_file"),
+        (F.col("tot") - F.col("rec_length")).cast("bigint").alias("bytes_saved"),
+    )
