@@ -256,6 +256,11 @@ class CrawlConfig:
     # (requires discover_robots; locs enter the normal claims pipeline
     # attributed to the host's introducing frontier row at depth-1)
     sitemap_seeding: bool = False
+    # WARC archive sink: serialize each round's captures (one per URL)
+    # into `warc_store` blobs + a byte-offset `warc_cdx` index — the
+    # Common-Crawl-style archival output next to the analytic tables
+    archive_warc: bool = False
+    warc_files_per_round: int = 4
     # transient-outage injector (tests/chaos): a boolean SQL expression
     # over (url, round, ...) evaluated on the resolved frame; rows where
     # it is FALSE are treated as fetch failures (status 503) even though
@@ -1086,6 +1091,64 @@ class CrawlEngine:
             else None
         )
 
+        # ---- WARC archive sink (ISO 28500): one capture per URL per
+        # round, serialized by the SAME JVM expression the ingest
+        # parser and the CDX oracle pin byte-for-byte. Blobs are one
+        # row per archive file of a binary column (the 100-TB object-
+        # store shape — sources/warc.py module docstring); the CDX rows
+        # carry byte offsets from a per-file prefix-sum window, so a
+        # reader seeks records without scanning archives. Both tables
+        # ride the normal wall + rollback.
+        warc_blobs = warc_cdx = None
+        if cfg.archive_warc:
+            from ..sources.warc import warc_records_col
+
+            cap = ok.select("url", "content").distinct()
+            rec = cap.select(
+                "url",
+                (url_hash_col("url") % cfg.warc_files_per_round).alias(
+                    "warc_file"
+                ),
+                warc_records_col(
+                    F.col("url"), F.coalesce(F.col("content"), F.lit(""))
+                ).alias("r"),
+                F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+                    "digest"
+                ),
+            )
+            ww = Window.partitionBy("warc_file").orderBy("url")
+            warc_cdx = rec.select(
+                "url",
+                "warc_file",
+                "digest",
+                F.coalesce(
+                    F.sum(F.octet_length("r")).over(
+                        ww.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("rec_offset"),
+                F.octet_length("r").cast("long").alias("rec_length"),
+                F.lit(round_no).alias("round"),
+            )
+            warc_blobs = rec.withColumn(
+                "round", F.lit(round_no)
+            ).groupBy("warc_file", "round").agg(
+                F.encode(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("url", "r"))
+                            ),
+                            lambda x: x["r"],
+                        ),
+                        "",
+                    ),
+                    "UTF-8",
+                ).alias("data")
+            )
+
         # ---- recursion: candidates → first-wins → anti-join seen (J2) ----
         candidates = (
             ok.filter(F.col("depth") > 0)  # depth gate (P6)
@@ -1412,6 +1475,11 @@ class CrawlEngine:
                 ]
                 if metrics_parts is not None:
                     futs.append(pool.submit(_w, "metrics_parts", metrics_parts))
+                if warc_blobs is not None:
+                    # appended AFTER the positional block: results[6..8]
+                    # are harvested by index
+                    futs.append(pool.submit(_w, "warc_store", warc_blobs))
+                    futs.append(pool.submit(_w, "warc_cdx", warc_cdx))
                 if cfg.index_postings and cfg.indexer_enabled:
                     futs.append(pool.submit(_write_postings))
                 if cfg.index_grams and cfg.indexer_enabled:
@@ -1816,6 +1884,8 @@ class CrawlEngine:
             "images",
             "index_docs",
             "media_store",
+            "warc_store",
+            "warc_cdx",
             "robots",
             "robots_rules",
             "metrics",
@@ -1867,6 +1937,8 @@ class CrawlEngine:
             "images",
             "index_docs",
             "media_store",
+            "warc_store",
+            "warc_cdx",
             "robots",
             "robots_rules",
             "metrics",
