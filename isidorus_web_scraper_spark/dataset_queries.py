@@ -8429,13 +8429,10 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-from .driver_queries import ORACLE as _ORACLE  # noqa: E402
-
-
 @query(
     "warc_revisit_records",
     f"""
-    WITH cdx AS ({_ORACLE["warc_cdx_index"]}),
+    WITH cdx AS ({_ORACLE_REG["warc_cdx_index"]}),
     recap AS (
       SELECT digest, urlkey, warc_file + 16 AS warc_file,
              rec_offset, rec_length
@@ -8522,7 +8519,8 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly seasonality heatmap: event volume by (day-of-week,
     hour-of-day) — the 7x24 profile capacity planning and anomaly
     baselines are built from. Day-of-week is PURE integer arithmetic
-    ((epoch_day + 4) % 7 — 1970-01-01 was a Thursday; 0 = Monday):
+    ((epoch_day + 4) % 7 — 1970-01-01 was a Thursday, which lands at
+    4, so the encoding is 0 = Sunday .. 6 = Saturday):
     date-part functions route through locale/zone rules that differ
     between engines, integer epoch math cannot.
 

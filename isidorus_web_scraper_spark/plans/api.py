@@ -8,7 +8,7 @@ collapse into broadcast joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.warehouse import Warehouse
@@ -223,21 +223,13 @@ def search_pages_indexed_and(
     of k probes), the term IN-filter lands on that pruned scan, then
     one doc-keyed agg. Duplicate query terms collapse (set semantics,
     like any boolean retriever)."""
-    from ..sources.postings import _term_bucket, read_postings
+    from ..sources.postings import buckets_of, read_postings
 
     spark = wh.spark
     ts = sorted({t.lower() for t in terms})
     if not ts:
         raise ValueError("search_pages_indexed_and needs at least one term")
-    # one tiny driver job computes every term's bucket
-    buckets = sorted(
-        {
-            int(r.b)
-            for r in spark.createDataFrame([(t,) for t in ts], "t string")
-            .select(_term_bucket(F.col("t"), term_buckets).alias("b"))
-            .collect()
-        }
-    )
+    buckets = buckets_of(spark, ts, term_buckets)
     pruned = (
         read_postings(spark, postings_path)
         .filter(F.col("term_bucket").isin(buckets))
@@ -430,6 +422,114 @@ def delete_scraping(wh: Warehouse, scraping_id: int, user_id: int) -> None:
             wh.delete_where(
                 table, f"scraping_id = {scraping_id}", commit_pred=in_window
             )
+    # the WARC archive has no scraping_id to bind a predicate to (blobs
+    # aggregate captures across scrapings); GC it by reference instead
+    gc_warc_archive(wh)
+
+
+def gc_warc_archive(wh: Warehouse) -> None:
+    """Garbage-collect the WARC archive (CrawlConfig.archive_warc)
+    against the pages table: a capture survives while ANY remaining
+    scraping's pages row references its URL; once unreferenced, its
+    record is spliced OUT of the archive and the file's CDX offsets are
+    recomputed — the archive twin of the media-GC semi-join (J9; a
+    deleted scraping's content must not stay byte-addressable through
+    warc_cdx). IDEMPOTENT and standalone: it recomputes
+    unreferenced-ness from current state, so re-running repairs a crash
+    between the cdx and blob rewrites (delete_scraping calls it; an
+    operator can too, after bulk deletes).
+
+    Scale shape: the dropped set comes from one cdx⋈pages anti-join
+    (index-sized); only AFFECTED (round, warc_file) blobs are read and
+    rewritten — kept records are byte-SLICED out of the old blob via
+    their cdx offsets (no re-serialization, no pages scan), offsets
+    recomputed by the same prefix-sum window the sink used. Unaffected
+    archive commits are never touched (delete prunes on the affected
+    rounds)."""
+    if not (wh.exists("warc_store") and wh.exists("warc_cdx")):
+        return
+    cdx = wh.read("warc_cdx")
+    referenced = wh.read("pages").select("url").distinct()
+    dropped = cdx.join(referenced, "url", "left_anti")
+    aff = [
+        (r.warc_file, r["round"])
+        for r in dropped.select("warc_file", "round").distinct().collect()
+    ]
+    if not aff:
+        return
+    aff_df = wh.spark.createDataFrame(
+        aff, "warc_file long, round int"
+    )
+    blobs = wh.read("warc_store").join(
+        F.broadcast(aff_df), ["warc_file", "round"]
+    )
+    kept = (
+        cdx.join(referenced, "url")
+        .join(F.broadcast(aff_df), ["warc_file", "round"])
+        .join(blobs, ["warc_file", "round"])
+        .select(
+            "warc_file",
+            "round",
+            "url",
+            "digest",
+            F.expr(
+                "decode(substring(data, rec_offset + 1, rec_length), 'UTF-8')"
+            ).alias("r"),
+        )
+    )
+    ww = Window.partitionBy("warc_file", "round").orderBy("url")
+    new_cdx = kept.select(
+        "url",
+        "warc_file",
+        "digest",
+        F.coalesce(
+            F.sum(F.octet_length("r")).over(
+                ww.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rec_offset"),
+        F.octet_length("r").cast("long").alias("rec_length"),
+        "round",
+    ).localCheckpoint(eager=True)
+    new_blobs = (
+        kept.groupBy("warc_file", "round")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("url", "r"))),
+                        lambda x: x["r"],
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("data")
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = sorted({r for (_f, r) in aff})
+    pred = " OR ".join(
+        "(round = {r} AND warc_file IN ({fs}))".format(
+            r=r,
+            fs=", ".join(str(f) for (f, rr) in aff if rr == r),
+        )
+        for r in rounds
+    )
+
+    def affected_commit(props: dict) -> bool:
+        rng = Warehouse._round_range(props)
+        if rng is None:
+            return True
+        return any(rng[0] <= r <= rng[1] for r in rounds)
+
+    for table, rebuilt in (("warc_cdx", new_cdx), ("warc_store", new_blobs)):
+        wh.delete_where(table, pred, commit_pred=affected_commit)
+        for r in rounds:
+            part = rebuilt.filter(F.col("round") == r)
+            if not part.isEmpty():
+                wh.append(table, part, {"round": r})
 
 
 # ---------------------------------------------------------------------------

@@ -1106,7 +1106,10 @@ class CrawlEngine:
             cap = ok.select("url", "content").distinct()
             rec = cap.select(
                 "url",
-                (url_hash_col("url") % cfg.warc_files_per_round).alias(
+                # pmod, not %: xxhash64 is signed and % keeps the sign —
+                # signed buckets would double the file count with
+                # negative ids (same rule as every bucket in the repo)
+                F.pmod(url_hash_col("url"), cfg.warc_files_per_round).alias(
                     "warc_file"
                 ),
                 warc_records_col(

@@ -210,6 +210,27 @@ MEDIA_STORE = T.StructType(
     ]
 )
 
+# WARC archive sink (CrawlConfig.archive_warc): one archive file per
+# row of a binary column + the byte-offset CDX that random-accesses it
+WARC_STORE = T.StructType(
+    [
+        T.StructField("warc_file", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+WARC_CDX = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_file", T.LongType(), False),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("rec_offset", T.LongType(), False),
+        T.StructField("rec_length", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
 # Warehouse table registry: name -> (schema, partition columns)
 TABLES: dict[str, tuple[T.StructType, list[str]]] = {
     "documents": (DOCUMENTS, []),
@@ -228,4 +249,6 @@ TABLES: dict[str, tuple[T.StructType, list[str]]] = {
     "metrics": (METRICS, []),
     "metrics_parts": (METRICS_PARTS, ["round"]),
     "media_store": (MEDIA_STORE, []),
+    "warc_store": (WARC_STORE, ["round"]),
+    "warc_cdx": (WARC_CDX, ["round"]),
 }

@@ -251,6 +251,23 @@ def compact_postings(
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
+def buckets_of(spark: SparkSession, terms: list[str], buckets: int) -> list[int]:
+    """The distinct term_bucket ids of ``terms`` — ONE tiny driver job
+    (shared by every multi-term probe: gram candidates, BM25, phrase,
+    and plans/api's AND search; the bucket list feeds a partition-
+    pruning IN filter)."""
+    return sorted(
+        {
+            int(r.b)
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(_term_bucket(F.col("term"), buckets).alias("b"))
+            .collect()
+        }
+    )
+
+
 def probe_postings(
     spark: SparkSession,
     path: str,
@@ -348,13 +365,7 @@ def probe_gram_candidates(
     gs = sorted({t[i : i + n] for i in range(len(t) - n + 1)})
     if not gs:
         raise ValueError(f"term shorter than gram length {n}: {term!r}")
-    buckets_of = (
-        spark.createDataFrame([(g,) for g in gs], "term string")
-        .select(_term_bucket(F.col("term"), buckets).alias("b"))
-        .distinct()
-        .collect()
-    )
-    bs = sorted(int(r.b) for r in buckets_of)
+    bs = buckets_of(spark, gs, buckets)
     idx = (
         read_postings(spark, path)
         .filter(F.col("term_bucket").isin(bs))
@@ -441,14 +452,7 @@ def probe_bm25(
     # contribution sum below still runs over the original `ts`, so a
     # repeated query term contributes twice — matching the scan path
     uniq = list(dict.fromkeys(ts))
-    bs = sorted(
-        {
-            int(r.b)
-            for r in spark.createDataFrame([(t,) for t in uniq], "term string")
-            .select(_term_bucket(F.col("term"), buckets).alias("b"))
-            .collect()
-        }
-    )
+    bs = buckets_of(spark, uniq, buckets)
     idx = (
         read_postings(spark, path)
         .filter(F.col("term_bucket").isin(bs))
@@ -542,14 +546,7 @@ def probe_phrase(
     if not ts:
         raise ValueError("empty phrase")
     uniq = sorted(set(ts))
-    bs = sorted(
-        {
-            int(r.b)
-            for r in spark.createDataFrame([(t,) for t in uniq], "term string")
-            .select(_term_bucket(F.col("term"), buckets).alias("b"))
-            .collect()
-        }
-    )
+    bs = buckets_of(spark, uniq, buckets)
     idx = (
         read_postings(spark, path)
         .filter(F.col("term_bucket").isin(bs))

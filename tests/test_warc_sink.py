@@ -105,3 +105,90 @@ def test_digest_matches_content_sha256(spark, tmp_path):
     for row in eng.wh.read("warc_cdx").collect():
         want = hashlib.sha256(contents[row.url].encode()).hexdigest()
         assert row.digest == want
+
+
+def test_warc_file_ids_are_pmod_nonnegative(spark, tmp_path):
+    eng = _crawl(spark, tmp_path)
+    files = {r.warc_file for r in eng.wh.read("warc_cdx").collect()}
+    assert all(0 <= f < 2 for f in files)  # warc_files_per_round=2
+
+
+def test_delete_scraping_gcs_warc_archive(spark, tmp_path):
+    from isidorus_web_scraper_spark.plans.api import delete_scraping
+
+    # scraping 61 owns p0/p1/p2 via links; scraping 62 independently
+    # seeds p2 — after deleting 61, p2's capture must SURVIVE (still
+    # referenced) while p0/p1's content becomes unrecoverable
+    docs = spark.createDataFrame(
+        [
+            (
+                "http://h0.test/p0.html",
+                _html(
+                    ["http://h0.test/p1.html", "http://h1.test/p2.html"],
+                    "root page",
+                ),
+            ),
+            ("http://h0.test/p1.html", _html([], "secret-to-forget")),
+            ("http://h1.test/p2.html", _html([], "shared page")),
+        ],
+        "doc_id string, html string",
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "w"),
+        documents=docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            max_rounds=10,
+            archive_warc=True,
+            warc_files_per_round=2,
+        ),
+    )
+    eng.start(
+        [
+            (61, 1, "http://h0.test/p0.html", 2),
+            (62, 2, "http://h1.test/p2.html", 1),
+        ]
+    )
+    eng.run()
+    before = b"".join(
+        bytes(r.data) for r in eng.wh.read("warc_store").collect()
+    )
+    assert b"secret-to-forget" in before and b"shared page" in before
+
+    delete_scraping(eng.wh, 61, 1)
+
+    blobs = {
+        (r["round"], r.warc_file): bytes(r.data)
+        for r in eng.wh.read("warc_store").collect()
+    }
+    archive = b"".join(blobs.values())
+    assert b"secret-to-forget" not in archive  # forgotten content gone
+    assert b"root page" not in archive
+    assert b"shared page" in archive  # still referenced by scraping 62
+    cdx = eng.wh.read("warc_cdx").collect()
+    assert {r.url for r in cdx} == {"http://h1.test/p2.html"}
+    # rewritten offsets still slice + tile byte-exactly
+    by_file: dict = {}
+    for row in cdx:
+        blob = blobs[(row["round"], row.warc_file)]
+        rec = blob[row.rec_offset : row.rec_offset + row.rec_length]
+        assert rec.startswith(b"WARC/1.0\r\n")
+        assert f"WARC-Target-URI: {row.url}\r\n".encode() in rec
+        k = (row["round"], row.warc_file)
+        by_file[k] = by_file.get(k, 0) + row.rec_length
+    for k, total in by_file.items():
+        assert total == len(blobs[k])
+    # parse-back equals the surviving pages
+    from isidorus_web_scraper_spark.sources.warc import parse_warc_files
+
+    got = {
+        (r.url, r.payload)
+        for r in parse_warc_files(
+            eng.wh.read("warc_store").select("data")
+        ).collect()
+    }
+    want = {
+        (r.url, r.content) for r in eng.wh.read("pages").collect()
+    }
+    assert got == want
