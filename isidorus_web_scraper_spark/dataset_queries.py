@@ -8653,3 +8653,83 @@ def eventid_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("missing_ids"),
         F.max("gap_len").cast("bigint").alias("largest_gap"),
     )
+
+@query(
+    "langid_confusion",
+    """
+    WITH p AS (
+      SELECT lang AS tagged_lang,
+           CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> list_contains(string_split('the a of and to in is for on with', ' '), w)))
+                  AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS detected_lang
+      FROM documents
+    )
+    SELECT tagged_lang, detected_lang, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY tagged_lang, detected_lang
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class operator: the confusion
+    matrix of the langid heuristic against the corpus's tagged labels
+    — per (true, predicted) cell counts, from which precision/recall/
+    F1 per class are exact rationals the consumer computes (no float
+    ships). The eval harness every model-in-the-loop pipeline runs
+    after text_langid-style scoring; same contract as
+    ann_multiprobe_recall (pin quality with an exact integer audit).
+
+    Scale shape: the per-doc predict column (pure JVM higher-order
+    functions, identical expression to text_langid) + one
+    |labels|²-bounded hash agg."""
+    pred = text_langid(spark, sf_dir)
+    return pred.groupBy("tagged_lang", "detected_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""
+    WITH v AS ({_ORACLE_REG["dedup_lsh_verified_jaccard"]}),
+    ts AS (SELECT unnest([2, 4, 6, 8]) AS threshold_x10)
+    SELECT ts.threshold_x10,
+           CAST(sum(CASE WHEN v.jaccard * 10 >= ts.threshold_x10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+    FROM ts, v
+    GROUP BY ts.threshold_x10
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for the production near-dup
+    pipeline: how many verified candidate pairs survive at Jaccard
+    0.2/0.4/0.6/0.8 — the tuning table that decides where to set the
+    dedup cut before a 100-TB run deletes the wrong tail. Composes the
+    verified pipeline (the oracle embeds its SQL as a CTE — one
+    definition, two consumers, same pattern as warc_revisit_records);
+    comparisons run on the pipeline's own round(_,5) values, already
+    proven bit-identical across engines by its hash-matching oracle.
+
+    Scale shape: the expensive part (LSH candidates + exact verify)
+    runs ONCE; the sweep is a 4-row broadcast cross join + conditional
+    counts over the verified pair frame (candidate-sized, never
+    corpus-sized)."""
+    v = dedup_lsh_verified_jaccard(spark, sf_dir)
+    ts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in (2, 4, 6, 8)])).alias(
+            "threshold_x10"
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ts))
+        .groupBy("threshold_x10")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("jaccard") * 10 >= F.col("threshold_x10"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )
