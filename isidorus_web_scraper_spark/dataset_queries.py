@@ -8733,3 +8733,51 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pairs")
         )
     )
+
+@query(
+    "events_new_vs_returning",
+    """
+    WITH u AS (
+      SELECT user_id, min(epoch_ms(ts) // 604800000) AS first_week
+      FROM events GROUP BY user_id
+    ),
+    w AS (
+      SELECT e.user_id, epoch_ms(e.ts) // 604800000 AS week,
+             u.first_week
+      FROM events e JOIN u ON u.user_id = e.user_id
+      GROUP BY e.user_id, epoch_ms(e.ts) // 604800000, u.first_week
+    )
+    SELECT week,
+           CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN week > first_week THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM w GROUP BY week
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per week, users active for the FIRST time vs
+    returning — the new/returning split every growth dashboard leads
+    with (cohort_retention's triangle collapsed to its top edge plus
+    the comeback mass). Weeks are zone-free integer epoch-weeks.
+
+    Scale shape: user_id is the only event-sized shuffle key (first-
+    week agg + the distinct-active rollup co-partition on it — one
+    exchange, AQE-reused); the weekly split aggregates the user-week
+    frame, never raw events."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(ntz_epoch_ms(F.col("ts")) / F.lit(604_800_000))
+    u = ev.groupBy("user_id").agg(F.min(week).alias("first_week"))
+    w = (
+        ev.select("user_id", week.alias("week"))
+        .distinct()
+        .join(u, "user_id")
+    )
+    return w.groupBy("week").agg(
+        F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("week") > F.col("first_week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("returning_users"),
+    )
