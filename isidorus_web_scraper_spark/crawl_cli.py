@@ -52,6 +52,21 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--index-postings", action="store_true",
                     help="maintain the posting-list search index "
                     "incrementally (sources/postings.py)")
+    ap.add_argument("--sitemap-seeding", action="store_true",
+                    help="seed from robots.txt Sitemap: directives at "
+                    "host discovery (requires --discover-robots)")
+    ap.add_argument("--follow-redirects", action="store_true",
+                    help="re-enqueue 301 Locations through the claims "
+                    "pipeline at unchanged depth")
+    ap.add_argument("--conditional-fetch", action="store_true",
+                    help="hash-validated 304s reuse stored summaries "
+                    "on recrawl")
+    ap.add_argument("--archive-warc", action="store_true",
+                    help="emit per-round WARC blobs + byte-offset CDX "
+                    "(warc_store / warc_cdx tables)")
+    ap.add_argument("--warc-files-per-round", type=int, default=4)
+    ap.add_argument("--retry-max-attempts", type=int, default=0,
+                    help="transient-failure refetch attempts (503s)")
     ap.add_argument("--resume", action="store_true",
                     help="continue an existing warehouse (no new seeds)")
     ap.add_argument("--master", default=None)
@@ -76,6 +91,12 @@ def main(argv: list[str] | None = None) -> None:
             max_rounds=args.max_rounds,
             discover_robots=args.discover_robots,
             index_postings=args.index_postings,
+            sitemap_seeding=args.sitemap_seeding,
+            follow_redirects=args.follow_redirects,
+            conditional_fetch=args.conditional_fetch,
+            archive_warc=args.archive_warc,
+            warc_files_per_round=args.warc_files_per_round,
+            retry_max_attempts=args.retry_max_attempts,
         ),
     )
     if args.resume:
