@@ -79,3 +79,50 @@ def test_bm25_indexed_probes_pruned_buckets(spark, sf_correct):
         "PartitionFilters" in ln and "term_bucket" in ln
         for ln in plan.splitlines()
     ), plan
+
+
+def test_q5_star_dims_broadcast_and_date_pushdown(spark, sf_correct):
+    """local_supplier_volume: region/nation/supplier are broadcast (3
+    of 5 joins shuffle-free) and the order-year filter reaches the
+    orders parquet scan."""
+    plan = _plan(spark, "local_supplier_volume", sf_correct)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), (
+        "order-date window not pushed:\n" + "\n".join(pushed)
+    )
+
+
+def test_q14_part_broadcast(spark, sf_correct):
+    plan = _plan(spark, "promo_revenue_share", sf_correct)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sla_prunes_lineitem_columns(spark, sf_correct):
+    """order_priority_sla: the lineitem scan must read ONLY the join
+    key and ship date (the fact collapses map-side before the join —
+    a scan dragging price/quantity columns through would be wrong)."""
+    plan = _plan(spark, "order_priority_sla", sf_correct)
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "l_orderkey" in ln
+    ]
+    assert scans, plan
+    for ln in scans:
+        assert "l_extendedprice" not in ln and "l_quantity" not in ln, ln
+
+
+def test_profile_is_single_scan(spark, sf_correct):
+    """documents_profile: ONE parquet scan feeding one Expand — the
+    union-of-five-aggs shape (5 scans) is the regression this pins."""
+    df = QUERIES["documents_profile"](spark, sf_correct)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_market_basket_dims_broadcast(spark, sf_correct):
+    plan = _plan(spark, "market_basket_lift", sf_correct)
+    # part joins broadcast; supports/totals broadcast onto pairs
+    assert plan.count("BroadcastHashJoin") >= 2, plan
