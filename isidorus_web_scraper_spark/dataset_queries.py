@@ -8781,3 +8781,49 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("returning_users"),
     )
+
+@query(
+    "segment_revenue_share",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT)
+             AS revenue_x10000
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment (the classic GTM rollup; last unused
+    input column — every testdata table and column now feeds at least
+    one oracled operator): distinct-order counts + exact x10000
+    integer revenue per c_mktsegment.
+
+    Scale shape: one fact pass; orders⋈customer co-partition on
+    custkey before the lineitem join ships revenue by orderkey; the
+    rollup is |segments|-sized. The distinct-order count rides the
+    same agg (count-distinct expands map-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("revenue_x10000"),
+        )
+    )
