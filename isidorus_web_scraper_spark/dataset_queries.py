@@ -8827,3 +8827,593 @@ def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_x10000"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion family (round 5 session 7): the remaining classic
+# OLAP shapes expressible over the available columns (no partsupp /
+# commitdate / shipmode in the testdata, so Q2/Q11/Q12/Q16/Q20/Q21 are
+# out of reach by schema; Q3≙top_orders_by_revenue, Q1≙pricing_summary,
+# Q4≙order_priority_sla, Q5/Q7/Q14 landed in session 6). Reference
+# analog: the API's result/search endpoints compose the same
+# filter→join→rollup shapes (api/services/db_service.py,
+# api/services/search_service.py).
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                * 10000 AS BIGINT) AS revenue_delta_x10000,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): revenue given up to discounts
+    in one ship year for mid-band discounts on small quantities —
+    the canonical scan-only query: zero joins, zero shuffles beyond
+    the 2-row final agg.
+
+    Scale shape: everything rides predicate pushdown — all three
+    filters reach the parquet scan (year range prunes row groups via
+    min/max stats; discount band and quantity cap drop pages), and
+    column pruning reads 4 of 11 lineitem columns. At 100 TB this is
+    the query that proves the scan path: no exchange, one partial agg
+    per task, one 1-row reduce. Discounts are exact 0.01 multiples
+    from the same parquet doubles in both engines, so the BETWEEN
+    band cannot straddle an ulp."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,4)"
+                    )
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("revenue_delta_x10000"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    """
+    SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+           n2.n_name AS supp_nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT)
+             AS nation_rev_x10000
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): per order year, each supplier
+    nation's revenue from ECONOMY parts sold to ASIA-region customers
+    — exact x10000 witnesses (the share divides a year's rows by
+    their sum; shipping the division would cross-engine-ulp).
+
+    Scale shape: FIVE of the six joins broadcast (region, both nation
+    legs, supplier, and the type-filtered part slice — at 100 TB the
+    part filter keeps ~1/6 of parts, still dim-sized); the only
+    fact-fact shuffle is lineitem⋈orders on orderkey. The p_type and
+    r_name predicates are join conditions, so Catalyst prunes part
+    and region before the broadcast, not after the join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load(spark, sf_dir, "supplier")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cust_asia = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey")
+    supp_nat = F.broadcast(
+        s.join(n2, s.s_nationkey == F.col("n2_nationkey")).select(
+            "s_suppkey", "supp_nation"
+        )
+    )
+    lo = li.join(o, o.o_orderkey == li.l_orderkey)
+    return (
+        lo.join(cust_asia, lo.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp_nat, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            "supp_nation",
+        )
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("nation_rev_x10000")
+        )
+    )
+
+
+@query(
+    "product_type_profit",
+    """
+    SELECT n.n_name AS supp_nation,
+           EXTRACT(year FROM o.o_orderdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT)
+             AS profit_x10000
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: the testdata carries no
+    ps_supplycost, so profit is the gross-revenue proxy
+    extendedprice·(1−discount) — the join/rollup shape (the point of
+    Q9: a name-LIKE part prune fanned across every supplier nation ×
+    order year) is unchanged. Exact x10000 witnesses.
+
+    Scale shape: part is pruned by the LIKE before a BROADCAST (the
+    substring predicate can't push to parquet stats, but column
+    pruning still reads only p_partkey/p_name); supplier⋈nation is a
+    broadcast chain; lineitem⋈orders on orderkey is the one big
+    shuffle. The part prune runs FIRST so the fact rows that survive
+    to the shuffle are only the ~red ones."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    sn = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == li.l_partkey)
+        .join(sn, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, o.o_orderkey == F.col("l_orderkey"))
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("profit_x10000")
+        )
+    )
+
+
+@query(
+    "returned_item_report",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT)
+             AS lost_rev_x10000
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_rev_x10000 DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in one order half-year. Integer witnesses make
+    the top-k tiebreak exact (equal revenues order by custkey, and
+    equality is a bigint compare, not a double one).
+
+    Scale shape: the date filter pushes to the orders scan and the
+    returnflag filter to the lineitem scan BEFORE their orderkey
+    shuffle (the two prunes drop ~92% and ~67% of fact rows
+    respectively); nation broadcasts; the top-20 is a
+    TakeOrderedAndProject, not a global sort."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("lost_rev_x10000")
+        )
+        .orderBy(F.desc("lost_rev_x10000"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts with non-urgent orders only — the LEFT join keeps
+    zero-order customers in the 0 bucket (the part an inner-join
+    rendition silently drops).
+
+    Scale shape: the priority filter prunes orders pre-join; the
+    custkey shuffle feeds count(o_orderkey) (null-skipping, so the
+    left-miss rows count 0 without a COALESCE pass); the second
+    rollup is histogram-sized. No distinct, no window."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT)
+               AS total_rev_x10000
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev_x10000
+    FROM supplier s
+    JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev_x10000 = (SELECT max(total_rev_x10000) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) hitting the max quarterly
+    revenue — the scalar-subquery-against-own-aggregate shape. Ties
+    all surface (integer equality), matching the spec's intent.
+
+    Scale shape: ONE lineitem pass (date-pruned scan → suppkey
+    rollup); the max is a 1-row aggregate of the supplier-sized rev
+    frame, joined back BROADCAST (the idiomatic Spark scalar
+    subquery: no second fact scan, no window over a single
+    partition); supplier join also broadcast-sized."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        (
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("total_rev_x10000")
+    )
+    mx = rev.agg(F.max("total_rev_x10000").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev_x10000 == mx.mx)
+        .join(F.broadcast(s), s.s_suppkey == rev.l_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_x10000")
+    )
+
+
+@query(
+    "small_qty_order_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             count(*) AS n_lines
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000
+                AS BIGINT) AS small_rev_x10000,
+           count(*) AS n_small_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.n_lines < pq.sum_qty
+    """,
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lines of
+    one brand whose quantity is below 20% of that part's average —
+    the correlated-aggregate-per-group shape. The avg compare is
+    integer cross-multiplied (qty·5·n < Σqty: quantities are integral
+    doubles ≤ 50, so bigint casts are exact and no engine ever
+    divides), eliminating the float-boundary flip TPC-H's 0.2*avg
+    invites.
+
+    Scale shape: the per-part aggregate reuses lineitem's partkey
+    shuffle; its result is part-sized, so the join back to the
+    brand-pruned fact slice is AQE-broadcastable. The brand prune
+    broadcasts FIRST, so pq could also be computed over just that
+    brand's parts at 100 TB (kept global here to mirror the spec's
+    subquery scope)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == li.l_partkey)
+        .join(pq, F.col("pq_partkey") == li.l_partkey)
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) * 10000)
+            .cast("bigint")
+            .alias("small_rev_x10000"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(q.sum_qty AS BIGINT) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    ) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds 250 (the group-HAVING-then-join shape; 250 sits
+    at the ~99th percentile of this corpus's per-order sums, matching
+    the spec's intent of a rare-order report). Prices ship as exact
+    cents; quantities are integral doubles so the bigint render is
+    exact.
+
+    Scale shape: the HAVING collapses lineitem to a tiny orderkey set
+    BEFORE any join — at 100 TB the qualifying set is thousands of
+    rows, so both subsequent joins are AQE-broadcast of the SMALL
+    side into the fact scans, not fact shuffles. The quantity rollup
+    reuses lineitem's natural orderkey clustering."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        q.join(o, o.o_orderkey == q.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("totalprice_cents"),
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "brand_size_discount_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) * 10000 AS BIGINT)
+             AS disc_rev_x10000,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def brand_size_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue from three OR-ed
+    brand/size/quantity bands — the disjunctive-predicate join that
+    exercises how the optimizer splits a mixed OR across the two
+    sides.
+
+    Scale shape: Catalyst derives the part-side implication
+    (brand ∈ {12,23,34} AND size ≤ 35) and pushes it below the join,
+    so part is pruned to 3 brands before its BROADCAST; the residual
+    OR evaluates post-join on the surviving rows only. The
+    lineitem-side implication (quantity ≤ 30) likewise pushes to the
+    fact scan."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(band).agg(
+        (
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            * 10000
+        )
+        .cast("bigint")
+        .alias("disc_rev_x10000"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "dormant_customer_balance",
+    """
+    WITH bal AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    pos AS (
+      SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+             count(*) AS n_pos
+      FROM bal WHERE bal_cents > 0
+    )
+    SELECT n.n_name,
+           count(*) AS n_dormant,
+           CAST(sum(b.bal_cents) AS BIGINT) AS dormant_cents
+    FROM bal b
+    JOIN nation n ON n.n_nationkey = b.c_nationkey
+    CROSS JOIN pos
+    WHERE b.bal_cents * pos.n_pos > pos.sum_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = b.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n.n_name
+    """,
+)
+def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: customers with an
+    above-average positive balance and NO recent orders (the testdata
+    has no c_phone, so the country-code grouping becomes the nation
+    rollup, and "no orders at all" — empty at this density — becomes
+    "no orders since 2000-01-01"). The avg compare is integer
+    cross-multiplied over exact cents (bal·n > Σ), so no engine
+    divides and no float boundary can flip membership.
+
+    Scale shape: the scalar aggregate is 1 row broadcast back; the
+    anti-join against date-pruned orders is the same left_anti the
+    crawl's seen-check uses (at 100 TB the date prune keeps the
+    recent slice small, and AQE turns the anti-join broadcast);
+    nation broadcasts."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    bal = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    pos = bal.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("bigint").alias("sum_cents"),
+        F.count("*").alias("n_pos"),
+    )
+    rich = bal.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents")
+    )
+    dormant = rich.join(
+        o.select("o_custkey"), rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return (
+        dormant.join(F.broadcast(n), n.n_nationkey == dormant.c_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_dormant"),
+            F.sum("bal_cents").cast("bigint").alias("dormant_cents"),
+        )
+    )
