@@ -9417,3 +9417,254 @@ def dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").cast("bigint").alias("dormant_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-classifier training + sketch family additions (round 5 session 7)
+# ---------------------------------------------------------------------------
+@query(
+    "naive_bayes_model",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, token, count(*) AS c_lt
+      FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT lang, CAST(sum(c_lt) AS BIGINT) AS total_l FROM cnt GROUP BY 1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT token) AS vocab_size FROM toks
+    )
+    SELECT cnt.lang, cnt.token, cnt.c_lt, totals.total_l, vocab.vocab_size
+    FROM cnt JOIN totals ON totals.lang = cnt.lang
+    CROSS JOIN vocab
+    WHERE cnt.c_lt >= 20
+    """,
+)
+def naive_bayes_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes TRAINING as a rollup: the model IS the
+    (lang, token) count table plus per-lang token totals and the
+    global vocab size — everything a consumer needs for Laplace
+    log-probs ((c+1)/(total+V)); no float ever ships (the classifier
+    eval itself is langid_confusion's contract). Rows gate at
+    count ≥ 20 to keep the published model head-sized.
+
+    Scale shape: ONE token explode feeds the (lang, token) rollup
+    map-side; per-lang totals fold the count frame (vocab-sized, not
+    corpus-sized); vocab size is a 1-row broadcast. At 100 TB the
+    only corpus-sized op is the explode+partial-agg — the classic
+    wordcount shard."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(words(F.col("text"))).alias("token")
+    )
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").alias("c_lt"))
+    totals = cnt.groupBy("lang").agg(
+        F.sum("c_lt").cast("bigint").alias("total_l")
+    )
+    vocab = toks.agg(F.countDistinct("token").alias("vocab_size"))
+    return (
+        cnt.filter(F.col("c_lt") >= 20)
+        .join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select("lang", "token", "c_lt", "total_l", "vocab_size")
+    )
+
+
+@query(
+    "lexical_complexity",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_distinct(string_split(lower(text), ' ')))
+               AS n_distinct_tokens,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens, n_syllables,
+           CAST(n_distinct_tokens * 2 > n_tokens AS BOOLEAN) AS is_diverse,
+           CAST(n_syllables * 10 > n_tokens * 15 AS BOOLEAN) AS is_complex
+    FROM base
+    """,
+)
+def lexical_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical complexity: type-token diversity and a
+    vowel-group syllable proxy (the readability half of
+    Flesch-Kincaid that survives a corpus with no sentence
+    punctuation — grade formulas' words-per-sentence term is
+    degenerate here and documented out). Both flags are integer
+    cross-multiplied (distinct·2 > n; syll·10 > 15·n ⇔ avg
+    syllables/word > 1.5), so no ratio ever crosses engines.
+
+    Scale shape: pure per-row JVM expressions (split / array_distinct
+    / regexp_count) — no explode, no shuffle, shards perfectly; the
+    syllable regex runs once over the lowered text, not per token."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_tokens = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    n_syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_syll.alias("n_syllables"),
+        (n_distinct * 2 > n_tokens).alias("is_diverse"),
+        (n_syll * 10 > n_tokens * 15).alias("is_complex"),
+    )
+
+
+@query(
+    "proximity_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS lst FROM documents
+    ),
+    pa AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(lst, (x, i) -> CASE WHEN x = 'join' THEN i END),
+               p -> p IS NOT NULL)) AS pos
+      FROM toks
+    ),
+    pb AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(lst, (x, i) -> CASE WHEN x = 'hash' THEN i END),
+               p -> p IS NOT NULL)) AS pos
+      FROM toks
+    )
+    SELECT pa.doc_id,
+           min(abs(pa.pos - pb.pos)) AS min_dist,
+           count(*) AS n_pairs
+    FROM pa JOIN pb ON pb.doc_id = pa.doc_id
+                   AND abs(pa.pos - pb.pos) <= 3
+    GROUP BY 1
+    """,
+)
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search ("join" NEAR/3 "hash"): documents where the two
+    terms co-occur within 3 token positions, with the closest
+    distance and the within-window pair count — the positional step
+    up from search_multi_term_and's boolean AND (SURVEY §2.9's
+    search family). Distances are position DIFFERENCES, so DuckDB's
+    1-based lambda ordinals and Spark's 0-based posexplode agree
+    without an offset.
+
+    Scale shape: only MATCHING tokens survive the explode (the
+    isin filter sits directly on the generator output, so the
+    per-term position frames are occurrence-sized, not
+    corpus-sized); the doc-keyed band join runs on those small
+    frames. The postings-store twin would serve pa/pb from two
+    pruned term buckets (positions would need adding to the posting
+    payload — documented gap, postings today carry tf only)."""
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(words(F.col("text"))).alias("pos", "token"),
+    ).filter(F.col("token").isin("join", "hash"))
+    pa = pos.filter(F.col("token") == "join").select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    pb = pos.filter(F.col("token") == "hash").select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        pa.join(
+            pb,
+            (pa.doc_id == pb.doc_id_b)
+            & (F.abs(pa.pos_a - pb.pos_b) <= 3),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).alias("min_dist"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+
+
+@query(
+    "count_min_sketch",
+    """
+    WITH cnt AS (
+      SELECT t, count(*) AS c
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+      GROUP BY t
+    ),
+    rws AS (SELECT unnest(['0', '1', '2', '3']) AS r),
+    cells AS (
+      SELECT rws.r,
+             ('0x' || substr(md5(rws.r || ':' || cnt.t), 1, 15))::BIGINT % 64
+               AS col,
+             CAST(sum(cnt.c) AS BIGINT) AS counter
+      FROM cnt CROSS JOIN rws
+      GROUP BY 1, 2
+    ),
+    top10 AS (
+      SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 10
+    )
+    SELECT top10.t AS token,
+           CAST(top10.c AS BIGINT) AS exact_count,
+           min(cells.counter) AS cms_estimate
+    FROM top10
+    CROSS JOIN rws
+    JOIN cells ON cells.r = rws.r
+       AND cells.col = ('0x' || substr(md5(rws.r || ':' || top10.t), 1, 15))::BIGINT % 64
+    GROUP BY 1, 2
+    """,
+)
+def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows × w=64 columns, md5 row-salted
+    hashes): CMS point estimates vs exact counts for the top-10
+    tokens — the mergeable heavy-hitter sketch next to
+    hll_distinct_users (cardinality) and heavy_hitters (exact
+    twin). The estimate is min over rows of the hashed cell, and
+    CMS's one-sided guarantee (estimate ≥ exact) is visible in the
+    output columns. All integer; hashes are the engine-portable
+    md5-prefix bigints (non-negative 60-bit, so % ≡ pmod).
+
+    Scale shape: the only corpus-sized op is the wordcount explode;
+    the 4-way row fan-out runs on the VOCAB-sized count frame and
+    collapses to 256 cells map-side — at 100 TB per-shard sketches
+    would sum cell-wise (CMS is linear), which is this exact plan
+    with a partial agg. Probes join the 10-row top-k against the
+    256-cell frame, both broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(words(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    rws = spark.range(4).select(F.col("id").cast("string").alias("r"))
+    cell_col = F.pmod(
+        md5_long(F.concat(F.col("r"), F.lit(":"), F.col("t"))), F.lit(64)
+    )
+    cells = (
+        cnt.crossJoin(F.broadcast(rws))
+        .groupBy("r", cell_col.alias("col"))
+        .agg(F.sum("c").cast("bigint").alias("counter"))
+    )
+    top10 = cnt.orderBy(F.desc("c"), "t").limit(10)
+    probes = top10.crossJoin(F.broadcast(rws)).select(
+        F.col("t").alias("token"),
+        F.col("c").cast("bigint").alias("exact_count"),
+        F.col("r").alias("pr"),
+        F.pmod(
+            md5_long(F.concat(F.col("r"), F.lit(":"), F.col("t"))), F.lit(64)
+        ).alias("pcol"),
+    )
+    return (
+        probes.join(
+            cells,
+            (cells.r == probes.pr) & (cells.col == probes.pcol),
+        )
+        .groupBy("token", "exact_count")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
