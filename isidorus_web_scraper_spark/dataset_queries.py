@@ -9561,9 +9561,9 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     isin filter sits directly on the generator output, so the
     per-term position frames are occurrence-sized, not
     corpus-sized); the doc-keyed band join runs on those small
-    frames. The postings-store twin would serve pa/pb from two
-    pruned term buckets (positions would need adding to the posting
-    payload — documented gap, postings today carry tf only)."""
+    frames. The index-served twin is ``proximity_search_indexed``
+    (sources/postings.py probe_near over the positional store) —
+    this scan path is its oracle-parity baseline."""
     docs = load(spark, sf_dir, "documents")
     pos = docs.select(
         "doc_id",
@@ -9668,3 +9668,60 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_count")
         .agg(F.min("counter").alias("cms_estimate"))
     )
+
+
+@query(
+    "proximity_search_indexed",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS lst FROM documents
+    ),
+    pa AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(lst, (x, i) -> CASE WHEN x = 'join' THEN i END),
+               p -> p IS NOT NULL)) AS pos
+      FROM toks
+    ),
+    pb AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(lst, (x, i) -> CASE WHEN x = 'hash' THEN i END),
+               p -> p IS NOT NULL)) AS pos
+      FROM toks
+    )
+    SELECT pa.doc_id,
+           min(abs(pa.pos - pb.pos)) AS min_dist,
+           count(*) AS n_pairs
+    FROM pa JOIN pb ON pb.doc_id = pa.doc_id
+                   AND abs(pa.pos - pb.pos) <= 3
+    GROUP BY 1
+    """,
+)
+def proximity_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/3 search served by the POSITIONAL postings store
+    (sources/postings.py probe_near — the OpenSearch match_phrase
+    slop analog): same answer as ``proximity_search``, but pa/pb come
+    from two bucket-pruned posting rows and the distance test runs as
+    JVM array ops over the stored position arrays — document content
+    is never read. The oracle recounts from raw text, so the pair
+    pins index-served proximity against a from-scratch scan (the
+    same contract as search_indexed / phrase_search_indexed).
+    Reuses the phrase query's cached positional store: one index,
+    two probe types."""
+    from .sources.index_cache import cached_store
+    from .sources.postings import (
+        build_positional_postings,
+        probe_near,
+        write_postings,
+    )
+
+    path, built = cached_store(sf_dir, "postings-pos", "_SUCCESS")
+    if not built:
+        docs = load(spark, sf_dir, "documents")
+        write_postings(
+            build_positional_postings(docs, ["doc_id"], "text"),
+            path,
+            mode="overwrite",
+        )
+    return probe_near(spark, path, "join", "hash", 3)

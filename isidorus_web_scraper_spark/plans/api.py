@@ -310,6 +310,60 @@ def search_pages_indexed_substring(
     ).orderBy(F.desc("score"), "url")
 
 
+def search_pages_near(
+    wh: Warehouse,
+    term_a: str,
+    term_b: str,
+    user_id: int,
+    pos_postings_path: str,
+    k: int = 3,
+    term_buckets: int = 64,
+) -> DataFrame:
+    """Proximity (NEAR/k) search served by the POSITIONAL postings
+    store: pages where the two terms co-occur within ``k`` token
+    positions, ranked by within-window pair count then closest
+    distance — the positional step up from
+    ``search_pages_indexed_and`` (whose boolean AND ignores where in
+    the page the terms sit). Semantics twin: the scan-path
+    ``proximity_search`` query in dataset_queries.py recomputes the
+    same answer from raw text; the oracle row pins them equal.
+
+    Scale shape: delegate to ``probe_near`` (≤2/B of the index read,
+    per-candidate array work), then a user ACL filter on the
+    candidate-sized frame — content is never read."""
+    from ..sources.postings import probe_near
+
+    hits = probe_near(
+        wh.spark, pos_postings_path, term_a, term_b, k, term_buckets
+    ).filter(F.col("user_id") == user_id)
+    return hits.select("url", "scraping_id", "min_dist", "n_pairs").orderBy(
+        F.desc("n_pairs"), "min_dist", "url"
+    )
+
+
+def rebuild_positional_postings(
+    wh: Warehouse, pos_postings_path: str, term_buckets: int = 64
+) -> None:
+    """Rebuild the positional (phrase/NEAR) index from pages — same
+    derived-data contract as ``rebuild_postings``."""
+    from ..sources.postings import build_positional_postings, write_postings
+
+    pages = wh.read("pages")
+    docs = wh.read("index_docs").select("scraping_id", "url", "round", "user_id")
+    src = pages.join(docs, ["scraping_id", "url", "round"], "left").select(
+        "scraping_id", "url", "user_id", "round", "content"
+    )
+    write_postings(
+        build_positional_postings(
+            src, ["scraping_id", "url", "user_id", "round"], "content",
+            term_buckets,
+        ),
+        pos_postings_path,
+        mode="overwrite",
+        partition_cols=["round", "term_bucket"],
+    )
+
+
 def rebuild_postings(
     wh: Warehouse, postings_path: str, term_buckets: int = 64
 ) -> None:

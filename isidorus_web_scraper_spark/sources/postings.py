@@ -574,3 +574,59 @@ def probe_phrase(
         .select(*id_cols, n.alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+def probe_near(
+    spark: SparkSession,
+    path: str,
+    term_a: str,
+    term_b: str,
+    k: int = 3,
+    buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """(ids..., min_dist, n_pairs) for docs where ``term_a`` and
+    ``term_b`` co-occur within ``k`` token positions — NEAR/k served
+    by the positional postings (the OpenSearch match_phrase slop
+    analog). Candidates are docs holding BOTH terms (pivot + dropna on
+    two bucket-pruned posting rows); the pairwise distances are JVM
+    higher-order array ops over the two occurrence-sized position
+    arrays, so document content is never read.
+
+    Scale shape: the probe reads ≤2/B of the index (partition pruning
+    on the two terms' buckets); per-candidate work is |pos_a|·|pos_b|
+    on in-task arrays — bounded by the per-doc occurrence counts the
+    tokenizer already capped, never a corpus join."""
+    a, b = term_a.lower(), term_b.lower()
+    if a == b:
+        raise ValueError("proximity terms must differ (use probe_postings)")
+    bs = buckets_of(spark, [a, b], buckets)
+    idx = (
+        read_postings(spark, path)
+        .filter(F.col("term_bucket").isin(bs))
+        .filter(F.col("term").isin([a, b]))
+    )
+    id_cols = [
+        c
+        for c in idx.columns
+        if c not in ("term", "positions", "term_bucket", "round")
+    ]
+    piv = idx.groupBy(*id_cols).pivot("term", [a, b]).agg(F.first("positions"))
+    pa, pb = F.col(f"`{a}`"), F.col(f"`{b}`")
+    within = F.flatten(
+        F.transform(
+            pa,
+            lambda x: F.filter(
+                F.transform(pb, lambda y: F.abs(x - y)),
+                lambda d: d <= F.lit(k),
+            ),
+        )
+    )
+    return (
+        piv.dropna()  # a doc missing either term has no pairs
+        .select(
+            *id_cols,
+            F.array_min(within).alias("min_dist"),
+            F.size(within).alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )

@@ -536,3 +536,102 @@ def test_indexed_and_search_equals_scan_intersection(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_probe_near_semantics(spark, tmp_path):
+    from isidorus_web_scraper_spark.sources.postings import (
+        build_positional_postings,
+        probe_near,
+        write_postings,
+    )
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x x b"),          # dist 3: on the k boundary
+            (2, "a x x x b"),        # dist 4: outside NEAR/3
+            (3, "b a"),              # dist 1, order-insensitive
+            (4, "a q a q b q b"),    # dists |0-4|,|0-6|,|2-4|,|2-6| → only 2 within
+            (5, "a only here"),      # missing b → excluded
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "pos")
+    write_postings(
+        build_positional_postings(docs, ["doc_id"], "text"), path,
+        mode="overwrite",
+    )
+    got = {
+        r.doc_id: (r.min_dist, r.n_pairs)
+        for r in probe_near(spark, path, "a", "b", 3).collect()
+    }
+    assert got == {1: (3, 1), 3: (1, 1), 4: (2, 1)}
+    with pytest.raises(ValueError):
+        probe_near(spark, path, "a", "a", 3)
+
+
+def test_search_pages_near_over_engine_index(spark, tmp_path):
+    from isidorus_web_scraper_spark.corpus import generate_documents
+    from isidorus_web_scraper_spark.plans.api import (
+        rebuild_positional_postings,
+        search_pages_near,
+    )
+    from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from pyspark.sql import functions as F
+
+    docs = generate_documents(spark, n_hosts=5).persist()
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "w"),
+        documents=docs,
+        config=CrawlConfig(
+            bloom_expected_urls=4096,
+            default_budget=1_000_000_000,
+            summarizer_enabled=False,
+        ),
+    )
+    eng.start([(97, 1, "http://h0.test/p0.html", 2)])
+    eng.run()
+    pos_path = str(tmp_path / "pos-index")
+    rebuild_positional_postings(eng.wh, pos_path)
+
+    a, b, k = "partition", "bloom", 5
+    got = {
+        (r.url, r.scraping_id): (r.min_dist, r.n_pairs)
+        for r in search_pages_near(eng.wh, a, b, 1, pos_path, k).collect()
+    }
+
+    # scan-path recount straight from pages content
+    pages = eng.wh.read("pages")
+    pos = pages.select(
+        "url",
+        "scraping_id",
+        F.posexplode(F.split(F.lower("content"), " ", -1)).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token").isin(a, b))
+    pa = pos.filter(F.col("token") == a).selectExpr(
+        "url", "scraping_id", "pos AS pos_a"
+    )
+    pb = pos.filter(F.col("token") == b).selectExpr(
+        "url AS url_b", "scraping_id AS sid_b", "pos AS pos_b"
+    )
+    want = {
+        (r.url, r.scraping_id): (r.min_dist, r.n_pairs)
+        for r in pa.join(
+            pb,
+            (pa.url == pb.url_b)
+            & (pa.scraping_id == pb.sid_b)
+            & (F.abs(pa.pos_a - pb.pos_b) <= k),
+        )
+        .groupBy("url", "scraping_id")
+        .agg(
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).alias("min_dist"),
+            F.count("*").alias("n_pairs"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+    # ACL: another user sees nothing
+    assert search_pages_near(eng.wh, a, b, 99, pos_path, k).count() == 0
