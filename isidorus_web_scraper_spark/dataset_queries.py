@@ -9725,3 +9725,274 @@ def proximity_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="overwrite",
         )
     return probe_near(spark, path, "join", "hash", 3)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank over the link graph (round 5 session 7): the
+# crawl-prioritization variant of pagerank_dup_graph — teleport mass
+# returns to a SEED set instead of everywhere, so rank measures
+# proximity to the frontier's origin (the "focused crawl" ordering a
+# production scheduler feeds from).
+# ---------------------------------------------------------------------------
+def _ppr_sql(iters: int = 4) -> str:
+    """Unrolled PPR iterations over the shared link graph — generated
+    like _pagerank_sql, MATERIALIZED per the kcore lesson (a CTE
+    referenced by every round would otherwise inline into an
+    exponential scan tree)."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""ppr{k} AS MATERIALIZED (
+      SELECT n.v,
+             CAST(CASE WHEN s.v IS NOT NULL THEN 150000000000 ELSE 0 END
+                  + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN seeds s ON s.v = n.v
+      LEFT JOIN (
+        SELECT e.w AS v, sum(p.pr // d.outdeg) AS contrib
+        FROM sym e
+        JOIN ppr{k - 1} p ON p.v = e.v
+        JOIN deg d ON d.v = e.v
+        GROUP BY e.w
+      ) c ON c.v = n.v
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_LINKGRAPH_SQL_CTES},
+    nodes AS MATERIALIZED (SELECT DISTINCT v FROM sym),
+    deg AS MATERIALIZED (SELECT v, count(*) AS outdeg FROM sym GROUP BY v),
+    seeds AS MATERIALIZED (
+      SELECT doc_id AS v FROM documents WHERE doc_id % 50 = 0
+    ),
+    ppr0 AS MATERIALIZED (
+      SELECT n.v,
+             CAST(CASE WHEN s.v IS NOT NULL
+                  THEN 1000000000000 ELSE 0 END AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN seeds s ON s.v = n.v
+    ),
+    {chain}
+    SELECT v AS doc_id, pr AS ppr FROM ppr{iters} WHERE pr > 0
+    """
+
+
+@query("personalized_pagerank", _ppr_sql())
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (4 iterations, damping 0.85, teleport to
+    the doc_id%50 seed set) over the shared undirected link graph —
+    rank mass diffuses FROM the seeds, so scores order pages by
+    random-walk proximity to the crawl's origin (focused-crawl /
+    related-page ranking; the global variant is pagerank_dup_graph).
+    Nodes the walk hasn't reached stay at exactly 0 and drop out —
+    the output is the reachable-within-4-hops neighborhood, scored.
+
+    Scale shape: identical to classic distributed PageRank — per
+    iteration one edge join ships pr/outdeg, one destination hash
+    aggregate, localCheckpoint bounds plan depth; the seed flag rides
+    a broadcast LEFT join. Exactness: scaled-10^12 BIGINT ranks,
+    integer div only (operands non-negative, floor == trunc both
+    engines)."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select("v").distinct().localCheckpoint(eager=True)
+    deg = sym.groupBy("v").agg(F.count("*").alias("outdeg"))
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("sv")
+    )
+    is_seed = F.col("sv").isNotNull()
+    pr = nodes.join(F.broadcast(seeds), nodes.v == F.col("sv"), "left").select(
+        "v",
+        F.when(is_seed, F.lit(1_000_000_000_000))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr"),
+    )
+    for _ in range(4):
+        prs = pr.select(F.col("v").alias("pv"), "pr")
+        contrib = (
+            sym.join(prs, sym.v == F.col("pv"))
+            .join(deg, "v")
+            .select("w", F.expr("pr div outdeg").alias("c"))
+            .groupBy(F.col("w").alias("cv"))
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(F.broadcast(seeds), nodes.v == F.col("sv"), "left")
+            .join(contrib, nodes.v == F.col("cv"), "left")
+            .select(
+                "v",
+                (
+                    F.when(is_seed, F.lit(150_000_000_000))
+                    .otherwise(F.lit(0))
+                    .cast("bigint")
+                    + F.expr("(85 * coalesce(contrib, 0)) div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.filter(F.col("pr") > 0).select(
+        F.col("v").alias("doc_id"), F.col("pr").alias("ppr")
+    )
+
+
+@query(
+    "events_ewma_halflife",
+    """
+    WITH span AS (
+      SELECT max(epoch_ms(ts) // 86400000) AS last_day FROM events
+    ),
+    daily AS (
+      SELECT event_type,
+             CAST(epoch_ms(ts) // 86400000
+                  - (SELECT last_day FROM span) + 29 AS BIGINT) AS di,
+             count(*) AS c
+      FROM events
+      WHERE epoch_ms(ts) // 86400000 > (SELECT last_day FROM span) - 30
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(c * (CAST(1 AS BIGINT) << di)) AS BIGINT)
+             AS ewma_num_x2p29,
+           CAST(sum(c) AS BIGINT) AS n_events
+    FROM daily
+    GROUP BY event_type
+    """,
+)
+def events_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily activity (half-life = 1 day) per
+    event type over the trailing 30 days — the recency-weighted rate
+    a throttler or trend detector actually wants. The weights are
+    EXACT powers of two (day d of 0..29 weighs 2^d), so the EWMA
+    numerator is one integer witness (denominator 2^29 is the
+    consumer's constant; yesterday counts literally half of today —
+    no float decay constant to disagree about, no summation-order
+    ulps).
+
+    Scale shape: events collapse to the (type × 30 days) frame
+    map-side; the span end is a 1-row broadcast; the weighted sum
+    rides the same rollup via shiftleft. Overflow headroom:
+    c·2^29·30 stays under 2^63 until ~5·10^8 events/day/type."""
+    ev = load(spark, sf_dir, "events")
+    day = (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000)).cast("bigint")
+    ev = ev.select("event_type", day.alias("d"))
+    span = ev.agg(F.max("d").alias("last_day"))
+    daily = (
+        ev.crossJoin(F.broadcast(span))
+        .filter(F.col("d") > F.col("last_day") - 30)
+        .groupBy(
+            "event_type",
+            (F.col("d") - F.col("last_day") + 29).alias("di"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(di AS INT))"))
+        .cast("bigint")
+        .alias("ewma_num_x2p29"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "url_directory_rollup",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'h' || (doc_id % 7) || '.test' AS host,
+             '/' || source AS p1,
+             '/' || source || '/d' || (doc_id % 13) AS p2
+      FROM documents
+    ),
+    pref AS (
+      SELECT host, p1 AS prefix, 1 AS depth FROM urls
+      UNION ALL
+      SELECT host, p2, 2 FROM urls
+    )
+    SELECT host, prefix, CAST(depth AS INT) AS depth,
+           count(*) AS n_pages
+    FROM pref
+    GROUP BY 1, 2, 3
+    """,
+)
+def url_directory_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-space profiling: page counts per (host, path-prefix) at
+    every directory depth — the hierarchical rollup a crawl operator
+    reads to find hotspot directories before they become traps
+    (crawl_trap_detection's digit-collapse is the per-round online
+    gate; this is the offline census). URLs derive deterministically
+    from doc identity, same convention as robots_rules' synthesized
+    corpus.
+
+    Scale shape: prefixes explode to depth≤2 rows per page (bounded
+    fan-out, map-side), then one hash rollup — the explode+agg
+    wordcount shard; no join, no window. At 100 TB partition the
+    output by host for the per-host operator dashboards."""
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".test"))
+    p1 = F.concat(F.lit("/"), F.col("source"))
+    p2 = F.concat(
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/d"),
+        (F.col("doc_id") % 13).cast("string"),
+    )
+    pref = docs.select(
+        host.alias("host"),
+        F.explode(
+            F.array(
+                F.struct(p1.alias("prefix"), F.lit(1).alias("depth")),
+                F.struct(p2.alias("prefix"), F.lit(2).alias("depth")),
+            )
+        ).alias("x"),
+    ).select("host", "x.prefix", "x.depth")
+    return pref.groupBy("host", "prefix", "depth").agg(
+        F.count("*").alias("n_pages")
+    )
+
+
+@query(
+    "table_checksum",
+    """
+    SELECT source,
+           count(*) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+                  doc_id || '|' || lang || '|' || n_chars), 1, 15))::BIGINT
+                % 1000000000000) AS BIGINT) AS checksum
+    FROM documents
+    GROUP BY source
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint per source partition: the
+    anti-entropy checksum two replicas (or a source and its migrated
+    copy) compare to find divergent partitions without shipping rows
+    — sum of per-row md5 bigints (mod 10^12 so a 10^6-row partition
+    stays far from int64 overflow). Addition commutes, so the
+    checksum is insensitive to row order and partitioning — exactly
+    why it beats any hash-of-concatenation.
+
+    Scale shape: one scan, per-row JVM md5, map-side partial sums —
+    the cheapest possible full-table audit; at 100 TB run per
+    partition and compare manifests, shipping only (partition,
+    checksum) pairs."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(
+        md5_long(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("n_chars").cast("string"),
+            )
+        ),
+        F.lit(1_000_000_000_000),
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h).cast("bigint").alias("checksum"),
+    )
