@@ -108,6 +108,10 @@ BENCH_QUERIES = [
     # broadcast-dim star join (TPC-H Q5 shape)
     "kcore_linkfarm",
     "local_supplier_volume",
+    # r5 session 7: the 6-way broadcast star with one fact-fact shuffle
+    # (TPC-H Q8 shape) and seed-teleport iterative diffusion (PPR)
+    "nation_market_share",
+    "personalized_pagerank",
 ]
 
 

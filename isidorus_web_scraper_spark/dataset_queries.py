@@ -9996,3 +9996,210 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(h).cast("bigint").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph local structure + sketch algebra (round 5 session 7)
+# ---------------------------------------------------------------------------
+@query(
+    "clustering_coefficient",
+    f"""
+    WITH {_LINKGRAPH_SQL_CTES},
+    deg AS MATERIALIZED (SELECT v, count(*) AS degree FROM sym GROUP BY v),
+    wedge AS (
+      SELECT s1.v, s1.w AS u, s2.w AS w2
+      FROM sym s1 JOIN sym s2 ON s2.v = s1.v AND s1.w < s2.w
+    ),
+    tri AS (
+      SELECT wedge.v, count(*) AS n_tri
+      FROM wedge JOIN edges e ON e.a = wedge.u AND e.b = wedge.w2
+      GROUP BY 1
+    )
+    SELECT d.v AS doc_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           4 * coalesce(t.n_tri, 0) >= d.degree * (d.degree - 1)
+             AS is_clustered
+    FROM deg d LEFT JOIN tri t ON t.v = d.v
+    """,
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node over the shared link
+    graph (triangle_count is the global census; this is the per-node
+    cohesion signal that separates tight communities from hub spam).
+    The coefficient itself is n_tri / C(degree,2) — both witnesses
+    ship as integers and the cc ≥ 0.5 flag is cross-multiplied
+    (4·tri ≥ deg·(deg−1)), so no engine divides.
+
+    Scale shape: wedges = one self-join of the symmetric adjacency on
+    the center vertex (Σdeg² rows — the standard triangle-counting
+    bound; at 100 TB cap hub degrees or sample wedges per the
+    Cohen-style estimators), closed by one join against the a<b edge
+    list, then a center-keyed count. Everything hash-joins; no
+    windows."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = sym.groupBy("v").agg(F.count("*").alias("degree"))
+    s2 = sym.select(F.col("v").alias("v2"), F.col("w").alias("w2"))
+    wedge = sym.join(
+        s2, (F.col("v2") == F.col("v")) & (F.col("w") < F.col("w2"))
+    ).select("v", F.col("w").alias("u"), "w2")
+    tri = (
+        wedge.join(
+            edges, (edges.a == F.col("u")) & (edges.b == F.col("w2"))
+        )
+        .groupBy(F.col("v").alias("tv"))
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return deg.join(tri, deg.v == F.col("tv"), "left").select(
+        F.col("v").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+        (
+            4 * F.coalesce("n_tri", F.lit(0))
+            >= F.col("degree") * (F.col("degree") - 1)
+        ).alias("is_clustered"),
+    )
+
+
+@query(
+    "link_prediction_common_neighbors",
+    f"""
+    WITH {_LINKGRAPH_SQL_CTES},
+    wedge AS (
+      SELECT s1.w AS u, s2.w AS w2
+      FROM sym s1 JOIN sym s2 ON s2.v = s1.v AND s1.w < s2.w
+    ),
+    cand AS (
+      SELECT u, w2, count(*) AS n_common
+      FROM wedge
+      GROUP BY 1, 2
+    )
+    SELECT c.u AS doc_a, c.w2 AS doc_b, c.n_common
+    FROM cand c
+    LEFT JOIN edges e ON e.a = c.u AND e.b = c.w2
+    WHERE e.a IS NULL
+    ORDER BY c.n_common DESC, c.u, c.w2
+    LIMIT 20
+    """,
+)
+def link_prediction_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction by common-neighbor count: the top-20
+    NON-adjacent node pairs sharing the most neighbors — the classic
+    "pages that should link" / related-domain primitive (the simplest
+    of the Liben-Nowell–Kleinberg predictors; Jaccard/Adamic-Adar are
+    the same wedge frame with per-endpoint degree witnesses).
+    Deterministic top-k: integer count desc, then (a, b).
+
+    Scale shape: the SAME Σdeg²-bounded wedge self-join as
+    clustering_coefficient, collapsed map-side to candidate pairs,
+    then one anti-join against the edge list removes already-linked
+    pairs; the top-20 is TakeOrderedAndProject. At 100 TB bound hub
+    degrees (drop or sample centers above a cap) — the standard
+    wedge-sampling move."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    s2 = sym.select(F.col("v").alias("v2"), F.col("w").alias("w2"))
+    cand = (
+        sym.join(s2, (F.col("v2") == F.col("v")) & (F.col("w") < F.col("w2")))
+        .groupBy(F.col("w").alias("u"), "w2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        cand.join(
+            edges, (edges.a == cand.u) & (edges.b == cand.w2), "left_anti"
+        )
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("w2").alias("doc_b"),
+            "n_common",
+        )
+        .orderBy(F.desc("n_common"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "hll_union_merge",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hash
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type, hash % 128 AS register,
+             max(CASE WHEN hash // 128 > 0
+                      THEN 53 - length(bin(hash // 128)) + 1
+                      ELSE 54 END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT register, max(rho) AS rho FROM per_type GROUP BY 1
+    ),
+    direct AS (
+      SELECT hash % 128 AS register,
+             max(CASE WHEN hash // 128 > 0
+                      THEN 53 - length(bin(hash // 128)) + 1
+                      ELSE 54 END) AS rho
+      FROM h GROUP BY 1
+    )
+    SELECT count(*) AS n_registers,
+           CAST(sum(d.rho) AS BIGINT) AS rho_sum_direct,
+           CAST(sum(m.rho) AS BIGINT) AS rho_sum_merged,
+           CAST(count(*) FILTER (WHERE m.rho = d.rho) AS BIGINT)
+             AS n_matching
+    FROM direct d JOIN merged m USING (register)
+    """,
+)
+def hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY, pinned as a query: per-event-type register
+    tables max-merged == the register table computed over the union
+    directly (n_matching == n_registers in the output row). This is
+    THE property that makes the sketch a 100-TB operator — per-shard
+    / per-day sketches fold by register max with no re-scan — and
+    the reason hll_distinct_users' register table can be resumable
+    state. Same portable md5 register/rho construction as
+    hll_distinct_users (m=128, 7 low bits route, rho = leading-zero
+    rank of the 53-bit rest).
+
+    Scale shape: both pipelines are map-side partial-max rollups
+    bounded by m registers per group; the comparison joins two
+    ≤128-row frames."""
+    events = load(spark, sf_dir, "events")
+    hash_c = md5_long(F.col("user_id").cast("string"))
+    h = events.select(
+        "event_type",
+        (hash_c % 128).alias("register"),
+        F.shiftright(hash_c, 7).alias("rest"),
+    )
+    rho = F.max(
+        F.when(
+            F.col("rest") > 0, F.lit(53) - F.length(F.bin("rest")) + F.lit(1)
+        ).otherwise(F.lit(54))
+    ).alias("rho")
+    per_type = h.groupBy("event_type", "register").agg(rho)
+    merged = per_type.groupBy("register").agg(
+        F.max("rho").alias("m_rho")
+    )
+    direct = h.groupBy("register").agg(rho)
+    return (
+        direct.join(merged, "register")
+        .agg(
+            F.count("*").alias("n_registers"),
+            F.sum("rho").cast("bigint").alias("rho_sum_direct"),
+            F.sum("m_rho").cast("bigint").alias("rho_sum_merged"),
+            F.sum(F.when(F.col("m_rho") == F.col("rho"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matching"),
+        )
+    )
