@@ -10203,3 +10203,174 @@ def hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_matching"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized ANN + exact set-similarity join (round 5 session 7)
+# ---------------------------------------------------------------------------
+@query(
+    "ann_int8_topk",
+    """
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CASE
+               WHEN CAST(round(x * 10000) AS BIGINT) >= 0
+               THEN (CAST(round(x * 10000) AS BIGINT) * 127) // 10000
+               ELSE -((-CAST(round(x * 10000) AS BIGINT) * 127) // 10000)
+             END) AS qv
+      FROM embeddings
+    ),
+    queries AS (SELECT vec_id AS qid, qv AS qq FROM q8 WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             CAST(list_sum(list_transform(q.qq, (x, i) -> x * e.qv[i]))
+                  AS BIGINT) AS dot
+      FROM queries q JOIN q8 e ON e.vec_id != q.qid
+    )
+    SELECT qid, vec_id AS neighbor, dot
+    FROM (
+      SELECT qid, vec_id, dot,
+             row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+               AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN (the FAISS SQ8 memory-bandwidth move): every
+    embedding quantizes to [-127,127] ints (fixed scale 127/1.0 —
+    values sit in ±0.5; per-vector scales would add a witness column,
+    same plan), and top-5 neighbors rank by the EXACT INTEGER dot
+    product — at 100 TB this is 4× less scan bandwidth and SIMD int8
+    dots, with re-ranking of the short list in float32 as the
+    (optional) second stage. Quantization goes through round(x·10^4)
+    bigints and a truncating div emulated identically in both engines
+    (DuckDB // floors, Spark div truncates — sign-split so both
+    truncate toward zero), so scores carry zero float ulps.
+
+    Scale shape: same broadcast-queries × corpus scan as
+    ann_bruteforce_topk; the win is the element width. The integer
+    dot is one zip_with+aggregate, codegen'd JVM-side."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def quant(x):
+        xi = F.round(x * 10000).cast("bigint")
+        mag = F.floor(F.abs(xi) * 127 / 10000).cast("bigint")
+        return F.when(xi < 0, -mag).otherwise(mag)
+
+    q8 = emb.select(
+        "vec_id", F.transform("embedding", quant).alias("qv")
+    )
+    queries = q8.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(q8, F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot.alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", F.col("vec_id").alias("neighbor"), "dot")
+    )
+
+
+@query(
+    "dedup_prefix_filter",
+    """
+    WITH sub AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+             CAST(len(a.toks) AS BIGINT) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS n_union
+      FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, CAST(n_union AS BIGINT) AS n_union
+    FROM pairs
+    WHERE n_inter * 5 >= 3 * n_union
+    """,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set similarity join (Jaccard ≥ 0.6) by PREFIX
+    FILTERING (AllPairs/PPJoin): sort each doc's distinct tokens by
+    ascending global frequency; any pair with J ≥ t MUST share a
+    token in the first |x|−⌈t·|x|⌉+1 of them, so prefix-token
+    collisions are a LOSSLESS candidate set — unlike MinHash-LSH
+    there are no false negatives, which is why the oracle is plain
+    brute force over the same subset and equality (not recall) is
+    the contract. The ceil is integer ((3·sz+4) div 5) and the
+    verify is cross-multiplied (inter·5 ≥ 3·union): no floats.
+
+    Scale shape: candidate volume is bounded by rare-token collision
+    lists (the frequency-ascending order puts the RAREST tokens in
+    the prefix — hot tokens never generate pairs); the verify joins
+    token-set arrays for candidate pairs only. The same blocked
+    subset as dedup_ngram_jaccard keeps the oracle's all-pairs
+    affordable; the Spark side never goes all-pairs."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sets = docs.select(
+        "doc_id", F.array_distinct(words(F.col("text"))).alias("toks")
+    ).localCheckpoint(eager=True)
+    tok = sets.select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = tok.join(freq, "token").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "token")
+        ),
+    )
+    sz = sets.select(
+        "doc_id", F.size("toks").cast("bigint").alias("sz")
+    )
+    pref = (
+        ranked.join(sz, "doc_id")
+        # prefix_len = sz - ceil(0.6*sz) + 1 = sz - (3*sz+4) div 5 + 1
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.expr("(3 * sz + 4) div 5") + 1
+        )
+        .select("doc_id", "token")
+    )
+    cand = (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    union = (
+        F.size("ta").cast("bigint") + F.size("tb").cast("bigint") - inter
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .filter(F.col("n_inter") * 5 >= 3 * F.col("n_union"))
+    )
