@@ -10374,3 +10374,703 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_inter") * 5 >= 3 * F.col("n_union"))
     )
+
+
+# ===========================================================================
+# Model-evaluation and distribution-audit family (round 5, session 7).
+# Every statistic below is reduced to integer witnesses first; the only
+# doubles emitted are final ratios computed from those identical
+# integers in both engines, rounded to 6 dp.
+# ===========================================================================
+
+
+@query(
+    "score_auc",
+    """
+    WITH s AS (
+      SELECT n_chars AS score,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_neg
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT n_pos, n_neg,
+             CAST(coalesce(sum(n_neg) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS neg_below
+      FROM s
+    )
+    SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           CAST(sum(n_neg) AS BIGINT) AS n_neg,
+           CAST(sum(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT)
+             AS auc_num2,
+           round(sum(2 * n_pos * neg_below + n_pos * n_neg)
+                 / (2.0 * sum(n_pos) * sum(n_neg)), 6) AS auc
+    FROM c
+    """,
+)
+def score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based AUC (Mann-Whitney U) of a score column predicting a
+    binary label — here n_chars predicting lang='en' — WITHOUT the
+    all-pairs join: group rows by score value, then one ordered window
+    gives, per distinct score, how many negatives rank strictly below.
+    2*AUC*P*N = 2*sum(pos_s * neg_below_s) + sum(pos_s * neg_s) (ties
+    count half), all integers, so both engines agree bit-for-bit and
+    the single emitted double is one division of identical integers.
+
+    Scale shape: the window sorts DISTINCT score values (bounded by
+    value cardinality, not row count); everything before it is one
+    map-side-combinable agg. The classic sklearn formulation sorts all
+    rows; this sorts the value histogram."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("neg_below"),
+    )
+    num2 = F.sum(
+        2 * F.col("n_pos") * F.col("neg_below")
+        + F.col("n_pos") * F.col("n_neg")
+    )
+    return c.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        num2.cast("bigint").alias("auc_num2"),
+        F.round(
+            num2 / (2.0 * F.sum("n_pos") * F.sum("n_neg")), 6
+        ).alias("auc"),
+    )
+
+
+@query(
+    "calibration_bins",
+    """
+    SELECT CAST((n_chars % 1000) // 100 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(n_chars % 1000) AS BIGINT) AS sum_score_milli,
+           round(sum(n_chars % 1000) / (1000.0 * count(*)), 6)
+             AS mean_score,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+    FROM documents GROUP BY 1
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: a [0,1) pseudo-probability (here
+    (n_chars mod 1000)/1000 — deterministic, engine-portable) bucketed
+    into 10 equal bins; per bin the mean predicted score vs the
+    observed positive rate. A calibrated model's bins sit on the
+    diagonal. Integer witnesses (n, n_pos, sum of milli-scores) carry
+    the exactness; the two doubles are divisions of those integers.
+
+    Scale shape: one map-side-combinable groupBy on a 10-value key —
+    no window, no join, partial aggregation does all the work."""
+    docs = load(spark, sf_dir, "documents")
+    milli = F.col("n_chars") % 1000
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return (
+        docs.groupBy(F.expr("(n_chars % 1000) div 100").cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(pos).cast("bigint").alias("n_pos"),
+            F.sum(milli).cast("bigint").alias("sum_score_milli"),
+            F.round(F.sum(milli) / (1000.0 * F.count("*")), 6).alias(
+                "mean_score"
+            ),
+            F.round(
+                F.sum(pos) / F.count("*").cast("double"), 6
+            ).alias("pos_rate"),
+        )
+    )
+
+
+@query(
+    "feature_psi",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+             CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM b)
+    SELECT bin, n_a, n_b,
+           round(((n_a + 1.0) / (ta + 10.0) - (n_b + 1.0) / (tb + 10.0))
+                 * ln(((n_a + 1.0) / (ta + 10.0))
+                      / ((n_b + 1.0) / (tb + 10.0))), 6) AS psi_term
+    FROM b, t
+    """,
+)
+def feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index terms between two event populations
+    (even vs odd event_id — the champion/challenger split) over 10
+    fixed-width value bins with +1 Laplace smoothing: psi_term =
+    (p−q)·ln(p/q) per bin; the PSI is their sum (>0.2 = drifted).
+    Distinct from term_drift_chi2: PSI is the industry drift score for
+    NUMERIC feature distributions; chi² tests token categoricals.
+
+    Integer bin counts are exact in both engines; p and q are built
+    from those integers by identical double arithmetic, so the 6 dp
+    round agrees. One groupBy on a 10-value key + a broadcast of the
+    two totals — partial agg does all the work at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.least(F.floor(F.col("value") / 50).cast("bigint"), F.lit(9).cast("bigint")).alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    t = b.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    p = (F.col("n_a") + 1.0) / (F.col("ta") + 10.0)
+    q = (F.col("n_b") + 1.0) / (F.col("tb") + 10.0)
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    bottom AS (SELECT hv FROM h ORDER BY hv LIMIT 8),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k_actual,
+                 CAST(max(hv) AS BIGINT) AS h_k
+          FROM bottom)
+    SELECT k_actual, h_k,
+           round((k_actual - 1) * (1152921504606846976.0 / h_k), 3)
+             AS est_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM h) AS exact_distinct
+    FROM k
+    """,
+)
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) distinct-count sketch over
+    event users: keep the k=8 smallest DISTINCT 60-bit md5 hashes; the
+    kth smallest estimates density, D ≈ (k−1)·2^60/h_k. The third
+    sketch family next to HLL (hll_distinct_users) and the count-min
+    (count_min_sketch): KMV is the one whose bottom-k set also
+    supports set-EXPRESSION estimates (union=merge bottom-k,
+    intersection via Jaccard on the sketches).
+
+    h_k and k_actual are exact integers in both engines (md5 is
+    standardized); the estimate is one identical double expression of
+    them. Scale shape: distinct-hash then a k-row ORDER BY LIMIT —
+    Spark's TakeOrderedAndProject, a per-partition top-k merged on the
+    driver, never a full sort. The exact_distinct witness is the
+    audit column a production sketch would drop."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        md5_long(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    bottom = h.orderBy("hv").limit(8)
+    k = bottom.agg(
+        F.count("*").cast("bigint").alias("k_actual"),
+        F.max("hv").cast("bigint").alias("h_k"),
+    )
+    exact = h.agg(F.count("*").cast("bigint").alias("exact_distinct"))
+    return k.crossJoin(F.broadcast(exact)).select(
+        "k_actual",
+        "h_k",
+        F.round(
+            (F.col("k_actual") - 1)
+            * (F.lit(1152921504606846976.0) / F.col("h_k")),
+            3,
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+@query(
+    "changepoint_cusum",
+    """
+    WITH d AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n,
+             CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(count(*) OVER () AS BIGINT) AS nd,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM d
+    )
+    SELECT day, n, cum,
+           CAST(abs(nd * cum - t * total) AS BIGINT) AS d_stat
+    FROM c
+    """,
+)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint localisation over the daily error-count series via
+    the centered cumulative sum: D_t = |N·C_t − t·T| peaks at the day
+    the rate shifts (the integer-scaled CUSUM statistic — the max-D_t
+    day is the estimated changepoint, and D's shape distinguishes a
+    step from a trend). Pure integers end-to-end: N·C_t and t·T are
+    products of counts, so no float enters the statistic at all —
+    unlike the textbook mean-centered CUSUM this needs no division.
+
+    Scale shape: events collapse to one row per day first (partial
+    agg); the windows then order ~days rows, not events."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            (ntz_epoch_ms(F.col("ts")) / F.lit(86400000))
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wo = Window.orderBy("day")
+    wall = Window.partitionBy()
+    c = d.select(
+        "day",
+        "n",
+        F.sum("n").over(wo).cast("bigint").alias("cum"),
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.count("*").over(wall).cast("bigint").alias("nd"),
+        F.sum("n").over(wall).cast("bigint").alias("total"),
+    )
+    return c.select(
+        "day",
+        "n",
+        "cum",
+        F.abs(
+            F.col("nd") * F.col("cum") - F.col("t") * F.col("total")
+        )
+        .cast("bigint")
+        .alias("d_stat"),
+    )
+
+
+@query(
+    "revenue_gini",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT rev,
+             CAST(row_number() OVER (ORDER BY rev, o_custkey)
+                  AS BIGINT) AS rn
+      FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS BIGINT) AS total_cents,
+           CAST(sum(rn * rev) AS BIGINT) AS rank_weighted_cents,
+           round((2.0 * sum(rn * rev) - (count(*) + 1.0) * sum(rev))
+                 / (CAST(count(*) AS DOUBLE) * sum(rev)), 6) AS gini
+    FROM rk
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    single-number companion to events_pareto_share's decile curve.
+    Money goes to integer cents first; the closed form
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over ascending-sorted revenue
+    needs only the rank-weighted integer sum. Ties: ranks come from
+    row_number over (rev, custkey), and Σ i·x_i over a tied group is
+    x·Σi — invariant to intra-tie order, so both engines agree even
+    though their sorts differ.
+
+    Scale shape: orders collapse to one row per customer (partial
+    agg), the window sorts customers not orders, then one global agg."""
+    orders = load(spark, sf_dir, "orders")
+    r = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    rk = r.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy("rev", "o_custkey"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    n = F.count("*")
+    s = F.sum("rev")
+    w = F.sum(F.col("rn") * F.col("rev"))
+    return rk.agg(
+        n.cast("bigint").alias("n_customers"),
+        s.cast("bigint").alias("total_cents"),
+        w.cast("bigint").alias("rank_weighted_cents"),
+        F.round(
+            (2.0 * w - (n + F.lit(1.0)) * s) / (n.cast("double") * s), 6
+        ).alias("gini"),
+    )
+
+
+@query(
+    "events_interarrival",
+    """
+    WITH d AS (
+      SELECT epoch_ms(ts)
+             - lag(epoch_ms(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS delta_ms
+      FROM events
+    )
+    SELECT CAST(length(bin(delta_ms)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(delta_ms) AS BIGINT) AS sum_delta_ms,
+           CAST(min(delta_ms) AS BIGINT) AS min_delta_ms,
+           CAST(max(delta_ms) AS BIGINT) AS max_delta_ms
+    FROM d WHERE delta_ms IS NOT NULL AND delta_ms > 0
+    GROUP BY 1
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time distribution on a log2 grid: lag()
+    inside each user's (ts, event_id)-ordered stream gives the gap in
+    ms; the bucket is the bit-length of the integer gap
+    (length(bin(x)) = floor(log2 x)+1 — integer-exact in both engines,
+    no float log). The histogram shape separates bot-like constant
+    cadence from human heavy-tailed cadence and sizes sessionization
+    timeouts empirically (events_sessionization hardcodes 1800 s; this
+    shows where the real gap mass sits).
+
+    Scale shape: one user-partitioned window (the same shuffle key
+    sessionization uses), then a map-side-combinable rollup onto ~40
+    buckets. The (ts, event_id) total order inside the window is the
+    repo-wide discipline for cross-engine lag parity."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ems = ntz_epoch_ms(F.col("ts"))
+    d = ev.select((ems - F.lag(ems).over(w)).alias("delta_ms"))
+    return (
+        d.filter(F.col("delta_ms").isNotNull() & (F.col("delta_ms") > 0))
+        .groupBy(
+            F.length(F.bin(F.col("delta_ms")))
+            .cast("bigint")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("delta_ms").cast("bigint").alias("sum_delta_ms"),
+            F.min("delta_ms").cast("bigint").alias("min_delta_ms"),
+            F.max("delta_ms").cast("bigint").alias("max_delta_ms"),
+        )
+    )
+
+
+@query(
+    "source_entropy",
+    """
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(n) AS BIGINT) AS total_docs,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6)
+             AS entropy_nats,
+           CAST((max(n) * 1000000) // sum(n) AS BIGINT)
+             AS max_share_ppm
+    FROM c
+    """,
+)
+def source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the corpus source distribution via
+    the aggregation-friendly identity H = ln T − Σ n·ln n / T — one
+    pass over per-source counts, no per-row p_i materialisation. The
+    diversity dial a training-data mix is tuned by (entropy falling
+    round-over-round = one source is eating the crawl); max_share_ppm
+    is the integer witness of the dominant source's share.
+
+    Integer counts are exact; ln over identical integers rounds
+    identically at 6 dp. Scale: one partial-agg groupBy + one
+    single-row rollup."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = F.sum("n")
+    return c.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        t.cast("bigint").alias("total_docs"),
+        F.round(
+            F.log(t) - F.sum(F.col("n") * F.log("n")) / t, 6
+        ).alias("entropy_nats"),
+        F.expr("(max(n) * 1000000) div sum(n)")
+        .cast("bigint")
+        .alias("max_share_ppm"),
+    )
+
+
+@query(
+    "zipf_slope",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    f AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok
+      WHERE term <> '' GROUP BY term
+    ),
+    top AS (
+      SELECT c,
+             CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT)
+               AS rk
+      FROM f ORDER BY c DESC, term LIMIT 100
+    ),
+    xy AS (
+      SELECT ln(rk) AS x, ln(c) AS y FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6)
+             AS zipf_slope,
+           round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+                 / count(*), 6) AS intercept
+    FROM xy
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of ln(freq) on ln(rank)
+    over the top-100 terms. Natural text sits near −1; generated or
+    template-heavy corpora flatten — a one-number corpus-health check
+    next to vocab_coverage's curve. Rank ties break by term so both
+    engines pick the identical top-100 set; x/y are ln of identical
+    integers and the OLS closed form is the same double expression
+    tree on both sides.
+
+    Scale shape: the term count is a partial-agg groupBy; the top-100
+    is TakeOrderedAndProject (per-partition heap, driver merge of
+    k=100), never a global sort of the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(words(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    f = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
+    top = (
+        f.orderBy(F.col("c").desc(), "term")
+        .limit(100)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "term"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+    )
+    xy = top.select(F.log("rk").alias("x"), F.log("c").alias("y"))
+    nn = F.count("*")
+    slope = (nn * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        nn * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return xy.agg(
+        nn.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / nn, 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "opic_priority",
+    """
+    WITH """ + _LINKGRAPH_SQL_CTES + """,
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY v
+    ),
+    give AS (
+      SELECT s.w AS node, CAST(1000000 // d.d AS BIGINT) AS cash
+      FROM sym s JOIN deg d ON s.v = d.v
+    )
+    SELECT node, CAST(sum(cash) AS BIGINT) AS opic_cash,
+           CAST(count(*) AS BIGINT) AS n_contributors
+    FROM give GROUP BY node
+    ORDER BY opic_cash DESC, node LIMIT 20
+    """,
+)
+def opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One OPIC cash-distribution step (Abiteboul's On-line Page
+    Importance Computation — the frontier-prioritisation scheme real
+    crawlers use INSTEAD of full PageRank, because it needs no global
+    iteration): every node starts with 10^6 micro-cash and pays
+    floor(10^6/outdeg) to each out-neighbour; a node's received cash
+    is its fetch priority. Integer floor-division end-to-end — no
+    damping float, so both engines agree bit-for-bit. Companion to
+    personalized_pagerank: OPIC is what the crawl loop would actually
+    consult per round.
+
+    Scale shape: one degree agg + one join on the edge list + one
+    groupBy — all partial-aggregable; top-20 is a driver-merged heap."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = sym.groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+    give = sym.join(deg, "v").select(
+        F.col("w").alias("node"),
+        F.expr("1000000 div d").cast("bigint").alias("cash"),
+    )
+    return (
+        give.groupBy("node")
+        .agg(
+            F.sum("cash").cast("bigint").alias("opic_cash"),
+            F.count("*").cast("bigint").alias("n_contributors"),
+        )
+        .orderBy(F.col("opic_cash").desc(), "node")
+        .limit(20)
+    )
+
+
+@query(
+    "two_hop_reach",
+    """
+    WITH """ + _LINKGRAPH_SQL_CTES + """,
+    seeds AS (SELECT v FROM sym WHERE v % 97 = 0 GROUP BY v),
+    one AS (
+      SELECT s.v AS seed, y.w AS nb
+      FROM seeds s JOIN sym y ON y.v = s.v GROUP BY s.v, y.w
+    ),
+    two AS (
+      SELECT o.seed, y.w AS nb2
+      FROM one o JOIN sym y ON y.v = o.nb GROUP BY o.seed, y.w
+    ),
+    reach AS (
+      SELECT seed, nb AS node FROM one
+      UNION
+      SELECT seed, nb2 FROM two
+    )
+    SELECT r.seed,
+           CAST((SELECT count(*) FROM one o WHERE o.seed = r.seed)
+                AS BIGINT) AS n_1hop,
+           CAST(sum(CASE WHEN r.node <> r.seed THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_2hop
+    FROM reach r GROUP BY r.seed
+    """,
+)
+def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighbourhood size per seed node (every 97th node):
+    |N(v)| and |N(N(v)) ∪ N(v) \\ {v}| — the friend-of-friend reach
+    that upper-bounds how fast a BFS frontier explodes from a seed
+    (the 2-hop count is the round-2 frontier the crawl's depth gate
+    would admit) and flags supernode hubs before they skew a shuffle.
+    Distinct from graph_bfs_levels: this measures the SIZE profile of
+    every seed simultaneously via set algebra, not level assignment.
+
+    Scale shape: two self-joins on the symmetric edge list, each
+    followed by distinct-style group-bys that partial-aggregate; no
+    iteration, no driver loop. Exact integers only."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    seeds = sym.filter(F.col("v") % 97 == 0).select("v").distinct()
+    one = (
+        seeds.alias("s")
+        .join(sym.alias("y"), F.col("y.v") == F.col("s.v"))
+        .select(F.col("s.v").alias("seed"), F.col("y.w").alias("nb"))
+        .distinct()
+    )
+    two = (
+        one.alias("o")
+        .join(sym.alias("y"), F.col("y.v") == F.col("o.nb"))
+        .select(F.col("o.seed").alias("seed"), F.col("y.w").alias("nb2"))
+        .distinct()
+    )
+    reach = one.select("seed", F.col("nb").alias("node")).union(
+        two.select("seed", F.col("nb2").alias("node"))
+    ).distinct()
+    n1 = one.groupBy("seed").agg(
+        F.count("*").cast("bigint").alias("n_1hop")
+    )
+    return (
+        reach.groupBy("seed")
+        .agg(
+            F.sum(F.when(F.col("node") != F.col("seed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_2hop")
+        )
+        .join(n1, "seed")
+        .select("seed", "n_1hop", "n_2hop")
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) t(i)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(v), 4) AS mean_v,
+           round(avg(v * v), 4) AS mean_sq,
+           round(min(v), 4) AS min_v,
+           round(max(v), 4) AS max_v
+    FROM e GROUP BY 1
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding matrix — the
+    whitening / dead-dimension audit an ANN index build runs first
+    (a dimension with ~zero variance wastes IVF centroids; a huge-mean
+    dimension dominates unnormalised L2). posexplode flattens the
+    array column JVM-side; DuckDB's twin indexes the list against a
+    generate_series. min/max are order-independent floats (exact);
+    mean and mean-square are sums of ~N doubles rounded to 4 dp,
+    inside the repo's cross-engine float discipline.
+
+    Scale shape: explode → 64-key partial-aggregable groupBy; at 100
+    TB this is the canonical map-side-combine shape (64 cells per
+    task regardless of row count)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v0")
+    ).select("dim", F.col("v0").cast("double").alias("v"))
+    return e.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("v"), 4).alias("mean_v"),
+        F.round(F.avg(F.col("v") * F.col("v")), 4).alias("mean_sq"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+    )
