@@ -11074,3 +11074,366 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 4).alias("min_v"),
         F.round(F.max("v"), 4).alias("max_v"),
     )
+
+
+# ===========================================================================
+# Hybrid retrieval + sampling + audit family (round 5, session 7).
+# ===========================================================================
+
+
+def _rrf_sql() -> str:
+    """Oracle: BM25 top-10 (the bm25_search CTE verbatim) fused with
+    the cosine top-10 to vec 0's embedding by reciprocal-rank fusion,
+    joined on doc_id == vec_id."""
+    bm25 = _bm25_sql()
+    # reuse the bm25 pipeline as a subquery producing (doc_id, rn)
+    lex = bm25.replace(
+        "SELECT doc_id, bm25 FROM (",
+        "SELECT doc_id, rn FROM (",
+    ).replace(") WHERE rn <= 10", ") t WHERE rn <= 10")
+    return f"""
+    WITH lex AS ({lex}),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id, rn FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(q.qe, e.embedding), 4)
+                          DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN qv q
+        WHERE e.vec_id <> 0
+      ) WHERE rn <= 10
+    )
+    SELECT doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           round(rrf, 6) AS rrf
+    FROM (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.rn AS lex_rank, s.rn AS sem_rank,
+             coalesce(1.0 / (60 + l.rn), 0)
+             + coalesce(1.0 / (60 + s.rn), 0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@query("hybrid_search_rrf", _rrf_sql())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    the standard lexical+vector fusion in production search) of the
+    BM25 top-10 (bm25_search's exact pipeline) and the cosine top-10
+    to a fixed query vector, joined on the shared id space —
+    score = Σ 1/(60+rank). Rank lists are integers (both arms break
+    ties by id on a 4 dp-rounded score, the repo's float-order
+    discipline), so the fused score is the same two-term double sum in
+    both engines.
+
+    Scale shape: each arm is already bounded (TakeOrderedAndProject
+    top-10); the fusion is a full outer join of two 10-row frames —
+    driver-trivial regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    lex = (
+        bm25_search(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("bigint")
+            .alias("lex_rank"),
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), "doc_id"))
+            .cast("bigint")
+            .alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf0"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf0"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id", "lex_rank", "sem_rank",
+            F.round("rrf0", 6).alias("rrf"),
+        )
+    )
+
+
+@query(
+    "weighted_sample_es",
+    """
+    WITH k AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 1000000 + 1) / 1000001.0)
+             / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, w, round(es_key, 9) AS es_key
+    FROM k ORDER BY es_key DESC, doc_id LIMIT 20
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by the Efraimidis-
+    Spirakis one-pass reservoir (2006): each row draws u∈(0,1) and
+    keeps key u^(1/w); the top-k keys ARE a w-proportional sample —
+    the way a training-data pipeline samples documents by length/
+    quality weight in one scan, no prefix-sum pass. Ordering by
+    ln(u)/w is monotone-equivalent and better-conditioned; u comes
+    from the repo's md5 discipline so the 'randomness' is reproducible
+    and both engines compute the identical double from identical
+    integers.
+
+    Scale shape: one scan + TakeOrderedAndProject top-k (per-partition
+    heap, driver merge of k rows) — the canonical distributed
+    reservoir."""
+    docs = load(spark, sf_dir, "documents")
+    u = (md5_long(F.col("doc_id").cast("string")) % 1000000 + 1) / F.lit(
+        1000001.0
+    )
+    k = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("w"),
+        (F.log(u) / F.col("n_chars")).alias("es_key0"),
+    )
+    return (
+        k.orderBy(F.desc("es_key0"), "doc_id")
+        .limit(20)
+        .select("doc_id", "w", F.round("es_key0", 9).alias("es_key"))
+    )
+
+
+@query(
+    "benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford,
+           round((CAST(n AS DOUBLE) / total
+                  - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 * (CAST(n AS DOUBLE) / total
+                    - ln(1.0 + 1.0 / digit) / ln(10.0))
+                 * total / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6)
+             AS chi2_term
+    FROM c
+    """,
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order amounts: leading-digit frequencies
+    vs log10(1+1/d), with per-digit chi² contributions (Σ chi2_term
+    against chi²₈ flags fabricated or capped amounts — the classic
+    forensic data-quality check). The leading digit comes from the
+    CENTS integer's decimal string, so binning is exact in both
+    engines; observed/expected/chi² are identical double expressions
+    of the integer counts.
+
+    Scale shape: one map-side-combinable groupBy onto 9 cells; the
+    window for the total runs over 9 rows."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    c = c.select(
+        "digit",
+        "n",
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    exp_p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return c.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(exp_p, 6).alias("benford"),
+        F.round((obs - exp_p) * (obs - exp_p) * F.col("total") / exp_p, 6)
+        .alias("chi2_term"),
+    )
+
+
+@query(
+    "event_type_pmi",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+    cx AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ca.c AS n_a, cb.c AS n_b,
+           round(ln(CAST(n.nu AS DOUBLE) * p.n_both / (ca.c * cb.c)), 6)
+             AS pmi
+    FROM pairs p
+    JOIN cx ca ON ca.event_type = p.type_a
+    JOIN cx cb ON cb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def event_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types at user
+    granularity: PMI = ln(N·c_xy / (c_x·c_y)) over users-having-type
+    sets — positive = the types co-occur in the same users more than
+    independence predicts (the feature-co-occurrence signal behind
+    market_basket_lift, but information-theoretic and symmetric-set
+    based rather than order-basket based). All counts are exact
+    integers; the single double is one ln of their ratio.
+
+    Scale shape: distinct (user, type) collapses events first (the
+    frame is bounded by users × type-cardinality); the pair self-join
+    keys on user_id — at 100 TB the per-user type set is tiny, so this
+    is a skew-free shuffle, and the type marginals broadcast."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("nu")
+    )
+    cx = ut.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    pairs = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    ca = cx.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("n_a")
+    )
+    cb = cx.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("nu").cast("double")
+                    * F.col("n_both")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "degree_assortativity",
+    """
+    WITH """ + _LINKGRAPH_SQL_CTES + """,
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY v
+    ),
+    xy AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s JOIN deg da ON da.v = s.v JOIN deg db ON db.v = s.w
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * CAST(sum(x * x) AS DOUBLE)
+                    - CAST(sum(x) AS DOUBLE) * sum(x)), 6)
+             AS assortativity
+    FROM xy
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all directed edge slots — positive = hubs
+    link to hubs (social nets), negative = hubs link to leaves (the
+    web, and what a link farm distorts; companion diagnostic to
+    kcore_linkfarm). Over the symmetric edge list x/y marginals are
+    equal, so r reduces to integer sums Σx, Σxy, Σx² and one double
+    division — exact witnesses, no float accumulation.
+
+    Scale shape: degree agg + two broadcast-joinable lookups on the
+    edge list + one global sum — every stage partial-aggregates; at
+    100 TB the degree table is the only shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = sym.groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+    da = deg.select(F.col("v"), F.col("d").alias("x"))
+    db = deg.select(F.col("v").alias("w"), F.col("d").alias("y"))
+    xy = sym.join(da, "v").join(db, "w").select("x", "y")
+    nn = F.count("*")
+    sx = F.sum("x")
+    sy = F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return xy.agg(
+        nn.cast("bigint").alias("n_dir_edges"),
+        sx.cast("bigint").alias("sum_x"),
+        sxy.cast("bigint").alias("sum_xy"),
+        sxx.cast("bigint").alias("sum_xx"),
+        F.round(
+            (nn * sxy - sx * sy)
+            / (nn * sxx.cast("double") - sx.cast("double") * sx),
+            6,
+        ).alias("assortativity"),
+    )
