@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--warc-files-per-round", type=int, default=4)
     ap.add_argument("--retry-max-attempts", type=int, default=0,
                     help="transient-failure refetch attempts (503s)")
+    ap.add_argument("--frontier-priority", choices=["depth", "indegree"],
+                    default="depth",
+                    help="budget-truncation order within a depth level: "
+                    "depth (BFS, first-discovered) or indegree "
+                    "(OPIC-lite: most-linked-to URLs fetch first)")
     ap.add_argument("--resume", action="store_true",
                     help="continue an existing warehouse (no new seeds)")
     ap.add_argument("--master", default=None)
@@ -97,6 +102,7 @@ def main(argv: list[str] | None = None) -> None:
             archive_warc=args.archive_warc,
             warc_files_per_round=args.warc_files_per_round,
             retry_max_attempts=args.retry_max_attempts,
+            frontier_priority=args.frontier_priority,
         ),
     )
     if args.resume:

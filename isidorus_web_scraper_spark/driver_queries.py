@@ -1556,3 +1556,82 @@ def robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return robots_sitemaps(robots)
+
+
+# ---------------------------------------------------------------------------
+# frontier_priority='indegree' scheduling (operators/politeness.py
+# _priority_keys): the same window scheduler with the optional
+# `priority` column slotted between depth and the url tie-break —
+# (depth DESC, priority DESC, url). Synthetic frontier = the
+# politeness_schedule_window corpus plus priority = doc_id % 7, so
+# priority genuinely reorders within depth levels on every host.
+# ---------------------------------------------------------------------------
+@query(
+    "frontier_priority_schedule",
+    """
+    WITH f AS (
+      SELECT 'http://h' || h::VARCHAR || '.test/p' || doc_id::VARCHAR || '.html' AS url,
+             h,
+             '/p' || doc_id::VARCHAR || '.html' AS path,
+             CAST(doc_id % 3 AS INT) AS depth,
+             CAST(doc_id % 7 AS BIGINT) AS priority
+      FROM (SELECT doc_id, doc_id % 37 AS h FROM documents)
+    ),
+    marked AS (
+      SELECT url, h, depth, priority,
+             (h % 5) + 1 AS budget,
+             (h % 4 = 0) AND (path LIKE '/p1%') AS blocked,
+             (h % 3 != 0) AS delay_ok
+      FROM f
+    ),
+    ranked AS (
+      SELECT url, budget, blocked, delay_ok,
+             coalesce(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) OVER (
+               PARTITION BY h ORDER BY depth DESC, priority DESC, url
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS rank
+      FROM marked
+    )
+    SELECT url,
+           CASE WHEN blocked THEN 'robots_blocked'
+                WHEN delay_ok AND rank < budget THEN 'fetch'
+                ELSE 'defer' END AS action
+    FROM ranked
+    """,
+)
+def frontier_priority_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.politeness import schedule_round
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 37
+    frontier = docs.select(
+        F.lit(1).alias("scraping_id"),
+        F.lit(1).alias("user_id"),
+        F.concat(
+            F.lit("http://h"), h.cast("string"), F.lit(".test/p"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        (F.col("doc_id") % 3).cast("int").alias("depth"),
+        F.lit(1).alias("round"),
+        (F.col("doc_id") % 7).cast("long").alias("priority"),
+    )
+    politeness = (
+        docs.select(h.alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".test")).alias(
+                "host"
+            ),
+            ((F.col("h") % 5) + 1).cast("int").alias("max_fetches_per_round"),
+            F.when(F.col("h") % 4 == 0, F.array(F.lit("/p1")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("robots_disallow"),
+            F.when(F.col("h") % 3 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("crawl_delay_rounds"),
+        )
+    )
+    return schedule_round(frontier, politeness, 1, impl="window").select(
+        "url", "action"
+    )

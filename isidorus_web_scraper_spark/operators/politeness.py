@@ -21,6 +21,13 @@ Semantics per round:
   discovered earlier (BFS), so first-discovered wins ties
   deterministically; the remainder is deferred to the next round's
   frontier *without re-claiming* (SURVEY.md §7 hard-parts).
+- optional importance priority: a frontier that carries a ``priority``
+  column (long, higher = sooner; the engine derives it from link
+  indegree when ``CrawlConfig.frontier_priority='indegree'`` — the
+  OPIC-lite rule real crawlers schedule by) injects it BETWEEN depth
+  and url: order = (depth DESC, priority DESC, url ASC). Every impl
+  consumes it through the same ``_priority_keys`` helper, so the
+  four schedulers stay equivalence-comparable with or without it.
 
 Deferral keeps the URL's remaining ``depth`` unchanged — politeness
 delays the fetch, it does not consume crawl depth.
@@ -39,6 +46,19 @@ DEFAULT_BUDGET = 8  # FIXTURES.md §4 default
 ACTION_FETCH = "fetch"
 ACTION_DEFER = "defer"
 ACTION_ROBOTS = "robots_blocked"
+
+
+def _priority_keys(cols) -> list:
+    """The per-host queue order, shared by all scheduler impls:
+    (depth DESC[, priority DESC], url ASC). The optional ``priority``
+    column slots between BFS depth and the deterministic url
+    tie-break so importance reorders only WITHIN a depth level —
+    BFS semantics (and the first-wins claim) are untouched."""
+    keys = [F.desc("depth")]
+    if "priority" in cols:
+        keys.append(F.desc("priority"))
+    keys.append(F.asc("url"))
+    return keys
 
 
 def robots_blocked_col(path, disallow, allow):
@@ -206,7 +226,7 @@ def schedule_round(
         # whole-stage codegen — no Python, no Arrow.
         w = (
             W.partitionBy("host")
-            .orderBy(F.desc("depth"), "url")
+            .orderBy(*_priority_keys(f.columns))
             .rowsBetween(W.unboundedPreceding, -1)
         )
         rank = F.coalesce(
@@ -250,7 +270,7 @@ def schedule_round(
         )
         w1 = (
             W.partitionBy("host", "salt")
-            .orderBy(F.desc("depth"), "url")
+            .orderBy(*_priority_keys(f.columns))
             .rowsBetween(W.unboundedPreceding, -1)
         )
         s1 = f2.withColumn(
@@ -264,7 +284,7 @@ def schedule_round(
         # per host — the first `budget` candidates in (depth DESC, url)
         # order ARE the host's global top-budget (any candidate ranked
         # before them here also precedes them globally).
-        w2 = W.partitionBy("host").orderBy(F.desc("depth"), "url")
+        w2 = W.partitionBy("host").orderBy(*_priority_keys(f.columns))
         decided = (
             s1.filter(is_cand)
             .withColumn("rn", F.row_number().over(w2))
@@ -302,7 +322,9 @@ def schedule_round(
         if n_parts is None:
             n_parts = int(f.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         pre = f.repartition(n_parts, "host").sortWithinPartitions(
-            "host", F.desc("depth"), "url"  # priority: first-discovered first
+            # queue order: first-discovered first (optionally importance
+            # between depth and the url tie-break — _priority_keys)
+            "host", *_priority_keys(f.columns)
         )
 
         def sched(batches):
@@ -382,8 +404,14 @@ def schedule_round(
         raise ValueError("unreachable: fusion guard above")  # pragma: no cover
 
     def per_host(pdf: pd.DataFrame) -> pd.DataFrame:
-        # priority queue: first-discovered first (depth desc, url asc)
-        pdf = pdf.sort_values(["depth", "url"], ascending=[False, True])
+        # priority queue: first-discovered first (depth desc, url asc),
+        # importance between them when the frontier carries it
+        if "priority" in pdf.columns:
+            pdf = pdf.sort_values(
+                ["depth", "priority", "url"], ascending=[False, False, True]
+            )
+        else:
+            pdf = pdf.sort_values(["depth", "url"], ascending=[False, True])
         budget = int(pdf["budget"].iloc[0])
         delay = int(pdf["delay"].iloc[0])
         blocked = pdf["blocked"].fillna(False).to_numpy()

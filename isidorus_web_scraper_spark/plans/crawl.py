@@ -153,6 +153,18 @@ class CrawlConfig:
     # fused page_fn path always uses vectorized (the fetch needs the
     # pandas stage anyway).
     politeness_impl: str = "vectorized"
+    # frontier scheduling priority WITHIN a depth level when the
+    # per-host budget truncates: "depth" (default — pure BFS order,
+    # first-discovered first) or "indegree" (OPIC-lite: URLs with more
+    # discovered inlinks fetch first — the importance rule production
+    # crawlers schedule by instead of full PageRank). Indegree comes
+    # from one groupBy over the committed `links` table joined onto the
+    # round's frontier; it reorders fetch-vs-defer only — the claim
+    # set, depth gate, and end state of a budget-unconstrained crawl
+    # are untouched (pytest-pinned). At 10^10 URLs the links rollup
+    # would be kept as an incrementally-merged count table instead of
+    # re-aggregated; the per-round agg is the correctness-first form.
+    frontier_priority: str = "depth"
     media_store_enabled: bool = False     # S6: persist media payloads (extractor_service.go:55-107)
     # discover robots.txt from the crawl itself (north_rule mandate; the
     # reference skips robots entirely — page_fetcher.go:14-20): at the
@@ -723,6 +735,21 @@ class CrawlEngine:
         frontier = self.wh.read("frontier", {"round": round_no})
         if urls_in is None:
             urls_in = frontier.count()
+        if cfg.frontier_priority == "indegree":
+            # OPIC-lite importance: discovered-inlink count per URL so
+            # far, left-joined onto the frontier as the schedulers'
+            # optional `priority` column (_priority_keys slots it
+            # between depth and the url tie-break). Unlinked rows
+            # (seeds, sitemap entries) keep priority 0.
+            inlinks = (
+                self.wh.read("links")
+                .select("scraping_id", F.col("target_url").alias("url"))
+                .groupBy("scraping_id", "url")
+                .agg(F.count("*").cast("long").alias("priority"))
+            )
+            frontier = frontier.join(
+                inlinks, ["scraping_id", "url"], "left"
+            ).withColumn("priority", F.coalesce("priority", F.lit(0)))
         pol = self.politeness
         sm_cands: DataFrame | None = None
         if cfg.discover_robots:

@@ -957,3 +957,62 @@ def test_retry_attempts_cap_terminates(spark, tmp_path):
     assert (72, "http://h0.test/p1.html") not in {
         (r.scraping_id, r.url) for r in eng.wh.read("pages").collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# frontier_priority='indegree' (OPIC-lite): when the per-host budget
+# truncates, the URL with more committed inlinks fetches FIRST; the
+# crawled set (pages/seen/links) is identical to BFS-order — priority
+# reorders rounds, never membership.
+# ---------------------------------------------------------------------------
+def test_frontier_priority_indegree(spark, tmp_path):
+    def t(text, off):
+        return {"kind": "text", "text": text, "media_ref": None, "offset": off}
+
+    def l(url, off):
+        return {"kind": "link", "text": None, "media_ref": url, "offset": off}
+
+    a, z = "http://slow.test/a", "http://slow.test/z"
+    m1, m2 = "http://hub.test/m1", "http://hub.test/m2"
+    docs = spark.createDataFrame(
+        [
+            ("http://hub.test/seed", [t("s", 0), l(m1, 1), l(m2, 2)]),
+            (m1, [t("m1", 0), l(a, 1), l(z, 2)]),
+            (m2, [t("m2", 0), l(z, 1)]),
+            (a, [t("a", 0)]),
+            (z, [t("z", 0)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    politeness = spark.createDataFrame(
+        [("slow.test", 1, [], 0), ("hub.test", 8, [], 0)],
+        "host string, max_fetches_per_round int, "
+        "robots_disallow array<string>, crawl_delay_rounds int",
+    )
+    # by round 2, committed links give indegree(z)=2 (m1+m2) vs
+    # indegree(a)=1 — slow.test's budget of 1 must pick z first under
+    # indegree priority, a first under BFS url order
+    ends = {}
+    rounds = {}
+    for prio in ("depth", "indegree"):
+        eng = CrawlEngine(
+            spark,
+            str(tmp_path / f"wh_{prio}"),
+            documents=docs,
+            politeness=politeness,
+            config=CrawlConfig(
+                bloom_expected_urls=1024, frontier_priority=prio
+            ),
+        )
+        eng.start([(70, 1, "http://hub.test/seed", 3)])
+        eng.run()
+        pages, seen, links, _, jobs = spark_end_state(eng)
+        # round-insensitive end state: (keys, content) + seen + links
+        ends[prio] = (
+            {k: v[0] for k, v in pages.items()}, seen, links,
+        )
+        rounds[prio] = {k[1]: v[2] for k, v in pages.items()}
+    assert ends["depth"] == ends["indegree"]  # same crawl, different order
+    assert rounds["depth"][a] < rounds["depth"][z]      # BFS: a first
+    assert rounds["indegree"][z] < rounds["indegree"][a]  # OPIC: z first

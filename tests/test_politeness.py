@@ -169,3 +169,66 @@ def test_salted_equals_window_on_mixed_round_frontier(spark):
         schedule_round(frontier, pol, 0, 4, impl="salted", salt_shards=3)
     )
     assert got == ref
+
+
+def _frontier_prio(spark, n=200, hosts=11, round_no=0):
+    """Frontier with a priority column: priority = i % 7 (varies within
+    every host and depth level)."""
+    rows = [
+        (1, 1, f"http://h{i % hosts}.test/p{i}.html", 1 + i % 3, round_no,
+         i % 7)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "scraping_id long, user_id long, url string, depth int, round int, "
+        "priority long",
+    )
+
+
+def test_priority_column_equivalence_across_impls(spark):
+    # all four impls must consume the optional priority column through
+    # the same (depth DESC, priority DESC, url) order
+    pol = _politeness(spark)
+    frontier = _frontier_prio(spark)
+    a = _collect(schedule_round(frontier, pol, 0, 2, impl="vectorized"))
+    b = _collect(schedule_round(frontier, pol, 0, 2, impl="grouped"))
+    c = _collect(schedule_round(frontier, pol, 0, 2, impl="window"))
+    d = _collect(
+        schedule_round(frontier, pol, 0, 2, impl="salted", salt_shards=3)
+    )
+    assert a == b == c == d
+
+
+def test_priority_reorders_within_depth_only(spark):
+    # same host, same depth, budget 1: the higher-priority URL fetches
+    # even though the other sorts first by url; a DEEPER url still
+    # beats any priority (priority slots BELOW depth).
+    rows = [
+        (1, 1, "http://h0.test/a.html", 1, 0, 0),   # url-first, low prio
+        (1, 1, "http://h0.test/z.html", 1, 0, 5),   # high prio, same depth
+        (1, 1, "http://h1.test/a.html", 1, 0, 9),   # high prio, shallow
+        (1, 1, "http://h1.test/z.html", 2, 0, 0),   # deeper wins anyway
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "scraping_id long, user_id long, url string, depth int, round int, "
+        "priority long",
+    )
+    for impl in ("vectorized", "grouped", "window", "salted"):
+        acts = dict(_collect(schedule_round(frontier, None, 0, 1, impl=impl)))
+        assert acts["http://h0.test/z.html"] == "fetch", impl
+        assert acts["http://h0.test/a.html"] == "defer", impl
+        assert acts["http://h1.test/z.html"] == "fetch", impl
+        assert acts["http://h1.test/a.html"] == "defer", impl
+
+
+def test_no_priority_column_order_unchanged(spark):
+    # absent the column, actions are identical to a frame that carries
+    # constant priority (the keys degenerate to (depth DESC, url))
+    pol = _politeness(spark)
+    base = _frontier(spark)
+    withc = base.withColumn("priority", F.lit(0).cast("long"))
+    a = _collect(schedule_round(base, pol, 0, 2, impl="window"))
+    b = _collect(schedule_round(withc, pol, 0, 2, impl="window"))
+    assert a == b
