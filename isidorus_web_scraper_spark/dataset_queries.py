@@ -11437,3 +11437,281 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "ship_latency_histogram",
+    """
+    SELECT CAST(floor(datediff('day', o.o_orderdate, l.l_shipdate) / 7)
+                AS BIGINT) AS week_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(datediff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS sum_days,
+           CAST(min(datediff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS min_days,
+           CAST(max(datediff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS max_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution on a weekly grid — the SLA
+    shape behind order_priority_sla's breach count. floor() (not
+    truncate-toward-zero) buckets negative latencies consistently in
+    both engines (Spark's int div truncates, DuckDB's // floors — the
+    repo's signed-bucket discipline is to floor a double division
+    explicitly). Day deltas are exact integers; every emitted column
+    is an integer.
+
+    Scale shape: the fact-to-fact join keys on l_orderkey (AQE picks
+    the strategy; orders is the smaller side) and the rollup
+    partial-aggregates onto ~hundreds of week cells."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.floor(days / 7).cast("bigint").alias("week_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(days).cast("bigint").alias("sum_days"),
+            F.min(days).cast("bigint").alias("min_days"),
+            F.max(days).cast("bigint").alias("max_days"),
+        )
+    )
+
+
+@query(
+    "sprt_sequential",
+    """
+    WITH s AS (
+      SELECT t, k,
+             k * ln(5.0 / 3.0) + (t - k) * ln(15.0 / 17.0) AS llr
+      FROM (
+        SELECT row_number() OVER (ORDER BY ts, event_id) AS t,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (ORDER BY ts, event_id) AS k
+        FROM events
+      )
+    ),
+    c AS (
+      SELECT *, 1 AS pr FROM s
+      WHERE llr >= ln(19.0) OR llr <= -ln(19.0)
+      ORDER BY t LIMIT 1
+    ),
+    f AS (SELECT *, 0 AS pr FROM s ORDER BY t DESC LIMIT 1)
+    SELECT CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                WHEN llr <= -ln(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(t AS BIGINT) AS n_obs,
+           CAST(k AS BIGINT) AS n_success,
+           round(llr, 6) AS llr
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM f)
+    ORDER BY pr DESC LIMIT 1
+    """,
+)
+def sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability-ratio test over the event stream:
+    H0 p=0.15 vs H1 p=0.25 purchase rate, α=β=0.05 — stop at the FIRST
+    observation where the log-likelihood ratio crosses ±ln(19). The
+    sequential answer an experimentation platform gives INSTEAD of the
+    fixed-horizon z-test (ab_test_zprop): same decision quality at a
+    fraction of the sample. LLR_t = k·ln(p1/p0) + (t−k)·ln(q1/q0) is a
+    function of two exact integer cumsums in the repo's (ts, event_id)
+    total order, so the crossing index is identical in both engines.
+
+    Scale shape: ONE global ordered window (inherently sequential —
+    that's the statistic, not the implementation's fault); production
+    would shard by experiment key. The crossing pick is two bounded
+    limit-1 scans."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.orderBy("ts", "event_id")
+    s = ev.select(
+        F.row_number().over(wo).alias("t"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wo)
+        .alias("k"),
+    ).select(
+        "t",
+        "k",
+        (
+            F.col("k") * F.log(F.lit(5.0) / 3.0)
+            + (F.col("t") - F.col("k")) * F.log(F.lit(15.0) / 17.0)
+        ).alias("llr"),
+    )
+    bound = F.log(F.lit(19.0))
+    crossed = (F.col("llr") >= bound) | (F.col("llr") <= -bound)
+    c = s.filter(crossed).orderBy("t").limit(1).withColumn("pr", F.lit(1))
+    f = s.orderBy(F.desc("t")).limit(1).withColumn("pr", F.lit(0))
+    return (
+        c.unionAll(f)
+        .orderBy(F.desc("pr"))
+        .limit(1)
+        .select(
+            F.when(F.col("llr") >= bound, "accept_h1")
+            .when(F.col("llr") <= -bound, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+            F.col("t").cast("bigint").alias("n_obs"),
+            F.col("k").cast("bigint").alias("n_success"),
+            F.round("llr", 6).alias("llr"),
+        )
+    )
+
+
+@query(
+    "info_gain_lang_source",
+    """
+    WITH sl AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    parts AS (
+      SELECT sum(n * ln(n)) AS e_sl,
+             sum(n) AS nn FROM sl
+    ),
+    es AS (
+      SELECT sum(n * ln(n)) AS e_s
+      FROM (SELECT source, sum(n) AS n FROM sl GROUP BY source)
+    ),
+    el AS (
+      SELECT sum(n * ln(n)) AS e_l
+      FROM (SELECT lang, sum(n) AS n FROM sl GROUP BY lang)
+    )
+    SELECT CAST(nn AS BIGINT) AS n_docs,
+           round((e_sl - e_s - e_l + nn * ln(nn)) / nn, 6) AS mi_nats,
+           round((e_sl - e_s - e_l + nn * ln(nn))
+                 / (nn * ln(nn) - e_l), 6) AS ig_ratio
+    FROM parts, es, el
+    """,
+)
+def info_gain_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between corpus source and language —
+    information gain of the source feature for predicting lang, via
+    the count identity MI = [Σn_sl·ln n_sl − Σn_s·ln n_s − Σn_l·ln n_l
+    + N·ln N]/N (one pass over the contingency counts, no per-cell
+    probabilities). ig_ratio normalizes by H(lang) (the uncertainty
+    coefficient): 1 = source determines language, 0 = independent —
+    the feature-selection score a training-mix curator reads next to
+    source_entropy.
+
+    Scale shape: one (source, lang) groupBy partial-aggregates the
+    corpus; the three entropy sums run over that tiny contingency
+    frame, then one-row frames broadcast-combine."""
+    docs = load(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    parts = sl.agg(
+        F.sum(F.col("n") * F.log("n")).alias("e_sl"),
+        F.sum("n").alias("nn"),
+    )
+    es = (
+        sl.groupBy("source")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * F.log("n")).alias("e_s"))
+    )
+    el = (
+        sl.groupBy("lang")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.sum(F.col("n") * F.log("n")).alias("e_l"))
+    )
+    mi_num = (
+        F.col("e_sl") - F.col("e_s") - F.col("e_l")
+        + F.col("nn") * F.log("nn")
+    )
+    return (
+        parts.crossJoin(F.broadcast(es))
+        .crossJoin(F.broadcast(el))
+        .select(
+            F.col("nn").cast("bigint").alias("n_docs"),
+            F.round(mi_num / F.col("nn"), 6).alias("mi_nats"),
+            F.round(
+                mi_num / (F.col("nn") * F.log("nn") - F.col("e_l")), 6
+            ).alias("ig_ratio"),
+        )
+    )
+
+
+@query(
+    "host_mirror_detection",
+    """
+    WITH fp AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 256
+               AS fingerprint
+      FROM documents
+    ),
+    sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM fp a JOIN fp b
+        ON a.fingerprint = b.fingerprint AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           za.n AS n_a, zb.n AS n_b,
+           CAST((s.n_shared * 1000000)
+                // (za.n + zb.n - s.n_shared) AS BIGINT) AS jaccard_ppm
+    FROM shared s
+    JOIN sz za ON za.source = s.source_a
+    JOIN sz zb ON zb.source = s.source_b
+    WHERE s.n_shared * 5 >= za.n
+    """,
+)
+def host_mirror_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: hosts (sources) whose content-fingerprint
+    SETS overlap heavily are mirrors/scraped copies — the host-level
+    dedup a crawler runs so it stops fetching the same site twice.
+    Fingerprint here = md5(text) folded to 256 buckets (the pluggable
+    slot where production uses text_fingerprint's simhash); overlap =
+    bucket-set intersection via one fingerprint-keyed self-join, flag
+    at intersection ≥ 20% of |A| (cross-multiplied integers), Jaccard
+    shipped as exact ppm.
+
+    Scale shape: per-host fingerprint sets collapse through DISTINCT
+    (map-side), the join keys on fingerprint (collision lists, never
+    host pairs all-pairs), and host sizes broadcast back — the same
+    candidate-bounding shape as dedup_prefix_filter, lifted from
+    documents to hosts."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", (md5_long(F.col("text")) % 256).alias("fingerprint")
+    ).distinct()
+    sz = fp.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    shared = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .filter(F.col("n_shared") * 5 >= F.col("n_a"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(n_shared * 1000000) div (n_a + n_b - n_shared)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
