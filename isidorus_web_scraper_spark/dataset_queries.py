@@ -11715,3 +11715,197 @@ def host_mirror_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+@query(
+    "time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_ms(ts)) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, min(epoch_ms(ts)) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    d AS (
+      SELECT p.first_purchase - v.first_view AS delta_ms
+      FROM v JOIN p ON v.user_id = p.user_id
+      WHERE p.first_purchase > v.first_view
+    )
+    SELECT CAST(length(bin(delta_ms)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(delta_ms) AS BIGINT) AS sum_delta_ms
+    FROM d GROUP BY 1
+    """,
+)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: first 'view' → first 'purchase'
+    per user, on the same bit-length log2 grid as events_interarrival
+    (no float log). The funnel_conversion companion: that counts WHO
+    converts, this measures HOW LONG conversion takes — the metric
+    that decides attribution-window length (events_attribution_join
+    hardcodes one; this is where the number comes from).
+
+    Scale shape: two map-side-combinable per-user min aggs (same
+    user_id shuffle key), an inner join on the user frame (≪ events),
+    and a ~40-cell rollup."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ems).alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(ems).alias("first_purchase"))
+    )
+    d = (
+        v.join(p, "user_id")
+        .filter(F.col("first_purchase") > F.col("first_view"))
+        .select((F.col("first_purchase") - F.col("first_view")).alias("delta_ms"))
+    )
+    return d.groupBy(
+        F.length(F.bin(F.col("delta_ms"))).cast("bigint").alias("log2_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("delta_ms").cast("bigint").alias("sum_delta_ms"),
+    )
+
+
+@query(
+    "label_margin_audit",
+    """
+    WITH sub AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 'intra' ELSE 'inter' END
+               AS pair_kind,
+             list_cosine_similarity(a.embedding, b.embedding) AS cos
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    )
+    SELECT pair_kind,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(cos), 4) AS mean_cos,
+           round(min(cos), 4) AS min_cos,
+           round(max(cos), 4) AS max_cos
+    FROM pairs GROUP BY pair_kind
+    """,
+)
+def label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label separation: mean/min/max cosine WITHIN a
+    label class vs ACROSS classes over a deterministic 10% subsample —
+    the margin audit run before trusting labels for SemDeDup-style
+    clustering or a kNN classifier (intra ≈ inter means the embedding
+    does not encode the label and knn_classifier_accuracy will be
+    noise). Same subsample discipline as dedup_embedding_cosine; at
+    100 TB the pair frame is bounded by the sample, never the corpus.
+
+    min/max are order-independent (exact floats); the mean rounds at
+    4 dp inside the repo's cross-engine float discipline."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.when(F.col("a.label") == F.col("b.label"), "intra")
+        .otherwise("inter")
+        .alias("pair_kind"),
+        cos.alias("cos"),
+    )
+    return pairs.groupBy("pair_kind").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("cos"), 4).alias("mean_cos"),
+        F.round(F.min("cos"), 4).alias("min_cos"),
+        F.round(F.max("cos"), 4).alias("max_cos"),
+    )
+
+
+@query(
+    "knn_classifier_accuracy",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS true_label
+      FROM embeddings WHERE vec_id < 50
+    ),
+    nb AS (
+      SELECT qid, true_label, label FROM (
+        SELECT q.qid, q.true_label, e.label,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                          e.vec_id
+               ) AS rn
+        FROM q JOIN embeddings e ON e.vec_id != q.qid
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT qid, true_label, label,
+             CAST(count(*) AS BIGINT) AS c
+      FROM nb GROUP BY qid, true_label, label
+    ),
+    pred AS (
+      SELECT qid, true_label, label AS pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY c DESC, label
+        ) AS v
+        FROM votes
+      ) WHERE v = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY 1
+    """,
+)
+def knn_classifier_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification accuracy (k=5, majority vote, smallest-label
+    tie-break) per true class over 50 held-out-as-query vectors — the
+    end-to-end quality gate that tells you whether the embedding +
+    neighbor search are good enough to LABEL data, composing the exact
+    brute-force scan (at scale: swap in ann_ivf_indexed — its recall
+    row bounds the accuracy drop). Deterministic everywhere a float
+    could tie: neighbor rank breaks by vec_id, the vote by label.
+
+    Scale shape: broadcast queries × corpus scan, per-query top-k
+    window, then two tiny rollups — identical to ann_bruteforce_topk's
+    audited plan plus a vote."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    scored = F.broadcast(q).join(emb, F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "true_label",
+        "label",
+        "vec_id",
+        cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nb = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= 5
+    )
+    votes = nb.groupBy("qid", "true_label", "label").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("label"))
+    pred = (
+        votes.withColumn("v", F.row_number().over(wv))
+        .filter(F.col("v") == 1)
+        .select("qid", "true_label", F.col("label").alias("pred_label"))
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("bigint").alias("true_label")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
