@@ -11909,3 +11909,181 @@ def knn_classifier_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_correct"),
     )
+
+
+@query(
+    "seasonal_anomaly",
+    """
+    WITH slot AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+             (epoch_ms(ts) // 3600000) % 24 AS hour,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT dow, hour,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q
+      FROM slot GROUP BY dow, hour
+    )
+    SELECT CAST(t.day AS BIGINT) AS day,
+           CAST(t.dow AS BIGINT) AS dow,
+           CAST(t.hour AS BIGINT) AS hour,
+           t.x, b.n_days, b.s,
+           round((b.n_days * t.x - b.s)
+                 / sqrt(CAST(b.n_days * b.q - b.s * b.s AS DOUBLE)), 4)
+             AS z
+    FROM slot t JOIN base b ON b.dow = t.dow AND b.hour = t.hour
+    WHERE b.n_days * b.q > b.s * b.s
+      AND (b.n_days * t.x - b.s) * (b.n_days * t.x - b.s)
+          > 2 * (b.n_days * b.q - b.s * b.s)
+    """,
+)
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: each (day, hour) load
+    compares against ITS OWN weekday-hour baseline (Monday-9am vs the
+    other Monday-9ams), so the daily/weekly cycle that drowns
+    events_anomaly_zscore's flat baseline is removed. The z² > 2 gate (k²
+    tuned so the near-flat synthetic series still yields a watch list)
+    is evaluated in PURE INTEGERS — z² > k² ⇔ (n·x−S)² > k²(nQ−S²), no
+    float in the decision, engines agree on the flagged set
+    bit-for-bit; the shipped z is one double over those integers.
+    dow is zone-free epoch-day arithmetic (0=Thursday+4 ⇒ 0=Sunday —
+    the repo's dow discipline).
+
+    Scale shape: events collapse to hour slots (partial agg), the
+    baseline is a 168-row frame that broadcast-joins back."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    slot = ev.groupBy(
+        (ems / F.lit(86400000)).cast("bigint").alias("day"),
+        (((ems / F.lit(86400000)).cast("bigint") + 4) % 7).alias("dow"),
+        ((ems / F.lit(3600000)).cast("bigint") % 24).alias("hour"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    base = slot.groupBy("dow", "hour").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    j = slot.join(F.broadcast(base), ["dow", "hour"])
+    dev = F.col("n_days") * F.col("x") - F.col("s")
+    var = F.col("n_days") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        j.filter((var > 0) & (dev * dev > 2 * var))
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("hour").cast("bigint").alias("hour"),
+            "x",
+            "n_days",
+            "s",
+            F.round(dev / F.sqrt(var.cast("double")), 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "ann_int8_recall",
+    """
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CASE
+               WHEN CAST(round(x * 10000) AS BIGINT) >= 0
+               THEN (CAST(round(x * 10000) AS BIGINT) * 127) // 10000
+               ELSE -((-CAST(round(x * 10000) AS BIGINT) * 127) // 10000)
+             END) AS qv
+      FROM embeddings
+    ),
+    i8 AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY CAST(list_sum(
+                   list_transform(q.qq, (x, i) -> x * e.qv[i])) AS BIGINT)
+                   DESC, e.vec_id
+               ) AS rn
+        FROM (SELECT vec_id AS qid, qv AS qq FROM q8 WHERE vec_id < 10) q
+        JOIN q8 e ON e.vec_id != q.qid
+      ) WHERE rn <= 5
+    ),
+    bf AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                          DESC, e.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rn <= 5
+    )
+    SELECT count(*) AS n_truth,
+           CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 4) AS recall_at_5
+    FROM bf LEFT JOIN i8 i ON i.qid = bf.qid AND i.vec_id = bf.vec_id
+    """,
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the int8-quantized scan vs exact float cosine — the
+    quality gate that closes the int8 family the way
+    ann_multiprobe_recall / ann_ivf_recall close LSH and IVF: every
+    ANN variant in the repo now ships topk + a pinned recall row.
+    Quantization error is the ONLY gap here (same exhaustive scan), so
+    this isolates what 4× bandwidth costs in neighbor fidelity.
+    Note int8 ranks by unnormalised integer dot while truth ranks by
+    cosine — on near-unit-norm synthetic vectors they mostly agree;
+    the recall number is exactly the norm-skew + rounding loss."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        "qid", F.col("neighbor").alias("vec_id")
+    )
+    i8 = (
+        ann_int8_topk(spark, sf_dir)
+        .select("qid", F.col("neighbor").alias("vec_id"))
+        .withColumn("hit", F.lit(1))
+    )
+    joined = bf.join(i8, ["qid", "vec_id"], "left")
+    return joined.agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*"), 4
+        ).alias("recall_at_5"),
+    )
+
+
+@query(
+    "dedup_cluster_sizes",
+    f"""
+    SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(size) AS BIGINT) AS n_docs
+    FROM (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+      FROM ({_ORACLE_REG["dedup_clusters"]})
+      GROUP BY cluster_id
+    ) GROUP BY size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the audit read before
+    running dedup_keep_canonical: a heavy tail here (one giant
+    component) means the LSH bands are glueing unrelated docs and the
+    drop rate is about to spike; healthy corpora show sizes 2-4. One
+    rollup on top of dedup_clusters' component output, so the oracle
+    is the SAME recursive-CTE truth wrapped in two GROUP BYs.
+
+    Scale shape: the component frame is ≪ corpus (only banded docs);
+    both rollups partial-aggregate."""
+    comp = dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("size").cast("bigint").alias("n_docs"),
+    )
