@@ -126,3 +126,54 @@ def test_market_basket_dims_broadcast(spark, sf_correct):
     plan = _plan(spark, "market_basket_lift", sf_correct)
     # part joins broadcast; supports/totals broadcast onto pairs
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_score_auc_no_allpairs_join(spark, sf_correct):
+    """The Mann-Whitney AUC must come from the score histogram + one
+    window — never the textbook pos×neg pair join."""
+    plan = _plan(spark, "score_auc", sf_correct)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    # only n_chars + lang are read
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "text" not in ln, ln
+
+
+def test_hybrid_rrf_arms_are_take_ordered(spark, sf_correct):
+    """Both retrieval arms are bounded top-k (per-partition heaps),
+    so the fusion join is a 10x10 frame regardless of corpus size."""
+    plan = _plan(spark, "hybrid_search_rrf", sf_correct)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_event_type_pmi_marginals_broadcast(spark, sf_correct):
+    plan = _plan(spark, "event_type_pmi", sf_correct)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_seasonal_anomaly_baseline_broadcast(spark, sf_correct):
+    """The 168-row weekday-hour baseline joins back as a broadcast;
+    events collapse to hour slots via partial aggregation first."""
+    plan = _plan(spark, "seasonal_anomaly", sf_correct)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_correct):
+    """The ES reservoir is one scan + TakeOrderedAndProject — a global
+    sort here would be the O(n log n) mistake the sketch avoids."""
+    plan = _plan(spark, "weighted_sample_es", sf_correct)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_kmv_bottom_k_is_take_ordered(spark, sf_correct):
+    plan = _plan(spark, "kmv_distinct", sf_correct)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_knn_accuracy_broadcasts_queries(spark, sf_correct):
+    plan = _plan(spark, "knn_classifier_accuracy", sf_correct)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
