@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     # (TPC-H Q8 shape) and seed-teleport iterative diffusion (PPR)
     "nation_market_share",
     "personalized_pagerank",
+    # r5 session 7 (late): the broadcast-scan kNN vote composite (the
+    # ann_bruteforce plan + two rollups) and the two-arm hybrid
+    # retrieval fusion (BM25 corpus pass + cosine top-k + 10x10 join)
+    "knn_classifier_accuracy",
+    "hybrid_search_rrf",
 ]
 
 

@@ -12087,3 +12087,150 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         F.sum("size").cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "event_type_correlation",
+    """
+    WITH d AS (
+      SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(a.n) AS BIGINT) AS sx,
+             CAST(sum(b.n) AS BIGINT) AS sy,
+             CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(sum(b.n * b.n) AS BIGINT) AS syy
+      FROM d a JOIN d b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_days, sx, sy, sxy,
+           round((n_days * sxy - sx * sy)
+                 / sqrt((n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n_days * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS pearson_r
+    FROM xy
+    """,
+)
+def event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of DAILY VOLUMES between every event-type
+    pair — the temporal co-movement companion to event_type_pmi's
+    user-set co-occurrence (errors correlating with purchases day over
+    day is an incident signal PMI can't see). All five moment sums are
+    exact integers off one day×type rollup; r is one double expression
+    of them.
+
+    Scale shape: events collapse to the ~days×types frame first; the
+    pair join runs on that tiny frame (day-keyed), never on events."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    d = ev.groupBy(
+        (ems / F.lit(86400000)).cast("bigint").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    xy = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("a.n").cast("bigint").alias("sx"),
+            F.sum("b.n").cast("bigint").alias("sy"),
+            F.sum(F.col("a.n") * F.col("b.n")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.n") * F.col("a.n")).cast("bigint").alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).cast("bigint").alias("syy"),
+        )
+    )
+    nn = F.col("n_days")
+    r = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nn * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * (nn * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return xy.select(
+        "type_a", "type_b", "n_days", "sx", "sy", "sxy",
+        F.round(r, 6).alias("pearson_r"),
+    )
+
+
+@query(
+    "user_mix_outliers",
+    """
+    WITH ut AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    un AS (SELECT user_id, CAST(sum(o) AS BIGINT) AS n FROM ut GROUP BY 1),
+    g AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS t,
+             CAST(sum(sum(o)) OVER () AS BIGINT) AS tt
+      FROM ut GROUP BY event_type
+    ),
+    terms AS (
+      SELECT u.user_id, un.n,
+             (u.o * g.tt - un.n * g.t)
+             * (u.o * g.tt - un.n * g.t)
+             / (CAST(un.n AS DOUBLE) * g.t * g.tt) AS term
+      FROM ut u JOIN un ON un.user_id = u.user_id
+      JOIN g ON g.event_type = u.event_type
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(term), 6) AS chi2
+    FROM terms GROUP BY user_id
+    ORDER BY round(sum(term), 6) DESC, user_id LIMIT 20
+    """,
+)
+def user_mix_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral outliers: top-20 users whose event-type MIX deviates
+    most from the population mix, scored by chi² — the bot/abuse
+    screen a crawl-traffic or product-analytics pipeline runs (a
+    scraper is 99% 'view'; a card-tester is 99% 'purchase'). Each term
+    is (o·T − n·t)²/(n·t·T) — numerator an exact integer, one double
+    division — so ranking ties break on the 6 dp-rounded score then
+    user_id, engine-identical.
+
+    Scale shape: the user×type frame partial-aggregates events; the
+    5-row global mix broadcasts back; top-20 is a driver-merged heap.
+    Note chi² here is a RANKING score, not a test (per-user n varies);
+    the z/χ² tests live in ab_test_zprop / term_drift_chi2."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    un = ut.groupBy("user_id").agg(F.sum("o").cast("bigint").alias("n"))
+    g = ut.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("t"))
+    g = g.select(
+        "event_type",
+        "t",
+        F.sum("t").over(Window.partitionBy()).cast("bigint").alias("tt"),
+    )
+    dev = F.col("o") * F.col("tt") - F.col("n") * F.col("t")
+    terms = (
+        ut.join(un, "user_id")
+        .join(F.broadcast(g), "event_type")
+        .select(
+            "user_id",
+            "n",
+            (dev * dev / (F.col("n").cast("double") * F.col("t") * F.col("tt")))
+            .alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("term"), 6).alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "user_id")
+        .limit(20)
+    )
