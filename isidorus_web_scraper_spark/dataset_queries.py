@@ -3392,7 +3392,11 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(project: str = "bm25") -> str:
+    """BM25 top-10 oracle SQL. ``project`` picks the second output
+    column: the score ("bm25", the bm25_search contract) or the rank
+    ("rn" — consumed by _rrf_sql's lexical arm; parameterized here so
+    the fusion oracle never string-edits this function's text)."""
     tf_cols = ",\n             ".join(
         f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
     )
@@ -3421,7 +3425,7 @@ def _bm25_sql() -> str:
       FROM base b CROSS JOIN s
       WHERE {" + ".join(f"b.tf_{t}" for t in _BM25_TERMS)} > 0
     )
-    SELECT doc_id, bm25 FROM (
+    SELECT doc_id, {"bm25" if project == "bm25" else "rn"} FROM (
       SELECT doc_id, round(score, 4) AS bm25,
              row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn
       FROM scored
@@ -11082,15 +11086,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_sql() -> str:
-    """Oracle: BM25 top-10 (the bm25_search CTE verbatim) fused with
-    the cosine top-10 to vec 0's embedding by reciprocal-rank fusion,
-    joined on doc_id == vec_id."""
-    bm25 = _bm25_sql()
-    # reuse the bm25 pipeline as a subquery producing (doc_id, rn)
-    lex = bm25.replace(
-        "SELECT doc_id, bm25 FROM (",
-        "SELECT doc_id, rn FROM (",
-    ).replace(") WHERE rn <= 10", ") t WHERE rn <= 10")
+    """Oracle: BM25 top-10 (the bm25_search pipeline, projected to its
+    rank via ``_bm25_sql("rn")``) fused with the cosine top-10 to vec
+    0's embedding by reciprocal-rank fusion, joined on
+    doc_id == vec_id."""
+    lex = _bm25_sql("rn")
     return f"""
     WITH lex AS ({lex}),
     qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -11134,7 +11134,6 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each arm is already bounded (TakeOrderedAndProject
     top-10); the fusion is a full outer join of two 10-row frames —
     driver-trivial regardless of corpus size."""
-    docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
 
     lex = (
@@ -11224,7 +11223,11 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.log(u) / F.col("n_chars")).alias("es_key0"),
     )
     return (
-        k.orderBy(F.desc("es_key0"), "doc_id")
+        # rank on the ROUNDED key (the repo's round-before-rank float
+        # discipline): DuckDB's ORDER BY binds the select alias — the
+        # 9-dp round — so Spark must rank on the same value or a
+        # boundary tie at the top-20 cut could pick different rows
+        k.orderBy(F.desc(F.round("es_key0", 9)), "doc_id")
         .limit(20)
         .select("doc_id", "w", F.round("es_key0", 9).alias("es_key"))
     )
@@ -11544,11 +11547,16 @@ def sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bound = F.log(F.lit(19.0))
     crossed = (F.col("llr") >= bound) | (F.col("llr") <= -bound)
-    c = s.filter(crossed).orderBy("t").limit(1).withColumn("pr", F.lit(1))
-    f = s.orderBy(F.desc("t")).limit(1).withColumn("pr", F.lit(0))
+    # ONE TakeOrdered pass over the windowed frame (the global sort is
+    # the query's heaviest stage — filtering and re-sorting it twice
+    # would execute that window twice): crossed rows sort first by
+    # ascending t (the FIRST crossing); if none crossed, -t ascending
+    # puts the LAST observation on top.
     return (
-        c.unionAll(f)
-        .orderBy(F.desc("pr"))
+        s.orderBy(
+            F.desc(crossed),
+            F.when(crossed, F.col("t")).otherwise(-F.col("t")),
+        )
         .limit(1)
         .select(
             F.when(F.col("llr") >= bound, "accept_h1")

@@ -111,7 +111,8 @@ def schedule_round(
       Python stage anyway.
     - ``window``: the priority queue as a pure-JVM window function —
       eligible-rank = running count of non-blocked rows per host in
-      (depth DESC, url) order, fetch iff rank < budget ∧ delay-round.
+      ``_priority_keys`` order ((depth DESC[, priority DESC], url)),
+      fetch iff rank < budget ∧ delay-round.
       ZERO Python anywhere in the round for table-backed corpora: pick
       it when Python workers are unavailable or Arrow memory is the
       binding constraint (measured ~22% slower than vectorized at
@@ -281,9 +282,12 @@ def schedule_round(
         )
         is_cand = (~F.col("blocked")) & (F.col("shard_rank") < F.col("budget"))
         # stage 2: the host window runs over <= budget*salt_shards rows
-        # per host — the first `budget` candidates in (depth DESC, url)
-        # order ARE the host's global top-budget (any candidate ranked
-        # before them here also precedes them globally).
+        # per host — the first `budget` candidates in _priority_keys
+        # order ((depth DESC[, priority DESC], url) — the same total
+        # order stage 1 ranked by, which is what makes the two-stage
+        # top-k an identity) ARE the host's global top-budget (any
+        # candidate ranked before them here also precedes them
+        # globally).
         w2 = W.partitionBy("host").orderBy(*_priority_keys(f.columns))
         decided = (
             s1.filter(is_cand)

@@ -340,6 +340,14 @@ class CrawlEngine:
                 "sitemap_seeding requires discover_robots (sitemaps are "
                 "found via the robots.txt probe)"
             )
+        if self.config.frontier_priority not in ("depth", "indegree"):
+            # fail fast: run_round only tests == "indegree", so a typo
+            # ("opic", "in-degree") would otherwise silently crawl in
+            # plain BFS order with the feature apparently enabled
+            raise ValueError(
+                "frontier_priority must be 'depth' or 'indegree', got "
+                f"{self.config.frontier_priority!r}"
+            )
         if self.config.sketch_store == "auto":
             self.config.sketch_store = (
                 "warehouse"

@@ -1016,3 +1016,15 @@ def test_frontier_priority_indegree(spark, tmp_path):
     assert ends["depth"] == ends["indegree"]  # same crawl, different order
     assert rounds["depth"][a] < rounds["depth"][z]      # BFS: a first
     assert rounds["indegree"][z] < rounds["indegree"][a]  # OPIC: z first
+
+
+def test_frontier_priority_validated(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="frontier_priority"):
+        CrawlEngine(
+            spark,
+            str(tmp_path / "wh"),
+            documents=golden_documents(spark),
+            config=CrawlConfig(frontier_priority="opic"),
+        )
