@@ -12242,3 +12242,286 @@ def user_mix_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "segment_median_order",
+    """
+    WITH c AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    r AS (
+      SELECT segment, cents,
+             row_number() OVER (
+               PARTITION BY segment ORDER BY cents, o_orderkey
+             ) AS rn,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM c
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN rn * 2 = n OR rn * 2 = n + 1
+                         OR rn * 2 = n + 2
+                    THEN cents ELSE 0 END)
+                // sum(CASE WHEN rn * 2 = n OR rn * 2 = n + 1
+                            OR rn * 2 = n + 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS median_cents
+    FROM r GROUP BY segment
+    """,
+)
+def segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median order value per market segment via rank selection:
+    the middle element (odd n) or the floor-mean of the two middle
+    elements (even n — rn·2 ∈ {n, n+2}; odd picks rn·2 = n+1), chosen
+    by integer rank arithmetic on cents, so no percentile-
+    interpolation semantics need to match across engines (DuckDB's
+    quantile_cont and Spark's percentile interpolate differently —
+    rank selection sidesteps the whole class). Ties order by
+    (cents, orderkey): the selected VALUES are tie-invariant.
+
+    Scale shape: one segment-partitioned sort (5 partitions at any
+    scale — the window frame is the segment, keyed shuffle); at 100 TB
+    a t-digest approximation would replace the exact sort, traded
+    consciously."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    c = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    r = c.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("segment")).alias("n"),
+    )
+    mid = (
+        (F.col("rn") * 2 == F.col("n"))
+        | (F.col("rn") * 2 == F.col("n") + 1)
+        | (F.col("rn") * 2 == F.col("n") + 2)
+    )
+    r = r.withColumn("mid", mid)
+    return r.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        # integer floor-div on BOTH sides: a double division here would
+        # hit the cast-rounding split (DuckDB CAST rounds half-even,
+        # Spark truncates) on every even-n .5 midpoint
+        F.expr(
+            "sum(CASE WHEN mid THEN cents ELSE 0 END)"
+            " div sum(CASE WHEN mid THEN 1 ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("median_cents"),
+    )
+
+
+@query(
+    "rich_club_coefficient",
+    """
+    WITH """ + _LINKGRAPH_SQL_CTES + """,
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY v
+    ),
+    ks AS (SELECT unnest([2, 4, 6, 8]) AS k),
+    rich AS (
+      SELECT k.k, d.v
+      FROM deg d JOIN ks k ON d.d > k.k
+    ),
+    re AS (
+      SELECT a.k, CAST(count(*) AS BIGINT) AS e_rich
+      FROM edges e
+      JOIN rich a ON a.v = e.a
+      JOIN rich b ON b.v = e.b AND b.k = a.k
+      GROUP BY a.k
+    ),
+    rn AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich GROUP BY k
+    )
+    SELECT rn.k AS k, rn.n_rich, coalesce(re.e_rich, 0) AS e_rich,
+           CAST(coalesce(re.e_rich, 0) * 2000000
+                // (rn.n_rich * (rn.n_rich - 1)) AS BIGINT)
+             AS phi_ppm
+    FROM rn LEFT JOIN re ON re.k = rn.k
+    WHERE rn.n_rich > 1
+    """,
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k(N_k−1)): how densely
+    the nodes of degree > k link to EACH OTHER — a rising φ(k) is the
+    elite-interconnection signature (link farms and citation cartels
+    show it; assortativity gives the trend, this gives the density per
+    threshold). Exact integers end-to-end, φ shipped as ppm via
+    integer floor-div.
+
+    Scale shape: the degree table joins the a<b edge list twice
+    (broadcast-sized at any realistic k) and everything rolls up to
+    four k rows."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = sym.groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(4), F.lit(6), F.lit(8))).alias("k")
+    )
+    rich = deg.crossJoin(F.broadcast(ks)).filter(
+        F.col("d") > F.col("k")
+    ).select("k", "v")
+    ra = rich.select(F.col("k"), F.col("v").alias("a"))
+    rb = rich.select(F.col("k").alias("k2"), F.col("v").alias("b2"))
+    re_ = (
+        edges.join(ra, "a")
+        .join(rb, (F.col("b") == F.col("b2")) & (F.col("k") == F.col("k2")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("e_rich"))
+    )
+    rn = rich.groupBy("k").agg(F.count("*").cast("bigint").alias("n_rich"))
+    return (
+        rn.join(re_, "k", "left")
+        .filter(F.col("n_rich") > 1)
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_rich",
+            F.coalesce("e_rich", F.lit(0)).cast("bigint").alias("e_rich"),
+            F.expr(
+                "(coalesce(e_rich, 0) * 2000000)"
+                " div (n_rich * (n_rich - 1))"
+            )
+            .cast("bigint")
+            .alias("phi_ppm"),
+        )
+    )
+
+
+@query(
+    "dau_mau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    mau AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - 27 AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(a.day AS BIGINT) AS day, a.dau, m.mau,
+           CAST(a.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+    FROM dau a JOIN mau m ON m.day = a.day
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-28-day MAU / stickiness per day — the product
+    engagement headline. The distinct-user trailing window can't run
+    as a range frame (COUNT DISTINCT over a window isn't partial-
+    aggregable), so the MAU joins the (user, day) frame against the
+    DAY spine on a 28-day band — the join fans out each user-day to
+    ≤28 spine days, then one distinct-agg per day. Stickiness ships as
+    exact ppm.
+
+    Scale shape: events collapse to (user, day) first (the big win);
+    the band join's fan-out is bounded by 28× that frame, at 100 TB
+    replaced by an HLL-register per day max-merged over the window
+    (hll_union_merge pins that identity)."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    ud = ev.select(
+        (ems / F.lit(86400000)).cast("bigint").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    spine = days.select(F.col("day").alias("sday"))
+    mau = (
+        spine.join(
+            ud,
+            (F.col("day") >= F.col("sday") - 27)
+            & (F.col("day") <= F.col("sday")),
+        )
+        .groupBy("sday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.day == mau.sday)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "dau",
+            "mau",
+            F.expr("(dau * 1000000) div mau").cast("bigint").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "abc_classification",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT l_partkey, rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey)
+                  AS BIGINT) AS cum,
+             CAST(sum(rev) OVER () AS BIGINT) AS total
+      FROM pr
+    )
+    SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents
+    FROM r GROUP BY 1
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head covering ≤80% of cumulative revenue, B to 95%, C the
+    tail — the slice-the-catalog rule behind stocking policy (and the
+    categorical cousin of events_pareto_share's deciles). Class
+    boundaries compare cum·100 ≤ total·k in pure integers (cents), so
+    membership is engine-exact; ranking ties break by partkey and the
+    per-class SUMS are tie-order-invariant.
+
+    Scale shape: lineitem collapses to one row per part (partial agg);
+    the running sum sorts parts, not lineitems; output is 3 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    wo = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = pr.select(
+        "rev",
+        F.sum("rev").over(wo).cast("bigint").alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return r.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("rev").cast("bigint").alias("revenue_cents"),
+    )
