@@ -67,6 +67,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--warc-files-per-round", type=int, default=4)
     ap.add_argument("--retry-max-attempts", type=int, default=0,
                     help="transient-failure refetch attempts (503s)")
+    ap.add_argument("--error-backoff-threshold", type=float, default=None,
+                    help="per-host circuit breaker: 5xx share of the "
+                    "trailing window's attempts that trips a cooldown "
+                    "(e.g. 0.5); off when omitted")
+    ap.add_argument("--error-backoff-rounds", type=int, default=2,
+                    help="cooldown length (rounds) after a breaker trip")
+    ap.add_argument("--error-backoff-min-attempts", type=int, default=4,
+                    help="attempts floor before the breaker may trip")
     ap.add_argument("--frontier-priority", choices=["depth", "indegree"],
                     default="depth",
                     help="budget-truncation order within a depth level: "
@@ -102,6 +110,9 @@ def main(argv: list[str] | None = None) -> None:
             archive_warc=args.archive_warc,
             warc_files_per_round=args.warc_files_per_round,
             retry_max_attempts=args.retry_max_attempts,
+            error_backoff_threshold=args.error_backoff_threshold,
+            error_backoff_rounds=args.error_backoff_rounds,
+            error_backoff_min_attempts=args.error_backoff_min_attempts,
             frontier_priority=args.frontier_priority,
         ),
     )

@@ -680,3 +680,78 @@ def allocate_global_budget(
             ),
         )
     )
+
+
+def cooling_hosts(
+    fetch_log: DataFrame, threshold: float, min_attempts: int = 4
+) -> DataFrame:
+    """Hosts in failure cooldown: the share of TRANSIENT (5xx) outcomes
+    among a host's fetch attempts in the given (already round-windowed)
+    ``fetch_log`` slice reaches ``threshold``, over at least
+    ``min_attempts`` attempts — one flaky URL on a small host must not
+    trip the breaker. 404s do NOT count: a corpus miss is a property of
+    the URL, not of the host's health (the reference drops them
+    permanently, page_fetcher.go:14-20), whereas 5xx means the server
+    itself is struggling and SHOULD slow the crawler down — the classic
+    half-open circuit breaker, and the same transient/permanent split
+    the retry ledger already draws (``error = 'transient error'``).
+
+    The rate gate is integer-exact: ``threshold`` is converted to a
+    rational NUM/DEN once on the driver and the comparison runs as
+    ``errors·DEN ≥ attempts·NUM`` on longs — no float in the
+    distributed plan, so the trip decision is bit-stable across
+    partitionings.
+
+    Scale: one map-side-combined hash agg over the window's attempts
+    (bounded: Σ per-round budgets × window rounds), output is a
+    hosts-level frame (≪ URLs) that broadcasts into the scheduler's
+    config join like every other politeness source."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    f = fetch_log.withColumn(
+        "host", F.coalesce(host_col("url"), F.lit("\x00invalid"))
+    )
+    agg = f.groupBy("host").agg(
+        F.count("*").alias("attempts"),
+        F.sum((F.col("status") >= 500).cast("long")).alias("errors"),
+    )
+    return agg.filter(
+        (F.col("attempts") >= F.lit(int(min_attempts)))
+        & (F.col("errors") * F.lit(int(den)) >= F.col("attempts") * F.lit(int(num)))
+    ).select("host")
+
+
+def backoff_override(
+    cooling: DataFrame, politeness: DataFrame | None
+) -> DataFrame:
+    """Compose the circuit breaker into the politeness config: cooling
+    hosts get ``max_fetches_per_round=0`` — their frontier rows DEFER
+    (budget truncation, not a drop) and re-schedule when the cooldown
+    expires. Robots rules and crawl-delay carry through unchanged, so a
+    robots-blocked row still hard-drops during the cooldown (the
+    frontier must drain) and a later-lifted breaker leaves the host's
+    config exactly as configured. Non-cooling hosts pass through
+    untouched; a cooling host absent from the config gets a fresh row
+    (budget 0, permissive otherwise)."""
+    if politeness is None:
+        return cooling.select(
+            "host",
+            F.lit(0).alias("max_fetches_per_round"),
+            F.lit(None).cast("array<string>").alias("robots_disallow"),
+            F.lit(None).cast("array<string>").alias("robots_allow"),
+            F.lit(0).alias("crawl_delay_rounds"),
+        )
+    pol = politeness
+    if "robots_allow" not in pol.columns:
+        pol = pol.withColumn("robots_allow", F.lit(None).cast("array<string>"))
+    keep = pol.join(cooling, "host", "left_anti")
+    cool_rows = cooling.join(pol, "host", "left").select(
+        "host",
+        F.lit(0).alias("max_fetches_per_round"),
+        "robots_disallow",
+        "robots_allow",
+        F.coalesce("crawl_delay_rounds", F.lit(0)).alias("crawl_delay_rounds"),
+    )
+    return keep.unionByName(cool_rows)

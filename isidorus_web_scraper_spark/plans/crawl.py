@@ -231,6 +231,23 @@ class CrawlConfig:
     detect_traps: bool = False
     trap_min_urls: int = 10
     trap_url_template_ratio: int = 8
+    # per-host failure circuit breaker: a host whose TRANSIENT-error
+    # (5xx) share of fetch attempts over the last error_backoff_rounds
+    # rounds reaches error_backoff_threshold (with at least
+    # error_backoff_min_attempts attempts — one flaky URL on a small
+    # host must not trip it) gets its budget forced to 0 for this
+    # round: its frontier rows DEFER (never drop) and re-schedule once
+    # the trip round leaves the window — the half-open probe then
+    # either succeeds or re-trips. Derived EACH ROUND from the
+    # committed fetch_log (the same attempts ledger the retry cap
+    # reads), so the breaker is stateless in the driver and
+    # resume-safe for free; composes with retry_max_attempts (a 503'd
+    # URL's retry now lands AFTER the cooldown instead of hammering
+    # the struggling host next round). None = off (reference parity:
+    # page_fetcher.go has no failure handling at all).
+    error_backoff_threshold: float | None = None
+    error_backoff_min_attempts: int = 4
+    error_backoff_rounds: int = 2
     # transient-failure retry: a failed fetch re-enters the NEXT round's
     # frontier (riding the deferred branch — no re-claim, no schema
     # change) until the URL has been attempted retry_max_attempts times
@@ -347,6 +364,20 @@ class CrawlEngine:
             raise ValueError(
                 "frontier_priority must be 'depth' or 'indegree', got "
                 f"{self.config.frontier_priority!r}"
+            )
+        if self.config.error_backoff_threshold is not None and not (
+            0 < self.config.error_backoff_threshold <= 1
+            and self.config.error_backoff_rounds >= 1
+        ):
+            # fail fast: a threshold of 0 would trip every host that
+            # fetched anything (errors·den ≥ attempts·0 is always true)
+            # and a 0-round window reads an empty ledger — both crawl
+            # "successfully" with the breaker silently wrong
+            raise ValueError(
+                "error_backoff_threshold must be in (0, 1] with "
+                "error_backoff_rounds >= 1, got "
+                f"{self.config.error_backoff_threshold!r} / "
+                f"{self.config.error_backoff_rounds!r}"
             )
         if self.config.sketch_store == "auto":
             self.config.sketch_store = (
@@ -771,6 +802,32 @@ class CrawlEngine:
 
             pol = trap_override(
                 frontier, pol, cfg.trap_min_urls, cfg.trap_url_template_ratio
+            )
+        if cfg.error_backoff_threshold is not None:
+            # failure circuit breaker (W41): hosts that answered mostly
+            # 5xx in the trailing window cool down (budget 0 ⇒ defer).
+            # The window read filters the ROUND DATA COLUMN, not a
+            # round-exact pruned read — recent fetch_log commits may
+            # already be folded by periodic compaction (the retry
+            # ledger reads the same way); parquet row-group stats on
+            # `round` keep the scan O(recent files). Applied BEFORE the
+            # global-budget allocation so min(static, alloc) sees the 0
+            # — a cooling host's queue still counts toward allocation
+            # shares (its rows are eligible, just budget-starved); its
+            # unused share defers demand, it doesn't leak fetches.
+            from ..operators.politeness import backoff_override, cooling_hosts
+
+            recent = self.wh.read("fetch_log").filter(
+                (F.col("round") >= F.lit(round_no - int(cfg.error_backoff_rounds)))
+                & (F.col("round") < F.lit(round_no))
+            )
+            pol = backoff_override(
+                cooling_hosts(
+                    recent,
+                    cfg.error_backoff_threshold,
+                    cfg.error_backoff_min_attempts,
+                ),
+                pol,
             )
         if cfg.global_budget is not None:
             # adaptive backpressure: ONE global budget apportioned
@@ -1236,6 +1293,23 @@ class CrawlEngine:
         seen = self.wh.read("seen")
         to_unpersist: list[DataFrame] = []
         from ..operators.cuckoo import BucketedCuckoo
+
+        if (
+            cfg.use_bloom
+            and not self._use_wh_sketch
+            and self._bloom is None
+            and self.wh.exists("seen")
+        ):
+            # bare run_round on a fresh engine (resume tests, external
+            # round drivers): the driver sketch must init from `seen`
+            # HERE, not only in run() — this round's or-in would
+            # otherwise seed a sketch missing the seeds' (and prior
+            # rounds') hashes, and a later back-link to those URLs
+            # reads "definitely new", BYPASSES the exact anti-join and
+            # re-fetches (observed: a self-linking seed refetched at
+            # round 2). The warehouse-sketch path carries the same
+            # guard for the same reason (above).
+            self._bloom = self._build_bloom(seen)
 
         if self._use_wh_sketch:
             # warehouse-persisted sketch: the (bucket, …) shard table is

@@ -1028,3 +1028,32 @@ def test_frontier_priority_validated(spark, tmp_path):
             documents=golden_documents(spark),
             config=CrawlConfig(frontier_priority="opic"),
         )
+
+
+def test_bare_run_round_inits_driver_sketch_no_refetch(spark, tmp_path):
+    """Regression (round-5 session 8): driving rounds with bare
+    run_round() on a fresh engine left the driver bloom to be seeded by
+    round 0's _or_into_bloom — WITHOUT the seeds' hashes. A later page
+    linking back to the seed then read "definitely new", bypassed the
+    exact anti-join and re-fetched it (observed: seed refetched at
+    round 2 with n_hosts=2). run_round must init the sketch from `seen`
+    like run() does (the warehouse-sketch path already did)."""
+    docs = generate_documents(spark, n_hosts=2).persist()
+    seeds = [(83, 1, "http://h0.test/p0.html", 3)]
+    cfg = lambda: CrawlConfig(bloom_expected_urls=4096, default_budget=10**9)
+
+    eng = CrawlEngine(spark, str(tmp_path / "wh_bare"), documents=docs, config=cfg())
+    eng.start(seeds)
+    r = 0
+    while not eng.wh.read("frontier", {"round": r}).isEmpty():
+        eng.run_round(r)
+        r += 1
+    # every URL fetched exactly once per scraping
+    log = [(x.scraping_id, x.url) for x in eng.wh.read("fetch_log").collect()]
+    assert len(log) == len(set(log))
+    full = CrawlEngine(spark, str(tmp_path / "wh_run"), documents=docs, config=cfg())
+    full.start(seeds)
+    full.run()
+    # jobs excluded: the bare-round driver never calls _finalize(), so
+    # its job row legitimately stays PENDING
+    assert spark_end_state(eng)[:4] == spark_end_state(full)[:4]
