@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     # retrieval fusion (BM25 corpus pass + cosine top-k + 10x10 join)
     "knn_classifier_accuracy",
     "hybrid_search_rrf",
+    # r5 session 8: the generated-spine left join (hour sequence ×
+    # broadcast types — spine length independent of event volume) and
+    # the corpus-explode vocab rollup (hapax tail)
+    "events_fano_burstiness",
+    "vocab_hapax_rate",
 ]
 
 

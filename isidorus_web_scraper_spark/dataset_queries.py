@@ -12525,3 +12525,375 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_parts"),
         F.sum("rev").cast("bigint").alias("revenue_cents"),
     )
+
+
+@query(
+    "events_autocorr_lag1",
+    """
+    WITH d AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.n) AS BIGINT) AS sx,
+             CAST(sum(b.n) AS BIGINT) AS sy,
+             CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(sum(b.n * b.n) AS BIGINT) AS syy
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND b.day = a.day + 1
+      GROUP BY 1
+    )
+    SELECT event_type, n_pairs, sx, sy, sxy,
+           CASE WHEN n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+                THEN round((n_pairs * sxy - sx * sy)
+                     / sqrt((n_pairs * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (n_pairs * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS autocorr_lag1
+    FROM p
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily-volume series —
+    the memory/momentum diagnostic (traffic that predicts tomorrow from
+    today vs white noise) completing the co-movement family:
+    event_type_correlation is cross-type at lag 0, this is within-type
+    at lag 1. Pairs are CALENDAR-consecutive days (b.day = a.day + 1;
+    a gap breaks the pair rather than splicing non-adjacent days), the
+    five moment sums are exact integers off the day×type rollup, r is
+    one double expression of them, and degenerate (constant) series
+    return NULL via an integer variance gate instead of dividing by
+    zero.
+
+    Scale shape: events collapse to the ~days×types frame first
+    (map-side combined); the self-join and moments run on that tiny
+    frame keyed by (type, day) — never on raw events."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    d = ev.groupBy(
+        "event_type", (ems / F.lit(86400000)).cast("bigint").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day") == F.col("a.day") + 1),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("a.n").cast("bigint").alias("sx"),
+            F.sum("b.n").cast("bigint").alias("sy"),
+            F.sum(F.col("a.n") * F.col("b.n")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.n") * F.col("a.n")).cast("bigint").alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).cast("bigint").alias("syy"),
+        )
+    )
+    nn = F.col("n_pairs")
+    varx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        varx.cast("double") * vary.cast("double")
+    )
+    return p.select(
+        "event_type", "n_pairs", "sx", "sy", "sxy",
+        F.when((varx > 0) & (vary > 0), F.round(r, 6)).alias("autocorr_lag1"),
+    )
+
+
+@query(
+    "events_fano_burstiness",
+    """
+    WITH bounds AS (
+      SELECT min(epoch_ms(ts) // 3600000) AS h0,
+             max(epoch_ms(ts) // 3600000) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) s
+    ),
+    c AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT spine.event_type, COALESCE(c.n, 0) AS n
+      FROM spine LEFT JOIN c
+        ON spine.event_type = c.event_type AND spine.h = c.h
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n) AS BIGINT) AS total,
+           CAST(sum(n * n) AS BIGINT) AS sum_sq,
+           round((count(*) * CAST(sum(n * n) AS DOUBLE)
+                  - CAST(sum(n) AS DOUBLE) * sum(n))
+                 / (CAST(count(*) AS DOUBLE) * sum(n)), 6) AS fano
+    FROM filled
+    GROUP BY event_type
+    """,
+)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, population var/mean) of each
+    event type's HOURLY arrival counts over the full shared hour spine
+    — THE burstiness test against the Poisson null: fano ≈ 1 is
+    memoryless traffic, ≫ 1 is bursty (incidents, batch jobs), ≪ 1 is
+    metronomic (heartbeats). The spine INCLUDES silent hours (a type
+    that fires 1000 events in one hour of a thousand-hour window is
+    maximally bursty — dropping its 999 zero hours would read it as
+    constant), so counts left-join a generated [min, max] hour series
+    shared across types. n, Σx, Σx² stay integers; fano is one double
+    expression of them ((n·Σx² − (Σx)²) / (n·Σx)).
+
+    Scale shape: events collapse to the hours×types count frame
+    (map-side combined); the spine is sequence+explode of one global
+    min/max row cross-joined with the distinct-types broadcast — spine
+    length is the TIME RANGE, independent of event volume, and the
+    left join runs on (type, hour) keys of that bounded frame."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    hour = (ems / F.lit(3600000)).cast("bigint")
+    c = ev.groupBy("event_type", hour.alias("h")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine_h = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_h.crossJoin(F.broadcast(types))
+    filled = spine.join(c, ["event_type", "h"], "left").select(
+        "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    g = filled.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+    )
+    fano = (
+        F.col("n_hours") * F.col("sum_sq").cast("double")
+        - F.col("total").cast("double") * F.col("total")
+    ) / (F.col("n_hours").cast("double") * F.col("total"))
+    return g.select(
+        "event_type", "n_hours", "total", "sum_sq",
+        F.round(fano, 6).alias("fano"),
+    )
+
+
+@query(
+    "orders_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP margins over (priority, status): detail
+    rows, per-priority subtotals, and the grand total in ONE pass,
+    each level tagged by the grouping-set bitmask (gid 0 / 1 / 3 —
+    Spark's grouping_id and DuckDB's two-argument GROUPING agree on
+    the encoding). Completes the OLAP reshaping surface next to
+    orders_cube (all 2^k sets) and the explicit-values PIVOT: ROLLUP
+    is the drill-down hierarchy shape, k+1 sets not 2^k. Revenue in
+    integer cents.
+
+    Scale shape: Spark expands rollup into partial-aggregable grouping
+    sets — one map-side-combined shuffle keyed by (priority, status,
+    gid); no second pass over orders for the subtotal levels."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            # grouping_id() must live inside the rollup aggregate
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "gid", "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+@query(
+    "brand_supplier_hhi",
+    """
+    WITH rev AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT p_brand, l_suppkey, r,
+             CAST(sum(r) OVER (PARTITION BY p_brand) AS BIGINT) AS total
+      FROM rev
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           CAST(sum(((r * 10000) // total) * r // total) AS BIGINT) AS hhi_bp,
+           CAST(sum(((r * 10000) // total) * r // total) AS BIGINT) > 2500
+             AS concentrated
+    FROM t
+    GROUP BY p_brand
+    """,
+)
+def brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per brand —
+    the antitrust-style market-structure stat next to revenue_gini's
+    inequality curve: HHI in basis points = Σ over suppliers of
+    (share·10000·share), > 2500 flagged concentrated (the DOJ merger
+    threshold). Each term is STAGED integer floor-division —
+    ((rev·10000) div total)·rev div total — so the metric is engine-
+    exact with no 128-bit intermediate (rev² would overflow int64 at
+    scale; the staged form peaks at rev·10⁴) and both engines run the
+    byte-identical expression.
+
+    Scale shape: lineitem joins the small part dim (broadcast) and
+    collapses to one row per (brand, supplier) map-side; the share
+    window partitions by brand over that collapsed frame, never over
+    lineitems."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    w = Window.partitionBy("p_brand")
+    t = rev.withColumn("total", F.sum("r").over(w).cast("bigint"))
+    term = F.expr("((r * 10000) div total) * r div total")
+    g = t.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.max("total").cast("bigint").alias("total_cents"),
+        F.sum(term).cast("bigint").alias("hhi_bp"),
+    )
+    return g.select(
+        "p_brand", "n_suppliers", "total_cents", "hhi_bp",
+        (F.col("hhi_bp") > 2500).alias("concentrated"),
+    )
+
+
+@query(
+    "vocab_hapax_rate",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    f AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+                AS BIGINT) AS hapax_permille
+    FROM f
+    GROUP BY lang
+    """,
+)
+def vocab_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per language: the fraction (permille,
+    integer floor) of each language's vocabulary that occurs exactly
+    once in the corpus — the Zipf-tail richness stat that predicts
+    <unk>/OOV pressure on a tokenizer where vocab_coverage's head
+    curve can't see it (a fat hapax tail means the next shard brings
+    mostly new types). Same ' '-split token law as the vocab_coverage
+    / text_tokens family; all counts integers.
+
+    Scale shape: one (lang, token)-keyed count aggregate off the
+    exploded corpus (map-side combined), then a per-lang rollup of the
+    vocab-sized frame — the corpus is touched once; the rollup frame
+    is |vocab|, already small relative to tokens."""
+    docs = load(spark, sf_dir, "documents")
+    f = (
+        docs.select("lang", F.explode(words(F.col("text"))).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    g = f.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum((F.col("c") == 1).cast("bigint")).cast("bigint").alias("n_hapax"),
+    )
+    return g.select(
+        "lang", "n_vocab", "n_hapax",
+        F.expr("n_hapax * 1000 div n_vocab").cast("bigint").alias(
+            "hapax_permille"
+        ),
+    )
+
+
+@query(
+    "host_error_breaker",
+    """
+    WITH ledger AS (
+      SELECT doc_id % 53 AS host,
+             CASE WHEN ('0x' || substr(md5('err:' || doc_id::VARCHAR), 1, 15))
+                       ::BIGINT % 100 < doc_id % 53
+                  THEN 1 ELSE 0 END AS err
+      FROM documents
+    ),
+    agg AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS attempts,
+             CAST(sum(err) AS BIGINT) AS errors
+      FROM ledger GROUP BY host
+    )
+    SELECT host, attempts, errors,
+           (attempts >= 20 AND errors * 2 >= attempts) AS cooling
+    FROM agg
+    """,
+)
+def host_error_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failure circuit breaker's decision table (W41,
+    operators/politeness.cooling_hosts) as an oracled query: per host,
+    attempts, transient errors, and the trip flag — errors·2 ≥ attempts
+    (threshold 1/2 cross-multiplied to integers, exactly the rational
+    NUM/DEN gate the engine runs) with a min-attempts floor of 20 so a
+    flaky singleton can't trip. Hosts are doc_id % 53 with a
+    deterministic md5 error gate whose rate grows with host id
+    (~host%), so the threshold is genuinely exercised on both sides of
+    the boundary.
+
+    Scale shape: identical to the engine path — one map-side-combined
+    hash agg over the attempt ledger, output a hosts-level frame that
+    broadcasts into the scheduler's config join."""
+    docs = load(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 53).alias("host")
+    err = (
+        md5_long(F.concat(F.lit("err:"), F.col("doc_id").cast("string"))) % 100
+        < F.col("doc_id") % 53
+    ).cast("int")
+    agg = docs.select(host, err.alias("err")).groupBy("host").agg(
+        F.count("*").cast("bigint").alias("attempts"),
+        F.sum("err").cast("bigint").alias("errors"),
+    )
+    return agg.select(
+        "host", "attempts", "errors",
+        (
+            (F.col("attempts") >= 20)
+            & (F.col("errors") * 2 >= F.col("attempts"))
+        ).alias("cooling"),
+    )
