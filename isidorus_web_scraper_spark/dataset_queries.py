@@ -12897,3 +12897,263 @@ def host_error_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("errors") * 2 >= F.col("attempts"))
         ).alias("cooling"),
     )
+
+
+@query(
+    "supplier_balance_winsorized",
+    """
+    WITH s AS (
+      SELECT s_nationkey, s_suppkey,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+      FROM supplier
+    ),
+    r AS (
+      SELECT s_nationkey, cents,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY cents, s_suppkey) AS rn,
+             count(*) OVER (PARTITION BY s_nationkey) AS n
+      FROM s
+    ),
+    b AS (
+      SELECT s_nationkey, cents, n,
+             max(CASE WHEN rn = (n + 9) // 10 THEN cents END)
+               OVER (PARTITION BY s_nationkey) AS lo,
+             max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+               OVER (PARTITION BY s_nationkey) AS hi
+      FROM r
+    )
+    SELECT s_nationkey,
+           CAST(max(n) AS BIGINT) AS n_suppliers,
+           CAST(max(lo) AS BIGINT) AS lo_cents,
+           CAST(max(hi) AS BIGINT) AS hi_cents,
+           CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT)
+             AS winsorized_sum_cents
+    FROM b
+    GROUP BY s_nationkey
+    """,
+)
+def supplier_balance_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized account-balance rollup per nation: balances clipped at
+    the exact nearest-rank p10/p90 (1-indexed ranks ceil(n/10) and
+    ceil(9n/10) — pure integer rank arithmetic, (cents, suppkey) total
+    order) before summing — the robust-mean companion to
+    events_mad_outliers (MAD rejects outliers; winsorizing CAPS them,
+    the estimator audit dashboards actually plot). The winsorized SUM
+    ships with n; the consumer divides (an integer mean would need
+    floor-vs-trunc agreement on possibly-negative sums — div truncates
+    in Spark, // floors in DuckDB, so no quotient crosses engines).
+
+    Scale shape: the windows partition by nation over the supplier dim
+    (already small); at warehouse scale the exact nearest-rank bounds
+    swap for approx_percentile's mergeable sketch — this exact row is
+    its calibration, like events_value_percentiles."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    wp = Window.partitionBy("s_nationkey")
+    wo = wp.orderBy("cents", "s_suppkey")
+    r = (
+        s.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(wp))
+        .withColumn(
+            "lo",
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 9) div 10"), F.col("cents"))
+            ).over(wp),
+        )
+        .withColumn(
+            "hi",
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("cents")
+                )
+            ).over(wp),
+        )
+    )
+    return r.groupBy("s_nationkey").agg(
+        F.max("n").cast("bigint").alias("n_suppliers"),
+        F.max("lo").cast("bigint").alias("lo_cents"),
+        F.max("hi").cast("bigint").alias("hi_cents"),
+        F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")))
+        .cast("bigint")
+        .alias("winsorized_sum_cents"),
+    )
+
+
+@query(
+    "word_burstiness",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY t
+    )
+    SELECT t AS word, cf, df, CAST(cf * 1000 // df AS BIGINT)
+             AS burstiness_permille
+    FROM f
+    ORDER BY cf DESC, t
+    LIMIT 12
+    """,
+)
+def word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale word burstiness for the top-12 collection-frequency
+    words: cf/df in permille — a word that appears 3000 times per
+    thousand containing docs clumps (content word), ~1000 spreads
+    evenly (function word). The doc-frequency dial that separates
+    topical terms from glue where raw frequency (vocab_coverage's
+    ranking) can't. Ties rank by (cf desc, word); counts are integers
+    and the ratio is floor permille.
+
+    Scale shape: one exploded (word, doc)-keyed pass: cf is a plain
+    count, df a distinct count over the (t, doc_id) pairs (exact here
+    as the burstiness definition requires; the corpus-scale screen
+    would pre-dedup (t, doc_id) map-side). Top-12 is
+    TakeOrderedAndProject on the vocab-sized frame — no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("t"))
+    f = toks.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return (
+        f.select(
+            F.col("t").alias("word"),
+            "cf",
+            "df",
+            F.expr("cf * 1000 div df").cast("bigint").alias(
+                "burstiness_permille"
+            ),
+        )
+        .orderBy(F.desc("cf"), "word")
+        .limit(12)
+    )
+
+
+@query(
+    "revenue_drawdown",
+    """
+    WITH d AS (
+      SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT day, rev,
+             CAST(max(rev) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS peak,
+             CAST(count(*) OVER () AS BIGINT) AS n_days
+      FROM d
+    )
+    SELECT day AS worst_day, n_days, peak AS peak_cents, rev AS revenue_cents,
+           CAST(peak - rev AS BIGINT) AS drawdown_cents
+    FROM r
+    ORDER BY peak - rev DESC, day
+    LIMIT 1
+    """,
+)
+def revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series: the worst decline
+    from any prior peak day (running max) to a later day — the
+    finance-style health stat that a week-over-week delta
+    (events_wow_change) smooths over, and the running-extrema window
+    shape the family didn't have. One row out: the worst day (earliest
+    on ties), its drawdown, the peak it fell from, n_days. All cents
+    integers.
+
+    Scale shape: orders collapse to one row per day first (map-side
+    combined); the running-max window and the top-1 sort run on the
+    days-sized frame — bounded by the calendar, not the order volume.
+    The deliberately-global window orders ~10³ rows at any SF."""
+    o = load(spark, sf_dir, "orders")
+    ems = ntz_epoch_ms(F.col("o_orderdate"))
+    d = o.groupBy(
+        (ems / F.lit(86400000)).cast("bigint").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select(
+        "day",
+        "rev",
+        F.max("rev").over(w).cast("bigint").alias("peak"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_days"),
+    )
+    return (
+        r.select(
+            F.col("day").alias("worst_day"),
+            "n_days",
+            F.col("peak").alias("peak_cents"),
+            F.col("rev").alias("revenue_cents"),
+            (F.col("peak") - F.col("rev")).cast("bigint").alias(
+                "drawdown_cents"
+            ),
+        )
+        .orderBy(F.desc("drawdown_cents"), "worst_day")
+        .limit(1)
+    )
+
+
+@query(
+    "transition_entropy",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS src_type, nxt AS dst_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT src_type,
+           CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_next_types,
+           round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+             AS entropy_bits
+    FROM pairs
+    GROUP BY src_type
+    """,
+)
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-action entropy per state: H(next | src) in bits
+    over the SAME per-user (ts, event_id)-ordered successor pairs as
+    events_markov_transitions — the one-number summary of how
+    predictable behaviour is after each event type (0 = deterministic
+    funnel step, log2(5) = uniform). Uses the aggregation-friendly
+    identity H = log2 T − Σ n·log2 n / T off integer pair counts
+    (source_entropy's discipline), so the only doubles are the final
+    expression over exact integers.
+
+    Scale shape: user_id is the only event-sized shuffle (the lead
+    window); entropy aggregates the |states|² pair frame."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = o.groupBy(
+        F.col("event_type").alias("src_type"), F.col("nxt").alias("dst_type")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    t = F.sum("n")
+    return pairs.groupBy("src_type").agg(
+        t.cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_next_types"),
+        F.round(
+            F.log2(t) - F.sum(F.col("n") * F.log2("n")) / t, 6
+        ).alias("entropy_bits"),
+    )

