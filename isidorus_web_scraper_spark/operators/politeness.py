@@ -523,27 +523,53 @@ def trap_override(
     trap host's budget/delay are preserved (moot under the block, but
     the row stays honest if the flag is later lifted)."""
     traps = detect_trap_hosts(frontier, min_urls, ratio)
-    block = F.array(F.lit("/"))
+    return _override_hosts(
+        traps,
+        politeness,
+        {
+            "robots_disallow": F.array(F.lit("/")),
+            "robots_allow": F.lit(None).cast("array<string>"),
+        },
+    )
+
+
+def _override_hosts(
+    hosts: DataFrame, politeness: DataFrame | None, overrides: dict
+) -> DataFrame:
+    """Compose a host-set override into a politeness config — the ONE
+    implementation of the pattern trap_override and backoff_override
+    share (a drift between two copies would break their unionByName
+    only on the path that composes both): listed hosts get the
+    ``overrides`` columns replaced (column name → Column; keys absent
+    carry the host's configured value through, crawl-delay coalesced
+    to 0); unlisted hosts pass untouched; a listed host absent from
+    the config gets a fresh permissive row with the overrides
+    applied."""
+    defaults = {
+        "max_fetches_per_round": F.lit(None).cast("int"),
+        "robots_disallow": F.lit(None).cast("array<string>"),
+        "robots_allow": F.lit(None).cast("array<string>"),
+        "crawl_delay_rounds": F.lit(0),
+    }
     if politeness is None:
-        return traps.select(
+        return hosts.select(
             "host",
-            F.lit(None).cast("int").alias("max_fetches_per_round"),
-            block.alias("robots_disallow"),
-            F.lit(None).cast("array<string>").alias("robots_allow"),
-            F.lit(0).alias("crawl_delay_rounds"),
+            *[overrides.get(k, v).alias(k) for k, v in defaults.items()],
         )
     pol = politeness
     if "robots_allow" not in pol.columns:
         pol = pol.withColumn("robots_allow", F.lit(None).cast("array<string>"))
-    keep = pol.join(traps, "host", "left_anti")
-    trap_rows = traps.join(pol, "host", "left").select(
-        "host",
-        "max_fetches_per_round",
-        block.alias("robots_disallow"),
-        F.lit(None).cast("array<string>").alias("robots_allow"),
-        F.coalesce("crawl_delay_rounds", F.lit(0)).alias("crawl_delay_rounds"),
+    carry = {
+        "max_fetches_per_round": F.col("max_fetches_per_round"),
+        "robots_disallow": F.col("robots_disallow"),
+        "robots_allow": F.col("robots_allow"),
+        "crawl_delay_rounds": F.coalesce("crawl_delay_rounds", F.lit(0)),
+    }
+    keep = pol.join(hosts, "host", "left_anti")
+    rows = hosts.join(pol, "host", "left").select(
+        "host", *[overrides.get(k, v).alias(k) for k, v in carry.items()]
     )
-    return keep.unionByName(trap_rows)
+    return keep.unionByName(rows)
 
 
 def allocate_global_budget(
@@ -710,6 +736,15 @@ def cooling_hosts(
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
+    if num < 1:
+        # a sub-1e-6 threshold collapses to 0/1 and the gate
+        # errors·den ≥ attempts·0 trips EVERY host — refuse rather
+        # than silently throttling the whole crawl (the engine's
+        # config validation enforces ≥ 1e-6 for the same reason)
+        raise ValueError(
+            f"error-backoff threshold {threshold!r} is below the "
+            "1e-6 rational-conversion floor"
+        )
     f = fetch_log.withColumn(
         "host", F.coalesce(host_col("url"), F.lit("\x00invalid"))
     )
@@ -735,23 +770,6 @@ def backoff_override(
     config exactly as configured. Non-cooling hosts pass through
     untouched; a cooling host absent from the config gets a fresh row
     (budget 0, permissive otherwise)."""
-    if politeness is None:
-        return cooling.select(
-            "host",
-            F.lit(0).alias("max_fetches_per_round"),
-            F.lit(None).cast("array<string>").alias("robots_disallow"),
-            F.lit(None).cast("array<string>").alias("robots_allow"),
-            F.lit(0).alias("crawl_delay_rounds"),
-        )
-    pol = politeness
-    if "robots_allow" not in pol.columns:
-        pol = pol.withColumn("robots_allow", F.lit(None).cast("array<string>"))
-    keep = pol.join(cooling, "host", "left_anti")
-    cool_rows = cooling.join(pol, "host", "left").select(
-        "host",
-        F.lit(0).alias("max_fetches_per_round"),
-        "robots_disallow",
-        "robots_allow",
-        F.coalesce("crawl_delay_rounds", F.lit(0)).alias("crawl_delay_rounds"),
+    return _override_hosts(
+        cooling, politeness, {"max_fetches_per_round": F.lit(0)}
     )
-    return keep.unionByName(cool_rows)

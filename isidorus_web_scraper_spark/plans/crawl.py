@@ -366,18 +366,24 @@ class CrawlEngine:
                 f"{self.config.frontier_priority!r}"
             )
         if self.config.error_backoff_threshold is not None and not (
-            0 < self.config.error_backoff_threshold <= 1
+            1e-6 <= self.config.error_backoff_threshold <= 1
             and self.config.error_backoff_rounds >= 1
+            and self.config.error_backoff_min_attempts >= 1
         ):
             # fail fast: a threshold of 0 would trip every host that
-            # fetched anything (errors·den ≥ attempts·0 is always true)
-            # and a 0-round window reads an empty ledger — both crawl
-            # "successfully" with the breaker silently wrong
+            # fetched anything (errors·den ≥ attempts·0 is always
+            # true — and cooling_hosts' rational conversion collapses
+            # anything below 1e-6 to that same 0/1, hence the floor),
+            # a 0-round window reads an empty ledger, and a 0
+            # min-attempts floor trips on a single flaky 503 — each
+            # crawls "successfully" with the breaker silently wrong
             raise ValueError(
-                "error_backoff_threshold must be in (0, 1] with "
-                "error_backoff_rounds >= 1, got "
+                "error_backoff_threshold must be in [1e-6, 1] with "
+                "error_backoff_rounds >= 1 and "
+                "error_backoff_min_attempts >= 1, got "
                 f"{self.config.error_backoff_threshold!r} / "
-                f"{self.config.error_backoff_rounds!r}"
+                f"{self.config.error_backoff_rounds!r} / "
+                f"{self.config.error_backoff_min_attempts!r}"
             )
         if self.config.sketch_store == "auto":
             self.config.sketch_store = (

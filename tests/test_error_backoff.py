@@ -225,7 +225,13 @@ def test_breaker_config_validation(spark, tmp_path):
     docs = generate_documents(spark, n_hosts=1)
     for bad in (dict(error_backoff_threshold=0.0),
                 dict(error_backoff_threshold=1.5),
-                dict(error_backoff_threshold=0.5, error_backoff_rounds=0)):
+                # below the 1e-6 rational-conversion floor: would
+                # collapse to 0/1 and trip every host (review finding)
+                dict(error_backoff_threshold=1e-9),
+                dict(error_backoff_threshold=0.5, error_backoff_rounds=0),
+                # 0 min-attempts trips on a single flaky 503
+                dict(error_backoff_threshold=0.5,
+                     error_backoff_min_attempts=0)):
         with pytest.raises(ValueError, match="error_backoff"):
             CrawlEngine(
                 spark,
@@ -233,3 +239,9 @@ def test_breaker_config_validation(spark, tmp_path):
                 documents=docs,
                 config=CrawlConfig(bloom_expected_urls=64, **bad),
             )
+
+
+def test_cooling_hosts_rejects_sub_floor_threshold(spark):
+    log = _log_df(spark, [(1, "http://h0.test/p0.html", 0, 503, "t")])
+    with pytest.raises(ValueError, match="rational-conversion floor"):
+        cooling_hosts(log, 1e-9, 1)

@@ -205,11 +205,27 @@ def test_fano_spine_types_broadcast(spark, sf_correct):
 
 def test_autocorr_moments_off_day_rollup(spark, sf_correct):
     """The lag-1 self-join must run on the day×type rollup, not raw
-    events: the plan's joins must all sit above aggregates (one
-    HashAggregate pair per side), never join two raw scans."""
+    events: every parquet scan feeding a join must pass through a
+    HashAggregate FIRST — a join of two raw event scans (the O(n²)
+    shuffle mistake) would show a Scan with no aggregate between it
+    and the join node."""
     plan = _plan(spark, "events_autocorr_lag1", sf_correct)
-    # both join inputs are aggregated frames: the plan contains the
-    # day×type HashAggregate BELOW the join, and no second events scan
-    # feeds a join un-aggregated (the rollup dedups the scan via
-    # ReusedExchange or a second agg — either way joins see aggregates)
-    assert "HashAggregate" in plan, plan
+    tree = plan.split("\n\n")[0].splitlines()
+    join_lines = [
+        i for i, ln in enumerate(tree) if "Join" in ln
+    ]
+    assert join_lines, plan
+    for i, ln in enumerate(tree):
+        if "Scan parquet" not in ln:
+            continue
+        # walk UP the child chain (toward the root, earlier lines):
+        # an aggregate must appear before any join does
+        between = tree[:i]
+        # nearest enclosing join above this scan
+        joins_above = [j for j in join_lines if j < i]
+        if not joins_above:
+            continue
+        j = max(joins_above)
+        assert any(
+            "HashAggregate" in x for x in between[j + 1 : i]
+        ), f"scan at tree line {i} feeds the join un-aggregated:\n" + "\n".join(tree)
