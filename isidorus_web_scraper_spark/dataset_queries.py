@@ -13157,3 +13157,230 @@ def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(t) - F.sum(F.col("n") * F.log2("n")) / t, 6
         ).alias("entropy_bits"),
     )
+
+
+@query(
+    "events_user_overlap_jaccard",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+      FROM ut GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, ta.nu AS n_a, tb.nu AS n_b, i.n_inter,
+           CAST(i.n_inter * 1000 // (ta.nu + tb.nu - i.n_inter) AS BIGINT)
+             AS jaccard_permille
+    FROM inter i
+    JOIN tot ta ON ta.event_type = i.type_a
+    JOIN tot tb ON tb.event_type = i.type_b
+    """,
+)
+def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types as exact user-set Jaccard
+    (permille, integer floor) — the SIZE-NORMALIZED companion to
+    event_type_pmi (PMI says 'more often together than chance'; Jaccard
+    says 'how much of either audience is shared', which is what
+    capacity planning and feature bundling actually read). Integer
+    end-to-end: intersection from a user-keyed self-join of the
+    deduped (user, type) frame, union by inclusion-exclusion.
+
+    Scale shape: events collapse to distinct (user, type) first (one
+    map-side-combined dedup — the frame is ≤ users×5); the self-join
+    shuffles on user_id once; per-type totals broadcast back onto the
+    ≤10-row pair frame."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("nu"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("nu").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("nu").alias("n_b")
+    )
+    j = inter.join(F.broadcast(ta), "type_a").join(F.broadcast(tb), "type_b")
+    return j.select(
+        "type_a", "type_b", "n_a", "n_b", "n_inter",
+        F.expr("n_inter * 1000 div (n_a + n_b - n_inter)")
+        .cast("bigint")
+        .alias("jaccard_permille"),
+    )
+
+
+@query(
+    "segment_interpurchase_median",
+    """
+    WITH o AS (
+      SELECT c.c_mktsegment AS segment, o_custkey,
+             epoch_ms(o_orderdate) // 86400000 AS day, o_orderkey
+      FROM orders JOIN customer c ON o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT segment,
+             lead(day) OVER (PARTITION BY o_custkey
+                             ORDER BY day, o_orderkey) - day AS gap,
+             o_orderkey
+      FROM o
+    ),
+    gaps AS (SELECT segment, gap, o_orderkey FROM g WHERE gap IS NOT NULL),
+    r AS (
+      SELECT segment, gap,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY gap, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM gaps
+    )
+    SELECT segment, CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(sum(CASE WHEN rn * 2 IN (n, n + 1, n + 2) THEN gap
+                         ELSE 0 END)
+                // sum(CASE WHEN rn * 2 IN (n, n + 1, n + 2) THEN 1
+                            ELSE 0 END) AS BIGINT) AS median_gap_days
+    FROM r
+    GROUP BY segment
+    """,
+)
+def segment_interpurchase_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median inter-purchase gap (days) per market segment: gaps
+    from a per-customer lead() over the (day, orderkey) total order,
+    median by the same integer rank selection as segment_median_order
+    (middle element / floor-mean of the two middles — sidesteps
+    cross-engine percentile interpolation). The repurchase-cadence
+    number behind replenishment-cycle and churn-window tuning, and
+    events_interarrival's per-entity analog on the orders table.
+
+    Scale shape: one customer-keyed window (the only order-sized
+    shuffle) produces gaps; the median sort partitions by segment over
+    the gaps frame (5 partitions at any scale); at 100 TB the exact
+    rank selection trades to a t-digest, calibrated by this row."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    ems = ntz_epoch_ms(F.col("o_orderdate"))
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_custkey",
+        (ems / F.lit(86400000)).cast("bigint").alias("day"),
+        "o_orderkey",
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = o.select(
+        "segment",
+        (F.lead("day").over(wc) - F.col("day")).alias("gap"),
+        "o_orderkey",
+    ).filter(F.col("gap").isNotNull())
+    w = Window.partitionBy("segment").orderBy("gap", "o_orderkey")
+    r = g.select(
+        "segment",
+        "gap",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("segment")).alias("n"),
+    ).withColumn(
+        "mid",
+        (F.col("rn") * 2 == F.col("n"))
+        | (F.col("rn") * 2 == F.col("n") + 1)
+        | (F.col("rn") * 2 == F.col("n") + 2),
+    )
+    return r.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.expr(
+            "sum(CASE WHEN mid THEN gap ELSE 0 END)"
+            " div sum(CASE WHEN mid THEN 1 ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("median_gap_days"),
+    )
+
+
+@query(
+    "word_pmi_top",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    cf AS (SELECT t, CAST(count(*) AS BIGINT) AS dfq FROM toks GROUP BY t),
+    top AS (SELECT t, dfq FROM cf ORDER BY dfq DESC, t LIMIT 20),
+    pw AS (SELECT toks.doc_id, toks.t, top.dfq FROM toks JOIN top USING (t)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.t AS word_a, b.t AS word_b,
+             CAST(max(a.dfq) AS BIGINT) AS df_a,
+             CAST(max(b.dfq) AS BIGINT) AS df_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM pw a JOIN pw b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT word_a, word_b, df_a, df_b, n_both, n_docs,
+           round(log2(CAST(n_both AS DOUBLE) * n_docs / (df_a * df_b)), 6)
+             AS pmi_bits
+    FROM pairs, nn
+    """,
+)
+def word_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information (bits) between the top-20
+    document-frequency words, over doc-level co-occurrence — the word-
+    association miner (collocations vs independent glue) that
+    event_type_pmi runs on behaviour and this runs on text. Candidates
+    are BOUNDED FIRST (top-20 by df, ties by word — ≤190 pairs), so
+    the pair join never touches the vocabulary square; integer
+    witnesses (df_a, df_b, n_both, n_docs) carry exactness and PMI is
+    one double expression of them.
+
+    Scale shape: one deduped (doc, word) pass; top-20 is
+    TakeOrderedAndProject on the vocab frame; the semi-join back
+    broadcasts 20 words; the pair self-join shuffles only the
+    top-word postings (≤ 20·docs rows, doc-keyed)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("t")
+    ).distinct()
+    cf = toks.groupBy("t").agg(F.count("*").cast("bigint").alias("dfq"))
+    top = cf.orderBy(F.desc("dfq"), "t").limit(20)
+    pw = toks.join(F.broadcast(top), "t")
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    a, b = pw.alias("a"), pw.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("word_a"), F.col("b.t").alias("word_b"))
+        .agg(
+            F.max("a.dfq").cast("bigint").alias("df_a"),
+            F.max("b.dfq").cast("bigint").alias("df_b"),
+            F.count("*").cast("bigint").alias("n_both"),
+        )
+    )
+    pmi = F.log2(
+        F.col("n_both").cast("double")
+        * F.col("n_docs")
+        / (F.col("df_a") * F.col("df_b"))
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "word_a", "word_b", "df_a", "df_b", "n_both", "n_docs",
+        F.round(pmi, 6).alias("pmi_bits"),
+    )

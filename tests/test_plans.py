@@ -229,3 +229,12 @@ def test_autocorr_moments_off_day_rollup(spark, sf_correct):
         assert any(
             "HashAggregate" in x for x in between[j + 1 : i]
         ), f"scan at tree line {i} feeds the join un-aggregated:\n" + "\n".join(tree)
+
+
+def test_word_pmi_candidates_bounded_first(spark, sf_correct):
+    """PMI candidates must bound to the broadcast top-20 BEFORE the
+    pair self-join (TakeOrdered + broadcast semi-join) — joining the
+    raw (doc, word) frame against itself would square the vocabulary."""
+    plan = _plan(spark, "word_pmi_top", sf_correct)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
