@@ -13384,3 +13384,134 @@ def word_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word_a", "word_b", "df_a", "df_b", "n_both", "n_docs",
         F.round(pmi, 6).alias("pmi_bits"),
     )
+
+
+@query(
+    "ngram_novelty_rate",
+    """
+    WITH occ AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws
+        FROM documents
+      ), LATERAL (
+        SELECT unnest([array_to_string(ws[i:i+2], ' ')
+                       for i in range(1, len(ws) - 1)]) AS g
+      )
+    ),
+    first AS (
+      SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM occ GROUP BY g
+    )
+    SELECT occ.doc_id % 10 AS doc_bucket,
+           CAST(count(*) AS BIGINT) AS grams,
+           CAST(sum(CASE WHEN occ.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel,
+           CAST(sum(CASE WHEN occ.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS novelty_permille
+    FROM occ JOIN first f USING (g)
+    GROUP BY occ.doc_id % 10
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per doc-id bucket, the permille of each
+    document's DISTINCT word-3-grams whose FIRST corpus occurrence (min
+    doc_id — the ingestion-order proxy) is that document — the
+    diminishing-returns dial dataset curation reads (novelty falling
+    toward zero means additional shards of this source mostly repeat
+    what the corpus already has; the incremental-value complement of
+    dedup's yes/no duplicate verdict). Integer end-to-end.
+
+    Scale shape: one exploded distinct (doc, gram) pass; first
+    occurrences are a gram-keyed min aggregate (map-side combined); the
+    attribution join is gram-keyed on the same shuffle layout
+    (ReuseExchange-friendly); output collapses to 10 buckets."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(words(F.col("text")), 3)).alias("g"),
+    ).distinct()
+    first = occ.groupBy("g").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    j = occ.join(first, "g")
+    novel = (F.col("doc_id") == F.col("first_doc")).cast("long")
+    g = j.groupBy((F.col("doc_id") % 10).alias("doc_bucket")).agg(
+        F.count("*").cast("bigint").alias("grams"),
+        F.sum(novel).cast("bigint").alias("novel"),
+    )
+    return g.select(
+        "doc_bucket", "grams", "novel",
+        F.expr("novel * 1000 div grams").cast("bigint").alias(
+            "novelty_permille"
+        ),
+    )
+
+
+@query(
+    "events_anova_dow",
+    """
+    WITH v AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM v GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS k_groups,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           round(((sum(CAST(s AS DOUBLE) * s / n)
+                   - CAST(sum(s) AS DOUBLE) * sum(s) / sum(n))
+                  / (count(*) - 1))
+                 / ((sum(CAST(ss AS DOUBLE))
+                     - sum(CAST(s AS DOUBLE) * s / n))
+                    / (sum(n) - count(*))), 6) AS f_stat
+    FROM g
+    GROUP BY event_type
+    """,
+)
+def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic per event type for a day-of-week
+    effect on event VALUE (cents): between-group mean square over
+    within-group mean square off the per-(type, dow) moment sums — the
+    variance-decomposition member of the test family (z-prop compares
+    two proportions, chi² compares counts; ANOVA asks whether a
+    CONTINUOUS metric differs across k groups). F ≈ 1 means weekday is
+    noise; large F means the metric moves by weekday. dow uses the
+    epoch-day + 4 mod 7 convention (1970-01-01 = Thursday; 0=Sunday),
+    matching the repo's other dow queries. Moment sums are exact
+    integers (cents); F is one double expression of them.
+
+    Scale shape: events collapse to the ≤ types×7 moment frame in one
+    map-side-combined pass; the F arithmetic runs on that frame."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    v = ev.select(
+        "event_type",
+        ((ems / F.lit(86400000)).cast("bigint") + 4) % 7,
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).toDF("event_type", "dow", "cents")
+    g = v.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    sd = F.col("s").cast("double")
+    between = (
+        F.sum(sd * F.col("s") / F.col("n"))
+        - F.sum("s").cast("double") * F.sum("s") / F.sum("n")
+    ) / (F.count("*") - 1)
+    within = (
+        F.sum(F.col("ss").cast("double")) - F.sum(sd * F.col("s") / F.col("n"))
+    ) / (F.sum("n") - F.count("*"))
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.round(between / within, 6).alias("f_stat"),
+    )
