@@ -75,6 +75,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="cooldown length (rounds) after a breaker trip")
     ap.add_argument("--error-backoff-min-attempts", type=int, default=4,
                     help="attempts floor before the breaker may trip")
+    ap.add_argument("--budget-scope", choices=["host", "domain"],
+                    default="host",
+                    help="budget key: per hostname, or per registrable "
+                    "domain Hamilton-apportioned across its hosts "
+                    "(subdomain farms share one budget)")
+    ap.add_argument("--domain-labels", type=int, default=2,
+                    help="registrable domain = the host's last N labels")
     ap.add_argument("--frontier-priority", choices=["depth", "indegree"],
                     default="depth",
                     help="budget-truncation order within a depth level: "
@@ -113,6 +120,8 @@ def main(argv: list[str] | None = None) -> None:
             error_backoff_threshold=args.error_backoff_threshold,
             error_backoff_rounds=args.error_backoff_rounds,
             error_backoff_min_attempts=args.error_backoff_min_attempts,
+            budget_scope=args.budget_scope,
+            domain_labels=args.domain_labels,
             frontier_priority=args.frontier_priority,
         ),
     )

@@ -13515,3 +13515,76 @@ def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_total"),
         F.round(between / within, 6).alias("f_stat"),
     )
+
+
+@query(
+    "domain_budget_allocation",
+    """
+    WITH f AS (
+      SELECT 'http://h' || (doc_id % 23) || '.d' || (doc_id % 7)
+             || '.test/p' || doc_id AS url,
+             'h' || (doc_id % 23) || '.d' || (doc_id % 7) || '.test' AS host
+      FROM documents
+    ),
+    q AS (SELECT host, CAST(count(*) AS BIGINT) AS q FROM f GROUP BY host),
+    d AS (
+      SELECT host, q,
+             regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM q
+    ),
+    ham AS (
+      SELECT host, q, domain,
+             CAST(sum(q) OVER (PARTITION BY domain) AS BIGINT) AS qd
+      FROM d
+    ),
+    b AS (
+      SELECT host, domain, q, qd,
+             (50 * q) // qd AS base, (50 * q) % qd AS fr
+      FROM ham
+    ),
+    e AS (
+      SELECT host, base, fr,
+             50 - sum(base) OVER (PARTITION BY domain) AS extra,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY fr DESC, host) AS rk
+      FROM b
+    )
+    SELECT host,
+           CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+             AS budget
+    FROM e
+    """,
+)
+def domain_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-scoped budget apportionment (W42) as an oracled query:
+    the PRODUCTION operator (operators/politeness
+    .domain_budget_override) runs over a synthesized 161-host / 7-
+    domain frontier with the per-domain default budget 50, and the
+    DuckDB twin re-derives the exact per-domain Hamilton rule
+    independently — integer quotas ((G·q) div Q_d), remainder units to
+    the largest (G·q) mod Q_d with host-asc tie-break, Σ per domain ==
+    G exactly. Gates the operator itself, not a third copy of the
+    formula.
+
+    Scale: one map-side-combined queue rollup; every window partitions
+    by domain over the HOSTS frame (≪ URLs); output is hosts-sized."""
+    from .operators.politeness import domain_budget_override
+
+    docs = load(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.lit(1).cast("long").alias("scraping_id"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.format_string(
+            "http://h%d.d%d.test/p%d",
+            (F.col("doc_id") % 23).cast("int"),
+            (F.col("doc_id") % 7).cast("int"),
+            F.col("doc_id").cast("long"),
+        ).alias("url"),
+        F.lit(2).alias("depth"),
+        F.lit(0).alias("round"),
+    )
+    alloc = domain_budget_override(frontier, None, default_budget=50)
+    return alloc.select(
+        "host",
+        F.col("max_fetches_per_round").cast("bigint").alias("budget"),
+    )

@@ -70,6 +70,19 @@ def path_col(url: Column | str) -> Column:
     return F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit("/"))
 
 
+def domain_col(host: Column | str, labels: int = 2) -> Column:
+    """Registrable-domain approximation: the host's last ``labels``
+    dot-separated labels (``a.b.spam.test`` → ``spam.test``) — the
+    grouping key for domain-scoped politeness budgets
+    (CrawlConfig.budget_scope='domain'). Hosts with fewer labels pass
+    through whole (substring_index semantics). A real deployment would
+    swap in the Public Suffix List (co.uk et al.); no PSL data ships in
+    this environment, so the label count is a config knob instead —
+    the one JVM expression keeps the scheduler zero-Python."""
+    c = F.col(host) if isinstance(host, str) else host
+    return F.substring_index(c, ".", -int(labels))
+
+
 def canonical_url_col(url: Column | str) -> Column:
     """Pure-JVM canonicalizer — the zero-Python twin of
     ``canonicalize`` for ABSOLUTE http(s) URLs (the only shape the

@@ -773,3 +773,135 @@ def backoff_override(
     return _override_hosts(
         cooling, politeness, {"max_fetches_per_round": F.lit(0)}
     )
+
+
+def domain_budget_override(
+    frontier: DataFrame,
+    politeness: DataFrame | None,
+    default_budget: int,
+    labels: int = 2,
+) -> DataFrame:
+    """Domain-scoped politeness budgets (W42,
+    CrawlConfig.budget_scope='domain'): the per-round fetch budget is
+    keyed by REGISTRABLE DOMAIN, not host — a subdomain farm
+    (a.spam.test … z.spam.test) shares ONE budget instead of escaping
+    the per-host cap with a fresh allowance per vanity subdomain (the
+    reason production crawlers queue by pay-level domain — BUbiNG's
+    PLD, Heritrix's authority queues).
+
+    Semantics: each domain's budget (a config row whose ``host`` IS
+    the domain string; ``default_budget`` otherwise) is apportioned
+    across the domain's frontier hosts proportional to their ELIGIBLE
+    queue sizes by the exact largest-remainder (Hamilton) rule —
+    integer quotas, (frac DESC, host ASC) tie-break, Σ allocations ==
+    the domain budget while any row is eligible. The output is an
+    ordinary HOST-keyed config for ``schedule_round`` (the four
+    scheduler impls are untouched); a host-keyed config row still
+    bounds its own host (min(host budget, allocation) — so a breaker
+    budget-0 or a static per-host promise survives), and robots /
+    crawl-delay carry through host-keyed as RFC 9309 scopes them.
+    Apportioned-split enforces the politeness invariant that matters —
+    at most B fetches per domain per round — while keeping each host's
+    queue a single per-host priority queue; the deferred remainder
+    carries exactly as under host scope.
+
+    Eligibility reuses schedule_round's own blocked/delay expressions,
+    so allocation and consumption agree row for row; a host in breaker
+    cooldown still counts eligible (its share defers demand — the same
+    documented caveat as allocate_global_budget).
+
+    Scale: one map-side-combined queue rollup over the frontier; all
+    windows partition by domain over the HOSTS frame (≪ URLs); domain
+    budgets broadcast-join; the result is itself the broadcast side of
+    schedule_round's config join."""
+    from pyspark.sql import Window
+
+    from ..functions.url import domain_col
+
+    f = frontier.withColumn(
+        "host", F.coalesce(host_col("url"), F.lit("\x00invalid"))
+    )
+    pol = politeness
+    if pol is not None and "robots_allow" not in pol.columns:
+        pol = pol.withColumn("robots_allow", F.lit(None).cast("array<string>"))
+    if pol is not None:
+        f = f.withColumn("path", path_col("url")).join(
+            F.broadcast(pol), "host", "left"
+        )
+        blocked = robots_blocked_col(
+            F.col("path"), F.col("robots_disallow"), F.col("robots_allow")
+        )
+        delay_ok = (
+            F.col("round") % (F.coalesce("crawl_delay_rounds", F.lit(0)) + 1)
+            == 0
+        )
+        eligible = (~blocked) & delay_ok
+    else:
+        eligible = F.lit(True)
+    hosts = f.groupBy("host").agg(F.sum(eligible.cast("long")).alias("q"))
+    hosts = hosts.withColumn("domain", domain_col(F.col("host"), labels))
+    if pol is not None:
+        dbud = pol.select(
+            F.col("host").alias("domain"),
+            F.col("max_fetches_per_round").alias("dg"),
+        )
+        hosts = hosts.join(F.broadcast(dbud), "domain", "left")
+    else:
+        hosts = hosts.withColumn("dg", F.lit(None).cast("int"))
+    hosts = hosts.withColumn(
+        "g", F.coalesce("dg", F.lit(int(default_budget))).cast("long")
+    )
+    wd = Window.partitionBy("domain")
+    hosts = hosts.withColumn("qd", F.sum("q").over(wd))
+    # exact integer Hamilton per domain (the per-group window twin of
+    # allocate_global_budget's single-row aggregate form — different
+    # plan shape, same arithmetic; both are oracle-gated)
+    hosts = hosts.withColumn(
+        "base",
+        F.when(F.col("qd") == 0, F.lit(0)).otherwise(
+            F.expr("(g * q) div qd")
+        ),
+    ).withColumn(
+        "frac",
+        F.when(F.col("qd") == 0, F.lit(0)).otherwise(
+            (F.col("g") * F.col("q")) % F.col("qd")
+        ),
+    )
+    hosts = hosts.withColumn(
+        "extra",
+        F.when(F.col("qd") == 0, F.lit(0)).otherwise(
+            F.col("g") - F.sum("base").over(wd)
+        ),
+    ).withColumn(
+        "rk",
+        F.row_number().over(wd.orderBy(F.desc("frac"), F.asc("host"))),
+    )
+    alloc = (
+        F.col("base") + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+    ).cast("int")
+    if pol is None:
+        return hosts.select(
+            "host",
+            alloc.alias("max_fetches_per_round"),
+            F.lit(None).cast("array<string>").alias("robots_disallow"),
+            F.lit(None).cast("array<string>").alias("robots_allow"),
+            F.lit(0).alias("crawl_delay_rounds"),
+        )
+    allocated = hosts.select("host", alloc.alias("alloc"))
+    out = allocated.join(pol, "host", "left").select(
+        "host",
+        F.when(
+            F.col("max_fetches_per_round").isNotNull(),
+            F.least("max_fetches_per_round", "alloc"),
+        )
+        .otherwise(F.col("alloc"))
+        .alias("max_fetches_per_round"),
+        "robots_disallow",
+        "robots_allow",
+        F.coalesce("crawl_delay_rounds", F.lit(0)).alias("crawl_delay_rounds"),
+    )
+    # config rows for hosts outside this round's frontier (incl. the
+    # domain-budget rows themselves) pass through untouched — later
+    # rounds and robots carriers still need them
+    missing = pol.join(allocated.select("host"), "host", "left_anti")
+    return out.unionByName(missing)

@@ -248,6 +248,22 @@ class CrawlConfig:
     error_backoff_threshold: float | None = None
     error_backoff_min_attempts: int = 4
     error_backoff_rounds: int = 2
+    # budget grouping key: "host" (default — every hostname gets its
+    # own max_fetches_per_round) or "domain" (W42 — the budget is
+    # keyed by REGISTRABLE DOMAIN and Hamilton-apportioned across the
+    # domain's frontier hosts ∝ eligible queue size, so a subdomain
+    # farm shares ONE budget instead of minting a fresh allowance per
+    # vanity subdomain; the rule production crawlers queue by —
+    # BUbiNG's pay-level domain, Heritrix's authority queues). Domain
+    # budgets come from config rows whose `host` IS the domain string;
+    # default_budget applies PER DOMAIN otherwise. Host-keyed rows
+    # still bound their own hosts (min(host, allocation)); robots and
+    # crawl-delay stay host-scoped as RFC 9309 scopes them. The
+    # registrable domain is the host's last `domain_labels` labels
+    # (functions/url.domain_col — a PSL stand-in, no suffix data in
+    # this environment).
+    budget_scope: str = "host"
+    domain_labels: int = 2
     # transient-failure retry: a failed fetch re-enters the NEXT round's
     # frontier (riding the deferred branch — no re-claim, no schema
     # change) until the URL has been attempted retry_max_attempts times
@@ -384,6 +400,16 @@ class CrawlEngine:
                 f"{self.config.error_backoff_threshold!r} / "
                 f"{self.config.error_backoff_rounds!r} / "
                 f"{self.config.error_backoff_min_attempts!r}"
+            )
+        if self.config.budget_scope not in ("host", "domain") or (
+            self.config.budget_scope == "domain"
+            and self.config.domain_labels < 1
+        ):
+            raise ValueError(
+                "budget_scope must be 'host' or 'domain' (with "
+                "domain_labels >= 1), got "
+                f"{self.config.budget_scope!r} / "
+                f"{self.config.domain_labels!r}"
             )
         if self.config.sketch_store == "auto":
             self.config.sketch_store = (
@@ -834,6 +860,18 @@ class CrawlEngine:
                     cfg.error_backoff_min_attempts,
                 ),
                 pol,
+            )
+        if cfg.budget_scope == "domain":
+            # W42: budgets keyed by registrable domain, apportioned
+            # across the domain's hosts (exact Hamilton) — emits an
+            # ordinary host-keyed config, so the schedulers are
+            # untouched. Runs AFTER the breaker (a cooling host's
+            # budget-0 row survives via min(host, allocation)) and
+            # BEFORE the global budget (which min-composes on top).
+            from ..operators.politeness import domain_budget_override
+
+            pol = domain_budget_override(
+                frontier, pol, cfg.default_budget, cfg.domain_labels
             )
         if cfg.global_budget is not None:
             # adaptive backpressure: ONE global budget apportioned
