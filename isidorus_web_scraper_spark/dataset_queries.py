@@ -13588,3 +13588,111 @@ def domain_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.col("max_fetches_per_round").cast("bigint").alias("budget"),
     )
+
+
+@query(
+    "label_centroid_shift",
+    """
+    WITH e AS (
+      SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) t(i)
+    ),
+    lc AS (
+      SELECT label, dim, CAST(count(*) AS BIGINT) AS n, sum(v) AS s
+      FROM e GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT dim, sum(s) / sum(n) AS gc FROM lc GROUP BY dim
+    )
+    SELECT lc.label,
+           CAST(max(lc.n) AS BIGINT) AS n_vecs,
+           round(sqrt(sum((lc.s / lc.n - g.gc) * (lc.s / lc.n - g.gc))), 4)
+             AS centroid_shift
+    FROM lc JOIN g USING (dim)
+    GROUP BY lc.label
+    """,
+)
+def label_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid shift: the L2 distance between each
+    label's centroid and the corpus centroid — the class-separability /
+    drift dial read before training a classifier on the embedding
+    space (labels whose centroids sit on top of the global mean carry
+    no linear signal; a centroid that MOVES between snapshots is
+    distribution drift, feature_psi's geometric cousin). Same
+    posexplode / generate_series twin pair and 4-dp float discipline
+    as embedding_dim_stats.
+
+    Scale shape: explode → (label, dim)-keyed partial-aggregable
+    sums (labels×64 rows out); the global centroid folds that same
+    frame per dim; the distance join runs labels×64 against 64 —
+    nothing downstream of the first agg scales with corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    lc = e.groupBy("label", "dim").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("v").alias("s")
+    )
+    g = lc.groupBy("dim").agg((F.sum("s") / F.sum("n")).alias("gc"))
+    d = F.col("s") / F.col("n") - F.col("gc")
+    return (
+        lc.join(g, "dim")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(d * d)), 4).alias("centroid_shift"),
+        )
+    )
+
+
+@query(
+    "part_price_size_correlation",
+    """
+    WITH v AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS sz
+      FROM part
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s_price,
+           CAST(sum(sz) AS BIGINT) AS s_size,
+           round((count(*) * CAST(sum(cents * sz) AS DOUBLE)
+                  - CAST(sum(cents) AS DOUBLE) * sum(sz))
+                 / sqrt((count(*) * CAST(sum(cents * cents) AS DOUBLE)
+                         - CAST(sum(cents) AS DOUBLE) * sum(cents))
+                        * (count(*) * CAST(sum(sz * sz) AS DOUBLE)
+                           - CAST(sum(sz) AS DOUBLE) * sum(sz))), 6)
+             AS pearson_r
+    FROM v
+    """,
+)
+def part_price_size_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between part retail price (cents) and size
+    over the part dim — the column-pair profiling stat (does a catalog
+    attribute carry price signal?) that completes the correlation
+    family: event_type_correlation is series-vs-series,
+    events_autocorr_lag1 is series-vs-lagged-self, this is
+    column-vs-column in one table. All five moment sums exact
+    integers; r one double expression, single row out.
+
+    Scale shape: one map-side-combined aggregate over the dim table —
+    no shuffle wider than the 1-row result."""
+    pt = load(spark, sf_dir, "part")
+    v = pt.select(
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.col("p_size").cast("bigint").alias("sz"),
+    )
+    a = v.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s_price"),
+        F.sum("sz").cast("bigint").alias("s_size"),
+        F.sum(F.col("cents") * F.col("sz")).cast("bigint").alias("sxy"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("sxx"),
+        F.sum(F.col("sz") * F.col("sz")).cast("bigint").alias("syy"),
+    )
+    nn = F.col("n")
+    r = (nn * F.col("sxy").cast("double") - F.col("s_price").cast("double") * F.col("s_size")) / F.sqrt(
+        (nn * F.col("sxx").cast("double") - F.col("s_price").cast("double") * F.col("s_price"))
+        * (nn * F.col("syy").cast("double") - F.col("s_size").cast("double") * F.col("s_size"))
+    )
+    return a.select("n", "s_price", "s_size", F.round(r, 6).alias("pearson_r"))
