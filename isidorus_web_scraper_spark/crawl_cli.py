@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--synthetic-hosts", type=int,
                     help="generator-backed synthetic web instead of --corpus")
     ap.add_argument("--budget", type=int, default=8,
-                    help="per-host fetches per round")
+                    help="fetches per round per budget key: per host, or per registrable domain when --budget-scope domain (Hamilton-split across its hosts)")
     ap.add_argument("--max-rounds", type=int, default=64)
     ap.add_argument("--discover-robots", action="store_true",
                     help="probe /robots.txt for new hosts each round and "

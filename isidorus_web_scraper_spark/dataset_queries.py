@@ -13466,12 +13466,16 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS k_groups,
            CAST(sum(n) AS BIGINT) AS n_total,
-           round(((sum(CAST(s AS DOUBLE) * s / n)
-                   - CAST(sum(s) AS DOUBLE) * sum(s) / sum(n))
-                  / (count(*) - 1))
-                 / ((sum(CAST(ss AS DOUBLE))
-                     - sum(CAST(s AS DOUBLE) * s / n))
-                    / (sum(n) - count(*))), 6) AS f_stat
+           CASE WHEN count(*) > 1 AND sum(n) > count(*)
+                 AND sum(CAST(ss AS DOUBLE))
+                     - sum(CAST(s AS DOUBLE) * s / n) > 0
+                THEN round(((sum(CAST(s AS DOUBLE) * s / n)
+                             - CAST(sum(s) AS DOUBLE) * sum(s) / sum(n))
+                            / (count(*) - 1))
+                           / ((sum(CAST(ss AS DOUBLE))
+                               - sum(CAST(s AS DOUBLE) * s / n))
+                              / (sum(n) - count(*))), 6)
+           END AS f_stat
     FROM g
     GROUP BY event_type
     """,
@@ -13503,17 +13507,28 @@ def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
     )
     sd = F.col("s").cast("double")
+    within_num = F.sum(F.col("ss").cast("double")) - F.sum(
+        sd * F.col("s") / F.col("n")
+    )
     between = (
         F.sum(sd * F.col("s") / F.col("n"))
         - F.sum("s").cast("double") * F.sum("s") / F.sum("n")
     ) / (F.count("*") - 1)
-    within = (
-        F.sum(F.col("ss").cast("double")) - F.sum(sd * F.col("s") / F.col("n"))
-    ) / (F.sum("n") - F.count("*"))
+    within = within_num / (F.sum("n") - F.count("*"))
+    # degenerate-grouping guard: k=1 (all events on one weekday),
+    # n=k (one event per group) or an all-constant metric make a
+    # denominator 0 — Spark's double/0 is NULL while DuckDB's is
+    # inf/nan, so the guard must decide BEFORE the division on both
+    # sides (review finding, session 8)
+    ok = (
+        (F.count("*") > 1)
+        & (F.sum("n") > F.count("*"))
+        & (within_num > 0)
+    )
     return g.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("k_groups"),
         F.sum("n").cast("bigint").alias("n_total"),
-        F.round(between / within, 6).alias("f_stat"),
+        F.when(ok, F.round(between / within, 6)).alias("f_stat"),
     )
 
 

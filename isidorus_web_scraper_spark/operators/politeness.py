@@ -544,7 +544,13 @@ def _override_hosts(
     carry the host's configured value through, crawl-delay coalesced
     to 0); unlisted hosts pass untouched; a listed host absent from
     the config gets a fresh permissive row with the overrides
-    applied."""
+    applied. Extra config columns beyond the standard four (e.g. the
+    optional ``domain_budget`` marker) carry through unchanged —
+    dropping them here would break the later override in a composed
+    chain. Rows FLAGGED ``domain_budget=true`` are domain caps, not
+    host configs, and are never overridden: a cooling apex host must
+    zero ITS OWN row, not the cap of every subdomain sharing its name
+    (review finding, session 8)."""
     defaults = {
         "max_fetches_per_round": F.lit(None).cast("int"),
         "robots_disallow": F.lit(None).cast("array<string>"),
@@ -559,11 +565,24 @@ def _override_hosts(
     pol = politeness
     if "robots_allow" not in pol.columns:
         pol = pol.withColumn("robots_allow", F.lit(None).cast("array<string>"))
+    if "domain_budget" in pol.columns:
+        is_dom = F.coalesce("domain_budget", F.lit(False))
+        dom = pol.filter(is_dom)
+        host_side = pol.filter(~is_dom).drop("domain_budget")
+        out = _override_hosts(hosts, host_side, overrides)
+        # the marker was dropped for the recursive host-side pass
+        # (unflagged/NULL rows are all false anyway) — restore it so
+        # the union types and the downstream domain/host split stay
+        # well-defined
+        return out.withColumn("domain_budget", F.lit(False)).unionByName(dom)
     carry = {
-        "max_fetches_per_round": F.col("max_fetches_per_round"),
-        "robots_disallow": F.col("robots_disallow"),
-        "robots_allow": F.col("robots_allow"),
-        "crawl_delay_rounds": F.coalesce("crawl_delay_rounds", F.lit(0)),
+        k: (
+            F.coalesce("crawl_delay_rounds", F.lit(0))
+            if k == "crawl_delay_rounds"
+            else F.col(k)
+        )
+        for k in pol.columns
+        if k != "host"
     }
     keep = pol.join(hosts, "host", "left_anti")
     rows = hosts.join(pol, "host", "left").select(
@@ -789,17 +808,27 @@ def domain_budget_override(
     reason production crawlers queue by pay-level domain — BUbiNG's
     PLD, Heritrix's authority queues).
 
-    Semantics: each domain's budget (a config row whose ``host`` IS
-    the domain string; ``default_budget`` otherwise) is apportioned
-    across the domain's frontier hosts proportional to their ELIGIBLE
-    queue sizes by the exact largest-remainder (Hamilton) rule —
-    integer quotas, (frac DESC, host ASC) tie-break, Σ allocations ==
-    the domain budget while any row is eligible. The output is an
-    ordinary HOST-keyed config for ``schedule_round`` (the four
-    scheduler impls are untouched); a host-keyed config row still
-    bounds its own host (min(host budget, allocation) — so a breaker
-    budget-0 or a static per-host promise survives), and robots /
-    crawl-delay carry through host-keyed as RFC 9309 scopes them.
+    Semantics: each domain's budget comes from a config row FLAGGED
+    ``domain_budget=true`` whose ``host`` is the domain string
+    (``default_budget`` per domain otherwise); the optional boolean
+    column makes the split EXPLICIT — without it, any host-keyed row
+    whose hostname happens to have exactly ``labels`` labels (an apex
+    host's static promise, or a breaker budget-0 row for a cooling
+    apex) would be silently reinterpreted as the whole domain's cap
+    (review finding, session 8). Unflagged rows are ordinary host
+    configs; flagged rows are consumed here and do NOT reach
+    ``schedule_round`` as host rows (the apex host, if crawled, is
+    just another farm member sharing the allocation). The budget is
+    apportioned across the domain's frontier hosts proportional to
+    their ELIGIBLE queue sizes by the exact largest-remainder
+    (Hamilton) rule — integer quotas, (frac DESC, host ASC) tie-break,
+    Σ allocations == the domain budget while any row is eligible. The
+    output is an ordinary HOST-keyed config for ``schedule_round``
+    (the four scheduler impls are untouched); a host-keyed config row
+    still bounds its own host (min(host budget, allocation) — so a
+    breaker budget-0 or a static per-host promise survives), and
+    robots / crawl-delay carry through host-keyed as RFC 9309 scopes
+    them.
     Apportioned-split enforces the politeness invariant that matters —
     at most B fetches per domain per round — while keeping each host's
     queue a single per-host priority queue; the deferred remainder
@@ -822,9 +851,20 @@ def domain_budget_override(
         "host", F.coalesce(host_col("url"), F.lit("\x00invalid"))
     )
     pol = politeness
-    if pol is not None and "robots_allow" not in pol.columns:
-        pol = pol.withColumn("robots_allow", F.lit(None).cast("array<string>"))
+    dom_rows = None
     if pol is not None:
+        if "robots_allow" not in pol.columns:
+            pol = pol.withColumn(
+                "robots_allow", F.lit(None).cast("array<string>")
+            )
+        # the explicit domain/host split: only rows FLAGGED
+        # domain_budget=true are domain caps; everything else is an
+        # ordinary host config (an apex host's own row — a static
+        # promise or a breaker zero — must never become the farm cap)
+        if "domain_budget" in pol.columns:
+            is_dom = F.coalesce("domain_budget", F.lit(False))
+            dom_rows = pol.filter(is_dom).drop("domain_budget")
+            pol = pol.filter(~is_dom).drop("domain_budget")
         f = f.withColumn("path", path_col("url")).join(
             F.broadcast(pol), "host", "left"
         )
@@ -840,8 +880,8 @@ def domain_budget_override(
         eligible = F.lit(True)
     hosts = f.groupBy("host").agg(F.sum(eligible.cast("long")).alias("q"))
     hosts = hosts.withColumn("domain", domain_col(F.col("host"), labels))
-    if pol is not None:
-        dbud = pol.select(
+    if dom_rows is not None:
+        dbud = dom_rows.select(
             F.col("host").alias("domain"),
             F.col("max_fetches_per_round").alias("dg"),
         )

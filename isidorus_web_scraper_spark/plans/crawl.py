@@ -255,9 +255,13 @@ class CrawlConfig:
     # farm shares ONE budget instead of minting a fresh allowance per
     # vanity subdomain; the rule production crawlers queue by —
     # BUbiNG's pay-level domain, Heritrix's authority queues). Domain
-    # budgets come from config rows whose `host` IS the domain string;
-    # default_budget applies PER DOMAIN otherwise. Host-keyed rows
-    # still bound their own hosts (min(host, allocation)); robots and
+    # budgets come from config rows FLAGGED with the optional boolean
+    # column domain_budget=true whose `host` is the domain string
+    # (the explicit flag keeps an apex host's own row — a static
+    # promise or a breaker zero — from being reinterpreted as the
+    # whole farm's cap); default_budget applies PER DOMAIN otherwise.
+    # Unflagged host rows still bound their own hosts
+    # (min(host, allocation)); robots and
     # crawl-delay stay host-scoped as RFC 9309 scopes them. The
     # registrable domain is the host's last `domain_labels` labels
     # (functions/url.domain_col — a PSL stand-in, no suffix data in

@@ -62,9 +62,10 @@ def test_domain_allocation_exact_hamilton(spark):
                     ("solo.test", 4)]:
         rows += [(1, 1, f"http://{host}/p{i}.html", 1, 0) for i in range(n)]
     pol = spark.createDataFrame(
-        [("spam.test", 7, [], 0)],
+        [("spam.test", 7, [], 0, True)],
         "host string, max_fetches_per_round int, "
-        "robots_disallow array<string>, crawl_delay_rounds int",
+        "robots_disallow array<string>, crawl_delay_rounds int, "
+        "domain_budget boolean",
     )
     out = {
         r.host: r.max_fetches_per_round
@@ -79,8 +80,9 @@ def test_domain_allocation_exact_hamilton(spark):
     assert out["a.spam.test"] + out["b.spam.test"] + out["c.spam.test"] == 7
     # an unrelated single-host domain takes the default budget whole
     assert out["solo.test"] == 100
-    # the domain config row itself passes through for later rounds
-    assert out["spam.test"] == 7
+    # the flagged domain row is consumed here, never emitted as a host
+    # config (the apex, if crawled, is just another farm member)
+    assert "spam.test" not in out
 
 
 def test_domain_allocation_host_row_still_binds(spark):
@@ -89,9 +91,10 @@ def test_domain_allocation_host_row_still_binds(spark):
     rows = [(1, 1, f"http://{h}/p{i}.html", 1, 0)
             for h in ("a.spam.test", "b.spam.test") for i in range(4)]
     pol = spark.createDataFrame(
-        [("spam.test", 6, [], 0), ("a.spam.test", 0, [], 0)],
+        [("spam.test", 6, [], 0, True), ("a.spam.test", 0, [], 0, False)],
         "host string, max_fetches_per_round int, "
-        "robots_disallow array<string>, crawl_delay_rounds int",
+        "robots_disallow array<string>, crawl_delay_rounds int, "
+        "domain_budget boolean",
     )
     out = {
         r.host: r.max_fetches_per_round
@@ -111,9 +114,10 @@ def test_farm_crawl_shares_one_domain_budget(spark, tmp_path):
     docs = _farm_documents(spark).persist()
     seeds = [(90, 1, "http://hub.test/p0.html", 1)]
     pol = spark.createDataFrame(
-        [("spam.test", 4, [], 0)],
+        [("spam.test", 4, [], 0, True)],
         "host string, max_fetches_per_round int, "
-        "robots_disallow array<string>, crawl_delay_rounds int",
+        "robots_disallow array<string>, crawl_delay_rounds int, "
+        "domain_budget boolean",
     )
     eng = CrawlEngine(
         spark,
@@ -156,6 +160,48 @@ def test_farm_crawl_shares_one_domain_budget(spark, tmp_path):
     for k, (content, summary, _r) in pages.items():
         assert (content, summary) == rpages[k][:2]
     assert seen == rseen and links == rlinks
+
+
+def test_apex_host_override_never_becomes_domain_cap(spark):
+    """Regression (session-8 review): a breaker budget-0 row for a
+    cooling APEX host (hostname with exactly domain_labels labels)
+    must zero THAT host only — before the explicit domain_budget flag,
+    it was reinterpreted as the whole domain's total budget and the
+    healthy subdomains deferred for the cooldown."""
+    from isidorus_web_scraper_spark.operators.politeness import (
+        backoff_override,
+    )
+
+    pol = spark.createDataFrame(
+        [("shop.test", 6, [], 0, True)],
+        "host string, max_fetches_per_round int, "
+        "robots_disallow array<string>, crawl_delay_rounds int, "
+        "domain_budget boolean",
+    )
+    cooling = spark.createDataFrame([("shop.test",)], "host string")
+    pol2 = backoff_override(cooling, pol)
+    # the flagged domain cap survived the breaker untouched
+    caps = {
+        (r.host, bool(r.domain_budget)): r.max_fetches_per_round
+        for r in pol2.collect()
+    }
+    assert caps[("shop.test", True)] == 6   # the domain cap
+    assert caps[("shop.test", False)] == 0  # the apex host's own zero
+    rows = [(1, 1, f"http://{h}/p{i}.html", 1, 0)
+            for h, n in [("www.shop.test", 4), ("img.shop.test", 4),
+                         ("shop.test", 2)]
+            for i in range(n)]
+    out = {
+        r.host: r.max_fetches_per_round
+        for r in domain_budget_override(
+            _frontier(spark, rows), pol2, default_budget=100
+        ).collect()
+    }
+    # healthy subdomains share the domain budget (2+1 base + remainder)
+    assert out["www.shop.test"] == 2
+    assert out["img.shop.test"] == 3
+    # the cooling apex is budget-0 via min(host row, allocation)
+    assert out["shop.test"] == 0
 
 
 def test_budget_scope_validation(spark, tmp_path):

@@ -231,10 +231,43 @@ def test_autocorr_moments_off_day_rollup(spark, sf_correct):
         ), f"scan at tree line {i} feeds the join un-aggregated:\n" + "\n".join(tree)
 
 
+def _tree_lines(plan: str) -> list:
+    """The physical-plan tree section as (indent, text) pairs; indent
+    is the column of the node marker, so a node's subtree is the run
+    of following lines with strictly greater indent."""
+    out = []
+    for ln in plan.split("\n\n")[0].splitlines():
+        for marker in ("+- ", ":- "):
+            i = ln.find(marker)
+            if i >= 0:
+                out.append((i, ln))
+                break
+        else:
+            if ln.strip() and "Physical Plan" not in ln:
+                out.append((0, ln))
+    return out
+
+
 def test_word_pmi_candidates_bounded_first(spark, sf_correct):
     """PMI candidates must bound to the broadcast top-20 BEFORE the
-    pair self-join (TakeOrdered + broadcast semi-join) — joining the
-    raw (doc, word) frame against itself would square the vocabulary."""
+    pair self-join — joining the raw exploded (doc, word) frame against
+    itself would square the vocabulary. Structural pin: every join
+    whose subtree contains a Generate (the corpus explode) must also
+    contain a TakeOrderedAndProject below it (the old markers-exist
+    assertion was vacuously true — session-8 review)."""
     plan = _plan(spark, "word_pmi_top", sf_correct)
-    assert "TakeOrderedAndProject" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    tree = _tree_lines(plan)
+    joins = [i for i, (_d, ln) in enumerate(tree) if "Join" in ln]
+    assert joins, plan
+    for j in joins:
+        depth = tree[j][0]
+        sub = []
+        for d, ln in tree[j + 1:]:
+            if d <= depth:
+                break
+            sub.append(ln)
+        if any("Generate" in ln for ln in sub):
+            assert any("TakeOrderedAndProject" in ln for ln in sub), (
+                "join over an unbounded exploded frame:\n"
+                + "\n".join(ln for _d, ln in tree)
+            )
