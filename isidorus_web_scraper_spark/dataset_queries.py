@@ -13711,3 +13711,430 @@ def part_price_size_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (nn * F.col("syy").cast("double") - F.col("s_size").cast("double") * F.col("s_size"))
     )
     return a.select("n", "s_price", "s_size", F.round(r, 6).alias("pearson_r"))
+
+
+@query(
+    "ks_two_sample",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp
+      FROM orders
+    ),
+    s AS (
+      SELECT cents,
+             CAST(sum(grp) AS BIGINT) AS c_a,
+             CAST(sum(1 - grp) AS BIGINT) AS c_b
+      FROM v GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(sum(c_a) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+             CAST(sum(c_b) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+      FROM s
+    ),
+    t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                 CAST(sum(c_b) AS BIGINT) AS n_b FROM s)
+    SELECT t.n_a, t.n_b,
+           CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
+             AS ks_num,
+           round(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
+                 / (CAST(t.n_a AS DOUBLE) * t.n_b), 6) AS ks_d
+    FROM c, t
+    GROUP BY t.n_a, t.n_b
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the order-value
+    distributions of high-priority (1-URGENT/2-HIGH) and other orders
+    — the standard "did the distribution shift?" gate run between two
+    cohorts (or two crawl snapshots) before trusting a downstream
+    model. Exact, not binned: the ECDF gap is evaluated at every
+    distinct value. The max runs over the INTEGER cross-multiplied gap
+    |cum_a*n_b - cum_b*n_a| (never a float subtraction), so both
+    engines agree bit-for-bit and ks_d is one division of identical
+    integers.
+
+    Scale shape: rows fold to the per-distinct-value histogram first
+    (map-side combinable), the one window sorts DISTINCT cents values
+    only — the same sorted-histogram move as score_auc — and totals
+    ride a 1-row broadcast. Nothing after the first agg scales with
+    row count."""
+    orders = load(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("grp"),
+    )
+    s = v.groupBy("cents").agg(
+        F.sum("grp").cast("bigint").alias("c_a"),
+        F.sum(1 - F.col("grp")).cast("bigint").alias("c_b"),
+    )
+    t = s.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = s.select(
+        F.sum("c_a").over(w).cast("bigint").alias("cum_a"),
+        F.sum("c_b").over(w).cast("bigint").alias("cum_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(gap).cast("bigint").alias("ks_num"),
+            F.round(
+                F.max(gap)
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("ks_d"),
+        )
+    )
+
+
+@query(
+    "spearman_price_size",
+    """
+    WITH v AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS sz
+      FROM part
+    ),
+    rx AS (
+      SELECT cents,
+             2 * coalesce(sum(count(*)) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) + 1 AS r2
+      FROM v GROUP BY cents
+    ),
+    ry AS (
+      SELECT sz,
+             2 * coalesce(sum(count(*)) OVER (
+               ORDER BY sz
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) + 1 AS r2
+      FROM v GROUP BY sz
+    ),
+    r AS (
+      SELECT CAST(rx.r2 AS BIGINT) AS a, CAST(ry.r2 AS BIGINT) AS b
+      FROM v JOIN rx USING (cents) JOIN ry USING (sz)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a) AS BIGINT) AS sum_r2x,
+           CAST(sum(b) AS BIGINT) AS sum_r2y,
+           round((count(*) * CAST(sum(a * b) AS DOUBLE)
+                  - CAST(sum(a) AS DOUBLE) * sum(b))
+                 / sqrt((count(*) * CAST(sum(a * a) AS DOUBLE)
+                         - CAST(sum(a) AS DOUBLE) * sum(a))
+                        * (count(*) * CAST(sum(b * b) AS DOUBLE)
+                           - CAST(sum(b) AS DOUBLE) * sum(b))), 6)
+             AS spearman_rho
+    FROM r
+    """,
+)
+def spearman_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of part price vs size — the
+    monotone-association twin of part_price_size_correlation (Pearson
+    sees only linear signal; rank correlation is the robust profiling
+    default under outliers/nonlinearity). Tie-average ranks are kept
+    EXACT by doubling: 2*avg_rank = 2*count_below + count_eq + 1 is an
+    integer, and Pearson is affine-invariant, so rho computed on the
+    doubled ranks is identical. All five moment sums are exact
+    integers; the emitted double is one expression over them.
+
+    Scale shape: each rank map is a sorted-DISTINCT-value window
+    (value-histogram cardinality, not row count) joined back on the
+    value key — two hash joins, then one map-side-combined moment
+    aggregate. At 100-TB n the doubled-rank cubes need > 63 bits:
+    switch the moment sums to DECIMAL(38) or center ranks first; at
+    bench scale (n <= 2*10^5) the largest sum is < 4n^3 ~ 2^45."""
+    pt = load(spark, sf_dir, "part")
+    v = pt.select(
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.col("p_size").cast("bigint").alias("sz"),
+    )
+
+    def rank_map(col: str):
+        g = v.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return g.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            )
+            .cast("bigint")
+            .alias(f"r2_{col}"),
+        )
+
+    r = (
+        v.join(rank_map("cents"), "cents")
+        .join(rank_map("sz"), "sz")
+        .select(F.col("r2_cents").alias("a"), F.col("r2_sz").alias("b"))
+    )
+    agg = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sum_r2x"),
+        F.sum("b").cast("bigint").alias("sum_r2y"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+    )
+    nn = F.col("n")
+    rho = (
+        nn * F.col("sab").cast("double")
+        - F.col("sum_r2x").cast("double") * F.col("sum_r2y")
+    ) / F.sqrt(
+        (
+            nn * F.col("saa").cast("double")
+            - F.col("sum_r2x").cast("double") * F.col("sum_r2x")
+        )
+        * (
+            nn * F.col("sbb").cast("double")
+            - F.col("sum_r2y").cast("double") * F.col("sum_r2y")
+        )
+    )
+    return agg.select(
+        "n", "sum_r2x", "sum_r2y", F.round(rho, 6).alias("spearman_rho")
+    )
+
+
+@query(
+    "js_divergence_lang",
+    """
+    WITH c AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS cb
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM c)
+    SELECT t.na, t.nb,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(sum(
+             0.5 * (CASE WHEN c.ca > 0 THEN
+               (CAST(c.ca AS DOUBLE) / t.na)
+               * log2(2.0 * (CAST(c.ca AS DOUBLE) / t.na)
+                      / (CAST(c.ca AS DOUBLE) / t.na
+                         + CAST(c.cb AS DOUBLE) / t.nb)) ELSE 0 END)
+             + 0.5 * (CASE WHEN c.cb > 0 THEN
+               (CAST(c.cb AS DOUBLE) / t.nb)
+               * log2(2.0 * (CAST(c.cb AS DOUBLE) / t.nb)
+                      / (CAST(c.ca AS DOUBLE) / t.na
+                         + CAST(c.cb AS DOUBLE) / t.nb)) ELSE 0 END)
+           ), 6) AS js_div
+    FROM c, t
+    GROUP BY t.na, t.nb
+    """,
+)
+def js_divergence_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (log2, so bounded in [0,1]) between
+    the language mixes of the even- and odd-doc_id corpus halves — the
+    symmetric, finite distribution-distance used to compare two crawl
+    snapshots or two shards before mixing them into one training set
+    (feature_psi's bounded cousin; KL alone blows up on zero bins).
+    Zero-count bins contribute exactly their defined 0 limit on their
+    own side. Per-lang terms are identical float expressions over
+    exact integer counts in both engines; only the <=n_langs-term sum
+    is float, rounded to 6 dp like the entropy family.
+
+    Scale shape: one map-side-combinable (lang)-keyed count agg; the
+    divergence folds the lang histogram (vocabulary-sized, not
+    corpus-sized) with totals on a 1-row broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    t = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    term = 0.5 * F.when(
+        F.col("ca") > 0, p * F.log2(2.0 * p / (p + q))
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("cb") > 0, q * F.log2(2.0 * q / (p + q))
+    ).otherwise(0.0)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.round(F.sum(term), 6).alias("js_div"),
+        )
+    )
+
+
+@query(
+    "adamic_adar_top",
+    f"""
+    WITH {_LINKGRAPH_SQL_CTES},
+    deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY 1),
+    wedge AS (
+      SELECT s1.v AS ctr, s1.w AS u, s2.w AS w2
+      FROM sym s1 JOIN sym s2 ON s2.v = s1.v AND s1.w < s2.w
+    ),
+    cand AS (
+      SELECT w.u, w.w2,
+             CAST(count(*) AS BIGINT) AS n_common,
+             round(sum(1.0 / ln(d.degree)), 6) AS aa_score
+      FROM wedge w JOIN deg d ON d.v = w.ctr
+      GROUP BY 1, 2
+    )
+    SELECT c.u AS doc_a, c.w2 AS doc_b, c.n_common, c.aa_score
+    FROM cand c
+    LEFT JOIN edges e ON e.a = c.u AND e.b = c.w2
+    WHERE e.a IS NULL
+    ORDER BY c.aa_score DESC, c.u, c.w2
+    LIMIT 20
+    """,
+)
+def adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: top-20 non-adjacent pairs scored
+    by sum(1/ln(degree)) over their common neighbors — the
+    degree-discounted upgrade of link_prediction_common_neighbors (a
+    shared hub says little; a shared degree-2 page says a lot). Wedge
+    centers always have degree >= 2, so ln(degree) >= ln 2 and the
+    term is finite. Deterministic top-k: the score is rounded to 6 dp
+    BEFORE ordering, ties broken by (doc_a, doc_b), so both engines
+    cut the same 20 rows.
+
+    Scale shape: the same sigma-deg^2-bounded wedge self-join as the
+    common-neighbor query, one broadcast-sized degree join on the
+    center, map-side-combinable (u, w2) fold, anti-join against
+    edges, TakeOrderedAndProject top-20. Hub-degree caps bound the
+    wedge count at 100 TB exactly as documented there."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+    deg = sym.groupBy("v").agg(F.count("*").alias("degree"))
+    s2 = sym.select(F.col("v").alias("v2"), F.col("w").alias("w2"))
+    wedge = sym.join(
+        s2, (F.col("v2") == F.col("v")) & (F.col("w") < F.col("w2"))
+    ).select(F.col("v").alias("ctr"), F.col("w").alias("u"), "w2")
+    cand = (
+        wedge.join(deg, deg.v == F.col("ctr"))
+        .groupBy("u", "w2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.round(
+                F.sum(1.0 / F.log(F.col("degree").cast("double"))), 6
+            ).alias("aa_score"),
+        )
+    )
+    return (
+        cand.join(
+            edges, (edges.a == cand.u) & (edges.b == cand.w2), "left_anti"
+        )
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("w2").alias("doc_b"),
+            "n_common",
+            "aa_score",
+        )
+        .orderBy(F.desc("aa_score"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "precision_recall_sweep",
+    """
+    WITH m AS (
+      SELECT CAST(max(n_chars) // 8 AS BIGINT) AS step FROM documents
+    ),
+    grid AS (
+      SELECT CAST(k * m.step AS BIGINT) AS threshold
+      FROM m, generate_series(1, 8) AS gs(k)
+    ),
+    lab AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT g.threshold,
+           CAST(sum(CASE WHEN lab.score >= g.threshold AND lab.y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN lab.score >= g.threshold AND lab.y = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN lab.score < g.threshold AND lab.y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(sum(CASE WHEN lab.score >= g.threshold AND lab.y = 1
+                          THEN 1 ELSE 0 END)
+                 / greatest(CAST(sum(CASE WHEN lab.score >= g.threshold
+                                          THEN 1 ELSE 0 END) AS DOUBLE),
+                            1.0), 6) AS precision,
+           round(sum(CASE WHEN lab.score >= g.threshold AND lab.y = 1
+                          THEN 1 ELSE 0 END)
+                 / greatest(CAST(sum(CASE WHEN lab.y = 1
+                                          THEN 1 ELSE 0 END) AS DOUBLE),
+                            1.0), 6) AS recall
+    FROM grid g, lab
+    GROUP BY 1
+    """,
+)
+def precision_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at 8 evenly spaced thresholds over the same
+    score/label pair as score_auc (n_chars predicting lang='en') — the
+    operating-point sweep read AFTER the AUC says the score has
+    signal, to pick the threshold a production filter will actually
+    run. The grid is integer (k * max//8), counts are exact integers,
+    and precision/recall are single divisions of identical integers
+    (greatest(..,1) guards the empty-side limit identically in both
+    engines).
+
+    Scale shape: the naive form is an 8x cross join; this one stays
+    because the grid is a CONSTANT 8 rows broadcast against the
+    row-level fold — one pass over the table, map-side combinable to
+    8 groups. A per-distinct-score histogram + window (as in
+    score_auc) is the move if the grid ever grows to thousands of
+    thresholds."""
+    docs = load(spark, sf_dir, "documents")
+    m = docs.agg(
+        (F.max("n_chars") / 8).cast("bigint").alias("step")
+    )
+    grid = m.select(
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("k"), "step"
+    ).select((F.col("k") * F.col("step")).cast("bigint").alias("threshold"))
+    lab = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    hit = F.col("score") >= F.col("threshold")
+    j = lab.crossJoin(F.broadcast(grid))
+    tp = F.sum(F.when(hit & (F.col("y") == 1), 1).otherwise(0))
+    fp = F.sum(F.when(hit & (F.col("y") == 0), 1).otherwise(0))
+    fn = F.sum(F.when((~hit) & (F.col("y") == 1), 1).otherwise(0))
+    pred_pos = F.sum(F.when(hit, 1).otherwise(0))
+    pos = F.sum(F.col("y"))
+    return j.groupBy("threshold").agg(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        F.round(
+            tp / F.greatest(pred_pos.cast("double"), F.lit(1.0)), 6
+        ).alias("precision"),
+        F.round(
+            tp / F.greatest(pos.cast("double"), F.lit(1.0)), 6
+        ).alias("recall"),
+    )
