@@ -13738,8 +13738,10 @@ def part_price_size_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.n_a, t.n_b,
            CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
              AS ks_num,
-           round(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
-                 / (CAST(t.n_a AS DOUBLE) * t.n_b), 6) AS ks_d
+           CASE WHEN t.n_a > 0 AND t.n_b > 0
+                THEN round(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
+                           / (CAST(t.n_a AS DOUBLE) * t.n_b), 6)
+           END AS ks_d
     FROM c, t
     GROUP BY t.n_a, t.n_b
     """,
@@ -13788,10 +13790,15 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_a", "n_b")
         .agg(
             F.max(gap).cast("bigint").alias("ks_num"),
-            F.round(
-                F.max(gap)
-                / (F.col("n_a").cast("double") * F.col("n_b")),
-                6,
+            # empty-cohort guard decided BEFORE the division on both
+            # sides (0/0 is NULL in Spark but NaN in DuckDB)
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    F.max(gap)
+                    / (F.col("n_a").cast("double") * F.col("n_b")),
+                    6,
+                ),
             ).alias("ks_d"),
         )
     )
@@ -13828,13 +13835,16 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n,
            CAST(sum(a) AS BIGINT) AS sum_r2x,
            CAST(sum(b) AS BIGINT) AS sum_r2y,
-           round((count(*) * CAST(sum(a * b) AS DOUBLE)
-                  - CAST(sum(a) AS DOUBLE) * sum(b))
-                 / sqrt((count(*) * CAST(sum(a * a) AS DOUBLE)
-                         - CAST(sum(a) AS DOUBLE) * sum(a))
-                        * (count(*) * CAST(sum(b * b) AS DOUBLE)
-                           - CAST(sum(b) AS DOUBLE) * sum(b))), 6)
-             AS spearman_rho
+           CASE WHEN count(*) * sum(a * a) - sum(a) * sum(a) > 0
+                 AND count(*) * sum(b * b) - sum(b) * sum(b) > 0
+                THEN round((count(*) * CAST(sum(a * b) AS DOUBLE)
+                            - CAST(sum(a) AS DOUBLE) * sum(b))
+                           / sqrt((count(*) * CAST(sum(a * a) AS DOUBLE)
+                                   - CAST(sum(a) AS DOUBLE) * sum(a))
+                                  * (count(*) * CAST(sum(b * b) AS DOUBLE)
+                                     - CAST(sum(b) AS DOUBLE) * sum(b))),
+                           6)
+           END AS spearman_rho
     FROM r
     """,
 )
@@ -13903,8 +13913,16 @@ def spearman_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sum_r2y").cast("double") * F.col("sum_r2y")
         )
     )
+    # zero-variance guard on exact INTEGER witnesses, decided before
+    # the division on both sides (Spark 0/0 is NULL, DuckDB NaN)
+    ok = (
+        nn * F.col("saa") - F.col("sum_r2x") * F.col("sum_r2x") > 0
+    ) & (nn * F.col("sbb") - F.col("sum_r2y") * F.col("sum_r2y") > 0)
     return agg.select(
-        "n", "sum_r2x", "sum_r2y", F.round(rho, 6).alias("spearman_rho")
+        "n",
+        "sum_r2x",
+        "sum_r2y",
+        F.when(ok, F.round(rho, 6)).alias("spearman_rho"),
     )
 
 
@@ -13923,7 +13941,7 @@ def spearman_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(cb) AS BIGINT) AS nb FROM c)
     SELECT t.na, t.nb,
            CAST(count(*) AS BIGINT) AS n_langs,
-           round(sum(
+           CASE WHEN t.na > 0 AND t.nb > 0 THEN round(sum(
              0.5 * (CASE WHEN c.ca > 0 THEN
                (CAST(c.ca AS DOUBLE) / t.na)
                * log2(2.0 * (CAST(c.ca AS DOUBLE) / t.na)
@@ -13934,7 +13952,7 @@ def spearman_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                * log2(2.0 * (CAST(c.cb AS DOUBLE) / t.nb)
                       / (CAST(c.ca AS DOUBLE) / t.na
                          + CAST(c.cb AS DOUBLE) / t.nb)) ELSE 0 END)
-           ), 6) AS js_div
+           ), 6) END AS js_div
     FROM c, t
     GROUP BY t.na, t.nb
     """,
@@ -13978,7 +13996,12 @@ def js_divergence_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("na", "nb")
         .agg(
             F.count("*").cast("bigint").alias("n_langs"),
-            F.round(F.sum(term), 6).alias("js_div"),
+            # empty-half guard decided before the per-term divisions
+            # land (Spark 0/0 is NULL, DuckDB NaN)
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.round(F.sum(term), 6),
+            ).alias("js_div"),
         )
     )
 
@@ -13995,15 +14018,17 @@ def js_divergence_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT w.u, w.w2,
              CAST(count(*) AS BIGINT) AS n_common,
-             round(sum(1.0 / ln(d.degree)), 6) AS aa_score
+             CAST(sum(CAST(round(1000000.0 / ln(d.degree)) AS BIGINT))
+               AS BIGINT) AS aa_micro
       FROM wedge w JOIN deg d ON d.v = w.ctr
       GROUP BY 1, 2
     )
-    SELECT c.u AS doc_a, c.w2 AS doc_b, c.n_common, c.aa_score
+    SELECT c.u AS doc_a, c.w2 AS doc_b, c.n_common, c.aa_micro,
+           round(c.aa_micro / 1000000.0, 6) AS aa_score
     FROM cand c
     LEFT JOIN edges e ON e.a = c.u AND e.b = c.w2
     WHERE e.a IS NULL
-    ORDER BY c.aa_score DESC, c.u, c.w2
+    ORDER BY c.aa_micro DESC, c.u, c.w2
     LIMIT 20
     """,
 )
@@ -14013,9 +14038,14 @@ def adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-discounted upgrade of link_prediction_common_neighbors (a
     shared hub says little; a shared degree-2 page says a lot). Wedge
     centers always have degree >= 2, so ln(degree) >= ln 2 and the
-    term is finite. Deterministic top-k: the score is rounded to 6 dp
-    BEFORE ordering, ties broken by (doc_a, doc_b), so both engines
-    cut the same 20 rows.
+    term is finite. Deterministic top-k: each center's 1/ln(degree)
+    weight is quantized to INTEGER micro-units (round(1e6/ln(d)) — a
+    per-distinct-degree constant, not an accumulation), so the summed
+    score and the sort key are exact integers in both engines
+    regardless of partial-agg addition order, ties broken by
+    (doc_a, doc_b); aa_score is one division of identical integers
+    (review finding, session 9: a float-sum sort key near the rank-20
+    boundary could cut different row sets per engine/run).
 
     Scale shape: the same sigma-deg^2-bounded wedge self-join as the
     common-neighbor query, one broadcast-sized degree join on the
@@ -14037,9 +14067,13 @@ def adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "w2")
         .agg(
             F.count("*").cast("bigint").alias("n_common"),
-            F.round(
-                F.sum(1.0 / F.log(F.col("degree").cast("double"))), 6
-            ).alias("aa_score"),
+            F.sum(
+                F.round(
+                    1000000.0 / F.log(F.col("degree").cast("double"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("aa_micro"),
         )
     )
     return (
@@ -14050,9 +14084,10 @@ def adamic_adar_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u").alias("doc_a"),
             F.col("w2").alias("doc_b"),
             "n_common",
-            "aa_score",
+            "aa_micro",
+            F.round(F.col("aa_micro") / 1000000.0, 6).alias("aa_score"),
         )
-        .orderBy(F.desc("aa_score"), "doc_a", "doc_b")
+        .orderBy(F.desc("aa_micro"), "doc_a", "doc_b")
         .limit(20)
     )
 
