@@ -13943,15 +13943,17 @@ def spearman_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_langs,
            CASE WHEN t.na > 0 AND t.nb > 0 THEN round(sum(
              0.5 * (CASE WHEN c.ca > 0 THEN
-               (CAST(c.ca AS DOUBLE) / t.na)
-               * log2(2.0 * (CAST(c.ca AS DOUBLE) / t.na)
-                      / (CAST(c.ca AS DOUBLE) / t.na
-                         + CAST(c.cb AS DOUBLE) / t.nb)) ELSE 0 END)
+               (CAST(c.ca AS DOUBLE) / greatest(t.na, 1))
+               * log2(2.0 * (CAST(c.ca AS DOUBLE) / greatest(t.na, 1))
+                      / (CAST(c.ca AS DOUBLE) / greatest(t.na, 1)
+                         + CAST(c.cb AS DOUBLE) / greatest(t.nb, 1)))
+               ELSE 0 END)
              + 0.5 * (CASE WHEN c.cb > 0 THEN
-               (CAST(c.cb AS DOUBLE) / t.nb)
-               * log2(2.0 * (CAST(c.cb AS DOUBLE) / t.nb)
-                      / (CAST(c.ca AS DOUBLE) / t.na
-                         + CAST(c.cb AS DOUBLE) / t.nb)) ELSE 0 END)
+               (CAST(c.cb AS DOUBLE) / greatest(t.nb, 1))
+               * log2(2.0 * (CAST(c.cb AS DOUBLE) / greatest(t.nb, 1))
+                      / (CAST(c.ca AS DOUBLE) / greatest(t.na, 1)
+                         + CAST(c.cb AS DOUBLE) / greatest(t.nb, 1)))
+               ELSE 0 END)
            ), 6) END AS js_div
     FROM c, t
     GROUP BY t.na, t.nb
@@ -13984,8 +13986,12 @@ def js_divergence_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),
     )
-    p = F.col("ca").cast("double") / F.col("na")
-    q = F.col("cb").cast("double") / F.col("nb")
+    # greatest(n,1) denominators: if a half is empty its per-lang
+    # counts are all 0, so the value is unchanged — but ANSI mode
+    # would throw on the 0-divisor INSIDE the sum before the outer
+    # guard could skip it (the guard still NULLs the result)
+    p = F.col("ca").cast("double") / F.greatest(F.col("na"), F.lit(1))
+    q = F.col("cb").cast("double") / F.greatest(F.col("nb"), F.lit(1))
     term = 0.5 * F.when(
         F.col("ca") > 0, p * F.log2(2.0 * p / (p + q))
     ).otherwise(0.0) + 0.5 * F.when(

@@ -1,0 +1,90 @@
+"""Degenerate-slice pins for the session-9 statistics queries.
+
+The oracle rows prove Spark==DuckDB on the real testdata, where both
+cohorts exist and variances are positive. These fixtures exercise the
+guarded branches the testdata can't reach — empty cohort (KS), zero
+variance (Spearman), empty corpus half (JS divergence) — where an
+unguarded division diverges between engines (Spark's non-ANSI double/0
+is NULL; DuckDB's IEEE default is NaN/inf). The guard must decide on
+exact integer witnesses BEFORE the division on both sides, so both
+engines emit the same NULL (review finding, session 9; same class as
+the session-8 ANOVA guard).
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from isidorus_web_scraper_spark.driver_queries import ORACLE, QUERIES
+
+from .oracle_compare import compare
+
+
+def _conn_with(views: dict[str, str]) -> duckdb.DuckDBPyConnection:
+    # Spark writes a DIRECTORY named <table>.parquet; DuckDB needs the
+    # part-file glob (the real testdata is single files, so
+    # oracle_compare.duckdb_conn doesn't)
+    conn = duckdb.connect()
+    for name, path in views.items():
+        conn.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'"
+        )
+    return conn
+
+
+def test_ks_two_sample_empty_cohort(spark, tmp_path):
+    # every order is low-priority: the high-priority cohort is empty,
+    # n_a = 0, and ks_d must be NULL in BOTH engines (not NULL-vs-NaN)
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + i, "5-LOW") for i in range(6)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["ks_two_sample"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_a == 0 and row.n_b == 6
+    assert row.ks_d is None
+    compare(df, _conn_with({"orders": path}), ORACLE["ks_two_sample"])
+
+
+def test_spearman_zero_variance(spark, tmp_path):
+    # constant price: the x-rank variance witness is exactly 0 and
+    # spearman_rho must be NULL in both engines
+    path = f"{tmp_path}/part.parquet"
+    spark.createDataFrame(
+        [(i, 10.0, 1 + i) for i in range(5)],
+        "p_partkey long, p_retailprice double, p_size int",
+    ).write.parquet(path)
+    df = QUERIES["spearman_price_size"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 5
+    assert row.spearman_rho is None
+    compare(df, _conn_with({"part": path}), ORACLE["spearman_price_size"])
+
+
+def test_js_divergence_empty_half(spark, tmp_path):
+    # only odd doc_ids: the even half is empty (na = 0) and js_div
+    # must be NULL in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(2 * i + 1, "en" if i % 2 else "fr") for i in range(4)],
+        "doc_id long, lang string",
+    ).write.parquet(path)
+    df = QUERIES["js_divergence_lang"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.na == 0 and row.nb == 4
+    assert row.js_div is None
+    compare(df, _conn_with({"documents": path}), ORACLE["js_divergence_lang"])
+
+
+def test_spearman_healthy_slice_nonnull(spark, tmp_path):
+    # guard must NOT fire on a varying slice: ties on both columns,
+    # rho well-defined and equal across engines
+    path = f"{tmp_path}/part.parquet"
+    spark.createDataFrame(
+        [(1, 10.0, 3), (2, 10.0, 1), (3, 20.0, 4), (4, 30.0, 4), (5, 25.0, 2)],
+        "p_partkey long, p_retailprice double, p_size int",
+    ).write.parquet(path)
+    df = QUERIES["spearman_price_size"](spark, str(tmp_path))
+    assert df.collect()[0].spearman_rho is not None
+    compare(df, _conn_with({"part": path}), ORACLE["spearman_price_size"])
