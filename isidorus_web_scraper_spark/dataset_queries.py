@@ -14179,3 +14179,273 @@ def precision_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             tp / F.greatest(pos.cast("double"), F.lit(1.0)), 6
         ).alias("recall"),
     )
+
+
+@query(
+    "cohens_kappa_langid",
+    """
+    WITH p AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> list_contains(string_split('the a of and to in is for on with', ' '), w)))
+                  AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                THEN 1 ELSE 0 END AS yhat
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y * yhat) AS BIGINT) AS tp,
+             CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn,
+             CAST(sum(y) AS BIGINT) AS pos_true,
+             CAST(sum(yhat) AS BIGINT) AS pos_pred
+      FROM p
+    )
+    SELECT n, tp, tn,
+           CASE WHEN n * n - (pos_true * pos_pred
+                              + (n - pos_true) * (n - pos_pred)) <> 0
+                THEN round((n * (tp + tn)
+                            - (pos_true * pos_pred
+                               + (n - pos_true) * (n - pos_pred)))
+                           / CAST(n * n - (pos_true * pos_pred
+                                           + (n - pos_true) * (n - pos_pred))
+                                  AS DOUBLE), 6)
+           END AS kappa
+    FROM c
+    """,
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the langid heuristic's en/not-en call and
+    the tagged label — chance-corrected agreement, the single scalar
+    that says whether langid_confusion's diagonal beats the base rate
+    (raw accuracy flatters any classifier on an imbalanced corpus).
+    Clearing the fractions gives kappa = (n*(tp+tn) - E) / (n^2 - E)
+    with E = pos_true*pos_pred + neg_true*neg_pred — numerator and
+    denominator are exact integers, one guarded division ships (the
+    denominator is 0 only when either rater is constant, where kappa
+    is undefined — NULL in both engines).
+
+    Scale shape: the same pure-JVM predict expression as text_langid
+    folded map-side to five integers; nothing scales past one row."""
+    pred = text_langid(spark, sf_dir)
+    p = pred.select(
+        F.when(F.col("tagged_lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("detected_lang") == "en", 1).otherwise(0).alias("yhat"),
+    )
+    c = p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum("y").cast("bigint").alias("pos_true"),
+        F.sum("yhat").cast("bigint").alias("pos_pred"),
+    )
+    e = F.col("pos_true") * F.col("pos_pred") + (
+        F.col("n") - F.col("pos_true")
+    ) * (F.col("n") - F.col("pos_pred"))
+    den = F.col("n") * F.col("n") - e
+    num = F.col("n") * (F.col("tp") + F.col("tn")) - e
+    return c.select(
+        "n",
+        "tp",
+        "tn",
+        F.when(den != 0, F.round(num / den.cast("double"), 6)).alias(
+            "kappa"
+        ),
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(coalesce(sum(CASE WHEN d2.rev > d1.rev THEN 1
+                                    WHEN d2.rev < d1.rev THEN -1
+                                    ELSE 0 END), 0)
+               AS BIGINT) AS s_stat
+      FROM d d1 JOIN d d2 ON d1.day < d2.day
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT count(*) AS t FROM d GROUP BY rev HAVING count(*) > 1)
+    )
+    SELECT n.n_days, s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - ties.tie_term AS BIGINT) AS var18,
+           CASE WHEN n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                     - ties.tie_term > 0
+                THEN round((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                                 WHEN s.s_stat < 0 THEN s.s_stat + 1
+                                 ELSE 0 END)
+                           / sqrt((n.n_days * (n.n_days - 1)
+                                   * (2 * n.n_days + 5) - ties.tie_term)
+                                  / 18.0), 6)
+           END AS z_score
+    FROM n, s, ties
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily-revenue series —
+    the nonparametric "is this drifting?" gate for dashboards and
+    crawl-volume monitors (no normality or linearity assumed, unlike
+    a regression slope). S = sum of pairwise signs and the
+    tie-corrected 18*Var(S) are exact integers; the continuity-
+    corrected z is one guarded double expression over them (NULL when
+    the variance degenerates: n < 2 or all days equal).
+
+    Scale shape: rows fold to the CALENDAR-sized daily frame first
+    (map-side combinable); the pairwise self-join is days^2, bounded
+    by the date range — never row count (the classic O(n log n)
+    inversion-count rewrite applies if the calendar ever gets big).
+    Tie groups fold the same small frame."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    d2 = d.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    s = d.join(d2, F.col("day") < F.col("day2")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("rev2") > F.col("rev"), 1)
+                .when(F.col("rev2") < F.col("rev"), -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n_days"))
+    t = F.col("t")
+    ties = (
+        d.groupBy("rev")
+        .agg(F.count("*").alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    s_adj = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n_days",
+            "s_stat",
+            var18.cast("bigint").alias("var18"),
+            F.when(
+                var18 > 0,
+                F.round(s_adj / F.sqrt(var18 / 18.0), 6),
+            ).alias("z_score"),
+        )
+    )
+
+
+@query(
+    "cramers_v_type_dow",
+    """
+    WITH o AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+          FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+                 CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+                 CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols
+          FROM o)
+    SELECT t.n, t.n_rows, t.n_cols,
+           CASE WHEN least(t.n_rows, t.n_cols) > 1 AND t.n > 0
+                THEN round(sqrt(greatest(
+                       t.n * (sum(CAST(o.obs AS DOUBLE) * o.obs
+                                  / (r.rt * c.ct)) - 1.0), 0.0)
+                     / (CAST(t.n AS DOUBLE)
+                        * (least(t.n_rows, t.n_cols) - 1))), 6)
+           END AS cramers_v
+    FROM o JOIN r USING (event_type) JOIN c USING (dow), t
+    GROUP BY t.n, t.n_rows, t.n_cols
+    """,
+)
+def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and day-of-week — the bounded
+    [0,1] effect size behind user_mix_outliers' chi-square cells (a
+    significant chi-square on big n can still be a negligible
+    association; V is what you compare across table sizes). Uses the
+    identity chi2 = n*(sum obs^2/(row*col) - 1), so each cell ships
+    one float term over exact integers; V is one guarded sqrt (NULL
+    on a degenerate 1xK table, max(..,0) clamps the -1e-16 float
+    residue of an exactly-independent table).
+
+    Scale shape: rows fold once to the types x 7 contingency cells;
+    margins and totals fold that same small frame — the only
+    row-count-sized work is the first map-side-combined agg. dow
+    uses the repo's portable epoch-day + 4 mod 7 convention (V is
+    label-permutation-invariant, but the shared convention keeps the
+    contingency partition byte-identical across engines)."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    o = ev.groupBy(
+        "event_type",
+        (((ems / F.lit(86400000)).cast("bigint") + 4) % 7).alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    r = o.groupBy("event_type").agg(
+        F.sum("obs").cast("bigint").alias("rt")
+    )
+    c = o.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("ct"))
+    t = o.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("n_rows"),
+        F.countDistinct("dow").cast("bigint").alias("n_cols"),
+    )
+    term = F.col("obs").cast("double") * F.col("obs") / (
+        F.col("rt") * F.col("ct")
+    )
+    k = F.least(F.col("n_rows"), F.col("n_cols"))
+    chi2 = F.col("n") * (F.sum(term) - 1.0)
+    return (
+        o.join(r, "event_type")
+        .join(c, "dow")
+        .crossJoin(F.broadcast(t))
+        .groupBy("n", "n_rows", "n_cols")
+        .agg(
+            F.when(
+                (k > 1) & (F.col("n") > 0),
+                F.round(
+                    F.sqrt(
+                        F.greatest(chi2, F.lit(0.0))
+                        / (F.col("n").cast("double") * (k - 1))
+                    ),
+                    6,
+                ),
+            ).alias("cramers_v")
+        )
+        .select("n", "n_rows", "n_cols", "cramers_v")
+    )

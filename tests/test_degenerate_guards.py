@@ -88,3 +88,55 @@ def test_spearman_healthy_slice_nonnull(spark, tmp_path):
     df = QUERIES["spearman_price_size"](spark, str(tmp_path))
     assert df.collect()[0].spearman_rho is not None
     compare(df, _conn_with({"part": path}), ORACLE["spearman_price_size"])
+
+
+def test_cohens_kappa_constant_raters(spark, tmp_path):
+    # every doc tagged en AND stopword-saturated (detected en): both
+    # raters are the constant 1, pe = 1, and kappa's integer
+    # denominator n^2 - E is exactly 0 -> NULL in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "en", "the the the and of") for i in range(5)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(path)
+    df = QUERIES["cohens_kappa_langid"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 5 and row.tp == 5 and row.tn == 0
+    assert row.kappa is None
+    compare(df, _conn_with({"documents": path}), ORACLE["cohens_kappa_langid"])
+
+
+def test_mann_kendall_single_day(spark, tmp_path):
+    # one calendar day: n_days = 1, so 18*Var(S) = n(n-1)(2n+5) = 0
+    # and the z-score must be NULL in both engines (no sqrt(0) division)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    day = datetime.date(2026, 3, 1)
+    spark.createDataFrame(
+        [(i, day, 100.0 + i) for i in range(4)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    ).write.parquet(path)
+    df = QUERIES["mann_kendall_trend"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_days == 1 and row.s_stat == 0 and row.var18 == 0
+    assert row.z_score is None
+    compare(df, _conn_with({"orders": path}), ORACLE["mann_kendall_trend"])
+
+
+def test_cramers_v_one_row_table(spark, tmp_path):
+    # a single event_type makes a 1xK contingency table:
+    # min(rows, cols) - 1 = 0, V undefined -> NULL in both engines
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, "click", base + datetime.timedelta(days=i)) for i in range(6)],
+        "event_id long, event_type string, ts timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["cramers_v_type_dow"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 6 and row.n_rows == 1 and row.n_cols == 6
+    assert row.cramers_v is None
+    compare(df, _conn_with({"events": path}), ORACLE["cramers_v_type_dow"])
