@@ -14449,3 +14449,260 @@ def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "n_rows", "n_cols", "cramers_v")
     )
+
+
+@query(
+    "theils_u_type_dow",
+    """
+    WITH o AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+          FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    hx AS (
+      SELECT sum(-(CAST(rt AS DOUBLE) / t.n)
+                 * log2(CAST(rt AS DOUBLE) / t.n)) AS h_x
+      FROM r, t
+    ),
+    mi AS (
+      SELECT sum((CAST(o.obs AS DOUBLE) / t.n)
+                 * log2(CAST(o.obs AS DOUBLE) * t.n
+                        / (r.rt * CAST(c.ct AS DOUBLE)))) AS mi
+      FROM o JOIN r USING (event_type) JOIN c USING (dow), t
+    )
+    SELECT t.n, round(hx.h_x, 6) AS h_type,
+           CASE WHEN hx.h_x > 0
+                THEN round(greatest(mi.mi, 0) / hx.h_x, 6)
+           END AS theils_u
+    FROM t, hx, mi
+    """,
+)
+def theils_u_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(event_type | dow) — the
+    NORMALIZED, asymmetric companion of cramers_v_type_dow: what
+    fraction of the event-type entropy does knowing the weekday
+    remove (U = I(X;Y)/H(X), bounded [0,1], comparable across
+    tables where raw mutual information is not). H(X) and I fold
+    the same contingency frame as Cramér's V; the only division is
+    guarded by H(X) > 0 (a single event type has zero entropy and
+    U is undefined — NULL in both engines); max(mi, 0) clamps the
+    -1e-16 float residue of exact independence.
+
+    Scale shape: one map-side-combinable agg to the types x 7 cells;
+    margins, H, and I fold that same small frame — identical to
+    cramers_v_type_dow's shape."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    o = ev.groupBy(
+        "event_type",
+        (((ems / F.lit(86400000)).cast("bigint") + 4) % 7).alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    r = o.groupBy("event_type").agg(
+        F.sum("obs").cast("bigint").alias("rt")
+    )
+    c = o.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("ct"))
+    t = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    p_r = F.col("rt").cast("double") / F.col("n")
+    hx = r.crossJoin(F.broadcast(t)).agg(
+        F.sum(-p_r * F.log2(p_r)).alias("h_x")
+    )
+    mi_term = (F.col("obs").cast("double") / F.col("n")) * F.log2(
+        F.col("obs").cast("double")
+        * F.col("n")
+        / (F.col("rt") * F.col("ct").cast("double"))
+    )
+    mi = (
+        o.join(r, "event_type")
+        .join(c, "dow")
+        .crossJoin(F.broadcast(t))
+        .agg(F.sum(mi_term).alias("mi"))
+    )
+    return (
+        t.crossJoin(hx)
+        .crossJoin(mi)
+        .select(
+            "n",
+            F.round(F.col("h_x"), 6).alias("h_type"),
+            F.when(
+                F.col("h_x") > 0,
+                F.round(
+                    F.greatest(F.col("mi"), F.lit(0.0)) / F.col("h_x"), 6
+                ),
+            ).alias("theils_u"),
+        )
+    )
+
+
+@query(
+    "mcnemar_langid",
+    """
+    WITH p AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> list_contains(string_split('the a of and to in is for on with', ' '), w)))
+                  AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                THEN 1 ELSE 0 END AS yhat
+      FROM documents
+    ),
+    d AS (
+      SELECT CAST(sum(y * (1 - yhat)) AS BIGINT) AS b,
+             CAST(sum((1 - y) * yhat) AS BIGINT) AS c
+      FROM p
+    )
+    SELECT b, c,
+           CASE WHEN b + c > 0
+                THEN round(CAST(greatest(abs(b - c) - 1, 0)
+                                * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+                           / (b + c), 6)
+           END AS chi2_cc
+    FROM d
+    """,
+)
+def mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the langid heuristic vs the tagged label —
+    the paired-rater DISAGREEMENT test that kappa can't give (kappa
+    measures agreement level; McNemar asks whether the two error
+    directions b = misses and c = false alarms are symmetric, i.e.
+    whether the heuristic is biased toward one direction). Edwards
+    continuity-corrected chi2 = (|b-c|-1)^2/(b+c) over two exact
+    integer discordant counts, the correction clamped at 0 so b = c
+    reads as exactly no asymmetry; NULL when there are no discordant
+    pairs (the statistic is undefined, not zero).
+
+    Scale shape: the same one-pass fold as cohens_kappa_langid — two
+    map-side-combined integers, one guarded division on one row."""
+    pred = text_langid(spark, sf_dir)
+    p = pred.select(
+        F.when(F.col("tagged_lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("detected_lang") == "en", 1).otherwise(0).alias("yhat"),
+    )
+    d = p.agg(
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("bigint").alias("c"),
+    )
+    diff = F.greatest(F.abs(F.col("b") - F.col("c")) - 1, F.lit(0))
+    return d.select(
+        "b",
+        "c",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            F.round(
+                (diff * diff).cast("double") / (F.col("b") + F.col("c")), 6
+            ),
+        ).alias("chi2_cc"),
+    )
+
+
+@query(
+    "runs_test_revenue",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT median(rev) AS med FROM d),
+    s AS (
+      SELECT day, CASE WHEN rev > m.med THEN 1 ELSE 0 END AS sgn
+      FROM d, m WHERE CAST(rev AS DOUBLE) <> m.med
+    ),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(coalesce(sum(sgn), 0) AS BIGINT) AS n1,
+             CAST(CASE WHEN count(*) = 0 THEN 0
+                       ELSE 1 + coalesce(sum(CASE WHEN sgn <> prev
+                                              THEN 1 ELSE 0 END), 0)
+                  END AS BIGINT) AS runs
+      FROM (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM s)
+    )
+    SELECT n_obs, n1, CAST(n_obs - n1 AS BIGINT) AS n2, runs,
+           CASE WHEN n1 > 0 AND n_obs - n1 > 0
+                     AND 2 * n1 * (n_obs - n1)
+                         * (2 * n1 * (n_obs - n1) - n_obs) > 0
+                THEN round((runs - (2.0 * n1 * (n_obs - n1) / n_obs + 1))
+                           / sqrt(2.0 * n1 * (n_obs - n1)
+                                  * (2 * n1 * (n_obs - n1) - n_obs)
+                                  / (CAST(n_obs AS DOUBLE) * n_obs
+                                     * (n_obs - 1))), 6)
+           END AS z_score
+    FROM r
+    """,
+)
+def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its median — the
+    randomness gate that complements mann_kendall_trend (MK detects
+    monotone drift; the runs test detects ANY serial structure:
+    clustering of high/low days reads as too-few runs, alternation
+    as too-many). Median-equal days drop (standard dichotomization),
+    n1/n2/R are exact integers over the day-ordered sign sequence
+    (one lag window on the calendar-sized frame), z one guarded
+    double (NULL when either side is empty or Var(R)'s integer
+    numerator 2*n1*n2*(2*n1*n2 - n) degenerates, e.g. n1 = n2 = 1).
+    Both engines interpolate the even-n median as the midpoint of the
+    two central BIGINTs — exactly representable, so the > cut and the
+    <> drop agree bitwise.
+
+    Scale shape: rows fold map-side to the calendar frame; the global
+    order window runs on days, never row count."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    m = d.agg(F.expr("percentile(rev, 0.5)").alias("med"))
+    s = (
+        d.crossJoin(F.broadcast(m))
+        .filter(F.col("rev").cast("double") != F.col("med"))
+        .select(
+            "day",
+            F.when(F.col("rev") > F.col("med"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    w = Window.orderBy("day")
+    seq = s.select("sgn", F.lag("sgn").over(w).alias("prev"))
+    r = seq.agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.coalesce(F.sum("sgn"), F.lit(0)).cast("bigint").alias("n1"),
+        F.when(F.count("*") == 0, F.lit(0))
+        .otherwise(
+            1
+            + F.coalesce(
+                F.sum(F.when(F.col("sgn") != F.col("prev"), 1).otherwise(0)),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    n1 = F.col("n1")
+    n2 = F.col("n_obs") - n1
+    var_num = 2 * n1 * n2 * (2 * n1 * n2 - F.col("n_obs"))
+    mu = 2.0 * n1 * n2 / F.col("n_obs") + 1
+    sigma = F.sqrt(
+        var_num
+        / (
+            F.col("n_obs").cast("double")
+            * F.col("n_obs")
+            * (F.col("n_obs") - 1)
+        )
+    )
+    return r.select(
+        "n_obs",
+        "n1",
+        n2.cast("bigint").alias("n2"),
+        "runs",
+        F.when(
+            (n1 > 0) & (n2 > 0) & (var_num > 0),
+            F.round((F.col("runs") - mu) / sigma, 6),
+        ).alias("z_score"),
+    )

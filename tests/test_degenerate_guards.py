@@ -140,3 +140,57 @@ def test_cramers_v_one_row_table(spark, tmp_path):
     assert row.n == 6 and row.n_rows == 1 and row.n_cols == 6
     assert row.cramers_v is None
     compare(df, _conn_with({"events": path}), ORACLE["cramers_v_type_dow"])
+
+
+def test_theils_u_single_type(spark, tmp_path):
+    # one event_type: H(event_type) = -1*log2(1) = exactly 0, U
+    # undefined -> NULL in both engines (no 0/0)
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, "click", base + datetime.timedelta(days=i)) for i in range(6)],
+        "event_id long, event_type string, ts timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["theils_u_type_dow"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 6 and row.h_type == 0.0
+    assert row.theils_u is None
+    compare(df, _conn_with({"events": path}), ORACLE["theils_u_type_dow"])
+
+
+def test_mcnemar_no_discordant_pairs(spark, tmp_path):
+    # perfect agreement: b = c = 0, the statistic is undefined (not
+    # zero) -> NULL in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "en", "the the the and of") for i in range(5)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(path)
+    df = QUERIES["mcnemar_langid"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.b == 0 and row.c == 0
+    assert row.chi2_cc is None
+    compare(df, _conn_with({"documents": path}), ORACLE["mcnemar_langid"])
+
+
+def test_runs_test_two_days(spark, tmp_path):
+    # two unequal days: one above / one below the midpoint median,
+    # n1 = n2 = 1 makes Var(R)'s integer numerator 2*1*1*(2-2) = 0
+    # -> z NULL in both engines (runs itself is still the exact 2)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [
+            (1, datetime.date(2026, 3, 1), 100.0),
+            (2, datetime.date(2026, 3, 2), 200.0),
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    ).write.parquet(path)
+    df = QUERIES["runs_test_revenue"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_obs == 2 and row.n1 == 1 and row.n2 == 1 and row.runs == 2
+    assert row.z_score is None
+    compare(df, _conn_with({"orders": path}), ORACLE["runs_test_revenue"])
