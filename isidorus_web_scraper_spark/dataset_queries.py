@@ -14706,3 +14706,316 @@ def runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("runs") - mu) / sigma, 6),
         ).alias("z_score"),
     )
+
+
+@query(
+    "kaplan_meier_repurchase",
+    """
+    WITH o2 AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    f AS (SELECT o_custkey, min(d) AS first_d FROM o2 GROUP BY 1),
+    nxt AS (
+      SELECT o2.o_custkey, min(o2.d) AS second_d
+      FROM o2 JOIN f USING (o_custkey)
+      WHERE o2.d > f.first_d GROUP BY 1
+    ),
+    mx AS (SELECT max(d) AS horizon FROM o2),
+    durs AS (
+      SELECT CASE WHEN nxt.second_d IS NOT NULL
+                  THEN date_diff('day', f.first_d, nxt.second_d)
+                  ELSE date_diff('day', f.first_d, mx.horizon) END AS dur,
+             CASE WHEN nxt.second_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM f LEFT JOIN nxt USING (o_custkey), mx
+    ),
+    evs AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS d
+            FROM durs WHERE ev = 1 GROUP BY 1),
+    allc AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                    CAST(sum(ev) AS BIGINT) AS events_total FROM durs),
+    h AS (SELECT dur, CAST(count(*) AS BIGINT) AS cnt
+          FROM durs GROUP BY 1),
+    cum AS (
+      SELECT dur, coalesce(sum(cnt) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS c_lt
+      FROM h
+    ),
+    km0 AS (
+      SELECT evs.t, evs.d,
+             allc.n_total - cum.c_lt AS n_risk
+      FROM evs JOIN cum ON cum.dur = evs.t, allc
+    ),
+    km AS (
+      SELECT t,
+             CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t) = 1
+                  THEN 0.0
+                  ELSE exp(sum(CASE WHEN d < n_risk
+                               THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                               ELSE 0.0 END) OVER (ORDER BY t))
+             END AS s
+      FROM km0
+    )
+    SELECT hz.hz, allc.n_total, allc.events_total,
+           round(coalesce(min(km.s), 1.0), 6) AS survival
+    FROM (VALUES (30), (60), (90)) hz(hz)
+    LEFT JOIN km ON km.t <= hz.hz, allc
+    GROUP BY hz.hz, allc.n_total, allc.events_total
+    """,
+)
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of 'time to repeat purchase' (days from a
+    customer's first order day to their next DISTINCT order day),
+    right-censored at the dataset horizon for single-day customers —
+    the censoring-correct answer to 'what fraction repurchase within
+    30/60/90 days?' (a naive fraction undercounts: customers who
+    appeared recently haven't HAD 90 days). d_t and the at-risk
+    n_t = N - #(dur < t) are exact integers per distinct duration;
+    S(t) folds as exp of the ordered cumulative sum of ln(1 - d/n)
+    (deterministic order = one canonical float result in both
+    engines), with an exact-integer flag forcing S = 0 from the first
+    time d = n_risk so neither engine evaluates ln(0).
+
+    Scale shape: rows fold to per-customer firsts/seconds (two
+    map-side-combinable aggs + one self-join on o_custkey), then to
+    the DISTINCT-duration frame (bounded by the calendar span, never
+    customers); both windows run on that small frame. Horizons are a
+    3-row VALUES broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    o2 = orders.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    f = o2.groupBy("o_custkey").agg(F.min("d").alias("first_d"))
+    nxt = (
+        o2.join(f, "o_custkey")
+        .filter(F.col("d") > F.col("first_d"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("second_d"))
+    )
+    mx = o2.agg(F.max("d").alias("horizon"))
+    durs = (
+        f.join(nxt, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("second_d").isNotNull(),
+                F.datediff(F.col("second_d"), F.col("first_d")),
+            )
+            .otherwise(F.datediff(F.col("horizon"), F.col("first_d")))
+            .alias("dur"),
+            F.when(F.col("second_d").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    evs = (
+        durs.filter(F.col("ev") == 1)
+        .groupBy(F.col("dur").alias("t"))
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    allc = durs.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("ev").cast("bigint").alias("events_total"),
+    )
+    h = durs.groupBy("dur").agg(F.count("*").cast("bigint").alias("cnt"))
+    w_lt = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = h.select(
+        "dur",
+        F.coalesce(F.sum("cnt").over(w_lt), F.lit(0)).alias("c_lt"),
+    )
+    km0 = (
+        evs.join(cum, evs.t == cum.dur)
+        .crossJoin(F.broadcast(allc.select("n_total")))
+        .select(
+            "t", "d", (F.col("n_total") - F.col("c_lt")).alias("n_risk")
+        )
+    )
+    w_t = Window.orderBy("t")
+    zero_flag = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_t)
+    log_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km = km0.select(
+        "t",
+        F.when(zero_flag == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum(log_term).over(w_t)))
+        .alias("s"),
+    )
+    hz = spark.createDataFrame([(30,), (60,), (90,)], "hz int")
+    return (
+        hz.join(km, km.t <= hz.hz, "left")
+        .groupBy("hz")
+        .agg(F.round(F.coalesce(F.min("s"), F.lit(1.0)), 6).alias("survival"))
+        .crossJoin(F.broadcast(allc))
+        .select("hz", "n_total", "events_total", "survival")
+    )
+
+
+@query(
+    "odds_ratio_langid",
+    """
+    WITH p AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> list_contains(string_split('the a of and to in is for on with', ' '), w)))
+                  AS DOUBLE)
+                / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                THEN 1 ELSE 0 END AS yhat
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(sum(y * yhat) AS BIGINT) AS a,
+             CAST(sum(y * (1 - yhat)) AS BIGINT) AS b,
+             CAST(sum((1 - y) * yhat) AS BIGINT) AS c,
+             CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS d
+      FROM p
+    )
+    SELECT a, b, c, d,
+           CASE WHEN b * c > 0
+                THEN round(CAST(a AS DOUBLE) * d / (b * c), 6)
+           END AS odds_ratio,
+           CASE WHEN a * b * c * d > 0
+                THEN round(exp(ln(CAST(a AS DOUBLE) * d / (b * c))
+                               - 1.959964 * sqrt(1.0/a + 1.0/b
+                                                 + 1.0/c + 1.0/d)), 6)
+           END AS ci_lo,
+           CASE WHEN a * b * c * d > 0
+                THEN round(exp(ln(CAST(a AS DOUBLE) * d / (b * c))
+                               + 1.959964 * sqrt(1.0/a + 1.0/b
+                                                 + 1.0/c + 1.0/d)), 6)
+           END AS ci_hi
+    FROM c
+    """,
+)
+def odds_ratio_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic odds ratio of the langid heuristic (ad/bc over the
+    2x2 confusion cells) with the Woolf 95% log-normal CI — the
+    effect-size-with-uncertainty read of the same table kappa and
+    McNemar score (kappa: agreement level; McNemar: error-direction
+    bias; OR: discriminative strength, CI: is it resolvable from this
+    sample). Four exact map-side integers; OR guarded by bc > 0, the
+    CI by all four cells > 0 (Woolf's variance 1/a+1/b+1/c+1/d needs
+    every cell) — NULL in both engines otherwise.
+
+    Scale shape: one map-side-combinable fold to four integers; every
+    float step happens on the single result row."""
+    pred = text_langid(spark, sf_dir)
+    p = pred.select(
+        F.when(F.col("tagged_lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("detected_lang") == "en", 1).otherwise(0).alias("yhat"),
+    )
+    cells = p.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("a"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    or_ = a.cast("double") * d / (b * c)
+    half = 1.959964 * F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    all_pos = a * b * c * d > 0
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(b * c > 0, F.round(or_, 6)).alias("odds_ratio"),
+        F.when(all_pos, F.round(F.exp(F.log(or_) - half), 6)).alias("ci_lo"),
+        F.when(all_pos, F.round(F.exp(F.log(or_) + half), 6)).alias("ci_hi"),
+    )
+
+
+@query(
+    "turning_points_revenue",
+    """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev,
+             lag(rev) OVER (ORDER BY day) AS prv,
+             lead(rev) OVER (ORDER BY day) AS nxt
+      FROM d
+    ),
+    r AS (
+      SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN (rev > prv AND rev > nxt)
+                                      OR (rev < prv AND rev < nxt)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS t_pts
+      FROM seq WHERE prv IS NOT NULL AND nxt IS NOT NULL
+    )
+    SELECT n, t_pts,
+           CASE WHEN n >= 3
+                THEN round((t_pts - 2.0 * (n - 2) / 3)
+                           / sqrt((16.0 * n - 29) / 90), 6)
+           END AS z_score
+    FROM r
+    """,
+)
+def turning_points_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test on the daily revenue series —
+    counts strict local maxima/minima; an i.i.d. series has
+    E[T] = 2(n-2)/3, Var(T) = (16n-29)/90, so too few turns reads as
+    smooth trend/cycles and too many as alternation (the third lens
+    after mann_kendall's drift and runs_test's clustering; each is
+    blind to what the others see). T is an exact integer from one
+    lag/lead window over the calendar frame (strict inequalities:
+    tied neighbors are not turns, identically in both engines); z is
+    one guarded double (NULL when n < 3 means no interior point).
+
+    Scale shape: map-side fold to the calendar frame, one
+    days-bounded window, constants on the single result row."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = Window.orderBy("day")
+    seq = d.select(
+        "rev",
+        F.lag("rev").over(w).alias("prv"),
+        F.lead("rev").over(w).alias("nxt"),
+    )
+    is_turn = (
+        (F.col("rev") > F.col("prv")) & (F.col("rev") > F.col("nxt"))
+    ) | ((F.col("rev") < F.col("prv")) & (F.col("rev") < F.col("nxt")))
+    t_pts = (
+        seq.filter(F.col("prv").isNotNull() & F.col("nxt").isNotNull())
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_turn, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("t_pts")
+        )
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n"))
+    nn = F.col("n")
+    return (
+        n.crossJoin(t_pts)
+        .select(
+            "n",
+            "t_pts",
+            F.when(
+                nn >= 3,
+                F.round(
+                    (F.col("t_pts") - 2.0 * (nn - 2) / 3)
+                    / F.sqrt((16.0 * nn - 29) / 90),
+                    6,
+                ),
+            ).alias("z_score"),
+        )
+    )

@@ -194,3 +194,57 @@ def test_runs_test_two_days(spark, tmp_path):
     assert row.n_obs == 2 and row.n1 == 1 and row.n2 == 1 and row.runs == 2
     assert row.z_score is None
     compare(df, _conn_with({"orders": path}), ORACLE["runs_test_revenue"])
+
+
+def test_kaplan_meier_survival_hits_zero(spark, tmp_path):
+    # every customer repurchases at the same duration: at that event
+    # time d = n_risk, and the exact-integer zero flag must force
+    # S = 0 in both engines WITHOUT either evaluating ln(0)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    d1, d2 = datetime.date(2026, 3, 1), datetime.date(2026, 3, 5)
+    spark.createDataFrame(
+        [(1, 10, d1, 1.0), (2, 10, d2, 1.0), (3, 20, d1, 1.0), (4, 20, d2, 1.0)],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    ).write.parquet(path)
+    df = QUERIES["kaplan_meier_repurchase"](spark, str(tmp_path))
+    rows = {r.hz: r for r in df.collect()}
+    assert rows[30].n_total == 2 and rows[30].events_total == 2
+    assert all(rows[hz].survival == 0.0 for hz in (30, 60, 90))
+    compare(df, _conn_with({"orders": path}), ORACLE["kaplan_meier_repurchase"])
+
+
+def test_odds_ratio_empty_discordant_cells(spark, tmp_path):
+    # perfect agreement: b = c = 0, so bc = 0 and both the OR and the
+    # Woolf CI are undefined -> NULL in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "en", "the the the and of") for i in range(5)],
+        "doc_id long, lang string, text string",
+    ).write.parquet(path)
+    df = QUERIES["odds_ratio_langid"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.a == 5 and row.b == 0 and row.c == 0 and row.d == 0
+    assert row.odds_ratio is None and row.ci_lo is None and row.ci_hi is None
+    compare(df, _conn_with({"documents": path}), ORACLE["odds_ratio_langid"])
+
+
+def test_turning_points_two_days(spark, tmp_path):
+    # two days have no interior point: T = 0 exactly and z must be
+    # NULL in both engines (n < 3 guard)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [
+            (1, datetime.date(2026, 3, 1), 100.0),
+            (2, datetime.date(2026, 3, 2), 200.0),
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    ).write.parquet(path)
+    df = QUERIES["turning_points_revenue"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 2 and row.t_pts == 0
+    assert row.z_score is None
+    compare(df, _conn_with({"orders": path}), ORACLE["turning_points_revenue"])
