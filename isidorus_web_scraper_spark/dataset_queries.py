@@ -15019,3 +15019,153 @@ def turning_points_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_score"),
         )
     )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4)
+               AS tfidf
+      FROM tf JOIN df USING (word), n
+    )
+    SELECT doc_id, word, tfidf, rnk FROM (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the classic keyword
+    extractor BM25 doesn't give (bm25_search ranks DOCS for a fixed
+    query; this ranks TERMS per doc over the whole vocabulary, the
+    'what is this page about' column a crawl dashboard shows). House
+    float discipline (the bm25 move): score rounded to 4 decimals
+    BEFORE ranking, word-asc tiebreak, so the top-3 cut is identical
+    in both engines even where ln() differs in the last ulp.
+
+    Scale shape: one tokenize-explode pass folds to the (doc, word)
+    tf frame map-side; df folds that to the vocabulary-sized frame
+    (broadcastable — at web scale join tf back via broadcast, it is
+    the classic two-shuffle TF-IDF); the top-3 window partitions by
+    doc_id, so no global sort anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tfidf", "rnk")
+    )
+
+
+@query(
+    "lorenz_revenue_deciles",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM c
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS customers,
+             CAST(sum(rev) AS BIGINT) AS revenue_cents
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total FROM g)
+    SELECT decile, customers, revenue_cents,
+           CASE WHEN t.total <> 0
+                THEN round(CAST(sum(revenue_cents)
+                                OVER (ORDER BY decile) AS DOUBLE)
+                           / t.total, 6)
+           END AS cum_share
+    FROM g, t
+    """,
+)
+def lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of customer revenue by decile — the
+    curve POINTS behind the scalar Gini already in the set (how much
+    of total revenue do the bottom k/10 of customers hold; the
+    top-decile row is the '10% of customers are X% of revenue'
+    dashboard line). Deciles assigned by ntile over the total order
+    (rev, custkey) — both engines give the first n mod 10 buckets one
+    extra row, so bucket boundaries are byte-identical; revenue in
+    exact integer cents; the only float is the final guarded share.
+
+    Scale shape: rows fold map-side to the customer frame; ntile is
+    the one global sort (rank-partition by range at cluster scale);
+    the decile rollup and cumulative window run on 10 rows."""
+    orders = load(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    d = c.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("customers"),
+        F.sum("rev").cast("bigint").alias("revenue_cents"),
+    )
+    t = g.agg(F.sum("revenue_cents").cast("bigint").alias("total"))
+    w = Window.orderBy("decile")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "customers",
+            "revenue_cents",
+            F.when(
+                F.col("total") != 0,
+                F.round(
+                    F.sum("revenue_cents").over(w).cast("double")
+                    / F.col("total"),
+                    6,
+                ),
+            ).alias("cum_share"),
+        )
+    )

@@ -248,3 +248,39 @@ def test_turning_points_two_days(spark, tmp_path):
     assert row.n == 2 and row.t_pts == 0
     assert row.z_score is None
     compare(df, _conn_with({"orders": path}), ORACLE["turning_points_revenue"])
+
+
+def test_lorenz_zero_total_revenue(spark, tmp_path):
+    # all-zero prices: integer total is exactly 0 and every decile's
+    # cum_share must be NULL in both engines (no 0/0)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, i, datetime.date(2026, 3, 1), 0.0) for i in range(10)],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    ).write.parquet(path)
+    df = QUERIES["lorenz_revenue_deciles"](spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r.revenue_cents == 0 and r.cum_share is None for r in rows)
+    compare(df, _conn_with({"orders": path}), ORACLE["lorenz_revenue_deciles"])
+
+
+def test_tfidf_rounded_tie_breaks_on_word(spark, tmp_path):
+    # two terms with identical (tf, df) tie exactly after rounding:
+    # the word-asc tiebreak must pick the same top-3 cut in both
+    # engines (the float never decides alone)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [
+            (1, "zebra apple zebra apple mango"),
+            (2, "kiwi kiwi plum plum plum"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = QUERIES["tfidf_top_terms"](spark, str(tmp_path))
+    got = {(r.doc_id, r.rnk): r.word for r in df.collect()}
+    # doc 1: apple/zebra tie at tf=2 (same df=1) -> apple first
+    assert got[(1, 1)] == "apple" and got[(1, 2)] == "zebra"
+    compare(df, _conn_with({"documents": path}), ORACLE["tfidf_top_terms"])
