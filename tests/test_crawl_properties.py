@@ -21,8 +21,10 @@ from hypothesis import strategies as st
 
 from isidorus_web_scraper_spark.corpus import generate_documents, page_url
 from isidorus_web_scraper_spark.plans.crawl import CrawlConfig, CrawlEngine
+from isidorus_web_scraper_spark.schema import DOCUMENTS
 
-from .test_crawl import spark_end_state
+from .reference_sim import crawl_sim
+from .test_crawl import assert_matches_sim, spark_end_state
 
 _seed = st.tuples(
     st.integers(0, 9),  # host pick (mod n_hosts)
@@ -98,4 +100,75 @@ def test_interrupt_resume_equals_uninterrupted(
         assert spark_end_state(resumed) == spark_end_state(full)
     finally:
         docs.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Randomized engine-vs-reference-simulator parity: the fixed sim tests
+# crawl the deterministic synthetic web / golden fixtures; this draws
+# ARBITRARY small link graphs — dangling links (fetch errors), non-http
+# refs, cycles, duplicate links, multi-seed overlaps — and demands full
+# end-state equality (pages+content+round, seen, links, images, jobs)
+# against the pure-Python ProcessMessage twin (tests/reference_sim.py).
+# ---------------------------------------------------------------------------
+
+_POOL = [f"http://h{k}.test/p{j}.html" for k in range(3) for j in range(3)]
+_MISSING = ["http://h9.test/void0.html", "http://h9.test/void1.html"]
+_NONHTTP = ["ftp://x/y.bin", "page2.html"]
+_IMGS = ["http://h0.test/a.png", "http://h1.test/b.png"]
+
+_span = st.one_of(
+    st.sampled_from(["alpha", "beta", "gamma"]).map(
+        lambda t: {"kind": "text", "text": t, "media_ref": ""}
+    ),
+    st.sampled_from(_POOL + _MISSING + _NONHTTP).map(
+        lambda u: {"kind": "link", "text": "", "media_ref": u}
+    ),
+    st.sampled_from(_IMGS).map(
+        lambda u: {"kind": "image", "text": "", "media_ref": u}
+    ),
+)
+_corpus = st.dictionaries(
+    st.sampled_from(_POOL), st.lists(_span, min_size=0, max_size=5),
+    max_size=9,
+)
+_sim_seed = st.tuples(
+    st.sampled_from(_POOL + _MISSING[:1]), st.integers(0, 3)
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus, raw_seeds=st.lists(_sim_seed, min_size=1, max_size=2))
+def test_engine_matches_reference_sim_on_random_graphs(
+    spark, corpus, raw_seeds
+):
+    corpus = {
+        url: [dict(s, offset=i) for i, s in enumerate(spans)]
+        for url, spans in corpus.items()
+    }
+    docs = spark.createDataFrame(list(corpus.items()), DOCUMENTS)
+    seeds = [
+        (201 + i, 1, url, depth) for i, (url, depth) in enumerate(raw_seeds)
+    ]
+    root = tempfile.mkdtemp(prefix="iws_simprop_")
+    try:
+        eng = CrawlEngine(
+            spark,
+            f"{root}/wh",
+            documents=docs,
+            config=CrawlConfig(
+                bloom_expected_urls=4096, default_budget=1_000_000_000
+            ),
+        )
+        eng.start(seeds)
+        eng.run()
+        sim = crawl_sim(corpus, [(sid, url, d) for (sid, _u, url, d) in seeds])
+        assert_matches_sim(
+            eng, sim, {sid: d for (sid, _u, _url, d) in seeds}
+        )
+    finally:
         shutil.rmtree(root, ignore_errors=True)
