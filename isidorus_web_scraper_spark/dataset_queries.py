@@ -15169,3 +15169,167 @@ def lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "quantile_histogram_sketch",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, min(c) AS min_c, max(c) AS max_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    ),
+    b AS (
+      SELECT v.event_type,
+             CAST(((v.c - s.min_c) * 64) // (s.max_c - s.min_c + 1)
+               AS BIGINT) AS bucket
+      FROM v JOIN s USING (event_type)
+    ),
+    h AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+               AS BIGINT) AS cum
+      FROM h
+    ),
+    q AS (
+      SELECT s.event_type, CAST(t.q_pct AS BIGINT) AS q_pct, s.n,
+             s.min_c, s.max_c,
+             CAST((s.n * t.q_pct + 99) // 100 AS BIGINT) AS k
+      FROM s, (VALUES (50), (90), (99)) AS t(q_pct)
+    ),
+    pick AS (
+      SELECT q.event_type, q.q_pct, q.n, q.k, q.min_c, q.max_c,
+             CAST(min(cum.bucket) AS BIGINT) AS bucket
+      FROM q JOIN cum ON cum.event_type = q.event_type AND cum.cum >= q.k
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    exact AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk
+      FROM v
+    )
+    SELECT p.event_type, p.q_pct, p.n, p.k, p.bucket,
+           CAST(p.min_c + (p.bucket * (p.max_c - p.min_c + 1) + 63) // 64
+             AS BIGINT) AS bucket_lo_cents,
+           CAST(p.min_c
+                + ((p.bucket + 1) * (p.max_c - p.min_c + 1) - 1) // 64
+             AS BIGINT) AS bucket_hi_cents,
+           e.c AS exact_cents,
+           e.c BETWEEN
+             p.min_c + (p.bucket * (p.max_c - p.min_c + 1) + 63) // 64
+             AND p.min_c
+                 + ((p.bucket + 1) * (p.max_c - p.min_c + 1) - 1) // 64
+             AS sketch_contains_exact
+    FROM pick p
+    JOIN exact e ON e.event_type = p.event_type AND e.rk = p.k
+    """,
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width quantile histogram — the QUANTILE member of
+    the sketch family (HLL cardinality, count-min frequency, KMV
+    distinct, Misra-Gries heavy hitters): per event_type, a 64-bucket
+    integer-cents histogram locates p50/p90/p99 to within one bucket,
+    and the query surfaces the sketch's guarantee as a column —
+    ``sketch_contains_exact`` compares against the true order statistic
+    and must be TRUE on every row (the k-th smallest value lives in the
+    first bucket whose cumulative count reaches k, by construction).
+
+    Everything that decides anything is integer: cents, bucket ids via
+    a floored non-negative division (operands bounded far below the
+    2^53 exactness cliff, per the repo's bucket discipline), rank
+    targets k = ceil(q·n) in pure integer form, bucket edges by the
+    exact ceil/floor identities. row_number tie order is irrelevant —
+    the value at rank k is the order statistic whatever the tie
+    permutation.
+
+    Scale shape: the histogram is ONE map-side-combinable fold to
+    ≤ 64·|types| cells after a min/max/count fold — the 100-TB path
+    (and the sketch is mergeable: per-shard histograms add cell-wise,
+    exactly like the HLL register max — so at cluster scale the exact-
+    rank join below is replaced by reading the quantile straight off
+    the merged histogram). The exact order statistic is the small-SF
+    verification twin: it needs the full sort the sketch exists to
+    avoid, so it is the oracle-side check, not the scale path."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    rng = F.col("max_c") - F.col("min_c") + F.lit(1)
+    b = ev.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        F.floor(((F.col("c") - F.col("min_c")) * 64) / rng)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    h = b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    cum = h.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+    )
+    q = s.crossJoin(
+        spark.range(1).select(
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias(
+                "q_pct"
+            )
+        )
+    ).select(
+        "event_type",
+        F.col("q_pct").cast("bigint"),
+        "n",
+        "min_c",
+        "max_c",
+        F.floor((F.col("n") * F.col("q_pct") + 99) / 100)
+        .cast("bigint")
+        .alias("k"),
+    )
+    pick = (
+        q.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type", "q_pct", "n", "k", "min_c", "max_c")
+        .agg(F.min("bucket").cast("bigint").alias("bucket"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("c")
+    exact = ev.select(
+        "event_type", "c", F.row_number().over(wr).alias("rk")
+    )
+    lo = F.col("min_c") + F.floor(
+        (F.col("bucket") * rng + 63) / F.lit(64)
+    ).cast("bigint")
+    hi = F.col("min_c") + F.floor(
+        ((F.col("bucket") + 1) * rng - 1) / F.lit(64)
+    ).cast("bigint")
+    return (
+        pick.join(
+            exact,
+            (pick.event_type == exact.event_type) & (pick.k == exact.rk),
+        )
+        .drop(exact.event_type)
+        .select(
+            "event_type",
+            "q_pct",
+            "n",
+            "k",
+            "bucket",
+            lo.alias("bucket_lo_cents"),
+            hi.alias("bucket_hi_cents"),
+            F.col("c").alias("exact_cents"),
+            F.col("c").between(lo, hi).alias("sketch_contains_exact"),
+        )
+    )

@@ -284,3 +284,32 @@ def test_tfidf_rounded_tie_breaks_on_word(spark, tmp_path):
     # doc 1: apple/zebra tie at tf=2 (same df=1) -> apple first
     assert got[(1, 1)] == "apple" and got[(1, 2)] == "zebra"
     compare(df, _conn_with({"documents": path}), ORACLE["tfidf_top_terms"])
+
+
+def test_quantile_sketch_constant_values(spark, tmp_path):
+    # all values equal: range collapses to 1 cent, every row lands in
+    # bucket 0, and the containment invariant must still hold exactly
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [
+            (i, datetime.datetime(2026, 3, 1, 12, 0, 0), i, "click", 7.5, "{}")
+            for i in range(9)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(path)
+    df = QUERIES["quantile_histogram_sketch"](spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 3  # one per quantile target
+    assert all(
+        r.bucket == 0
+        and r.exact_cents == 750
+        and r.bucket_lo_cents <= 750 <= r.bucket_hi_cents
+        and r.sketch_contains_exact
+        for r in rows
+    )
+    compare(
+        df, _conn_with({"events": path}), ORACLE["quantile_histogram_sketch"]
+    )
