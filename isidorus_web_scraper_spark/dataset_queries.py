@@ -15333,3 +15333,96 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").between(lo, hi).alias("sketch_contains_exact"),
         )
     )
+
+
+@query(
+    "quantile_histogram_merge",
+    """
+    WITH v AS (
+      SELECT event_type, event_id % 2 AS shard,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, min(c) AS min_c, max(c) AS max_c
+      FROM v GROUP BY 1
+    ),
+    b AS (
+      SELECT v.event_type, v.shard,
+             CAST(((v.c - s.min_c) * 64) // (s.max_c - s.min_c + 1)
+               AS BIGINT) AS bucket
+      FROM v JOIN s USING (event_type)
+    ),
+    direct AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ),
+    per_shard AS (
+      SELECT event_type, shard, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM per_shard GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN d.cnt = m.cnt THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_matching
+    FROM direct d
+    JOIN merged m ON m.event_type = d.event_type AND m.bucket = d.bucket
+    GROUP BY 1
+    """,
+)
+def quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram MERGEABILITY pinned as a query (the K6 hll_union_merge
+    pattern): per-shard (event_id % 2) histograms folded cell-wise must
+    equal the direct whole-table histogram — n_matching == n_cells on
+    every row. This is the property that makes
+    quantile_histogram_sketch a 100-TB operator: per-executor/day
+    histograms ADD, so quantiles of an arbitrary union of shards come
+    off a sum of ≤ 64·|types| cells with no re-scan. Bucket edges come
+    from the globally-folded min/max (min/max are themselves mergeable
+    folds — the real two-pass shape)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("shard"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.min("c").alias("min_c"), F.max("c").alias("max_c")
+    )
+    rng = F.col("max_c") - F.col("min_c") + F.lit(1)
+    b = ev.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "shard",
+        F.floor(((F.col("c") - F.col("min_c")) * 64) / rng)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    direct = b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    merged = (
+        b.groupBy("event_type", "shard", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return (
+        direct.alias("d")
+        .join(
+            merged.alias("m"),
+            (F.col("d.event_type") == F.col("m.event_type"))
+            & (F.col("d.bucket") == F.col("m.bucket")),
+        )
+        .groupBy(F.col("d.event_type").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(
+                F.when(F.col("d.cnt") == F.col("m.cnt"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matching"),
+        )
+    )
