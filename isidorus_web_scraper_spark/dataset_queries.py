@@ -15426,3 +15426,215 @@ def quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_matching"),
         )
     )
+
+
+@query(
+    "kmv_set_ops",
+    """
+    WITH a AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    sa AS (SELECT hv FROM a ORDER BY hv LIMIT 16),
+    sb AS (SELECT hv FROM b ORDER BY hv LIMIT 16),
+    th AS (SELECT least((SELECT max(hv) FROM sa),
+                        (SELECT max(hv) FROM sb)) AS theta),
+    uni AS (SELECT CAST(count(*) AS BIGINT) AS n_union
+            FROM (SELECT hv FROM sa UNION SELECT hv FROM sb) u, th
+            WHERE u.hv <= th.theta),
+    itr AS (SELECT CAST(count(*) AS BIGINT) AS n_inter
+            FROM (SELECT hv FROM sa INTERSECT SELECT hv FROM sb) i, th
+            WHERE i.hv <= th.theta),
+    aon AS (SELECT CAST(count(*) AS BIGINT) AS n_a_only
+            FROM (SELECT hv FROM sa EXCEPT SELECT hv FROM sb) x, th
+            WHERE x.hv <= th.theta),
+    ex AS (SELECT
+      (SELECT CAST(count(*) AS BIGINT)
+       FROM (SELECT hv FROM a UNION SELECT hv FROM b)) AS exact_union,
+      (SELECT CAST(count(*) AS BIGINT)
+       FROM (SELECT hv FROM a INTERSECT SELECT hv FROM b)) AS exact_inter)
+    SELECT th.theta AS theta, n_union, n_inter, n_a_only,
+           round(n_union * (1152921504606846976.0 / th.theta), 3)
+             AS est_union,
+           round(n_inter * (1152921504606846976.0 / th.theta), 3)
+             AS est_inter,
+           round(n_a_only * (1152921504606846976.0 / th.theta), 3)
+             AS est_a_only,
+           exact_union, exact_inter
+    FROM th, uni, itr, aon, ex
+    """,
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set-expression estimates from two KMV sketches —
+    the set-operation half kmv_distinct's docstring promises: A =
+    click users, B = purchase users, each summarized by its k=16
+    smallest distinct 60-bit md5 hashes. theta = min(h_k(A), h_k(B));
+    because a bottom-k sketch contains EVERY hash of its set at or
+    below its own h_k >= theta, the sub-theta region of each sketch is
+    an exact uniform sample of its set, so sketch-level UNION /
+    INTERSECT / EXCEPT restricted to hv <= theta are exact there and
+    n/theta (hashes uniform on [0, 2^60)) estimates each expression's
+    cardinality — the estimator that lets a crawl compare seen-sets of
+    two shards without ever joining them. All decisions are integer
+    (hash compares, set ops, counts); the three estimates are one
+    identical double expression each; exact_union/exact_inter are the
+    audit columns a production sketch would drop (exact at hash
+    granularity, collisions ~2^-60).
+
+    Scale shape: per set, distinct-hash then ORDER BY LIMIT k —
+    Spark's TakeOrderedAndProject (per-partition top-k, driver merge
+    of k*P rows), never a full sort; every set op after that runs on
+    <= 2k rows. The exact audit is the only full-width join and exists
+    only for the oracle."""
+    ev = load(spark, sf_dir, "events")
+
+    def hashes(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(
+                md5_long(F.col("user_id").cast("string")).alias("hv")
+            )
+            .distinct()
+        )
+
+    a, b = hashes("click"), hashes("purchase")
+    sa, sb = a.orderBy("hv").limit(16), b.orderBy("hv").limit(16)
+    theta = (
+        sa.agg(F.max("hv").alias("ta"))
+        .crossJoin(sb.agg(F.max("hv").alias("tb")))
+        .select(F.least("ta", "tb").alias("theta"))
+    )
+
+    def below(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(theta))
+            .filter(F.col("hv") <= F.col("theta"))
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    n_union = below(sa.union(sb).distinct(), "n_union")
+    n_inter = below(sa.intersect(sb), "n_inter")
+    n_a_only = below(sa.join(sb, "hv", "left_anti"), "n_a_only")
+    exact = (
+        a.union(b)
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("exact_union"))
+        .crossJoin(
+            a.intersect(b).agg(
+                F.count("*").cast("bigint").alias("exact_inter")
+            )
+        )
+    )
+    scale = F.lit(1152921504606846976.0) / F.col("theta")
+    return (
+        theta.crossJoin(n_union)
+        .crossJoin(n_inter)
+        .crossJoin(n_a_only)
+        .crossJoin(exact)
+        .select(
+            "theta",
+            "n_union",
+            "n_inter",
+            "n_a_only",
+            F.round(F.col("n_union") * scale, 3).alias("est_union"),
+            F.round(F.col("n_inter") * scale, 3).alias("est_inter"),
+            F.round(F.col("n_a_only") * scale, 3).alias("est_a_only"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+@query(
+    "theil_sen_slope",
+    """
+    WITH d AS (
+      SELECT (year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE))) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.m - a.m) AS slope
+      FROM d a JOIN d b ON b.m > a.m
+    ),
+    sl AS (SELECT median(slope) AS slope FROM p),
+    ic AS (SELECT median(CAST(d.rev AS DOUBLE) - sl.slope * d.m) AS icept
+           FROM d, sl)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_months,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+           round(sl.slope, 6) AS slope_cents_per_month,
+           round(ic.icept, 6) AS intercept_cents
+    FROM sl, ic
+    """,
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: slope = median of
+    all pairwise slopes (rev_j - rev_i)/(j - i), intercept = median of
+    (rev_m - slope*m) — the estimator that tolerates up to ~29%
+    outlier months, complementing events_trend_ols (least squares,
+    outlier-fragile) and mann_kendall_trend (direction only, no
+    magnitude). Revenue is exact integer cents per month, the month
+    index exact integers, so every pairwise slope is one double
+    division of identical integer operands in both engines; both
+    engines interpolate even-n medians as the midpoint of two
+    identical doubles. Outputs rounded; n_months/n_pairs are the
+    integer audit.
+
+    Scale shape: rows fold map-side to the calendar-month frame
+    (O(months) after one shuffle); the pairwise self-join is bounded
+    by the time dimension squared (~3k pairs for 7 years) regardless
+    of corpus size — Theil-Sen's O(n^2) is over AGGREGATE months,
+    never raw rows."""
+    orders = load(spark, sf_dir, "orders")
+    dt = F.col("o_orderdate").cast("date")
+    d = orders.groupBy(
+        (F.year(dt) * 12 + F.month(dt)).alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    p = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("b.m") > F.col("a.m"))
+        .select(
+            (
+                (F.col("b.rev") - F.col("a.rev")).cast("double")
+                / (F.col("b.m") - F.col("a.m"))
+            ).alias("slope")
+        )
+    )
+    sl = p.agg(F.percentile("slope", F.lit(0.5)).alias("slope"))
+    ic = (
+        d.crossJoin(F.broadcast(sl))
+        .select(
+            (
+                F.col("rev").cast("double")
+                - F.col("slope") * F.col("m")
+            ).alias("resid")
+        )
+        .agg(F.percentile("resid", F.lit(0.5)).alias("icept"))
+    )
+    counts = d.agg(
+        F.count("*").cast("bigint").alias("n_months")
+    ).crossJoin(p.agg(F.count("*").cast("bigint").alias("n_pairs")))
+    return (
+        counts.crossJoin(sl)
+        .crossJoin(ic)
+        .select(
+            "n_months",
+            "n_pairs",
+            F.round("slope", 6).alias("slope_cents_per_month"),
+            F.round("icept", 6).alias("intercept_cents"),
+        )
+    )

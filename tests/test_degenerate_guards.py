@@ -313,3 +313,38 @@ def test_quantile_sketch_constant_values(spark, tmp_path):
     compare(
         df, _conn_with({"events": path}), ORACLE["quantile_histogram_sketch"]
     )
+
+
+def test_kmv_set_ops_empty_side(spark, tmp_path):
+    # no purchase events: B's sketch is empty, so its h_k is NULL and
+    # theta must fall back to h_k(A) (both engines' least() SKIPS
+    # NULLs — the property this pin protects); intersection is 0 and
+    # the union estimate degrades to A's own KMV estimate
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [(i, i, "click") for i in range(20)],
+        "event_id long, user_id long, event_type string",
+    ).write.parquet(path)
+    df = QUERIES["kmv_set_ops"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.theta is not None  # least() skipped the NULL side
+    assert row.n_inter == 0 and row.n_a_only == row.n_union
+    assert row.exact_inter == 0 and row.exact_union == 20
+    compare(df, _conn_with({"events": path}), ORACLE["kmv_set_ops"])
+
+
+def test_theil_sen_single_month(spark, tmp_path):
+    # one calendar month: zero pairwise slopes — the slope median and
+    # the intercept must be NULL in BOTH engines (median of an empty
+    # frame), never a crash or a NaN-vs-NULL split
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + i, "1994-03-15") for i in range(4)],
+        "o_orderkey long, o_totalprice double, o_orderdate string",
+    ).write.parquet(path)
+    df = QUERIES["theil_sen_slope"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_months == 1 and row.n_pairs == 0
+    assert row.slope_cents_per_month is None
+    assert row.intercept_cents is None
+    compare(df, _conn_with({"orders": path}), ORACLE["theil_sen_slope"])
