@@ -15638,3 +15638,117 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("icept", 6).alias("intercept_cents"),
         )
     )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(n) AS BIGINT) AS k_min,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_lt_k,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(l) AS BIGINT) AS l_min,
+           CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_lt_l
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table — the
+    privacy gate a training-data release pipeline runs BEFORE export,
+    complementing pii_scrub (which redacts surface strings; this
+    measures linkage risk). Quasi-identifier = (nation, market
+    segment); a row is re-identifiable when its QI group has fewer
+    than k=5 members, and a group leaks its sensitive attribute
+    (account-balance sign) when all members share one value (l<2).
+    Outputs the release-decision integers: smallest group (k_min),
+    violating groups and rows at risk at k=5, minimum diversity and
+    l<2 group count. Every column is an exact integer fold of group
+    sizes — nothing engine-sensitive.
+
+    Scale shape: one groupBy on the QI (map-side combined), then a
+    second fold over |QI-combination| rows — bounded by the QI
+    domain's cross product, never the corpus. At 100 TB the same two
+    folds audit any column set; the count-distinct is over a
+    2-value flag, so it stays a partial aggregate."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct(
+            F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("l"),
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("n").cast("bigint").alias("k_min"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_lt_k"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("l").cast("bigint").alias("l_min"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_lt_l"),
+    )
+
+
+@query(
+    "token_fertility",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CASE WHEN sum(len(string_split(text, ' '))) > 0
+                THEN round(CAST(sum(len(text)) AS DOUBLE)
+                           / sum(len(string_split(text, ' '))), 4)
+           END AS chars_per_token
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: characters consumed per
+    whitespace token — the budget-planning audit that tells a
+    pretraining pipeline how unevenly its token quota buys text
+    across languages (high fertility = more chars per token = cheaper
+    per character). Counts are exact integers (code-point length and
+    whitespace-split arity agree between engines, including the
+    ''→[''] single-token edge); the ratio is one guarded double.
+
+    Scale shape: two integer partial aggregates per (partition, lang)
+    — a shuffle of O(|langs|) rows, no joins; the same fold serves an
+    incremental foreachBatch ingest."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ", -1))
+    g = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 4
+            ),
+        ).alias("chars_per_token"),
+    ).orderBy("lang")
