@@ -15752,3 +15752,351 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("chars_per_token"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Decorrelated-subquery join family (round 5 session 14): the remaining
+# TPC-H shapes whose reference formulation is a correlated subquery —
+# each re-expressed as the join/window plan Catalyst's decorrelation
+# would produce, so the physical strategy is explicit instead of
+# optimizer-dependent. (Q1/Q3/Q5/Q7/Q8/Q9/Q10/Q13-Q15/Q17-Q19/Q22
+# shapes already exist under descriptive names.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "min_cost_supplier",
+    """
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_name FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+                    AND r.r_name = 'EUROPE'
+    ),
+    px AS (
+      SELECT l.l_partkey, eu.s_name,
+             min(l.l_extendedprice) AS supp_min
+      FROM lineitem l JOIN eu ON eu.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, min(supp_min) AS best FROM px GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_name, px.s_name,
+           CAST(round(px.supp_min * 100) AS BIGINT) AS price_cents
+    FROM px JOIN best USING (l_partkey)
+    JOIN part p ON p.p_partkey = px.l_partkey
+    WHERE px.supp_min = best.best AND p.p_size <= 10
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to the reduced schema
+    (no partsupp: a supplier's offer price for a part = the min
+    l_extendedprice it ever shipped that part at): for each small part
+    (p_size <= 10), every EUROPE supplier tied at the part's lowest
+    price. Q2's correlated `WHERE ps_supplycost = (SELECT min(...))`
+    becomes a groupwise-min picked by a WINDOW over the per-(part,
+    supplier) aggregate — one shuffle on l_partkey serves both the
+    min and the filter, where the classic decorrelation (aggregate +
+    self-join back) would re-shuffle the same rows twice. No
+    arithmetic touches the compared double (min/= only), so the float
+    boundary is engine-stable; cents render is the only cast.
+
+    Scale shape: supplier⨝nation⨝region is a broadcast dim chain
+    pre-filtered to one region BEFORE touching the fact table;
+    lineitem shuffles once on l_partkey; part joins broadcast
+    (size-pruned). Ties keep all rows — no arbitrary first()."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    eu = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", "s_name")
+    px = (
+        li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+        .groupBy("l_partkey", "s_name")
+        .agg(F.min("l_extendedprice").alias("supp_min"))
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = px.withColumn("best", F.min("supp_min").over(w)).filter(
+        F.col("supp_min") == F.col("best")
+    )
+    return winners.join(
+        F.broadcast(p), p.p_partkey == winners.l_partkey
+    ).select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        F.round(F.col("supp_min") * 100).cast("bigint").alias("price_cents"),
+    )
+
+
+@query(
+    "important_part_share",
+    """
+    WITH rev AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_x10000
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                    AND n.n_name = 'NATION_3'
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(rev_x10000) AS BIGINT) AS total_x10000,
+             count(*) AS n_parts
+      FROM rev
+    )
+    SELECT rev.l_partkey AS p_partkey, rev.rev_x10000
+    FROM rev CROSS JOIN tot
+    WHERE rev.rev_x10000 * tot.n_parts > 2 * tot.total_x10000
+    """,
+)
+def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted (no partsupp: a part's
+    stake with NATION_3's suppliers = its shipped revenue from them):
+    parts whose revenue exceeds 2x the average part's — Q11's
+    `HAVING sum(...) > (SELECT sum(...) * fraction)` scalar
+    correlation. Q11's literal fraction is scale-dependent by design
+    (0.0001/SF); a fixed-string oracle needs a scale-free threshold,
+    so the share compare is against the mean, cross-multiplied over
+    exact x10000 integers (rev*n > 2*total) — no engine divides,
+    no float boundary.
+
+    Scale shape: the scalar aggregate is one row cross-joined back
+    (broadcast nested loop over a 1-row build side — Spark's literal
+    rendering of the decorrelated plan); the per-part rollup is the
+    only fact shuffle; supplier/nation broadcast pre-filtered to one
+    nation."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    rev = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("rev_x10000")
+        )
+    )
+    tot = rev.agg(
+        F.sum("rev_x10000").cast("bigint").alias("total_x10000"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("rev_x10000") * F.col("n_parts")
+            > 2 * F.col("total_x10000")
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "rev_x10000")
+    )
+
+
+@query(
+    "part_supplier_diversity",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct suppliers
+    able to supply each (brand, type) bracket, excluding one part
+    type and excluding blacklisted suppliers — Q16's `NOT IN (SELECT
+    ... FROM supplier WHERE complaints)` (no s_comment here, so the
+    complaint proxy is a negative account balance; vacuous at
+    sf0.001, selective at 0.01+, which the oracle mirrors exactly).
+
+    Scale shape: the NOT IN is a LEFT ANTI against a tiny filtered
+    build side — broadcast, never a shuffle (NOT IN's null-trap
+    doesn't apply: s_suppkey is a non-null key, so anti-join is
+    exactly equivalent); part joins broadcast with the type exclusion
+    pushed to its scan; the distinct-count is the one fact shuffle,
+    partials combining map-side on (brand, type, suppkey)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "excess_shipment_suppliers",
+    """
+    WITH ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(sum(l.l_quantity) AS BIGINT) AS q
+      FROM lineitem l JOIN part pa ON pa.p_partkey = l.l_partkey
+      WHERE pa.p_name LIKE '%rod'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq FROM ps GROUP BY 1
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM ps JOIN tot USING (l_partkey)
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+                  AND r.r_name = 'EUROPE'
+    WHERE 2 * ps.q > tot.tq
+    """,
+)
+def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted (no partsupp
+    availqty: "holds excess stock" = shipped MORE THAN HALF of a
+    part's total 1996 volume): EUROPE suppliers who dominated any
+    rod-named part. Q20's doubly-nested correlated chain
+    (`ps_availqty > (SELECT 0.5*sum(l_quantity) WHERE same part+supp)`)
+    decorrelates into one per-(part,supplier) rollup reused twice: a
+    window total over it replaces the inner aggregate, and the
+    half-share compare is integer (2q > total; quantities are whole).
+
+    Scale shape: the name-pattern part prune broadcasts into the fact
+    scan; ONE shuffle on l_partkey serves the rollup, the window
+    total, and the share filter; the surviving (supplier) set is
+    tiny, so the supplier/nation/region identification is a broadcast
+    semi-join chain; DISTINCT dedups winners across parts (a supplier
+    can dominate several)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    pa = load(spark, sf_dir, "part").filter(F.col("p_name").like("%rod"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ps.withColumn("tq", F.sum("q").over(w))
+        .filter(2 * F.col("q") > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    eu = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == n.n_nationkey,
+    )
+    return dominant.join(
+        F.broadcast(eu), dominant.l_suppkey == eu.s_suppkey
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "waiting_supplier_audit",
+    """
+    WITH ol AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supps,
+             CAST(sum(late) AS BIGINT) AS n_late
+      FROM ol GROUP BY 1
+    )
+    SELECT ol.l_suppkey AS s_suppkey,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM ol JOIN per_order USING (l_orderkey)
+    WHERE ol.late = 1 AND per_order.n_supps > 1 AND per_order.n_late = 1
+    GROUP BY 1
+    """,
+)
+def waiting_supplier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted (no
+    l_commitdate/receiptdate: "late" = shipped > 365 days after the
+    order date): per supplier, finished multi-supplier orders where
+    it was the SOLE late supplier. Q21's EXISTS (another supplier's
+    line) + NOT EXISTS (another supplier's LATE line) double
+    correlation decorrelates into one per-(order, supplier) late
+    flag and two window counts over it — `n_supps > 1` IS the
+    EXISTS, `n_late = 1` (with this supplier late) IS the NOT
+    EXISTS — turning two correlated fact-table probes into a single
+    extra aggregation on the partitioning already in hand.
+
+    Scale shape: ONE fact shuffle — the explicit hash(l_orderkey)
+    repartition after the (broadcast at this SF) orders join. It is
+    deliberately on l_orderkey alone, not the (orderkey, suppkey)
+    grouping pair: HashPartitioning(l_orderkey) satisfies the
+    rollup's ClusteredDistribution (subset rule), so the groupBy, the
+    window counts, AND the sole-late filter all run in that one
+    partitioning — left to itself Catalyst picks hash(orderkey,
+    suppkey) for the rollup and must re-exchange for the window
+    (verified: 3 Exchanges without the hint, 2 with). The final
+    per-supplier count is output-sized. The 365-day lateness gate is
+    timestamp arithmetic both engines evaluate identically on NTZ
+    values."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    ol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = ol.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count("*").over(w).alias("n_supps"),
+        F.sum("late").over(w).cast("bigint").alias("n_late"),
+    )
+    return (
+        flagged.filter(
+            (F.col("late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
