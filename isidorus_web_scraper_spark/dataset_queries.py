@@ -16100,3 +16100,88 @@ def waiting_supplier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.count("*").cast("bigint").alias("numwait"))
     )
+
+
+@query(
+    "harmonic_centrality_landmarks",
+    f"""
+    WITH RECURSIVE {_LINKGRAPH_SQL_CTES},
+    landmarks AS (SELECT doc_id AS l FROM documents WHERE doc_id % 131 = 0),
+    walk(v, l, d) AS (
+      SELECT l, l, 0 FROM landmarks
+      UNION
+      SELECT sym.w, walk.l, walk.d + 1
+      FROM walk JOIN sym ON sym.v = walk.v
+      WHERE walk.d < 4
+    ),
+    dist AS (
+      SELECT v, l, min(d) AS d FROM walk GROUP BY 1, 2
+    )
+    SELECT v AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_landmarks,
+           CAST(sum(60 // d) AS BIGINT) AS harmonic_x60
+    FROM dist WHERE d > 0
+    GROUP BY 1
+    """,
+)
+def harmonic_centrality_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality over the shared link
+    graph: C(v) = sum over landmark set L (every 131st doc) of 1/d(v,l)
+    within 4 hops — the centrality that, unlike closeness, is defined
+    on disconnected graphs (unreachable landmarks contribute 0, not
+    infinity), and the standard way to make centrality tractable at
+    graph scale (exact all-pairs is O(V·E); landmarks make it
+    O(|L|·E)). Complements the spectral family (pagerank/HITS) and the
+    structural one (k-core, triangles) with a DISTANCE-based member.
+    Scores are exact integers: d <= 4, so 1/d rides x60 (60/d whole
+    for d in 1..4) and the cap is shared with the oracle by
+    construction.
+
+    Scale shape: level-synchronous multi-source BFS carrying (node,
+    landmark) pairs — per level ONE frontier⋈edges equi-join on v and
+    one left-anti against the (v, l) visited set, both
+    frontier-sized, never |V|x|L|-sized (only REACHED pairs ever
+    materialize); per-level localCheckpoint bounds lineage exactly
+    like graph_bfs_levels; state is bounded by the hop cap. First-hit
+    depth IS the shortest distance (BFS invariant), so no min() fold
+    is needed — each (v, l) is emitted once, at its first level."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _linkgraph_edges(docs)
+    sym = (
+        edges.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        docs.filter(F.col("doc_id") % 131 == 0)
+        .select(F.col("doc_id").alias("v"), F.col("doc_id").alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    hits = None
+    for d in range(1, 5):
+        nxt = (
+            sym.join(frontier.select("v", "l"), "v")
+            .select(F.col("w").alias("v"), "l")
+            .distinct()
+            .join(visited, ["v", "l"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        scored = nxt.select(
+            "v", "l", F.lit(60 // d).cast("bigint").alias("h_x60")
+        )
+        hits = scored if hits is None else hits.unionByName(scored)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if hits is None:  # degenerate: no landmark has any edge
+        return docs.select(
+            F.col("doc_id"),
+            F.lit(0).cast("bigint").alias("n_landmarks"),
+            F.lit(0).cast("bigint").alias("harmonic_x60"),
+        ).limit(0)
+    return hits.groupBy(F.col("v").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_landmarks"),
+        F.sum("h_x60").cast("bigint").alias("harmonic_x60"),
+    )
