@@ -16185,3 +16185,57 @@ def harmonic_centrality_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("bigint").alias("n_landmarks"),
         F.sum("h_x60").cast("bigint").alias("harmonic_x60"),
     )
+
+
+@query(
+    "split_leakage_audit",
+    f"""
+    WITH {_MINHASH_SIG_CTES},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15))
+                     ::BIGINT % 10 = 0
+                THEN doc_a ELSE doc_b END AS test_doc
+    FROM cands
+    WHERE (('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15))
+             ::BIGINT % 10 = 0)
+       <> (('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15))
+             ::BIGINT % 10 = 0)
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage gate: near-duplicate candidate pairs
+    that STRADDLE a deterministic 90/10 hash split (exactly one side
+    in test) — the audit a pretraining pipeline runs before trusting
+    held-out eval numbers, because a test doc whose near-twin sits in
+    train leaks the answer (same failure decontaminate_benchmark
+    catches against EXTERNAL benchmarks, here against the pipeline's
+    OWN split). Candidates come from the same MinHash-LSH banding the
+    dedup family uses; the fold is a pure md5 expression of doc_id
+    (the stratified_sample convention), so membership is reproducible
+    across engines, runs, and re-partitions.
+
+    Scale shape: the only join is the per-bucket LSH band self-join
+    (never all-pairs); the fold gate is a scalar expression on the
+    candidate rows — ZERO extra joins or shuffles on top of the
+    banding pass (fold(doc) is a function of doc_id, not a lookup).
+    Emitting the leaking pairs (with the test-side doc) rather than a
+    count is deliberate: the remediation — move or drop the test doc
+    — needs the pair list."""
+    pairs = _band_pairs(_lsh_bands(_doc_grams(spark, sf_dir))).select(
+        "doc_a", "doc_b"
+    )
+    in_test = lambda c: md5_long(c.cast("string")) % 10 == 0  # noqa: E731
+    return pairs.filter(
+        in_test(F.col("doc_a")) != in_test(F.col("doc_b"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.when(in_test(F.col("doc_a")), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("test_doc"),
+    )
