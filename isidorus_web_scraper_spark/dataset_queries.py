@@ -16239,3 +16239,310 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("doc_b"))
         .alias("test_doc"),
     )
+
+
+# ===========================================================================
+# Round-5 session 14: rank statistics + richness estimation + audit family
+# ===========================================================================
+
+
+@query(
+    "mann_whitney_u",
+    """
+    WITH o AS (
+      SELECT CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    v AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(g) AS BIGINT) AS cnt1
+      FROM o GROUP BY cents
+    ),
+    r AS (
+      SELECT cnt, cnt1,
+             CAST(coalesce(sum(cnt) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c_lt
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(sum(cnt1) AS HUGEINT) AS n1,
+             CAST(sum(cnt) AS HUGEINT) AS n,
+             CAST(sum(cnt1 * (2 * c_lt + cnt + 1)) AS HUGEINT) AS two_r1,
+             CAST(sum(cnt * cnt * cnt - cnt) AS HUGEINT) AS sum_t
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n - n1 AS BIGINT) AS n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+           CAST(sum_t AS BIGINT) AS tie_term,
+           CAST(1875 * (two_r1 - n1 * (n1 + 1) - n1 * (n - n1))
+                     * (two_r1 - n1 * (n1 + 1) - n1 * (n - n1))
+                     * n * (n - 1) AS DOUBLE) AS z_lhs,
+           CAST(2401 * n1 * (n - n1) * (n * (n * n - 1) - sum_t)
+                AS DOUBLE) AS z_rhs,
+           1875 * (two_r1 - n1 * (n1 + 1) - n1 * (n - n1))
+                * (two_r1 - n1 * (n1 + 1) - n1 * (n - n1))
+                * n * (n - 1)
+             > 2401 * n1 * (n - n1) * (n * (n * n - 1) - sum_t)
+             AS significant
+    FROM s
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (tie-corrected normal
+    approximation): do URGENT-priority orders have stochastically
+    larger totals than the rest? The nonparametric complement to
+    ks_two_sample — KS asks 'same distribution?', U asks the ranked
+    'which side is larger?' without assuming normality of the heavily
+    right-skewed price column.
+
+    All rank arithmetic is integer-exact: ranks live DOUBLED
+    (2·avg_rank = 2·c_lt + t + 1 is an integer even where midranks are
+    .5), so 2R1, 2U1 and the tie term Σ(t³−t) are exact; the |z|>1.96
+    verdict is decided by cross-multiplication —
+    1875·(2U1 − n1n2)²·N(N−1) > 2401·n1·n2·(N³−N−ΣT), the exact
+    rational form of z² > (49/25)² with the tie-corrected variance —
+    no division, no sqrt, bit-identical across engines (ab_test_zprop
+    discipline extended to rank statistics; intermediates ride
+    DECIMAL(38,0): diff²·N² ≈ 10^33 at sf0.1, far under 38 digits).
+
+    Scale shape: one hash-agg to the DISTINCT-price frame (bounded by
+    price resolution, not rows), one window over that small frame, one
+    scalar rollup to a single row. The corpus is touched once."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.when(F.col("o_orderpriority").startswith("1-"), 1)
+        .otherwise(0)
+        .alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v = o.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("g").cast("bigint").alias("cnt1"),
+    )
+    w_lt = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "cnt",
+        "cnt1",
+        F.coalesce(F.sum("cnt").over(w_lt), F.lit(0)).alias("c_lt"),
+    )
+    d38 = "decimal(38,0)"
+    s = r.agg(
+        F.sum("cnt1").cast(d38).alias("n1"),
+        F.sum("cnt").cast(d38).alias("n"),
+        F.sum(
+            F.col("cnt1") * (2 * F.col("c_lt") + F.col("cnt") + 1)
+        ).cast(d38).alias("two_r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast(d38).alias("sum_t"),
+    )
+    n1, n = F.col("n1"), F.col("n")
+    n2 = n - n1
+    two_u1 = F.col("two_r1") - n1 * (n1 + 1)
+    diff = two_u1 - n1 * n2
+    lhs = F.lit(1875).cast(d38) * diff * diff * n * (n - 1)
+    rhs = (
+        F.lit(2401).cast(d38) * n1 * n2 * (n * (n * n - 1) - F.col("sum_t"))
+    )
+    return s.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        two_u1.cast("bigint").alias("two_u1"),
+        F.col("sum_t").cast("bigint").alias("tie_term"),
+        lhs.cast("double").alias("z_lhs"),
+        rhs.cast("double").alias("z_rhs"),
+        (lhs > rhs).alias("significant"),
+    )
+
+
+@query(
+    "chao1_vocab_estimate",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           round(count(*)
+                 + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                        AS DOUBLE)
+                   / (2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)),
+                 6) AS chao1_est
+    FROM f
+    GROUP BY lang
+    """,
+)
+def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary per
+    language — the capture-recapture answer to 'how big is the
+    vocabulary really, given what this corpus sampled?'. Uses the
+    bias-corrected form V + f1(f1−1)/(2(f2+1)), which is finite even
+    when no token occurs exactly twice (f2 = 0) — no guard branch
+    needed, the +1 IS the estimator. Complements vocab_hapax_rate
+    (which reports the f1 share) by turning the (f1, f2) tail into an
+    extrapolated total; same ' '-split token law as the whole
+    text_tokens family. f1(f1−1) is exact integer arithmetic; the one
+    division happens once per language row.
+
+    Scale shape: identical to vocab_hapax_rate — one (lang, token)
+    count agg (map-side combined) over the exploded corpus, then a
+    per-lang rollup of the vocab-sized frame."""
+    docs = load(spark, sf_dir, "documents")
+    f = (
+        docs.select("lang", F.explode(words(F.col("text"))).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    g = f.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum((F.col("c") == 1).cast("bigint")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("bigint")).cast("bigint").alias("f2"),
+    )
+    return g.select(
+        "lang",
+        "n_vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("n_vocab")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1_est"),
+    )
+
+
+@query(
+    "simpsons_paradox_audit",
+    """
+    WITH li AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy
+      FROM li GROUP BY grp
+    ),
+    sgn AS (
+      SELECT grp, n,
+             CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS s,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num
+      FROM g
+    ),
+    pooled AS (
+      SELECT CAST('ALL' AS VARCHAR) AS grp, sum(n) AS n,
+             CASE WHEN sum(n) * sum(sxy) - sum(sx) * sum(sy) > 0 THEN 1
+                  WHEN sum(n) * sum(sxy) - sum(sx) * sum(sy) < 0 THEN -1
+                  ELSE 0 END AS s,
+             CAST(sum(n) * sum(sxy) - sum(sx) * sum(sy) AS DOUBLE)
+               AS slope_num
+      FROM (SELECT n, sx, sy, sxy FROM g) t
+    ),
+    flag AS (
+      SELECT (SELECT min(s) FROM sgn) = (SELECT max(s) FROM sgn)
+             AND (SELECT min(s) FROM sgn) <> 0
+             AND (SELECT min(s) FROM sgn) <> (SELECT s FROM pooled)
+             AS paradox
+    )
+    SELECT u.grp, CAST(u.n AS BIGINT) AS n_rows,
+           u.s AS slope_sign, u.slope_num, flag.paradox
+    FROM (SELECT grp, n, s, slope_num FROM sgn
+          UNION ALL
+          SELECT grp, n, s, slope_num FROM pooled) u
+    CROSS JOIN flag
+    """,
+)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the quantity→revenue association:
+    per return-flag stratum AND pooled, the SIGN of the OLS slope
+    numerator n·Σxy − Σx·Σy (x = quantity, y = discounted revenue in
+    10^-4 dollars so every sum is an exact integer), plus a corpus
+    paradox flag — TRUE iff all strata agree on a nonzero sign that
+    the pooled sign contradicts. The canonical aggregation-bias gate a
+    pipeline runs before trusting a pooled correlation: a reversed
+    pooled sign means the stratum mix, not the relationship, drives
+    the headline number. Every decision is integer (HUGEINT /
+    DECIMAL(38,0): n·Σxy ≈ 10^22 at sf0.1); slope_num doubles are
+    witnesses cast from the same exact integers.
+
+    Scale shape: one map-side-combinable agg to the strata frame
+    (|return flags| rows); the pooled row re-folds those sums — the
+    corpus is touched exactly once, and the paradox flag is a
+    broadcast of a 1-row frame."""
+    li = load(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    rows = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("y"),
+    )
+    g = rows.groupBy("grp").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+    )
+
+    def _sign(num: Column) -> Column:
+        return (
+            F.when(num > 0, 1).when(num < 0, -1).otherwise(0)
+        ).cast("int")
+
+    num_g = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    sgn = g.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n_rows"),
+        _sign(num_g).alias("slope_sign"),
+        num_g.cast("double").alias("slope_num"),
+    )
+    p = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+    )
+    num_p = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    pooled = p.select(
+        F.lit("ALL").alias("grp"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        _sign(num_p).alias("slope_sign"),
+        num_p.cast("double").alias("slope_num"),
+    )
+    flag = (
+        sgn.agg(
+            F.min("slope_sign").alias("mn"), F.max("slope_sign").alias("mx")
+        )
+        .crossJoin(
+            F.broadcast(pooled.select(F.col("slope_sign").alias("ps")))
+        )
+        .select(
+            (
+                (F.col("mn") == F.col("mx"))
+                & (F.col("mn") != 0)
+                & (F.col("mn") != F.col("ps"))
+            ).alias("paradox")
+        )
+    )
+    return sgn.unionByName(pooled).crossJoin(F.broadcast(flag))

@@ -348,3 +348,108 @@ def test_theil_sen_single_month(spark, tmp_path):
     assert row.slope_cents_per_month is None
     assert row.intercept_cents is None
     compare(df, _conn_with({"orders": path}), ORACLE["theil_sen_slope"])
+
+
+def test_mann_whitney_empty_cohort_and_all_ties(spark, tmp_path):
+    # all-low-priority (n1 = 0) AND every total identical (pure ties):
+    # diff = 2U1 - n1*n2 = 0 and the tie term drives the variance to 0,
+    # so BOTH sides of the cross-multiplied verdict are exactly 0 and
+    # significant must be FALSE in both engines — no 0/0, no NaN
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0, "5-LOW") for i in range(6)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["mann_whitney_u"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n1 == 0 and row.n2 == 6
+    assert row.two_u1 == 0
+    assert row.z_lhs == 0.0 and row.z_rhs == 0.0
+    assert row.significant is False
+    compare(df, _conn_with({"orders": path}), ORACLE["mann_whitney_u"])
+
+
+def test_mann_whitney_all_tied_mixed_groups(spark, tmp_path):
+    # both cohorts present but every value tied: midranks make
+    # 2U1 = n1*n2 exactly (diff = 0) and the verdict is FALSE with the
+    # tie term equal to N^3 - N (one tie group of size N)
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0, "1-URGENT" if i % 2 == 0 else "5-LOW") for i in range(6)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["mann_whitney_u"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n1 == 3 and row.n2 == 3
+    assert row.two_u1 == row.n1 * row.n2  # 2U1 = n1*n2 exactly
+    assert row.tie_term == 6 ** 3 - 6
+    assert row.significant is False
+    compare(df, _conn_with({"orders": path}), ORACLE["mann_whitney_u"])
+
+
+def test_chao1_no_doubletons_and_no_singletons(spark, tmp_path):
+    # lang 'aa': every token unique (f2 = 0) — the bias-corrected
+    # +1 denominator keeps chao1 finite with NO guard branch;
+    # lang 'bb': every token repeated (f1 = 0) — chao1 == V exactly
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "aa", "s", 16),
+            (2, "delta epsilon", "aa", "s", 13),
+            (3, "x y x y", "bb", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["chao1_vocab_estimate"](spark, str(tmp_path))
+    rows = {r.lang: r for r in df.collect()}
+    aa, bb = rows["aa"], rows["bb"]
+    assert aa.f2 == 0 and aa.f1 == 5
+    assert aa.chao1_est == 5 + (5 * 4) / 2.0  # finite, = 15.0
+    assert bb.f1 == 0 and bb.chao1_est == float(bb.n_vocab)
+    compare(df, _conn_with({"documents": path}), ORACLE["chao1_vocab_estimate"])
+
+
+def test_simpsons_single_stratum_no_paradox(spark, tmp_path):
+    # one stratum: pooled == the stratum, so the paradox flag must be
+    # FALSE even though all strata trivially agree on the sign
+    path = f"{tmp_path}/lineitem.parquet"
+    spark.createDataFrame(
+        [(1.0 * q, 100.0 * q, 0.0, "A") for q in range(1, 6)],
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        " l_returnflag string",
+    ).write.parquet(path)
+    df = QUERIES["simpsons_paradox_audit"](spark, str(tmp_path))
+    rows = {r.grp: r for r in df.collect()}
+    assert rows["A"].slope_sign == 1 and rows["ALL"].slope_sign == 1
+    assert all(r.paradox is False for r in rows.values())
+    compare(
+        df, _conn_with({"lineitem": path}), ORACLE["simpsons_paradox_audit"]
+    )
+
+
+def test_simpsons_constructed_reversal_flags(spark, tmp_path):
+    # the textbook reversal: within each stratum y DECREASES in x, but
+    # stratum B sits at both higher x and higher y, so the pooled slope
+    # sign flips positive — paradox must be TRUE on every output row
+    rows = [
+        # stratum A: x in {1,2}, y falls 100 -> 90
+        (1.0, 1.00, 0.0, "A"),
+        (2.0, 0.90, 0.0, "A"),
+        # stratum B: x in {10,11}, y falls 1000 -> 990 (but >> A's y)
+        (10.0, 10.00, 0.0, "B"),
+        (11.0, 9.90, 0.0, "B"),
+    ]
+    path = f"{tmp_path}/lineitem.parquet"
+    spark.createDataFrame(
+        rows,
+        "l_quantity double, l_extendedprice double, l_discount double,"
+        " l_returnflag string",
+    ).write.parquet(path)
+    df = QUERIES["simpsons_paradox_audit"](spark, str(tmp_path))
+    got = {r.grp: r for r in df.collect()}
+    assert got["A"].slope_sign == -1 and got["B"].slope_sign == -1
+    assert got["ALL"].slope_sign == 1
+    assert all(r.paradox is True for r in got.values())
+    compare(
+        df, _conn_with({"lineitem": path}), ORACLE["simpsons_paradox_audit"]
+    )
