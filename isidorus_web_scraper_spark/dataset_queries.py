@@ -16546,3 +16546,447 @@ def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sgn.unionByName(pooled).crossJoin(F.broadcast(flag))
+
+
+@query(
+    "logrank_test",
+    """
+    WITH o2 AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    f AS (SELECT o_custkey, min(d) AS first_d FROM o2 GROUP BY o_custkey),
+    nxt AS (
+      SELECT o2.o_custkey, min(o2.d) AS second_d
+      FROM o2 JOIN f ON o2.o_custkey = f.o_custkey
+      WHERE o2.d > f.first_d
+      GROUP BY o2.o_custkey
+    ),
+    hz AS (SELECT max(d) AS horizon FROM o2),
+    durs AS (
+      SELECT CASE WHEN nxt.second_d IS NOT NULL
+                  THEN datediff('day', f.first_d, nxt.second_d)
+                  ELSE datediff('day', f.first_d, hz.horizon) END AS dur,
+             CASE WHEN nxt.second_d IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+      FROM f
+      LEFT JOIN nxt ON f.o_custkey = nxt.o_custkey
+      JOIN customer c ON f.o_custkey = c.c_custkey
+      CROSS JOIN hz
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(g) AS BIGINT) AS n1_all,
+             CAST(sum(ev * g) AS BIGINT) AS events1
+      FROM durs
+    ),
+    byt AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(g) AS BIGINT) AS cnt1,
+             CAST(sum(ev) AS BIGINT) AS d,
+             CAST(sum(ev * g) AS BIGINT) AS d1
+      FROM durs GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d, d1,
+             tot.n_all - CAST(coalesce(sum(cnt) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n,
+             tot.n1_all - CAST(coalesce(sum(cnt1) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1
+      FROM byt CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT dur,
+             CAST(d1 AS DOUBLE) - d * n1 / n AS oe,
+             CASE WHEN n > 1
+                  THEN d * (n1 / n) * ((n - n1) / n) * (n - d)
+                       / (n - 1)
+                  ELSE 0.0 END AS v
+      FROM risk WHERE d >= 1
+    ),
+    folded AS (
+      SELECT sum(oe) OVER w AS oe_sum, sum(v) OVER w AS v_sum,
+             row_number() OVER (ORDER BY dur DESC) AS rn
+      FROM terms
+      WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT CAST(tot.n1_all AS BIGINT) AS n1_total,
+           CAST(tot.n_all - tot.n1_all AS BIGINT) AS n2_total,
+           tot.events1,
+           round(folded.oe_sum, 6) AS o_minus_e,
+           round(folded.v_sum, 6) AS var_sum,
+           CASE WHEN folded.v_sum > 0
+                THEN round(folded.oe_sum * folded.oe_sum / folded.v_sum, 6)
+           END AS chi2,
+           CASE WHEN folded.v_sum > 0
+                THEN round(folded.oe_sum * folded.oe_sum / folded.v_sum, 6)
+                     > 3.841459 END AS significant
+    FROM folded CROSS JOIN tot WHERE folded.rn = 1
+    """,
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: does the BUILDING market segment repurchase on a
+    different schedule than everyone else? The two-group comparison
+    that kaplan_meier_repurchase's single curve can't make —
+    censoring-correct (a naive repurchase-rate compare ignores that
+    recent first-time customers haven't HAD time), summing O−E and the
+    hypergeometric variance over the distinct event times.
+
+    Determinism discipline: at-risk counts n, n1 and event counts d,
+    d1 are exact integers per time (cumulative-count windows); the
+    per-time float terms d·n1/n and the variance use the identical
+    IEEE expression tree in both engines (multiplication/division are
+    correctly-rounded, so each term is bit-identical); the two sums
+    fold as ordered cumulative windows over dur — ONE canonical
+    addition order, never an unordered SUM whose float fold Spark
+    doesn't pin. χ²>3.841459 (1 df, 95%) compares rounded values.
+
+    Scale shape: the duration build is kaplan_meier's (two
+    map-side-combinable aggs + a custkey self-join + a broadcast
+    1-row horizon) plus one broadcast-sized customer-segment join;
+    all windows run on the DISTINCT-duration frame (calendar-bounded,
+    never customer-bounded)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    o2 = orders.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    f = o2.groupBy("o_custkey").agg(F.min("d").alias("first_d"))
+    nxt = (
+        o2.join(f, "o_custkey")
+        .filter(F.col("d") > F.col("first_d"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("second_d"))
+    )
+    hz = o2.agg(F.max("d").alias("horizon"))
+    durs = (
+        f.join(nxt, "o_custkey", "left")
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                .otherwise(0)
+                .alias("g"),
+            ),
+            "o_custkey",
+        )
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.when(
+                F.col("second_d").isNotNull(),
+                F.datediff(F.col("second_d"), F.col("first_d")),
+            )
+            .otherwise(F.datediff(F.col("horizon"), F.col("first_d")))
+            .alias("dur"),
+            F.when(F.col("second_d").isNotNull(), 1).otherwise(0).alias("ev"),
+            "g",
+        )
+    )
+    tot = durs.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("g").cast("bigint").alias("n1_all"),
+        F.sum(F.col("ev") * F.col("g")).cast("bigint").alias("events1"),
+    )
+    byt = durs.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("g").cast("bigint").alias("cnt1"),
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.col("ev") * F.col("g")).cast("bigint").alias("d1"),
+    )
+    w_lt = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "d1",
+        (
+            F.col("n_all")
+            - F.coalesce(F.sum("cnt").over(w_lt), F.lit(0))
+        ).alias("n"),
+        (
+            F.col("n1_all")
+            - F.coalesce(F.sum("cnt1").over(w_lt), F.lit(0))
+        ).alias("n1"),
+    )
+    terms = risk.filter(F.col("d") >= 1).select(
+        "dur",
+        (
+            F.col("d1").cast("double")
+            - F.col("d") * F.col("n1") / F.col("n")
+        ).alias("oe"),
+        F.when(
+            F.col("n") > 1,
+            F.col("d")
+            * (F.col("n1") / F.col("n"))
+            * ((F.col("n") - F.col("n1")) / F.col("n"))
+            * (F.col("n") - F.col("d"))
+            / (F.col("n") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = terms.select(
+        F.sum("oe").over(w_cum).alias("oe_sum"),
+        F.sum("v").over(w_cum).alias("v_sum"),
+        F.row_number().over(Window.orderBy(F.desc("dur"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    chi2 = F.col("oe_sum") * F.col("oe_sum") / F.col("v_sum")
+    return folded.crossJoin(F.broadcast(tot)).select(
+        F.col("n1_all").cast("bigint").alias("n1_total"),
+        (F.col("n_all") - F.col("n1_all")).cast("bigint").alias("n2_total"),
+        "events1",
+        F.round("oe_sum", 6).alias("o_minus_e"),
+        F.round("v_sum", 6).alias("var_sum"),
+        F.when(F.col("v_sum") > 0, F.round(chi2, 6)).alias("chi2"),
+        F.when(F.col("v_sum") > 0, F.round(chi2, 6) > 3.841459).alias(
+            "significant"
+        ),
+    )
+
+
+@query(
+    "ucb_host_selection",
+    """
+    WITH ledger AS (
+      SELECT doc_id % 53 AS host,
+             CASE WHEN ('0x' || substr(md5('err:' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT % 100 >= doc_id % 53
+                  THEN 1 ELSE 0 END AS ok
+      FROM documents
+    ),
+    h AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS attempts,
+             CAST(sum(ok) AS BIGINT) AS successes
+      FROM ledger GROUP BY host
+    ),
+    tot AS (SELECT CAST(sum(attempts) AS BIGINT) AS n_total FROM h),
+    scored AS (
+      SELECT host, attempts, successes,
+             CAST(successes AS DOUBLE) / attempts
+               + sqrt(2 * ln(CAST(tot.n_total AS DOUBLE)) / attempts)
+               AS ucb
+      FROM h CROSS JOIN tot
+    )
+    SELECT CAST(row_number() OVER (ORDER BY ucb DESC, host) AS INT) AS rank,
+           host, attempts, successes, round(ucb, 6) AS ucb_score
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY ucb DESC, host) <= 10
+    """,
+)
+def ucb_host_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit scores for crawl host selection: which hosts should
+    the next round's budget explore? score = success rate +
+    sqrt(2·ln(N)/n_i) — the optimism bonus sends budget to hosts the
+    crawler has barely probed even when their observed rate is
+    mediocre, the regret-bounded alternative to the breaker's
+    pure-threshold verdict (same deterministic attempt/error ledger as
+    host_error_breaker: host = doc_id % 53, md5 error gate).
+
+    Determinism: attempts/successes are exact map-side integers; the
+    ln/sqrt floats come from identical IEEE expression trees (ln is
+    within 1 ulp across libm implementations — adjacent hosts' scores
+    differ at ~1e-3, six orders above the ulp, and the output rounds
+    to 6 dp; host breaks exact float ties). Top-10 by (score, host).
+
+    Scale shape: one hash agg to the hosts frame, a 1-row broadcast
+    total, one window over |hosts| rows — the ledger is touched
+    once; at 10^7 hosts the window becomes a top-k rank over an
+    already-small aggregate, never over attempts."""
+    docs = load(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 53).alias("host")
+    ok = (
+        md5_long(F.concat(F.lit("err:"), F.col("doc_id").cast("string")))
+        % 100
+        >= F.col("doc_id") % 53
+    ).cast("int")
+    h = docs.select(host, ok.alias("ok")).groupBy("host").agg(
+        F.count("*").cast("bigint").alias("attempts"),
+        F.sum("ok").cast("bigint").alias("successes"),
+    )
+    tot = h.agg(F.sum("attempts").cast("bigint").alias("n_total"))
+    scored = h.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "attempts",
+        "successes",
+        (
+            F.col("successes").cast("double") / F.col("attempts")
+            + F.sqrt(
+                2 * F.log(F.col("n_total").cast("double"))
+                / F.col("attempts")
+            )
+        ).alias("ucb"),
+    )
+    w = Window.orderBy(F.desc("ucb"), F.asc("host"))
+    return (
+        scored.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "host",
+            "attempts",
+            "successes",
+            F.round("ucb", 6).alias("ucb_score"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@query(
+    "benjamini_hochberg",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(hit) AS HUGEINT) AS x
+      FROM e GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(x) AS HUGEINT) AS xx,
+             CAST(count(*) AS BIGINT) AS m
+      FROM t
+    ),
+    z AS (
+      SELECT event_type, n, x, m,
+             CASE WHEN xx * (nn - xx) * n * (nn - n) > 0 THEN
+               sqrt(CAST((x * (nn - n) - (xx - x) * n)
+                         * (x * (nn - n) - (xx - x) * n) * nn AS DOUBLE)
+                    / CAST(xx * (nn - xx) * n * (nn - n) AS DOUBLE))
+             END AS zval
+      FROM t CROSS JOIN tot
+    ),
+    p AS (
+      SELECT event_type, n, x, m, zval,
+             (1.0 / (1.0 + 0.3275911 * (zval * 0.7071067811865476)))
+             * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (zval * 0.7071067811865476)))
+               * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * (zval * 0.7071067811865476)))
+                 * (1.421413741 + (1.0 / (1.0 + 0.3275911 * (zval * 0.7071067811865476)))
+                   * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * (zval * 0.7071067811865476)))
+                     * 1.061405429))))
+             * exp(-(zval * 0.7071067811865476) * (zval * 0.7071067811865476))
+               AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT event_type, n, x, m, zval, pval,
+             CAST(row_number() OVER (ORDER BY pval, event_type) AS INT) AS k,
+             CASE WHEN round(pval, 9) <= 0.05 * row_number()
+                    OVER (ORDER BY pval, event_type) / m
+                  THEN 1 ELSE 0 END AS under
+      FROM p
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+           round(zval, 6) AS z, round(pval, 6) AS p_value, k,
+           max(under) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) = 1 AS reject
+    FROM ranked
+    """,
+)
+def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-event-type slice
+    tests: for each type, a two-proportion z of P(value > 50) vs the
+    REST of the corpus, converted to a two-sided-ish upper-tail
+    p = erfc(z/√2) and passed through the BH step-up (reject all
+    k ≤ max{k : p(k) ≤ α·k/m}, α = 0.05) — the multiple-comparisons
+    gate that stops a 'which slices shifted?' sweep from crying wolf
+    m·α of the time (feature_psi and term_drift_chi2 report raw
+    per-slice statistics; this is the corpus-level decision rule).
+
+    Determinism: counts are exact integers; z² is the exact-integer
+    rational diff²·N / (X(N−X)·n·n_rest) evaluated as ONE double
+    division; erfc uses the Abramowitz-Stegun 7.1.26 polynomial —
+    pure +,*,/ plus one exp — written as the IDENTICAL expression
+    tree in both engines (the polynomial's 1.5e-7 absolute error is a
+    property of the APPROXIMATION, shared exactly by both sides). The
+    BH compare uses round(p, 9) so a sub-ulp exp() divergence cannot
+    flip a verdict; step-up = a running max over the k-ordered frame.
+
+    Scale shape: one map-side agg to the m-row type frame; everything
+    after is windows over m rows with a 1-row broadcast total."""
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    t = ev.select(
+        "event_type",
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("hit"),
+    ).groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("hit").cast(d38).alias("x"),
+    )
+    tot = t.agg(
+        F.sum("n").alias("nn"),
+        F.sum("x").alias("xx"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    j = t.crossJoin(F.broadcast(tot))
+    diff = F.col("x") * (F.col("nn") - F.col("n")) - (
+        F.col("xx") - F.col("x")
+    ) * F.col("n")
+    den = (
+        F.col("xx")
+        * (F.col("nn") - F.col("xx"))
+        * F.col("n")
+        * (F.col("nn") - F.col("n"))
+    )
+    # den = 0 only GLOBALLY (all-hit / no-hit corpus, or a single
+    # type): every row nulls together, so the k-order tiebreak is
+    # event_type alone in both engines — no mixed NULL ordering
+    zval = F.when(
+        den > 0,
+        F.sqrt((diff * diff * F.col("nn")).cast("double") / den.cast("double")),
+    )
+    z = j.select("event_type", "n", "x", "m", zval.alias("zval"))
+    xs = F.col("zval") * F.lit(0.7071067811865476)
+    tpoly = 1.0 / (1.0 + F.lit(0.3275911) * xs)
+    pval = (
+        tpoly
+        * (
+            F.lit(0.254829592)
+            + tpoly
+            * (
+                F.lit(-0.284496736)
+                + tpoly
+                * (
+                    F.lit(1.421413741)
+                    + tpoly
+                    * (F.lit(-1.453152027) + tpoly * F.lit(1.061405429))
+                )
+            )
+        )
+        * F.exp(-xs * xs)
+    )
+    p = z.select("event_type", "n", "x", "m", "zval", pval.alias("pval"))
+    w_k = Window.orderBy("pval", "event_type")
+    ranked = p.select(
+        "event_type",
+        "n",
+        "x",
+        "zval",
+        "pval",
+        F.row_number().over(w_k).cast("int").alias("k"),
+        F.when(
+            F.round("pval", 9)
+            <= F.lit(0.05) * F.row_number().over(w_k) / F.col("m"),
+            1,
+        )
+        .otherwise(0)
+        .alias("under"),
+    )
+    w_up = Window.orderBy("k").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return ranked.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("x").cast("bigint").alias("x"),
+        F.round("zval", 6).alias("z"),
+        F.round("pval", 6).alias("p_value"),
+        "k",
+        (F.max("under").over(w_up) == 1).alias("reject"),
+    )

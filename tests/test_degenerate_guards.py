@@ -453,3 +453,101 @@ def test_simpsons_constructed_reversal_flags(spark, tmp_path):
     compare(
         df, _conn_with({"lineitem": path}), ORACLE["simpsons_paradox_audit"]
     )
+
+
+def test_logrank_single_group(spark, tmp_path):
+    # every customer is BUILDING: n1 = n at every time, the variance
+    # terms are exactly 0, and chi2/significant must be NULL in BOTH
+    # engines (0/0 never evaluated — the guard decides on v_sum > 0)
+    opath = f"{tmp_path}/orders.parquet"
+    cpath = f"{tmp_path}/customer.parquet"
+    spark.createDataFrame(
+        [(i, i % 3, f"2026-01-{1 + i:02d}") for i in range(8)],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).write.parquet(opath)
+    spark.createDataFrame(
+        [(i, "BUILDING") for i in range(3)],
+        "c_custkey long, c_mktsegment string",
+    ).write.parquet(cpath)
+    df = QUERIES["logrank_test"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n2_total == 0 and row.chi2 is None and row.significant is None
+    compare(
+        df,
+        _conn_with({"orders": opath, "customer": cpath}),
+        ORACLE["logrank_test"],
+    )
+
+
+def test_logrank_no_repurchases(spark, tmp_path):
+    # nobody repurchases: zero event times, the terms frame is empty,
+    # and both engines return an EMPTY result (0 rows == 0 rows)
+    opath = f"{tmp_path}/orders.parquet"
+    cpath = f"{tmp_path}/customer.parquet"
+    spark.createDataFrame(
+        [(i, i, "2026-01-05") for i in range(4)],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).write.parquet(opath)
+    spark.createDataFrame(
+        [(i, "BUILDING" if i % 2 == 0 else "MACHINERY") for i in range(4)],
+        "c_custkey long, c_mktsegment string",
+    ).write.parquet(cpath)
+    df = QUERIES["logrank_test"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df,
+        _conn_with({"orders": opath, "customer": cpath}),
+        ORACLE["logrank_test"],
+    )
+
+
+def test_ucb_single_attempt_hosts(spark, tmp_path):
+    # N = 1 total attempt: ln(1) = 0, the bonus vanishes exactly and
+    # the score is the bare success rate — no NaN, no negative sqrt
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(53, "t", "en", "s", 1)],  # doc 53 -> host 0
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["ucb_host_selection"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.host == 0 and row.attempts == 1
+    assert row.ucb_score == float(row.successes)
+    compare(df, _conn_with({"documents": path}), ORACLE["ucb_host_selection"])
+
+
+def test_bh_no_hits_all_null(spark, tmp_path):
+    # value never exceeds 50: the pooled denominator is exactly 0 in
+    # every row's test, z/p are NULL in both engines (integer guard
+    # BEFORE the division), k falls back to the event_type tiebreak,
+    # and nothing is rejected
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [(i, 1.0 + i, ["view", "click"][i % 2]) for i in range(8)],
+        "event_id long, value double, event_type string",
+    ).write.parquet(path)
+    df = QUERIES["benjamini_hochberg"](spark, str(tmp_path))
+    rows = df.collect()
+    assert all(r.z is None and r.p_value is None for r in rows)
+    assert all(r.reject is False for r in rows)
+    compare(df, _conn_with({"events": path}), ORACLE["benjamini_hochberg"])
+
+
+def test_bh_constructed_shift_rejects(spark, tmp_path):
+    # one type sits entirely above 50, one entirely below, two mixed:
+    # BH must reject the extreme types and spare the unshifted ones
+    rows = []
+    for i in range(40):
+        rows.append((len(rows), 90.0, "hot"))
+        rows.append((len(rows), 10.0, "cold"))
+        rows.append((len(rows), 90.0 if i % 2 == 0 else 10.0, "mid_a"))
+        rows.append((len(rows), 90.0 if i % 2 == 1 else 10.0, "mid_b"))
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows, "event_id long, value double, event_type string"
+    ).write.parquet(path)
+    df = QUERIES["benjamini_hochberg"](spark, str(tmp_path))
+    got = {r.event_type: r.reject for r in df.collect()}
+    assert got["hot"] is True and got["cold"] is True
+    assert got["mid_a"] is False and got["mid_b"] is False
+    compare(df, _conn_with({"events": path}), ORACLE["benjamini_hochberg"])
