@@ -16990,3 +16990,335 @@ def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         (F.max("under").over(w_up) == 1).alias("reject"),
     )
+
+
+@query(
+    "shapley_attribution",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS INT) AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS x
+      FROM u GROUP BY mask
+    ),
+    masks AS (
+      SELECT CAST(range AS INT) AS mask,
+             coalesce(obs.n, 0) AS n, coalesce(obs.x, 0) AS x,
+             CASE WHEN coalesce(obs.n, 0) > 0
+                  THEN CAST(coalesce(obs.x, 0) AS DOUBLE) / obs.n
+                  ELSE 0.0 END AS v
+      FROM range(16) LEFT JOIN obs ON CAST(range AS INT) = obs.mask
+    ),
+    ch AS (
+      SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                            ('signup', 4), ('view', 8)) t(channel, bit)
+    ),
+    terms AS (
+      SELECT ch.channel, s.mask,
+             CASE ((s.mask >> 0) & 1) + ((s.mask >> 1) & 1)
+                + ((s.mask >> 2) & 1) + ((s.mask >> 3) & 1)
+               WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+               * (si.v - s.v) AS term
+      FROM ch
+      JOIN masks s ON (s.mask & ch.bit) = 0
+      JOIN masks si ON si.mask = s.mask + ch.bit
+    ),
+    folded AS (
+      SELECT channel,
+             sum(term) OVER (PARTITION BY channel ORDER BY mask
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS acc,
+             row_number() OVER (PARTITION BY channel ORDER BY mask DESC)
+               AS rn
+      FROM terms
+    ),
+    exposure AS (
+      SELECT ch.channel,
+             CAST(sum(m.n) AS BIGINT) AS n_exposed,
+             CAST(sum(m.x) AS BIGINT) AS conv_exposed
+      FROM ch JOIN masks m ON (m.mask & ch.bit) <> 0
+      GROUP BY ch.channel
+    )
+    SELECT folded.channel, exposure.n_exposed, exposure.conv_exposed,
+           round(folded.acc / 24.0, 6) AS shapley_value
+    FROM folded JOIN exposure ON folded.channel = exposure.channel
+    WHERE folded.rn = 1
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution of conversions to the four
+    pre-purchase channels: each user's exposure set is a 4-bit mask,
+    the coalition value v(S) is the conversion rate of users exposed
+    to EXACTLY S (unobserved coalitions contribute v = 0, the
+    exact-exposure convention — documented, same on both sides), and
+    φ_channel = Σ_{S∌i} |S|!(3−|S|)!·(v(S∪i) − v(S)) / 4! — the
+    marginal-contribution average that last-touch / linear attribution
+    (events_attribution_join family) cannot justify axiomatically.
+    The factorial weights arrive PRE-MULTIPLIED by 4! so they're the
+    exact integers {6,2,2,6}; the only floats are the v rates (one
+    division per observed mask, IEEE-identical) and the per-channel
+    fold, which runs as an ORDERED cumulative window over mask — one
+    canonical addition order in both engines.
+
+    Scale shape: one user-keyed mask agg (map-side combined), one
+    16-row mask rollup; everything after is joins/windows over frames
+    of size 16, 4, and 64 — the corpus is touched once. Channel count
+    is the only exponent: 2^|channels| coalition rows, fine for the
+    ≤20-channel attribution sets this is used on."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            + 4
+            * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            + 8 * F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        )
+        .cast("int")
+        .alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    obs = u.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+    )
+    all_masks = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    masks = (
+        all_masks.join(obs, "mask", "left")
+        .select(
+            "mask",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+        .select(
+            "mask",
+            "n",
+            "x",
+            F.when(
+                F.col("n") > 0, F.col("x").cast("double") / F.col("n")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v"),
+        )
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    s = masks.select(
+        F.col("mask").alias("smask"), F.col("v").alias("sv")
+    )
+    si = masks.select(
+        F.col("mask").alias("simask"), F.col("v").alias("siv")
+    )
+    popcount = (
+        F.shiftright(F.col("smask"), 0).bitwiseAND(1)
+        + F.shiftright(F.col("smask"), 1).bitwiseAND(1)
+        + F.shiftright(F.col("smask"), 2).bitwiseAND(1)
+        + F.shiftright(F.col("smask"), 3).bitwiseAND(1)
+    )
+    weight = (
+        F.when(popcount == 0, 6)
+        .when(popcount == 1, 2)
+        .when(popcount == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        ch.join(F.broadcast(s), s.smask.bitwiseAND(ch.bit) == 0)
+        .join(F.broadcast(si), F.col("simask") == F.col("smask") + F.col("bit"))
+        .select(
+            "channel",
+            F.col("smask").alias("mask"),
+            (weight * (F.col("siv") - F.col("sv"))).alias("term"),
+        )
+    )
+    w_cum = Window.partitionBy("channel").orderBy("mask").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_last = Window.partitionBy("channel").orderBy(F.desc("mask"))
+    folded = terms.select(
+        "channel",
+        F.sum("term").over(w_cum).alias("acc"),
+        F.row_number().over(w_last).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    exposure = (
+        ch.join(F.broadcast(masks), masks.mask.bitwiseAND(ch.bit) != 0)
+        .groupBy("channel")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_exposed"),
+            F.sum("x").cast("bigint").alias("conv_exposed"),
+        )
+    )
+    return folded.join(exposure, "channel").select(
+        "channel",
+        "n_exposed",
+        "conv_exposed",
+        F.round(F.col("acc") / 24.0, 6).alias("shapley_value"),
+    )
+
+
+@query(
+    "kruskal_wallis",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    v AS (
+      SELECT cents, grp, CAST(count(*) AS BIGINT) AS cnt
+      FROM o GROUP BY cents, grp
+    ),
+    tv AS (
+      SELECT cents, CAST(sum(cnt) AS BIGINT) AS tcnt
+      FROM v GROUP BY cents
+    ),
+    r AS (
+      SELECT cents, tcnt,
+             CAST(coalesce(sum(tcnt) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c_lt
+      FROM tv
+    ),
+    g AS (
+      SELECT v.grp, CAST(sum(v.cnt) AS BIGINT) AS n_j,
+             CAST(sum(v.cnt * (2 * r.c_lt + r.tcnt + 1)) AS HUGEINT)
+               AS two_r
+      FROM v JOIN r ON v.cents = r.cents
+      GROUP BY v.grp
+    ),
+    tot AS (
+      SELECT CAST(sum(n_j) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST((SELECT sum(tcnt * tcnt * tcnt - tcnt) FROM tv)
+               AS BIGINT) AS sum_t
+      FROM g
+    ),
+    folded AS (
+      SELECT sum(CAST(two_r * two_r AS DOUBLE) / n_j) OVER (
+               ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS acc,
+             row_number() OVER (ORDER BY grp DESC) AS rn
+      FROM g
+    ),
+    h AS (
+      SELECT tot.n, tot.m, tot.sum_t,
+             3.0 * folded.acc / (tot.n * (tot.n + 1))
+               - 3 * (tot.n + 1) AS h_raw
+      FROM folded CROSS JOIN tot WHERE folded.rn = 1
+    )
+    SELECT n, m, sum_t AS tie_term,
+           CASE WHEN sum_t < n * n * n - n
+                THEN round(h_raw / (1.0 - CAST(sum_t AS DOUBLE)
+                                          / (n * n * n - n)), 6)
+           END AS h,
+           CASE WHEN sum_t < n * n * n - n THEN
+             round(h_raw / (1.0 - CAST(sum_t AS DOUBLE)
+                                  / (n * n * n - n)), 6)
+             > CASE m - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+                          WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+                          ELSE NULL END
+           END AS significant
+    FROM h
+    """,
+)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL five order priorities — the
+    k-group generalization of mann_whitney_u (one ranked test instead
+    of 10 pairwise comparisons, which is exactly the multiple-testing
+    trap benjamini_hochberg exists to patch). Doubled midranks keep
+    2R_j and the tie term Σ(t³−t) exact integers ((2R_j)² rides
+    HUGEINT/DECIMAL(38,0): ~10^19 at sf0.1); the per-group terms
+    (2R_j)²/n_j fold as an ORDERED cumulative window over the k-row
+    group frame (one canonical float order), H = [3·Σ/(N(N+1)) −
+    3(N+1)] / (1 − ΣT/(N³−N)) with the all-tied corpus guarded by the
+    exact integer compare ΣT < N³−N (division never evaluated when the
+    correction is 0). The χ² critical value is a df-indexed CASE
+    (df ≤ 4 here; NULL verdict beyond the table, never a wrong one).
+
+    Scale shape: one hash-agg to the distinct-(value, group) frame,
+    one window over distinct values, one k-row fold — identical to
+    mann_whitney_u's footprint with a groups dimension."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v = o.groupBy("cents", "grp").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tv = v.groupBy("cents").agg(F.sum("cnt").cast("bigint").alias("tcnt"))
+    w_lt = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r = tv.select(
+        "cents",
+        "tcnt",
+        F.coalesce(F.sum("tcnt").over(w_lt), F.lit(0)).alias("c_lt"),
+    )
+    d38 = "decimal(38,0)"
+    g = (
+        v.join(r, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_j"),
+            F.sum(F.col("cnt") * (2 * F.col("c_lt") + F.col("tcnt") + 1))
+            .cast(d38)
+            .alias("two_r"),
+        )
+    )
+    ties = tv.agg(
+        F.sum(
+            F.col("tcnt") * F.col("tcnt") * F.col("tcnt") - F.col("tcnt")
+        )
+        .cast("bigint")
+        .alias("sum_t")
+    )
+    tot = g.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("m"),
+    ).crossJoin(F.broadcast(ties))
+    w_cum = Window.orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_last = Window.orderBy(F.desc("grp"))
+    folded = g.select(
+        F.sum(
+            (F.col("two_r") * F.col("two_r")).cast("double") / F.col("n_j")
+        )
+        .over(w_cum)
+        .alias("acc"),
+        F.row_number().over(w_last).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    h_raw = (
+        F.lit(3.0) * F.col("acc") / (F.col("n") * (F.col("n") + 1))
+        - 3 * (F.col("n") + 1)
+    )
+    n3n = F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    h_val = F.round(
+        h_raw / (F.lit(1.0) - F.col("sum_t").cast("double") / n3n), 6
+    )
+    crit = (
+        F.when(F.col("m") - 1 == 1, 3.841459)
+        .when(F.col("m") - 1 == 2, 5.991465)
+        .when(F.col("m") - 1 == 3, 7.814728)
+        .when(F.col("m") - 1 == 4, 9.487729)
+    )
+    return folded.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "m",
+        F.col("sum_t").alias("tie_term"),
+        F.when(F.col("sum_t") < n3n, h_val).alias("h"),
+        F.when(F.col("sum_t") < n3n, h_val > crit).alias("significant"),
+    )

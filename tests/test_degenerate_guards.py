@@ -551,3 +551,79 @@ def test_bh_constructed_shift_rejects(spark, tmp_path):
     assert got["hot"] is True and got["cold"] is True
     assert got["mid_a"] is False and got["mid_b"] is False
     compare(df, _conn_with({"events": path}), ORACLE["benjamini_hochberg"])
+
+
+def test_shapley_unobserved_coalitions(spark, tmp_path):
+    # only 'click' is ever seen: v is nonzero on exactly one mask, so
+    # phi_click = 6*(0.5 - 0)/24 = 0.125 exactly, and every OTHER
+    # channel's phi is the pure removal penalty 2*(0 - 0.5)/24
+    rows = [
+        (1, 1, "click", 0.0), (2, 1, "purchase", 0.0),  # converter
+        (3, 2, "click", 0.0),                            # non-converter
+    ]
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    ).write.parquet(path)
+    df = QUERIES["shapley_attribution"](spark, str(tmp_path))
+    got = {r.channel: r.shapley_value for r in df.collect()}
+    assert got["click"] == 0.125
+    for other in ("error", "signup", "view"):
+        assert got[other] == round(-1 / 24, 6)
+    compare(df, _conn_with({"events": path}), ORACLE["shapley_attribution"])
+
+
+def test_shapley_efficiency_on_full_universe(spark, tmp_path):
+    # every coalition observed with v(S) = popcount(S)/4: symmetry
+    # forces phi = 0.25 per channel and efficiency gives
+    # sum(phi) = v(full) - v(empty) = 1
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    rows = []
+    for mask in range(16):
+        for k in range(4):  # 4 users per mask, popcount(mask) convert
+            uid = mask * 4 + k
+            for name, b in bits.items():
+                if mask & b:
+                    rows.append((len(rows), uid, name, 0.0))
+            if k < bin(mask).count("1"):
+                rows.append((len(rows), uid, "purchase", 0.0))
+            if not mask:  # mask-0 users need SOME row to exist
+                rows.append((len(rows), uid, "other", 0.0))
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    ).write.parquet(path)
+    df = QUERIES["shapley_attribution"](spark, str(tmp_path))
+    got = {r.channel: r.shapley_value for r in df.collect()}
+    assert all(v == 0.25 for v in got.values()), got
+    compare(df, _conn_with({"events": path}), ORACLE["shapley_attribution"])
+
+
+def test_kruskal_wallis_single_group(spark, tmp_path):
+    # one priority class: H is identically 0 (the rank sum IS the
+    # total), df = 0 falls outside the critical table -> NULL verdict
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + i, "3-MEDIUM") for i in range(6)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["kruskal_wallis"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.m == 1 and row.h == 0.0 and row.significant is None
+    compare(df, _conn_with({"orders": path}), ORACLE["kruskal_wallis"])
+
+
+def test_kruskal_wallis_all_tied(spark, tmp_path):
+    # every total identical: the tie correction is exactly 0 and the
+    # integer guard sum_t < N^3-N must emit NULL h in BOTH engines
+    # without evaluating the division
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0, ["1-URGENT", "5-LOW"][i % 2]) for i in range(6)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["kruskal_wallis"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.tie_term == 6 ** 3 - 6
+    assert row.h is None and row.significant is None
+    compare(df, _conn_with({"orders": path}), ORACLE["kruskal_wallis"])
