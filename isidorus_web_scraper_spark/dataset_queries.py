@@ -17322,3 +17322,299 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("sum_t") < n3n, h_val).alias("h"),
         F.when(F.col("sum_t") < n3n, h_val > crit).alias("significant"),
     )
+
+
+@query(
+    "fleiss_kappa_langid",
+    """
+    WITH r AS (
+      SELECT CAST(
+               CASE WHEN 20 * len(list_filter(string_split(lower(text), ' '),
+                      w -> list_contains(string_split(
+                        'the a of and to in is for on with', ' '), w)))
+                    >= len(string_split(lower(text), ' '))
+                    THEN 1 ELSE 0 END
+             + CASE WHEN 100 * len(list_filter(string_split(lower(text), ' '),
+                      w -> list_contains(string_split(
+                        'the a of and to in is for on with', ' '), w)))
+                    >= 3 * len(string_split(lower(text), ' '))
+                    THEN 1 ELSE 0 END
+             + CASE WHEN position(' the ' IN ' ' || lower(text) || ' ') > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS n1
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(n1) AS HUGEINT) AS t1,
+             CAST(sum(n1 * n1 + (3 - n1) * (3 - n1) - 3) AS HUGEINT) AS a
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(t1 AS BIGINT) AS votes_en,
+           CAST(3 * n - t1 AS BIGINT) AS votes_not_en,
+           CASE WHEN 2 * (9 * n * n - t1 * t1 - (3 * n - t1) * (3 * n - t1))
+                     <> 0
+                THEN round(CAST(3 * n * a
+                                - 2 * (t1 * t1 + (3 * n - t1) * (3 * n - t1))
+                                AS DOUBLE)
+                           / CAST(2 * (9 * n * n - t1 * t1
+                                  - (3 * n - t1) * (3 * n - t1)) AS DOUBLE),
+                           6)
+           END AS fleiss_kappa
+    FROM s
+    """,
+)
+def fleiss_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over THREE deterministic language-ID raters
+    (stopword ratio ≥ 5% and ≥ 3% — both cross-multiplied to integer
+    predicates 20·stop ≥ tot and 100·stop ≥ 3·tot — plus a padded
+    ' the ' substring probe): the n-rater agreement statistic
+    cohens_kappa_langid can't express. With n = 3 raters and 2
+    categories the whole statistic collapses to integers — per doc
+    only the en-vote count v ∈ {0..3} matters, P̄ = Σ(v² + (3−v)² −
+    3)/(6N) and P̄e = (T1² + T0²)/(9N²), so κ = (3N·A − 2(T1²+T0²)) /
+    (2(9N² − T1² − T0²)) is ONE double division of two exact integers
+    (DECIMAL(38,0)/HUGEINT: 9N² wraps int64 exactly at the 10^9-doc
+    scale this is for). Unanimous single-category corpora drive the
+    denominator to 0 — guarded by the integer compare, NULL in both
+    engines.
+
+    Scale shape: one map-side-combinable agg over the corpus; the
+    kappa arithmetic runs on a 1-row frame. No joins, no windows."""
+    docs = load(spark, sf_dir, "documents")
+    stoparr = F.split(F.lit(_STOPWORDS), " ", -1)
+    ws = words(F.col("text"))
+    stop = F.size(
+        F.filter(ws, lambda w: F.array_contains(stoparr, w))
+    ).cast("bigint")
+    tot = F.size(ws).cast("bigint")
+    v = (
+        F.when(20 * stop >= tot, 1).otherwise(0)
+        + F.when(100 * stop >= 3 * tot, 1).otherwise(0)
+        + F.when(
+            F.instr(
+                F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")),
+                " the ",
+            )
+            > 0,
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    d38 = "decimal(38,0)"
+    s = docs.select(v.alias("n1")).agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("n1").cast(d38).alias("t1"),
+        F.sum(
+            F.col("n1") * F.col("n1")
+            + (3 - F.col("n1")) * (3 - F.col("n1"))
+            - 3
+        )
+        .cast(d38)
+        .alias("a"),
+    )
+    n, t1, a = F.col("n"), F.col("t1"), F.col("a")
+    t0 = 3 * n - t1
+    den = 2 * (9 * n * n - t1 * t1 - t0 * t0)
+    num = 3 * n * a - 2 * (t1 * t1 + t0 * t0)
+    return s.select(
+        n.cast("bigint").alias("n_docs"),
+        t1.cast("bigint").alias("votes_en"),
+        t0.cast("bigint").alias("votes_not_en"),
+        F.when(
+            den != 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("fleiss_kappa"),
+    )
+
+
+@query(
+    "dedup_savings_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      FROM documents
+    ),
+    exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    lsh AS (SELECT doc_id, keep FROM ({_ORACLE_REG["dedup_clusters"]}) c),
+    flags AS (
+      SELECT t.doc_id, t.source, t.tokens,
+             CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS keep_exact,
+             CASE WHEN lsh.doc_id IS NULL OR lsh.keep = 1
+                  THEN 1 ELSE 0 END AS keep_lsh
+      FROM toks t
+      LEFT JOIN exact_keep e ON t.doc_id = e.doc_id
+      LEFT JOIN lsh ON t.doc_id = lsh.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(keep_exact) AS BIGINT) AS docs_after_exact,
+           CAST(sum(keep_exact * tokens) AS BIGINT) AS tokens_after_exact,
+           CAST(sum(keep_lsh) AS BIGINT) AS docs_after_lsh,
+           CAST(sum(keep_lsh * tokens) AS BIGINT) AS tokens_after_lsh,
+           CAST((sum(tokens) - sum(keep_lsh * tokens)) * 1000
+                // sum(tokens) AS BIGINT) AS lsh_savings_permille
+    FROM flags GROUP BY source
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup SAVINGS report a pretraining pipeline reads before
+    choosing its dedup tier: per source, document and token counts
+    surviving (a) exact dedup (min-doc_id winner per md5(text), the
+    dedup_exact law) and (b) near-dup cluster dedup (one canonical
+    doc per MinHash-LSH connected component, the dedup_clusters law —
+    unclustered docs survive by definition), with the token savings
+    as an exact floored permille. Composes the two dedup families
+    into the budget number ('LSH dedup buys 4.1% fewer tokens —
+    worth the cluster pass?') instead of pair lists.
+
+    Scale shape: the exact tier is one hash agg; the LSH tier is the
+    pointer-jumping CC the cluster query already bounds (banded
+    candidates, never all-pairs); this report adds two broadcastable
+    keep-set joins and one per-source rollup on top. Token counts
+    ride the same ' '-split law as text_tokens.
+
+    Oracle note: the cluster CTE is dedup_clusters' own registered
+    oracle embedded verbatim, so the two queries can never drift."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ", -1)).cast("bigint").alias(
+            "tokens"
+        ),
+        F.md5("text").alias("h"),
+    )
+    exact_keep = toks.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    lsh = dedup_clusters(spark, sf_dir).select("doc_id", "keep")
+    flags = (
+        toks.join(
+            exact_keep.select("doc_id", F.lit(1).alias("keep_exact")),
+            "doc_id",
+            "left",
+        )
+        .join(lsh, "doc_id", "left")
+        .select(
+            "source",
+            "tokens",
+            F.coalesce("keep_exact", F.lit(0)).alias("keep_exact"),
+            F.when(
+                F.col("keep").isNull() | (F.col("keep") == 1), 1
+            )
+            .otherwise(0)
+            .alias("keep_lsh"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("tokens_total"),
+        F.sum("keep_exact").cast("bigint").alias("docs_after_exact"),
+        F.sum(F.col("keep_exact") * F.col("tokens"))
+        .cast("bigint")
+        .alias("tokens_after_exact"),
+        F.sum("keep_lsh").cast("bigint").alias("docs_after_lsh"),
+        F.sum(F.col("keep_lsh") * F.col("tokens"))
+        .cast("bigint")
+        .alias("tokens_after_lsh"),
+        F.expr(
+            "(sum(tokens) - sum(keep_lsh * tokens)) * 1000 div sum(tokens)"
+        )
+        .cast("bigint")
+        .alias("lsh_savings_permille"),
+    )
+
+
+@query(
+    "negative_sampling_contrastive",
+    f"""
+    WITH {_MINHASH_SIG_CTES},
+    coll AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    cand AS (
+      SELECT d.doc_id AS anchor, i.i AS neg_slot,
+             (d.doc_id + 1
+              + ('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)
+                                    || ':' || CAST(i.i AS VARCHAR)), 1, 15)
+                )::BIGINT % (nn.n - 1)) % nn.n AS neg
+      FROM documents d
+      CROSS JOIN nn
+      CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+      WHERE nn.n > 1
+    )
+    SELECT anchor, neg_slot, neg
+    FROM cand
+    WHERE NOT EXISTS (
+      SELECT 1 FROM coll
+      WHERE coll.doc_a = least(cand.anchor, cand.neg)
+        AND coll.doc_b = greatest(cand.anchor, cand.neg)
+    )
+    """,
+)
+def negative_sampling_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative pairs with an LSH near-dup
+    veto: per anchor doc, two pseudo-random partners drawn by pure
+    hash arithmetic over the DENSE doc_id ring — neg = (id + 1 +
+    md5('neg:'||id||':'||slot) mod (N−1)) mod N, structurally ≠
+    anchor since the offset lives in [1, N−1] — then any pair that
+    collides in a MinHash-LSH band is dropped, because a 'negative'
+    that is actually a near-duplicate of its anchor teaches the
+    embedding model the exact opposite of the truth (the same
+    candidate law the dedup family uses, here as a VETO).
+
+    Determinism/scale: sampling is a scalar hash expression — zero
+    shuffles, reproducible across runs/partitions (stratified_sample
+    convention); the veto is one left-anti join against the banded
+    candidate set (never all-pairs), orientation-normalized with
+    least/greatest. The N > 1 gate keeps the modulus positive —
+    single-doc corpora emit an EMPTY pair set in both engines.
+
+    Ring note: doc_id density is a property of this corpus layout; a
+    sparse-id corpus would first zipWithIndex/row_number into a dense
+    ring (one extra window), same law after."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    nn = docs.agg(F.count("*").cast("bigint").alias("n"))
+    cand = (
+        docs.crossJoin(F.broadcast(nn))
+        .filter(F.col("n") > 1)
+        .select(
+            F.col("doc_id").alias("anchor"),
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("neg_slot"),
+            "n",
+        )
+        .select(
+            "anchor",
+            "neg_slot",
+            (
+                (
+                    F.col("anchor")
+                    + 1
+                    + md5_long(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("anchor").cast("string"),
+                            F.lit(":"),
+                            F.col("neg_slot").cast("string"),
+                        )
+                    )
+                    % (F.col("n") - 1)
+                )
+                % F.col("n")
+            ).alias("neg"),
+        )
+    )
+    coll = _band_pairs(_lsh_bands(_doc_grams(spark, sf_dir))).select(
+        "doc_a", "doc_b"
+    )
+    return cand.join(
+        coll,
+        (F.least(F.col("anchor"), F.col("neg")) == F.col("doc_a"))
+        & (F.greatest(F.col("anchor"), F.col("neg")) == F.col("doc_b")),
+        "left_anti",
+    )

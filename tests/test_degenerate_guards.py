@@ -627,3 +627,74 @@ def test_kruskal_wallis_all_tied(spark, tmp_path):
     assert row.tie_term == 6 ** 3 - 6
     assert row.h is None and row.significant is None
     compare(df, _conn_with({"orders": path}), ORACLE["kruskal_wallis"])
+
+
+def test_fleiss_kappa_unanimous_corpus(spark, tmp_path):
+    # every rater says 'en' on every doc: chance agreement is exactly 1
+    # and the denominator 2(9N^2 - T1^2 - T0^2) is exactly 0 — kappa
+    # must be NULL in both engines (integer guard, never 0/0)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "the the the of and", "en", "s", 18) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["fleiss_kappa_langid"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.votes_en == 12 and row.votes_not_en == 0
+    assert row.fleiss_kappa is None
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["fleiss_kappa_langid"]
+    )
+
+
+def test_fleiss_kappa_perfect_split_agreement(spark, tmp_path):
+    # raters agree perfectly on a half-en half-not corpus: kappa = 1
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "the the of and to", "en", "s", 17),
+         (1, "zz qq rr ss tt uu vv ww xx yy zz qq rr ss tt uu vv ww xx yy"
+             " zz qq rr ss tt uu vv ww xx yy zz qq rr ss", "xx", "s", 50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["fleiss_kappa_langid"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.votes_en == 3 and row.votes_not_en == 3
+    assert row.fleiss_kappa == 1.0
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["fleiss_kappa_langid"]
+    )
+
+
+def test_negative_sampling_single_doc_empty(spark, tmp_path):
+    # N = 1: the ring has no other member; the N > 1 gate must emit an
+    # EMPTY pair set in both engines (never a mod-0)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "only document here", "en", "s", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["negative_sampling_contrastive"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df,
+        _conn_with({"documents": path}),
+        ORACLE["negative_sampling_contrastive"],
+    )
+
+
+def test_dedup_savings_all_unique_no_savings(spark, tmp_path):
+    # no duplicates at all: every doc survives both tiers and the
+    # savings permille is exactly 0
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, f"totally unique document number {i} with words", "en", "s", 40)
+         for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["dedup_savings_report"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_docs == row.docs_after_exact == row.docs_after_lsh == 5
+    assert row.lsh_savings_permille == 0
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["dedup_savings_report"]
+    )
