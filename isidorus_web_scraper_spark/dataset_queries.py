@@ -17618,3 +17618,221 @@ def negative_sampling_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.greatest(F.col("anchor"), F.col("neg")) == F.col("doc_b")),
         "left_anti",
     )
+
+
+@query(
+    "jains_fairness_index",
+    """
+    WITH h AS (
+      SELECT doc_id % 53 AS host, CAST(count(*) AS BIGINT) AS x
+      FROM documents GROUP BY doc_id % 53
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n_hosts,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(max(x) AS BIGINT) AS max_x,
+             CAST(min(x) AS BIGINT) AS min_x
+      FROM h
+    )
+    SELECT CAST(n_hosts AS BIGINT) AS n_hosts,
+           CAST(sx AS BIGINT) AS total_fetches,
+           min_x, max_x,
+           round(CAST(sx * sx AS DOUBLE)
+                 / CAST(n_hosts * sxx AS DOUBLE), 6) AS jain_index
+    FROM s
+    """,
+)
+def jains_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index of the per-host fetch allocation —
+    J = (Σx)²/(n·Σx²) over the same host ledger the breaker and UCB
+    queries read: 1.0 means the politeness scheduler spread the budget
+    perfectly evenly, 1/n means one host ate everything. The scalar
+    the domain_budget_allocation and adaptive_host_throttle knobs are
+    ultimately tuned against (skew in = unfair out), and the first
+    number to check when a crawl 'slows down' because a hot host
+    monopolized the rounds. Both sums are exact integers
+    (HUGEINT/DECIMAL(38,0): Σx² ≈ 10^17 at 10^9 fetches over 10^4
+    hosts); J is ONE double division of two exact integers. Σx > 0
+    whenever any host exists, so no guard branch is reachable on a
+    nonempty ledger (empty ledger = empty result, both engines).
+
+    Scale shape: one map-side-combinable hash agg to the hosts frame,
+    one scalar rollup. The ledger is touched once."""
+    docs = load(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    h = docs.groupBy((F.col("doc_id") % 53).alias("host")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    s = h.agg(
+        F.count("*").cast(d38).alias("n_hosts"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.max("x").cast("bigint").alias("max_x"),
+        F.min("x").cast("bigint").alias("min_x"),
+    )
+    return s.select(
+        F.col("n_hosts").cast("bigint").alias("n_hosts"),
+        F.col("sx").cast("bigint").alias("total_fetches"),
+        "min_x",
+        "max_x",
+        F.round(
+            (F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("n_hosts") * F.col("sxx")).cast("double"),
+            6,
+        ).alias("jain_index"),
+    )
+
+
+@query(
+    "hash_uniformity_audit",
+    """
+    WITH b AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1
+    ),
+    dense AS (
+      SELECT CAST(range AS BIGINT) AS bucket, coalesce(b.cnt, 0) AS cnt
+      FROM range(256) LEFT JOIN b ON CAST(range AS BIGINT) = b.bucket
+    ),
+    cum AS (
+      SELECT bucket,
+             CAST(sum(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c,
+             CAST((SELECT sum(cnt) FROM dense) AS BIGINT) AS n
+      FROM dense
+    ),
+    d AS (
+      SELECT CAST(max(abs(256 * c - (bucket + 1) * n)) AS HUGEINT)
+               AS d_num,
+             CAST(max(n) AS HUGEINT) AS n
+      FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           CAST(d_num AS BIGINT) AS d_num,
+           round(CAST(d_num AS DOUBLE) / CAST(256 * n AS DOUBLE), 6)
+             AS ks_d,
+           1000000 * d_num * d_num
+             > CAST(1844164 AS HUGEINT) * 65536 * n AS nonuniform
+    FROM d
+    """,
+)
+def hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS goodness-of-fit of the md5 bucket hash against the uniform
+    law — the audit behind EVERY sketch and shard in this engine (the
+    Bloom/cuckoo shards, the LSH bands, the stratified/md5 sample
+    gates, the postings term buckets all assume hash(key) % B is
+    uniform; a biased hash silently skews every one of them). The KS
+    statistic over the 256-bucket ECDF is exact: D·256N =
+    max|256·cum_b − (b+1)·N| is an integer, and the 95% rejection
+    D > 1.358/√N cross-multiplies to the pure-integer verdict
+    10^6·D_num² > 1844164·65536·N (1.358² = 1.844164 exact) — no
+    sqrt, no division, bit-identical across engines; ks_d rides along
+    rounded.
+
+    Scale shape: one hash agg to 256 buckets, a 256-row densify +
+    cumulative window, one scalar rollup. The corpus is touched
+    once."""
+    docs = load(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    b = docs.groupBy(
+        (md5_long(F.col("doc_id").cast("string")) % 256).alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    dense = (
+        spark.range(256)
+        .select(F.col("id").cast("bigint").alias("bucket"))
+        .join(b, "bucket", "left")
+        .select("bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    tot = dense.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dense.select(
+        "bucket", F.sum("cnt").over(w_cum).alias("c")
+    ).crossJoin(F.broadcast(tot))
+    d = cum.agg(
+        F.max(
+            F.abs(256 * F.col("c") - (F.col("bucket") + 1) * F.col("n"))
+        )
+        .cast(d38)
+        .alias("d_num"),
+        F.max("n").cast(d38).alias("n"),
+    )
+    return d.select(
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.round(
+            F.col("d_num").cast("double") / (256 * F.col("n")).cast("double"),
+            6,
+        ).alias("ks_d"),
+        (
+            F.lit(1000000).cast(d38) * F.col("d_num") * F.col("d_num")
+            > F.lit(1844164).cast(d38) * 65536 * F.col("n")
+        ).alias("nonuniform"),
+    )
+
+
+@query(
+    "postings_gap_stats",
+    """
+    WITH posting AS (
+      SELECT DISTINCT t, doc_id
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+    ),
+    gaps AS (
+      SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 AS term_bucket,
+             doc_id - lag(doc_id) OVER (PARTITION BY t ORDER BY doc_id)
+               AS gap
+      FROM posting
+    )
+    SELECT term_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS gap_sum,
+           CAST(max(gap) AS BIGINT) AS max_gap,
+           round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS mean_gap
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY term_bucket
+    """,
+)
+def postings_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-id gap statistics per posting-list term bucket — the
+    compression-planning number for the postings index
+    (sources/postings.py): delta-encoded posting lists cost
+    ~log2(gap) bits per entry, so mean/max gap per term bucket says
+    which buckets compress well and which (hapax-heavy, huge-gap)
+    should stay raw. Gaps are exact integer differences over each
+    term's doc_id-ordered posting list (one lag window partitioned by
+    term); the per-bucket rollup sums exact integers, with ONE
+    division per bucket row for the mean. First postings (no
+    predecessor) are excluded by the NULL gap filter in both engines.
+
+    Scale shape: distinct (term, doc) pairs → one window partitioned
+    by term (the shuffle the index build already pays) → a 16-row
+    rollup. Bucket = md5(term) % 16, the SAME routing law the real
+    postings index partitions by, so these stats map 1:1 onto its
+    Hive layout."""
+    docs = load(spark, sf_dir, "documents")
+    posting = (
+        docs.select(
+            "doc_id", F.explode(words(F.col("text"))).alias("t")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("t").orderBy("doc_id")
+    gaps = posting.select(
+        (md5_long(F.col("t")) % 16).alias("term_bucket"),
+        (F.col("doc_id") - F.lag("doc_id").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("term_bucket").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("gap_sum"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+        F.round(
+            F.sum("gap").cast("double") / F.count("*"), 6
+        ).alias("mean_gap"),
+    )

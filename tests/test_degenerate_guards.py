@@ -698,3 +698,50 @@ def test_dedup_savings_all_unique_no_savings(spark, tmp_path):
     compare(
         df, _conn_with({"documents": path}), ORACLE["dedup_savings_report"]
     )
+
+
+def test_jain_single_host_perfect_fairness(spark, tmp_path):
+    # one host: (sum x)^2 / (1 * sum x^2) = 1 exactly
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(53 * i, "t", "en", "s", 1) for i in range(4)],  # all host 0
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["jains_fairness_index"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_hosts == 1 and row.jain_index == 1.0
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["jains_fairness_index"]
+    )
+
+
+def test_hash_uniformity_one_key_flags_nothing(spark, tmp_path):
+    # a single key concentrates all mass in one bucket, but with N = 1
+    # the KS critical value 1.358/sqrt(1) exceeds any possible D —
+    # the verdict must be FALSE (the test has no power, not a bug)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(7, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["hash_uniformity_audit"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_keys == 1 and row.nonuniform is False
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["hash_uniformity_audit"]
+    )
+
+
+def test_postings_gap_single_occurrence_terms(spark, tmp_path):
+    # every term occurs in exactly one doc: no term has a second
+    # posting, every gap is NULL, and both engines emit an EMPTY frame
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "aaa bbb", "en", "s", 7), (1, "ccc ddd", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["postings_gap_stats"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["postings_gap_stats"]
+    )
