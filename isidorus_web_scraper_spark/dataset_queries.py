@@ -17836,3 +17836,253 @@ def postings_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap").cast("double") / F.count("*"), 6
         ).alias("mean_gap"),
     )
+
+
+@query(
+    "doc_length_lognormal_fit",
+    """
+    WITH lens AS (
+      SELECT n_chars AS len, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents WHERE n_chars > 0 GROUP BY n_chars
+    ),
+    folded AS (
+      SELECT sum(cnt) OVER w AS n,
+             sum(cnt * ln(CAST(len AS DOUBLE))) OVER w AS s1,
+             sum(cnt * ln(CAST(len AS DOUBLE))
+                     * ln(CAST(len AS DOUBLE))) OVER w AS s2,
+             row_number() OVER (ORDER BY len DESC) AS rn
+      FROM lens
+      WINDOW w AS (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    med AS (
+      SELECT min(len) AS sample_median
+      FROM (
+        SELECT len,
+               sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS c,
+               (SELECT sum(cnt) FROM lens) AS n
+        FROM lens
+      ) t
+      WHERE 2 * c >= n
+    )
+    SELECT CAST(folded.n AS BIGINT) AS n_docs,
+           round(folded.s1 / folded.n, 6) AS mu,
+           round(sqrt(greatest(folded.s2 / folded.n
+                 - (folded.s1 / folded.n) * (folded.s1 / folded.n),
+                 0.0)), 6) AS sigma,
+           round(exp(folded.s1 / folded.n), 6) AS fitted_median,
+           CAST(med.sample_median AS BIGINT) AS sample_median
+    FROM folded CROSS JOIN med WHERE folded.rn = 1
+    """,
+)
+def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal method-of-moments fit of the document-length
+    distribution — the parametric summary a shard planner uses to
+    size batches and predict tail lengths (web doc lengths are
+    canonically lognormal-ish; a fitted median far from the sample
+    median says the tail assumption is wrong, which matters when
+    maxPartitionBytes is tuned to E[len]). Lengths collapse to the
+    DISTINCT-length frame first (exact integer counts; bounded by the
+    length domain, never by docs), so the ln/ln² moment sums fold as
+    ORDERED cumulative windows over that small frame — one canonical
+    float order in both engines. The variance is clamped at 0 before
+    the sqrt (greatest(·,0) on BOTH sides): under a constant-length
+    corpus the two moment terms cancel to a ±1-ulp residual whose
+    sign is formally unspecified, and the clamp keeps σ = 0 instead
+    of NaN. The sample median is the exact order statistic
+    (2·cum ≥ N on integers).
+
+    Scale shape: one hash agg to the distinct-length frame, windows
+    over that frame only, a 1-row output."""
+    docs = load(spark, sf_dir, "documents")
+    lens = (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(F.col("n_chars").alias("len"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    lnl = F.log(F.col("len").cast("double"))
+    w_cum = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = lens.select(
+        F.sum("cnt").over(w_cum).alias("n"),
+        F.sum(F.col("cnt") * lnl).over(w_cum).alias("s1"),
+        F.sum(F.col("cnt") * lnl * lnl).over(w_cum).alias("s2"),
+        F.row_number().over(Window.orderBy(F.desc("len"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    tot = lens.agg(F.sum("cnt").alias("nn"))
+    med = (
+        lens.select(
+            "len", F.sum("cnt").over(w_cum).alias("c")
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("c") >= F.col("nn"))
+        .agg(F.min("len").alias("sample_median"))
+    )
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    return folded.crossJoin(F.broadcast(med)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(mu, 6).alias("mu"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("sigma"),
+        F.round(F.exp(mu), 6).alias("fitted_median"),
+        F.col("sample_median").cast("bigint").alias("sample_median"),
+    )
+
+
+@query(
+    "wilson_host_ranking",
+    """
+    WITH ledger AS (
+      SELECT doc_id % 53 AS host,
+             CASE WHEN ('0x' || substr(md5('err:' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT % 100 >= doc_id % 53
+                  THEN 1 ELSE 0 END AS ok
+      FROM documents
+    ),
+    h AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ok) AS BIGINT) AS x
+      FROM ledger GROUP BY host
+    ),
+    scored AS (
+      SELECT host, n, x,
+             ((CAST(x AS DOUBLE) + 1.9208) / (n + 3.8416)
+              - (1.96 / (n + 3.8416))
+                * sqrt(CAST(x AS DOUBLE) * (n - x) / n + 0.9604))
+               AS lo
+      FROM h
+    )
+    SELECT CAST(row_number() OVER (ORDER BY lo DESC, host) AS INT) AS rank,
+           host, n AS attempts, x AS successes,
+           round(lo, 6) AS wilson_lower
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY lo DESC, host) <= 10
+    """,
+)
+def wilson_host_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosts ranked by the Wilson score LOWER bound of their fetch
+    success rate (z = 1.96) — the small-sample-honest ranking: a host
+    that is 2/2 ranks BELOW a host that is 90/100, because the
+    interval, not the point estimate, is what you'd bet a crawl
+    budget on. The pessimistic complement to ucb_host_selection's
+    optimism (UCB explores uncertain hosts; Wilson trusts proven
+    ones — schedulers use UCB to probe and Wilson to commit).
+    lower = (x + z²/2)/(n + z²) − z/(n + z²)·√(x(n−x)/n + z²/4) with
+    the z constants pre-folded to exact literals (1.9208, 3.8416,
+    0.9604); all inputs exact integers, the float tree identical in
+    both engines, scores separated far above ulp scale, host breaks
+    exact ties, output rounded to 6 dp.
+
+    Scale shape: one hash agg to the hosts frame + one top-k window
+    over it — same footprint as ucb_host_selection."""
+    docs = load(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 53).alias("host")
+    ok = (
+        md5_long(F.concat(F.lit("err:"), F.col("doc_id").cast("string")))
+        % 100
+        >= F.col("doc_id") % 53
+    ).cast("int")
+    h = docs.select(host, ok.alias("ok")).groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("x"),
+    )
+    lo = (
+        (F.col("x").cast("double") + 1.9208) / (F.col("n") + 3.8416)
+        - (F.lit(1.96) / (F.col("n") + 3.8416))
+        * F.sqrt(
+            F.col("x").cast("double")
+            * (F.col("n") - F.col("x"))
+            / F.col("n")
+            + 0.9604
+        )
+    )
+    w = Window.orderBy(F.desc("lo"), F.asc("host"))
+    return (
+        h.select("host", "n", "x", lo.alias("lo"))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "host",
+            F.col("n").alias("attempts"),
+            F.col("x").alias("successes"),
+            F.round("lo", 6).alias("wilson_lower"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@query(
+    "char_entropy_lang",
+    """
+    WITH chars AS (
+      SELECT lang, unnest(string_split(lower(text), '')) AS ch
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, ch, CAST(count(*) AS BIGINT) AS cnt
+      FROM chars GROUP BY lang, ch
+    ),
+    folded AS (
+      SELECT lang,
+             sum(cnt) OVER w AS t,
+             sum(cnt * ln(CAST(cnt AS DOUBLE))) OVER w AS s,
+             count(*) OVER w AS n_distinct,
+             row_number() OVER (PARTITION BY lang ORDER BY ch DESC) AS rn
+      FROM c
+      WINDOW w AS (PARTITION BY lang ORDER BY ch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lang, CAST(t AS BIGINT) AS n_chars_total,
+           CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+           round(ln(CAST(t AS DOUBLE)) - s / t, 6) AS entropy_nats
+    FROM folded WHERE rn = 1
+    """,
+)
+def char_entropy_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per language (nats) — the
+    alphabet-level signal the word-level family (word_burstiness,
+    zipf_slope, source_entropy) can't see: languages and scripts have
+    characteristic character entropies, and a corpus slice whose
+    entropy drifts from its language's band is boilerplate, encoding
+    damage, or mislabeled text. Computed as H = ln(T) − Σc·ln(c)/T
+    over EXACT per-(lang, char) integer counts (the same
+    empty-delimiter split law in both engines, verified single-char
+    lists), with the Σc·ln(c) fold as an ORDERED cumulative window
+    over the alphabet-sized frame — one canonical float order. A
+    single-character alphabet cancels to exactly 0 (ln T − T·ln T/T:
+    same double subtracted from itself).
+
+    Scale shape: one (lang, char) hash agg off the exploded corpus
+    (map-side combined; the frame is |langs|·|alphabet|), windows
+    over that small frame only."""
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "", -1)).alias("ch"),
+        )
+        .groupBy("lang", "ch")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w_cum = Window.partitionBy("lang").orderBy("ch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_last = Window.partitionBy("lang").orderBy(F.desc("ch"))
+    folded = c.select(
+        "lang",
+        F.sum("cnt").over(w_cum).alias("t"),
+        F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double")))
+        .over(w_cum)
+        .alias("s"),
+        F.count("*").over(w_cum).alias("n_distinct"),
+        F.row_number().over(w_last).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return folded.select(
+        "lang",
+        F.col("t").cast("bigint").alias("n_chars_total"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            F.log(F.col("t").cast("double")) - F.col("s") / F.col("t"), 6
+        ).alias("entropy_nats"),
+    )

@@ -745,3 +745,69 @@ def test_postings_gap_single_occurrence_terms(spark, tmp_path):
     compare(
         df, _conn_with({"documents": path}), ORACLE["postings_gap_stats"]
     )
+
+
+def test_lognormal_constant_length_sigma_zero(spark, tmp_path):
+    # every doc the same length: the two moment terms cancel to a
+    # +-1-ulp residual; the greatest(.,0) clamp must keep sigma = 0
+    # (not NaN) and fitted median == the one length (up to rounding)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "t", "en", "s", 64) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["doc_length_lognormal_fit"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.sigma == 0.0 and row.sample_median == 64
+    assert abs(row.fitted_median - 64.0) < 1e-5
+    compare(
+        df,
+        _conn_with({"documents": path}),
+        ORACLE["doc_length_lognormal_fit"],
+    )
+
+
+def test_wilson_small_n_ranks_below_proven(spark, tmp_path):
+    # host A: 2/2 perfect but tiny; host B: 90/100 proven.
+    # the Wilson LOWER bound must rank B above A (the whole point)
+    rows = []
+    # host 1 (doc_id % 53 == 1): choose doc_ids where the md5 gate is ok
+    import hashlib
+    def ok(doc_id):
+        h = int(hashlib.md5(f"err:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % 100 >= doc_id % 53
+    a_ids = [d for d in range(1, 5000, 53) if ok(d)][:2]         # host 1, 2 ok
+    b_pool = [d for d in range(2, 300000, 53)]                    # host 2
+    b_ok = [d for d in b_pool if ok(d)][:90]
+    b_bad = [d for d in b_pool if not ok(d)][:10]
+    for d in a_ids + b_ok + b_bad:
+        rows.append((d, "t", "en", "s", 1))
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["wilson_host_ranking"](spark, str(tmp_path))
+    got = {r.host: r for r in df.collect()}
+    assert got[1].attempts == 2 and got[1].successes == 2
+    assert got[2].attempts == 100 and got[2].successes == 90
+    assert got[2].rank < got[1].rank  # proven beats perfect-but-tiny
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["wilson_host_ranking"]
+    )
+
+
+def test_char_entropy_single_char_alphabet(spark, tmp_path):
+    # a one-character alphabet must give exactly 0 nats in both
+    # engines (ln T - T ln T / T: the same double minus itself)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "aaaa", "zz", "s", 4), (1, "aa", "zz", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["char_entropy_lang"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_distinct_chars == 1 and row.entropy_nats == 0.0
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["char_entropy_lang"]
+    )
