@@ -18086,3 +18086,236 @@ def char_entropy_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("t").cast("double")) - F.col("s") / F.col("t"), 6
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH v AS ({_ORACLE_REG["dedup_lsh_verified_jaccard"]}),
+    srcs AS (SELECT doc_id, source FROM documents),
+    labeled AS (
+      SELECT least(sa.source, sb.source) AS src_a,
+             greatest(sa.source, sb.source) AS src_b,
+             v.doc_a, v.doc_b, sa.source AS s_of_a, sb.source AS s_of_b
+      FROM v
+      JOIN srcs sa ON sa.doc_id = v.doc_a
+      JOIN srcs sb ON sb.doc_id = v.doc_b
+    ),
+    pairs AS (
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM labeled GROUP BY src_a, src_b
+    ),
+    sides AS (
+      SELECT src_a, src_b, doc_a AS doc, s_of_a AS s FROM labeled
+      UNION ALL
+      SELECT src_a, src_b, doc_b, s_of_b FROM labeled
+    ),
+    covered AS (
+      SELECT src_a, src_b,
+             CAST(count(DISTINCT CASE WHEN s = src_a THEN doc END)
+               AS BIGINT) AS docs_a_covered,
+             CAST(count(DISTINCT CASE WHEN s = src_b THEN doc END)
+               AS BIGINT) AS docs_b_covered
+      FROM sides GROUP BY src_a, src_b
+    ),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    )
+    SELECT p.src_a, p.src_b, p.n_pairs,
+           c.docs_a_covered, c.docs_b_covered,
+           CAST(c.docs_a_covered * 1000 // ta.n AS BIGINT)
+             AS share_a_permille,
+           CAST(c.docs_b_covered * 1000 // tb.n AS BIGINT)
+             AS share_b_permille
+    FROM pairs p
+    JOIN covered c ON p.src_a = c.src_a AND p.src_b = c.src_b
+    JOIN totals ta ON ta.source = p.src_a
+    JOIN totals tb ON tb.source = p.src_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-overlap matrix a dataset-mixing decision reads:
+    for every (source, source) pair — diagonal included, that's
+    internal duplication — the number of VERIFIED near-dup pairs
+    crossing them, how many docs of each side are covered by a
+    near-twin on the other, and those covered counts as exact floored
+    permille of each source's size ('12% of source B is already in
+    source A — weight it down before training'). Composes the
+    enforced LSH→verify pipeline (dedup_lsh_verified_jaccard's
+    registered oracle embedded verbatim, zero drift) with two
+    broadcast-sized source joins; on the diagonal both covered
+    columns equal the distinct docs in same-source pairs by
+    construction (documented).
+
+    Scale shape: everything downstream of the verified-pairs frame is
+    |sources|²-bounded; the expensive step is the banding+verify pass
+    the dedup family already pays (and caches)."""
+    v = dedup_lsh_verified_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents")
+    srcs = docs.select("doc_id", "source")
+    labeled = (
+        v.join(
+            srcs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("s_of_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("s_of_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("s_of_a", "s_of_b").alias("src_a"),
+            F.greatest("s_of_a", "s_of_b").alias("src_b"),
+            "doc_a",
+            "doc_b",
+            "s_of_a",
+            "s_of_b",
+        )
+    )
+    pairs = labeled.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    sides = labeled.select(
+        "src_a", "src_b", F.col("doc_a").alias("doc"), F.col("s_of_a").alias("s")
+    ).unionByName(
+        labeled.select(
+            "src_a",
+            "src_b",
+            F.col("doc_b").alias("doc"),
+            F.col("s_of_b").alias("s"),
+        )
+    )
+    covered = sides.groupBy("src_a", "src_b").agg(
+        F.countDistinct(
+            F.when(F.col("s") == F.col("src_a"), F.col("doc"))
+        )
+        .cast("bigint")
+        .alias("docs_a_covered"),
+        F.countDistinct(
+            F.when(F.col("s") == F.col("src_b"), F.col("doc"))
+        )
+        .cast("bigint")
+        .alias("docs_b_covered"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        pairs.join(covered, ["src_a", "src_b"])
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("src_a"), F.col("n").alias("na")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("nb")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_pairs",
+            "docs_a_covered",
+            "docs_b_covered",
+            F.expr("docs_a_covered * 1000 div na")
+            .cast("bigint")
+            .alias("share_a_permille"),
+            F.expr("docs_b_covered * 1000 div nb")
+            .cast("bigint")
+            .alias("share_b_permille"),
+        )
+    )
+
+
+@query(
+    "lsh_candidate_precision",
+    f"""
+    WITH {_MINHASH_SQL_CTES},
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a,
+             CASE WHEN CAST(len(list_intersect(ga.grams, gb.grams))
+                    AS DOUBLE)
+                  / (len(ga.grams) + len(gb.grams)
+                     - len(list_intersect(ga.grams, gb.grams))) >= 0.2
+                  THEN 1 ELSE 0 END AS hit
+      FROM cands c
+      JOIN shingled ga ON ga.doc_id = c.doc_a
+      JOIN shingled gb ON gb.doc_id = c.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(hit) AS BIGINT) AS n_verified,
+           CAST(count(*) - sum(hit) AS BIGINT) AS n_false_positives,
+           CASE WHEN count(*) > 0
+                THEN CAST(sum(hit) * 1000 // count(*) AS BIGINT)
+           END AS precision_permille
+    FROM verified
+    """,
+)
+def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRECISION of the LSH banding stage: of all candidate pairs
+    the bands emit, how many survive exact-Jaccard verification at
+    the 0.2 threshold — THE tuning number for the (bands, rows)
+    trade-off, because the verify join's cost is proportional to
+    candidates and a precision collapse (too few rows per band) makes
+    the 'never all-pairs' promise hollow in practice even though it
+    holds in form. Counts are exact integers; precision is an exact
+    floored permille, count-guarded for gram-free corpora (both
+    engines NULL).
+
+    Scale shape: the same banding self-join + verify join the dedup
+    family pays (bounded by candidates, never all-pairs), folded to a
+    single row map-side."""
+    from pyspark.sql.functions import array_intersect, size
+
+    grams = _doc_grams(spark, sf_dir)
+    cands = _band_pairs(_lsh_bands(grams)).select("doc_a", "doc_b")
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+    )
+    inter = size(array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = (
+        size(F.col("grams_a")) + size(F.col("grams_b")) - inter
+    )
+    verified = (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.when(
+                inter.cast("double") / union >= 0.2, 1
+            )
+            .otherwise(0)
+            .alias("hit")
+        )
+    )
+    return verified.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum("hit").cast("bigint").alias("n_verified"),
+        (F.count("*") - F.sum("hit")).cast("bigint").alias(
+            "n_false_positives"
+        ),
+        F.when(
+            F.count("*") > 0,
+            F.expr("sum(hit) * 1000 div count(*)").cast("bigint"),
+        ).alias("precision_permille"),
+    )

@@ -811,3 +811,60 @@ def test_char_entropy_single_char_alphabet(spark, tmp_path):
     compare(
         df, _conn_with({"documents": path}), ORACLE["char_entropy_lang"]
     )
+
+
+def test_lsh_precision_gram_free_corpus(spark, tmp_path):
+    # every doc shorter than a trigram: zero candidates; the count
+    # guard yields (0, NULL, NULL, NULL) identically in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "one two", "en", "s", 7) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["lsh_candidate_precision"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_candidates == 0 and row.precision_permille is None
+    compare(
+        df,
+        _conn_with({"documents": path}),
+        ORACLE["lsh_candidate_precision"],
+    )
+
+
+def test_source_overlap_no_near_dups_empty(spark, tmp_path):
+    # no two docs share trigrams: the verified-pair set is empty and
+    # the overlap matrix is EMPTY in both engines
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red orange yellow green blue indigo",
+    ]
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, t, "en", f"src{i}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["source_overlap_matrix"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["source_overlap_matrix"]
+    )
+
+
+def test_source_overlap_diagonal_internal_dup(spark, tmp_path):
+    # two identical docs in ONE source: the diagonal row counts the
+    # internal duplication, both covered columns = 2, share = 1000
+    path = f"{tmp_path}/documents.parquet"
+    t = "the quick brown fox jumps over the lazy dog again"
+    spark.createDataFrame(
+        [(0, t, "en", "web", 50), (1, t, "en", "web", 50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["source_overlap_matrix"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.src_a == row.src_b == "web" and row.n_pairs == 1
+    assert row.docs_a_covered == row.docs_b_covered == 2
+    assert row.share_a_permille == 1000
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["source_overlap_matrix"]
+    )
