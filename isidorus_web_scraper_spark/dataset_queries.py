@@ -18319,3 +18319,280 @@ def lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(hit) * 1000 div count(*)").cast("bigint"),
         ).alias("precision_permille"),
     )
+
+
+@query(
+    "ranker_agreement_spearman",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w = 'vector')) AS BIGINT) AS tf,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id, tf, dl, n, avgdl, df,
+             ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS bm25,
+             tf * ln(CAST(n AS DOUBLE) / df) AS tfidf
+      FROM base CROSS JOIN stats WHERE tf > 0
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1,
+             row_number() OVER (ORDER BY tfidf DESC, doc_id) AS r2
+      FROM m
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS nm,
+             CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+      FROM ranked
+    )
+    SELECT 'vector' AS term, nm AS n_matched, sum_d2,
+           CASE WHEN nm >= 2
+                THEN round(CAST(nm * nm * nm - nm - 6 * sum_d2 AS DOUBLE)
+                           / (nm * nm * nm - nm), 6)
+           END AS spearman_rho
+    FROM s
+    """,
+)
+def ranker_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do BM25 and plain TF-IDF agree on how to rank the docs matching
+    the query term 'vector'? Spearman ρ between the two rankings — the
+    IR-eval number that says whether the cheaper scorer is a safe
+    fallback for this corpus (ρ → 1: skip the BM25 length
+    normalization; ρ low: the corpus has the length skew BM25 exists
+    for). Ranks are positional row_numbers with doc_id as the
+    deterministic tiebreak (the cross-engine-exact convention — both
+    scorers are identical IEEE trees, so the orderings match
+    bit-for-bit), which makes Σd² an exact integer and
+    ρ = (n³−n−6Σd²)/(n³−n) ONE double division of two exact integers;
+    n < 2 guarded NULL.
+
+    Scale shape: one tokenize pass to (tf, dl), a 1-row broadcast
+    stats frame, two rank windows over the MATCHED frame only (df
+    docs, not the corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.size(F.filter(F.col("w"), lambda x: x == F.lit("vector")))
+        .cast("bigint")
+        .alias("tf"),
+        F.size("w").cast("bigint").alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf") > 0).cast("bigint")).cast("bigint").alias("df"),
+    )
+    m = base.filter(F.col("tf") > 0).crossJoin(F.broadcast(stats))
+    bm25 = (
+        F.log(
+            1
+            + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * 2.2
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    tfidf = F.col("tf") * F.log(
+        F.col("n").cast("double") / F.col("df")
+    )
+    scored = m.select(bm25.alias("bm25"), tfidf.alias("tfidf"), "doc_id")
+    ranked = scored.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("tfidf"), F.asc("doc_id")))
+        .alias("r2"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("nm"),
+        F.sum(
+            (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+        )
+        .cast("bigint")
+        .alias("sum_d2"),
+    )
+    n3n = F.col("nm") * F.col("nm") * F.col("nm") - F.col("nm")
+    return s.select(
+        F.lit("vector").alias("term"),
+        F.col("nm").alias("n_matched"),
+        "sum_d2",
+        F.when(
+            F.col("nm") >= 2,
+            F.round(
+                (n3n - 6 * F.col("sum_d2")).cast("double") / n3n, 6
+            ),
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "mutual_nn_pairs",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, e.vec_id AS dst,
+             list_cosine_similarity(a.embedding, e.embedding) AS cos
+      FROM b a JOIN b e ON e.bucket = a.bucket AND e.vec_id <> a.vec_id
+    ),
+    top1 AS (
+      SELECT src, dst, cos FROM (
+        SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    )
+    SELECT t1.src AS vec_a, t1.dst AS vec_b, round(t1.cos, 4) AS cos
+    FROM top1 t1
+    JOIN top1 t2 ON t1.dst = t2.src AND t2.dst = t1.src
+    WHERE t1.src < t1.dst
+    """,
+)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL nearest-neighbor pairs within sign-LSH buckets — the
+    bitext/parallel-pair mining primitive: a pair where each vector is
+    the other's top-1 is a far stronger match signal than a one-sided
+    top-k hit (one-sided NN is asymmetric; hubs collect neighbors
+    they don't reciprocate). Candidates are restricted to the same
+    3-bit hyperplane-sign bucket as the whole ann_lsh family (per-
+    bucket shuffle, never global all-pairs); top-1 per vector by
+    (cos desc, vec_id) — the family's deterministic-order convention
+    over identical IEEE cosine trees — then one self-join keeps only
+    reciprocated pairs, orientation-normalized by vec_id.
+
+    Scale shape: within-bucket pairing (the bucket law bounds the
+    quadratic term), one rank window per side, one top1⋈top1 join on
+    a frame of |vectors| rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.col("embedding")[0] > 0, 4).otherwise(0)
+        + F.when(F.col("embedding")[1] > 0, 2).otherwise(0)
+        + F.when(F.col("embedding")[2] > 0, 1).otherwise(0)
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    e = b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket2"),
+    )
+    scored = a.join(
+        e,
+        (F.col("bucket") == F.col("bucket2"))
+        & (F.col("src") != F.col("dst")),
+    ).select(
+        "src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    top1 = (
+        scored.select(
+            "src", "dst", "cos", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    t2 = top1.select(
+        F.col("src").alias("src2"), F.col("dst").alias("dst2")
+    )
+    return (
+        top1.join(
+            t2,
+            (F.col("dst") == F.col("src2"))
+            & (F.col("dst2") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+@query(
+    "join_cardinality_audit",
+    """
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(sum(c) AS HUGEINT) AS n,
+             CAST(count(*) AS HUGEINT) AS d,
+             CAST(sum(c * c) AS HUGEINT) AS exact_rows
+      FROM k
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(d AS BIGINT) AS n_keys,
+           CAST(exact_rows AS BIGINT) AS exact_join_rows,
+           CASE WHEN d > 0 THEN CAST(n * n // d AS BIGINT) END
+             AS uniform_estimate,
+           CASE WHEN d > 0 AND n > 0
+                THEN CAST(exact_rows * 1000 // (n * n // d) AS BIGINT)
+           END AS ratio_permille
+    FROM s
+    """,
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based optimizer's join-cardinality estimate, audited:
+    for the events-table self-join on user_id, the textbook uniform
+    estimate |A|·|B|/ndv(key) versus the EXACT output size Σ_k c_k²
+    — their ratio (exact floored permille) IS the skew correction
+    (1 + CV²) the uniformity assumption drops, and a ratio far above
+    1000 is the number that explains why 'the optimizer said 10^9
+    rows, the join produced 10^11' (complements join_skew_profile's
+    per-key view with the single number the PLANNER got wrong). All
+    counts exact; N² rides HUGEINT/DECIMAL(38,0) (10^20 at 10^10
+    rows); both divisions are integer-floored; empty-table guarded
+    NULL.
+
+    Scale shape: one map-side-combining key agg, one scalar rollup —
+    the estimate audit costs ~nothing next to the join it predicts."""
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    k = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    s = k.agg(
+        F.sum("c").cast(d38).alias("n"),
+        F.count("*").cast(d38).alias("d"),
+        F.sum(F.col("c") * F.col("c")).cast(d38).alias("exact_rows"),
+    )
+    est = F.expr("CAST(n * n div d AS decimal(38,0))")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("d").cast("bigint").alias("n_keys"),
+        F.col("exact_rows").cast("bigint").alias("exact_join_rows"),
+        F.when(F.col("d") > 0, est.cast("bigint")).alias(
+            "uniform_estimate"
+        ),
+        F.when(
+            (F.col("d") > 0) & (F.col("n") > 0),
+            F.expr(
+                "CAST(exact_rows * 1000 div CAST(n * n div d AS"
+                " decimal(38,0)) AS BIGINT)"
+            ),
+        ).alias("ratio_permille"),
+    )

@@ -868,3 +868,77 @@ def test_source_overlap_diagonal_internal_dup(spark, tmp_path):
     compare(
         df, _conn_with({"documents": path}), ORACLE["source_overlap_matrix"]
     )
+
+
+def test_ranker_agreement_single_match(spark, tmp_path):
+    # exactly one doc matches the term: n^3 - n = 0, rho undefined ->
+    # NULL in both engines (integer guard before the division)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "vector engines ftw", "en", "s", 18),
+         (1, "nothing to see", "en", "s", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["ranker_agreement_spearman"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_matched == 1 and row.spearman_rho is None
+    compare(
+        df,
+        _conn_with({"documents": path}),
+        ORACLE["ranker_agreement_spearman"],
+    )
+
+
+def test_mutual_nn_singleton_buckets_empty(spark, tmp_path):
+    # each vector alone in its sign bucket: no candidates, EMPTY result
+    path = f"{tmp_path}/embeddings.parquet"
+    spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 0.5], 0), (1, [-1.0, -1.0, -1.0, 0.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(path)
+    df = QUERIES["mutual_nn_pairs"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df, _conn_with({"embeddings": path}), ORACLE["mutual_nn_pairs"]
+    )
+
+
+def test_mutual_nn_reciprocal_pair_found(spark, tmp_path):
+    # three vectors in one bucket: a and b are near-identical, c is
+    # off-axis; (a, b) must be mutual, c's one-sided pick must NOT emit
+    path = f"{tmp_path}/embeddings.parquet"
+    spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 0.0], 0),
+         (1, [1.0, 1.0, 1.0, 0.05], 0),
+         (2, [1.0, 1.0, 1.0, 5.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(path)
+    df = QUERIES["mutual_nn_pairs"](spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert (rows[0].vec_a, rows[0].vec_b) == (0, 1)
+    compare(
+        df, _conn_with({"embeddings": path}), ORACLE["mutual_nn_pairs"]
+    )
+
+
+def test_join_cardinality_uniform_keys_ratio_1000(spark, tmp_path):
+    # perfectly uniform keys: the uniformity assumption is EXACT and
+    # the audit ratio is exactly 1000 permille
+    import datetime
+    base = datetime.datetime(2026, 3, 1)
+    rows = [(i, base, i % 4, "view", 1.0, "{}") for i in range(16)]
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(path)
+    df = QUERIES["join_cardinality_audit"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_rows == 16 and row.n_keys == 4
+    assert row.exact_join_rows == row.uniform_estimate == 64
+    assert row.ratio_permille == 1000
+    compare(
+        df, _conn_with({"events": path}), ORACLE["join_cardinality_audit"]
+    )
