@@ -18596,3 +18596,304 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ratio_permille"),
     )
+
+
+@query(
+    "cliffs_delta",
+    """
+    WITH o AS (
+      SELECT CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    v AS (
+      SELECT cents,
+             CAST(sum(g) AS BIGINT) AS cnt1,
+             CAST(sum(1 - g) AS BIGINT) AS cnt0
+      FROM o GROUP BY cents
+    ),
+    r AS (
+      SELECT cnt1, cnt0,
+             CAST(coalesce(sum(cnt0) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c0_lt,
+             CAST(coalesce(sum(cnt0) OVER (ORDER BY cents
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+               AS BIGINT) AS c0_gt
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(sum(cnt1) AS HUGEINT) AS n1,
+             CAST(sum(cnt0) AS HUGEINT) AS n0,
+             CAST(sum(cnt1 * c0_lt) AS HUGEINT) AS wins,
+             CAST(sum(cnt1 * c0_gt) AS HUGEINT) AS losses
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           CAST(wins AS BIGINT) AS wins, CAST(losses AS BIGINT) AS losses,
+           CASE WHEN n1 * n0 > 0
+                THEN round(CAST(wins - losses AS DOUBLE)
+                           / CAST(n1 * n0 AS DOUBLE), 6) END AS delta,
+           CASE WHEN n1 * n0 = 0 THEN NULL
+                WHEN abs(wins - losses) * 1000 < 147 * n1 * n0
+                  THEN 'negligible'
+                WHEN abs(wins - losses) * 1000 < 330 * n1 * n0
+                  THEN 'small'
+                WHEN abs(wins - losses) * 1000 < 474 * n1 * n0
+                  THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM s
+    """,
+)
+def cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal EFFECT SIZE for urgent-vs-rest order
+    totals — the 'how much larger, practically?' companion to
+    mann_whitney_u's 'is it significant?' (at web scale everything is
+    significant; δ says whether anyone should care).
+    δ = (#(x>y) − #(x<y))/(n1·n0) with wins/losses computed exactly
+    from the distinct-value frame (group-1 count at each value × the
+    OTHER group's strictly-below / strictly-above cumulative windows
+    — ties contribute to neither side, the Cliff convention); the
+    standard magnitude bands (0.147/0.33/0.474) are decided by the
+    exact integer cross-compare |wins−losses|·1000 vs band·n1·n0 —
+    the label can never disagree with the rounded δ across engines.
+
+    Scale shape: identical to mann_whitney_u — one agg to the
+    distinct-price frame, two cumulative windows over it, one scalar
+    rollup."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.when(F.col("o_orderpriority").startswith("1-"), 1)
+        .otherwise(0)
+        .alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v = o.groupBy("cents").agg(
+        F.sum("g").cast("bigint").alias("cnt1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("cnt0"),
+    )
+    w_lt = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    w_gt = Window.orderBy("cents").rowsBetween(1, Window.unboundedFollowing)
+    r = v.select(
+        "cnt1",
+        F.coalesce(F.sum("cnt0").over(w_lt), F.lit(0)).alias("c0_lt"),
+        F.coalesce(F.sum("cnt0").over(w_gt), F.lit(0)).alias("c0_gt"),
+        "cnt0",
+    )
+    d38 = "decimal(38,0)"
+    s = r.agg(
+        F.sum("cnt1").cast(d38).alias("n1"),
+        F.sum("cnt0").cast(d38).alias("n0"),
+        F.sum(F.col("cnt1") * F.col("c0_lt")).cast(d38).alias("wins"),
+        F.sum(F.col("cnt1") * F.col("c0_gt")).cast(d38).alias("losses"),
+    )
+    prod = F.col("n1") * F.col("n0")
+    wl = F.abs(F.col("wins") - F.col("losses")) * 1000
+    return s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("wins").cast("bigint").alias("wins"),
+        F.col("losses").cast("bigint").alias("losses"),
+        F.when(
+            prod > 0,
+            F.round(
+                (F.col("wins") - F.col("losses")).cast("double")
+                / prod.cast("double"),
+                6,
+            ),
+        ).alias("delta"),
+        F.when(prod == 0, F.lit(None).cast("string"))
+        .when(wl < 147 * prod, "negligible")
+        .when(wl < 330 * prod, "small")
+        .when(wl < 474 * prod, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@query(
+    "cochran_armitage_trend",
+    """
+    WITH e AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS w,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    h AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS x
+      FROM e GROUP BY w
+    ),
+    s AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nn,
+             CAST(sum(x) AS HUGEINT) AS xx,
+             CAST(sum(w * x) AS HUGEINT) AS swx,
+             CAST(sum(w * n) AS HUGEINT) AS swn,
+             CAST(sum(w * w * n) AS HUGEINT) AS swwn
+      FROM h
+    )
+    SELECT CAST(nn AS BIGINT) AS n_events,
+           CAST(xx AS BIGINT) AS n_hits,
+           CAST(nn * swx - xx * swn AS DOUBLE) AS t_num,
+           CAST(xx * (nn - xx) * (nn * swwn - swn * swn) AS DOUBLE)
+             AS t_den,
+           CASE WHEN xx * (nn - xx) * (nn * swwn - swn * swn) > 0
+                THEN 625 * nn * (nn * swx - xx * swn)
+                         * (nn * swx - xx * swn)
+                   > 2401 * xx * (nn - xx) * (nn * swwn - swn * swn)
+           END AS significant
+    FROM s
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in the purchase
+    proportion across the ordered hour-of-day scores 0..23 — the
+    ordered-slices member of the proportion-test family: ab_test_zprop
+    compares two slices, benjamini_hochberg sweeps m unordered slices,
+    CA asks 'does the rate climb with the hour?' using the ordering
+    itself (more powerful than chi-square when the alternative is
+    monotone). The z² > 1.96² verdict is decided ENTIRELY in integers
+    by cross-multiplication — 625·N·(N·Σwx − X·Σwn)² >
+    2401·X(N−X)(N·Σw²n − (Σwn)²) — no pooled-rate division, no sqrt;
+    intermediates ride HUGEINT/DECIMAL(38,0) ((N·Σwx)²·N ≈ 10^34 at
+    10^8 events). Degenerate slices (all-hit / no-hit / single hour)
+    drive the denominator to exactly 0 → NULL verdict in both
+    engines.
+
+    Scale shape: one map-side agg to the 24-row hour frame, one
+    scalar rollup — the corpus is touched once."""
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    h = ev.select(
+        F.hour("ts").cast("bigint").alias("w"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("x"),
+    )
+    s = h.agg(
+        F.sum("n").cast(d38).alias("nn"),
+        F.sum("x").cast(d38).alias("xx"),
+        F.sum(F.col("w") * F.col("x")).cast(d38).alias("swx"),
+        F.sum(F.col("w") * F.col("n")).cast(d38).alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast(d38).alias("swwn"),
+    )
+    nn, xx = F.col("nn"), F.col("xx")
+    t_num = nn * F.col("swx") - xx * F.col("swn")
+    t_den = xx * (nn - xx) * (
+        nn * F.col("swwn") - F.col("swn") * F.col("swn")
+    )
+    return s.select(
+        nn.cast("bigint").alias("n_events"),
+        xx.cast("bigint").alias("n_hits"),
+        t_num.cast("double").alias("t_num"),
+        t_den.cast("double").alias("t_den"),
+        F.when(
+            t_den > 0,
+            F.lit(625).cast(d38) * nn * t_num * t_num
+            > F.lit(2401).cast(d38) * t_den,
+        ).alias("significant"),
+    )
+
+
+@query(
+    "negative_binomial_fit",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+      SELECT t.event_type, u.user_id,
+             CAST(coalesce(k.c, 0) AS BIGINT) AS c
+      FROM t CROSS JOIN u
+      LEFT JOIN (
+        SELECT event_type, user_id, count(*) AS c
+        FROM events GROUP BY event_type, user_id
+      ) k ON k.event_type = t.event_type AND k.user_id = u.user_id
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS nu,
+             CAST(sum(c) AS HUGEINT) AS s1,
+             CAST(sum(c * c) AS HUGEINT) AS s2
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(nu AS BIGINT) AS n_users,
+           CAST(s1 AS BIGINT) AS n_events,
+           round(CAST(s1 AS DOUBLE) / CAST(nu AS DOUBLE), 6) AS mean_c,
+           round(CAST(nu * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(nu * nu AS DOUBLE), 6) AS var_c,
+           nu * s2 - s1 * s1 > nu * s1 AS overdispersed,
+           CASE WHEN nu * s2 - s1 * s1 > nu * s1
+                THEN round(CAST(s1 * s1 AS DOUBLE)
+                           / CAST(nu * s2 - s1 * s1 - nu * s1 AS DOUBLE), 6)
+           END AS nb_r,
+           CASE WHEN nu * s2 - s1 * s1 > 0
+                THEN round(CAST(nu * s1 AS DOUBLE)
+                           / CAST(nu * s2 - s1 * s1 AS DOUBLE), 6)
+           END AS nb_p
+    FROM s
+    """,
+)
+def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of per-user event
+    counts by type (zeros INCLUDED via the type × user densify —
+    fitting only active users truncates the distribution and biases r
+    upward): the overdispersion model behind events_fano_burstiness's
+    verdict — Fano says 'not Poisson', the NB fit says WHICH
+    clumped-arrivals model and with what parameters (r, p feed
+    synthetic-load generators and tail forecasts). Every decision is
+    integer: overdispersion is the exact compare N·S2 − S1² > N·S1
+    (var > mean cross-multiplied), and both estimators collapse to
+    single exact-integer ratios — r = S1²/(N·S2 − S1² − N·S1),
+    p = N·S1/(N·S2 − S1²) — so each output is ONE double division
+    (HUGEINT/DECIMAL(38,0): N·S2 ≈ 10^21 at 10^9 users). Poisson-or-
+    under slices get NULL r (the guard IS the model check).
+
+    Scale shape: one (type, user) count agg; the densify cross-join
+    is |types| × |users| with a broadcast type list — linear in
+    users, map-side combinable, never quadratic."""
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    u = ev.select("user_id").distinct()
+    t = ev.select("event_type").distinct()
+    k = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    c = (
+        t.crossJoin(u)
+        .join(k, ["event_type", "user_id"], "left")
+        .select(
+            "event_type",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    s = c.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("nu"),
+        F.sum("c").cast(d38).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast(d38).alias("s2"),
+    )
+    nu, s1, s2 = F.col("nu"), F.col("s1"), F.col("s2")
+    var_num = nu * s2 - s1 * s1
+    return s.select(
+        "event_type",
+        nu.cast("bigint").alias("n_users"),
+        s1.cast("bigint").alias("n_events"),
+        F.round(s1.cast("double") / nu.cast("double"), 6).alias("mean_c"),
+        F.round(var_num.cast("double") / (nu * nu).cast("double"), 6).alias(
+            "var_c"
+        ),
+        (var_num > nu * s1).alias("overdispersed"),
+        F.when(
+            var_num > nu * s1,
+            F.round(
+                (s1 * s1).cast("double")
+                / (var_num - nu * s1).cast("double"),
+                6,
+            ),
+        ).alias("nb_r"),
+        F.when(
+            var_num > 0,
+            F.round((nu * s1).cast("double") / var_num.cast("double"), 6),
+        ).alias("nb_p"),
+    )

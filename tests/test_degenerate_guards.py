@@ -942,3 +942,80 @@ def test_join_cardinality_uniform_keys_ratio_1000(spark, tmp_path):
     compare(
         df, _conn_with({"events": path}), ORACLE["join_cardinality_audit"]
     )
+
+
+def test_cliffs_delta_empty_group_null(spark, tmp_path):
+    # no urgent orders: n1*n0 = 0 -> delta NULL, magnitude NULL
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + i, "5-LOW") for i in range(4)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["cliffs_delta"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n1 == 0 and row.delta is None and row.magnitude is None
+    compare(df, _conn_with({"orders": path}), ORACLE["cliffs_delta"])
+
+
+def test_cliffs_delta_total_separation_large(spark, tmp_path):
+    # every urgent total above every low total: delta = +1, 'large';
+    # ties contribute to neither side (Cliff convention)
+    path = f"{tmp_path}/orders.parquet"
+    rows = [(i, 100.0 + i, "5-LOW") for i in range(3)] + [
+        (10 + i, 900.0 + i, "1-URGENT") for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["cliffs_delta"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.delta == 1.0 and row.magnitude == "large"
+    assert row.wins == 9 and row.losses == 0
+    compare(df, _conn_with({"orders": path}), ORACLE["cliffs_delta"])
+
+
+def test_cochran_armitage_single_hour_null(spark, tmp_path):
+    # all events in one hour: N*Sw2n - (Swn)^2 = 0 -> verdict NULL in
+    # both engines (no trend is even definable)
+    import datetime
+    base = datetime.datetime(2026, 3, 1, 9, 30, 0)
+    rows = [(i, base, i, "purchase" if i % 2 else "view", 1.0, "{}")
+            for i in range(6)]
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(path)
+    df = QUERIES["cochran_armitage_trend"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.t_den == 0.0 and row.significant is None
+    compare(
+        df, _conn_with({"events": path}), ORACLE["cochran_armitage_trend"]
+    )
+
+
+def test_negative_binomial_poisson_slice_null_r(spark, tmp_path):
+    # every user has EXACTLY one 'view' event: var = 0 < mean, the
+    # overdispersion gate is false and nb_r must be NULL (nb_p too:
+    # var = 0); the zero-densify is exercised by the 'click' type
+    # (one active user among three)
+    import datetime
+    base = datetime.datetime(2026, 3, 1)
+    rows = [(i, base, i, "view", 1.0, "{}") for i in range(3)]
+    rows.append((10, base, 0, "click", 1.0, "{}"))
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(path)
+    df = QUERIES["negative_binomial_fit"](spark, str(tmp_path))
+    got = {r.event_type: r for r in df.collect()}
+    assert got["view"].overdispersed is False and got["view"].nb_r is None
+    assert got["view"].nb_p is None  # var exactly 0
+    assert got["click"].n_users == 3 and got["click"].n_events == 1
+    compare(
+        df, _conn_with({"events": path}), ORACLE["negative_binomial_fit"]
+    )
