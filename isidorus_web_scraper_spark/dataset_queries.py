@@ -18897,3 +18897,301 @@ def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((nu * s1).cast("double") / var_num.cast("double"), 6),
         ).alias("nb_p"),
     )
+
+
+@query(
+    "hill_tail_index",
+    """
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn
+      FROM o
+    ),
+    thr AS (SELECT cents AS t FROM ranked WHERE rn = 101),
+    folded AS (
+      SELECT sum(ln(CAST(ranked.cents AS DOUBLE) / thr.t)) OVER (
+               ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS s,
+             row_number() OVER (ORDER BY rn DESC) AS last_rn
+      FROM ranked CROSS JOIN thr WHERE rn <= 100
+    )
+    SELECT 100 AS k, CAST(thr.t AS BIGINT) AS threshold_cents,
+           CASE WHEN folded.s > 0 THEN round(100.0 / folded.s, 6) END
+             AS hill_alpha
+    FROM folded CROSS JOIN thr WHERE folded.last_rn = 1
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index of order totals
+    (k = 100 upper order statistics against the 101st as threshold)
+    — the continuous-tail cousin of zipf_slope's rank-frequency fit
+    and the number that decides whether means/variances of the value
+    column are even finite-sample-stable (α ≤ 2: variance is a lie;
+    α ≤ 1: so is the mean — at which point every average in a report
+    is noise). Order statistics are exact ((cents desc, orderkey)
+    row_number — deterministic under ties); the log-sum folds as an
+    ORDERED cumulative window over the 100-row top frame; α = k/Σ is
+    one division, guarded by Σ > 0 (an all-tied top emits NULL, not
+    inf, in both engines). Corpora with n ≤ k+1 emit an empty frame
+    (no 101st statistic exists) identically on both sides.
+
+    Scale shape: a top-(k+1) rank (TakeOrderedAndProject shape — heads
+    per partition, driver merge) then windows over k rows only."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = o.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("o_orderkey")))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 101)
+    thr = ranked.filter(F.col("rn") == 101).select(
+        F.col("cents").alias("t")
+    )
+    w_cum = Window.orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = (
+        ranked.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.sum(
+                F.log(F.col("cents").cast("double") / F.col("t"))
+            )
+            .over(w_cum)
+            .alias("s"),
+            F.row_number().over(Window.orderBy(F.desc("rn"))).alias(
+                "last_rn"
+            ),
+        )
+        .filter(F.col("last_rn") == 1)
+    )
+    return folded.crossJoin(F.broadcast(thr)).select(
+        F.lit(100).alias("k"),
+        F.col("t").cast("bigint").alias("threshold_cents"),
+        F.when(F.col("s") > 0, F.round(100.0 / F.col("s"), 6)).alias(
+            "hill_alpha"
+        ),
+    )
+
+
+@query(
+    "sessionization_timeout_sensitivity",
+    """
+    WITH g AS (
+      SELECT epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    ),
+    u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events),
+    b AS (
+      SELECT CAST(coalesce(sum(CASE WHEN gap_ms > 900000 THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS b900,
+             CAST(coalesce(sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS b1800,
+             CAST(coalesce(sum(CASE WHEN gap_ms > 3600000 THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS b3600
+      FROM g WHERE gap_ms IS NOT NULL
+    )
+    SELECT t.timeout_s, u.n_users,
+           CASE t.timeout_s WHEN 900 THEN b.b900
+                            WHEN 1800 THEN b.b1800
+                            ELSE b.b3600 END AS n_breaks,
+           u.n_users + CASE t.timeout_s WHEN 900 THEN b.b900
+                                        WHEN 1800 THEN b.b1800
+                                        ELSE b.b3600 END AS n_sessions
+    FROM (SELECT unnest([900, 1800, 3600]) AS timeout_s) t
+    CROSS JOIN u CROSS JOIN b
+    """,
+)
+def sessionization_timeout_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How sensitive is the session count to the inactivity timeout?
+    One row per candidate threshold (15/30/60 min): sessions =
+    users + strict-gap breaks — the ops question ('is 30 minutes
+    special, or does the curve say any knob value gives the same
+    story?') that events_sessionization's single fixed threshold
+    can't answer, answered WITHOUT running the stateful sessionizer
+    three times: one lag window computes every user's gaps once, and
+    each threshold is a conditional count over the same gap frame
+    (gap > T strictly, the sessionizer's convention). Everything is
+    exact integers on zone-free epoch milliseconds (the ntz_epoch_ms
+    discipline — DuckDB's epoch_ms twin).
+
+    Scale shape: ONE per-user lag window (the shuffle sessionization
+    already pays) + one 3×|gaps| conditional rollup; thresholds are a
+    3-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            ntz_epoch_ms(F.col("ts"))
+            - F.lag(ntz_epoch_ms(F.col("ts"))).over(w)
+        ).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    u = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    # scalar break counts (an agg on an EMPTY gap frame still yields
+    # one row, so all-singleton-user corpora report n_sessions =
+    # n_users instead of vanishing)
+    def breaks(t_s: int) -> Column:
+        return (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("gap_ms") > t_s * 1000, 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"b{t_s}")
+        )
+
+    b = g.agg(breaks(900), breaks(1800), breaks(3600))
+    t = spark.createDataFrame(
+        [(900,), (1800,), (3600,)], "timeout_s int"
+    )
+    nb = (
+        F.when(F.col("timeout_s") == 900, F.col("b900"))
+        .when(F.col("timeout_s") == 1800, F.col("b1800"))
+        .otherwise(F.col("b3600"))
+    )
+    return (
+        t.crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "timeout_s",
+            "n_users",
+            nb.alias("n_breaks"),
+            (F.col("n_users") + nb).cast("bigint").alias("n_sessions"),
+        )
+    )
+
+
+@query(
+    "eb_shrunk_host_rates",
+    """
+    WITH ledger AS (
+      SELECT doc_id % 53 AS host,
+             CASE WHEN ('0x' || substr(md5('err:' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT % 100 >= doc_id % 53
+                  THEN 1 ELSE 0 END AS ok
+      FROM documents
+    ),
+    h AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ok) AS BIGINT) AS x
+      FROM ledger GROUP BY host
+    ),
+    folded AS (
+      SELECT count(*) OVER w AS nh,
+             sum(CAST(x AS DOUBLE) / n) OVER w AS sr,
+             sum((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n))
+               OVER w AS srr,
+             row_number() OVER (ORDER BY host DESC) AS rn
+      FROM h
+      WINDOW w AS (ORDER BY host ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    prior AS (
+      SELECT sr / nh AS mbar,
+             CASE WHEN nh > 1 AND srr - sr * sr / nh > 0
+                  THEN (srr - sr * sr / nh) / (nh - 1) END AS s2
+      FROM folded WHERE rn = 1
+    ),
+    strength AS (
+      SELECT mbar,
+             CASE WHEN s2 IS NOT NULL
+                       AND mbar * (1.0 - mbar) / s2 - 1.0 > 0
+                  THEN mbar * (1.0 - mbar) / s2 - 1.0 END AS m
+      FROM prior
+    )
+    SELECT h.host, h.n AS attempts, h.x AS successes,
+           round(CAST(h.x AS DOUBLE) / h.n, 6) AS raw_rate,
+           CASE WHEN strength.m IS NOT NULL
+                THEN round((h.x + strength.mbar * strength.m)
+                           / (h.n + strength.m), 6)
+           END AS shrunk_rate
+    FROM h CROSS JOIN strength
+    """,
+)
+def eb_shrunk_host_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunken per-host success rates (beta-binomial
+    method of moments): each host's rate pulled toward the cross-host
+    mean with strength M = m̄(1−m̄)/s² − 1 — the third member of the
+    scheduling triad (UCB explores, Wilson lower-bounds one host,
+    EB ranks the whole fleet on borrowed strength so a 1/1 host
+    doesn't outrank a 95/100 one). The prior moments fold as ORDERED
+    cumulative windows over the 53-row host frame (one canonical
+    float order); the method's two degeneracies — a single host
+    (no between variance) and under-dispersion (s² ≥ m̄(1−m̄), M ≤ 0,
+    the beta prior does not exist) — are guarded to NULL shrunk rates
+    in both engines, raw rates still reported.
+
+    Scale shape: one hash agg to hosts, windows over |hosts| only,
+    prior as a 1-row broadcast — at 10^7 hosts the fold frame is the
+    only window and it's the already-aggregated one."""
+    docs = load(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 53).alias("host")
+    ok = (
+        md5_long(F.concat(F.lit("err:"), F.col("doc_id").cast("string")))
+        % 100
+        >= F.col("doc_id") % 53
+    ).cast("int")
+    h = docs.select(host, ok.alias("ok")).groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("x"),
+    )
+    rate = F.col("x").cast("double") / F.col("n")
+    w_cum = Window.orderBy("host").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = h.select(
+        F.count("*").over(w_cum).alias("nh"),
+        F.sum(rate).over(w_cum).alias("sr"),
+        F.sum(rate * rate).over(w_cum).alias("srr"),
+        F.row_number().over(Window.orderBy(F.desc("host"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    s2 = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("nh")) / (
+        F.col("nh") - 1
+    )
+    prior = folded.select(
+        (F.col("sr") / F.col("nh")).alias("mbar"),
+        F.when(
+            (F.col("nh") > 1)
+            & (
+                F.col("srr") - F.col("sr") * F.col("sr") / F.col("nh")
+                > 0
+            ),
+            s2,
+        ).alias("s2"),
+    )
+    m_expr = F.col("mbar") * (F.lit(1.0) - F.col("mbar")) / F.col("s2") - 1.0
+    strength = prior.select(
+        "mbar",
+        F.when(F.col("s2").isNotNull() & (m_expr > 0), m_expr).alias("m"),
+    )
+    return h.crossJoin(F.broadcast(strength)).select(
+        "host",
+        F.col("n").alias("attempts"),
+        F.col("x").alias("successes"),
+        F.round(rate, 6).alias("raw_rate"),
+        F.when(
+            F.col("m").isNotNull(),
+            F.round(
+                (F.col("x") + F.col("mbar") * F.col("m"))
+                / (F.col("n") + F.col("m")),
+                6,
+            ),
+        ).alias("shrunk_rate"),
+    )

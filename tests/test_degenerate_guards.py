@@ -1019,3 +1019,71 @@ def test_negative_binomial_poisson_slice_null_r(spark, tmp_path):
     compare(
         df, _conn_with({"events": path}), ORACLE["negative_binomial_fit"]
     )
+
+
+def test_hill_small_corpus_empty(spark, tmp_path):
+    # n <= k+1: the 101st order statistic doesn't exist; both engines
+    # emit an EMPTY frame (never a partial-k estimate)
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + i, "5-LOW") for i in range(50)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["hill_tail_index"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(df, _conn_with({"orders": path}), ORACLE["hill_tail_index"])
+
+
+def test_hill_tied_top_null_alpha(spark, tmp_path):
+    # 150 identical totals: every log ratio is exactly 0, the sum is
+    # 0, and alpha must be NULL (not inf) in both engines
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 500.0, "5-LOW") for i in range(150)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["hill_tail_index"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.threshold_cents == 50000 and row.hill_alpha is None
+    compare(df, _conn_with({"orders": path}), ORACLE["hill_tail_index"])
+
+
+def test_sessionization_sensitivity_singleton_users(spark, tmp_path):
+    # every user has exactly one event: zero gaps, and the session
+    # count must equal the user count at EVERY threshold (the scalar
+    # agg keeps its one row on an empty gap frame)
+    import datetime
+    base = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    rows = [(i, base, i, "view", 1.0, "{}") for i in range(5)]
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(path)
+    df = QUERIES["sessionization_timeout_sensitivity"](spark, str(tmp_path))
+    rows_out = df.collect()
+    assert len(rows_out) == 3
+    assert all(r.n_breaks == 0 and r.n_sessions == 5 for r in rows_out)
+    compare(
+        df,
+        _conn_with({"events": path}),
+        ORACLE["sessionization_timeout_sensitivity"],
+    )
+
+
+def test_eb_shrinkage_single_host_null(spark, tmp_path):
+    # one host: no between-host variance exists, the beta prior is
+    # undefined, shrunk_rate NULL while raw_rate still reports
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(53 * i, "t", "en", "s", 1) for i in range(6)],  # all host 0
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["eb_shrunk_host_rates"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.host == 0 and row.raw_rate is not None
+    assert row.shrunk_rate is None
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["eb_shrunk_host_rates"]
+    )
