@@ -1,0 +1,124 @@
+"""Streaming Misra-Gries heavy hitters — the frequent-terms monitor
+for a live crawl/ingest stream.
+
+The batch twin is ``dataset_queries.heavy_hitters`` (two-pass MG:
+per-partition k-counter summaries, exact verify of the candidate
+union). This module runs PASS 1 incrementally under Structured
+Streaming: every micro-batch contributes per-partition MG summaries
+(bounded: ≤ k rows per partition, computed distributed), which fold
+into one driver-resident k-counter accumulator with the same
+Agarwal-et-al mergeable-summaries step — add pointwise, subtract the
+(k+1)-st largest, drop ≤ 0. Mergeability gives the invariant the test
+pins: after ANY number of batches, the accumulator's key set is a
+SUPERSET of every term with global frequency > n/(k+1), so the exact
+``finalize`` pass (frequency-count ONLY the ≤ k candidates, keep
+freq·k > n) returns exactly the batch answer.
+
+State bound: the driver holds ≤ k counters and one integer, whatever
+the stream length — the sketch-sized-state property that makes a
+frequent-terms monitor feasible where a streaming groupBy-count's
+state is the unbounded keyspace.
+
+Reference analog: the reference has no streaming analytics at all
+(workers consume SQS one message at a time); this is the Spark-native
+capability the north rule's "continuous frontier" reading implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dataset_queries import word_ngrams, words
+
+
+def _term_col(text: Column) -> Column:
+    """The shared bigram law of the heavy-hitters family."""
+    return F.explode(word_ngrams(words(text), 2)).alias("term")
+
+
+def mg_partition_summaries(terms: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of a (term) frame: ≤ k
+    candidate rows per partition plus one NULL-term row carrying the
+    partition's row count (same wire shape as the batch query's
+    pass 1 — the summary is bounded by k, never by the keyspace)."""
+    import pandas as pd
+
+    def mg(batches):
+        acc: dict = {}
+        seen = 0
+        for pdf in batches:
+            seen += len(pdf)
+            for term, c in pdf["term"].value_counts().items():
+                acc[term] = acc.get(term, 0) + int(c)
+            if len(acc) > k:
+                kth = sorted(acc.values(), reverse=True)[k]
+                acc = {t: c - kth for t, c in acc.items() if c > kth}
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "term": list(acc) + [None],
+                    "c": list(acc.values()) + [0],
+                    "pn": [0] * len(acc) + [seen],
+                }
+            )
+
+    return terms.mapInPandas(mg, "term string, c long, pn long")
+
+
+def fold_mg(acc: dict, rows, k: int) -> int:
+    """Fold collected summary rows into the running k-counter dict
+    (in place); returns the batch's row-count contribution. The
+    subtract step keeps len(acc) ≤ k after every fold."""
+    n_batch = 0
+    for r in rows:
+        if r["term"] is None:
+            n_batch += int(r["pn"])
+        else:
+            acc[r["term"]] = acc.get(r["term"], 0) + int(r["c"])
+    if len(acc) > k:
+        kth = sorted(acc.values(), reverse=True)[k]
+        for t in list(acc):
+            acc[t] -= kth
+            if acc[t] <= 0:
+                del acc[t]
+    return n_batch
+
+
+class StreamingHeavyHitters:
+    """foreachBatch sink state: a running MG accumulator + total n.
+
+    Use: ``stream.writeStream.foreachBatch(hh.process)...``; after the
+    stream drains, ``hh.finalize(spark, corpus)`` runs the exact
+    second pass over the full corpus restricted to the ≤ k candidates.
+    """
+
+    def __init__(self, k: int):
+        self.k = k
+        self.acc: dict = {}
+        self.n = 0
+
+    def process(self, batch_df: DataFrame, _batch_id: int) -> None:
+        terms = batch_df.select(_term_col(F.col("text")))
+        rows = mg_partition_summaries(terms, self.k).collect()
+        self.n += fold_mg(self.acc, rows, self.k)
+
+    def candidates(self) -> list[str]:
+        return sorted(self.acc)
+
+    def finalize(self, spark: SparkSession, corpus: DataFrame) -> DataFrame:
+        """Exact pass: count candidate terms over the corpus, keep the
+        strict heavy hitters freq·k > n (integer compare — same law as
+        the batch query)."""
+        cand = spark.createDataFrame(
+            [(t,) for t in self.candidates()] or [(None,)], "term string"
+        ).filter(F.col("term").isNotNull())
+        counts = (
+            corpus.select(_term_col(F.col("text")))
+            .join(F.broadcast(cand), "term")
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("freq"))
+        )
+        return counts.filter(
+            F.col("freq") * self.k > F.lit(self.n)
+        ).select("term", "freq")

@@ -682,3 +682,64 @@ def test_stream_stream_left_outer_attribution(
     assert got == want
     n_outer = sum(1 for _, v, _ in got if v is None)
     assert n_outer > 0 and n_outer < len(got)  # both outer & inner rows
+
+
+def test_streaming_heavy_hitters_equals_exact(spark, tmp_path):
+    # incremental MG over a 3-batch document stream == the exact
+    # strict heavy hitters of the whole corpus; and the accumulator's
+    # candidate set is a SUPERSET of the exact answer after the fold
+    # (the mergeable-summaries guarantee), while holding <= k counters
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.dataset_queries import word_ngrams, words
+    from isidorus_web_scraper_spark.streaming.sketches import (
+        StreamingHeavyHitters,
+    )
+
+    # skewed corpus: 'hot pair' appears in most docs, tail is unique
+    rows = []
+    for i in range(90):
+        rows.append((i, f"hot pair filler{i} tail{i} words{i}", "en", "s", 30))
+    for i in range(90, 100):
+        rows.append((i, f"cold{i} text{i} only{i} here{i}", "en", "s", 25))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    stream_dir = f"{tmp_path}/stream_in"
+    for b in range(3):  # three micro-batch files
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    k = 20
+    hh = StreamingHeavyHitters(k)
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(stream_dir)
+        .writeStream.foreachBatch(hh.process)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+
+    assert len(hh.acc) <= k  # bounded state
+    assert hh.n == docs.select(
+        F.explode(word_ngrams(words(F.col("text")), 2))
+    ).count()
+
+    # exact strict heavy hitters, computed independently
+    exact = {
+        (r.term, r.freq)
+        for r in docs.select(
+            F.explode(word_ngrams(words(F.col("text")), 2)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .filter(F.col("freq") * k > hh.n)
+        .collect()
+    }
+    assert exact  # the fixture genuinely has heavy hitters
+    assert {t for t, _ in exact} <= set(hh.candidates())  # superset
+    got = {(r.term, r.freq) for r in hh.finalize(spark, docs).collect()}
+    assert got == exact
