@@ -19195,3 +19195,320 @@ def eb_shrunk_host_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("shrunk_rate"),
     )
+
+
+@query(
+    "heaps_law_fit",
+    """
+    WITH dtok AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    ids AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+             (SELECT count(*) FROM dtok) AS nd
+      FROM dtok
+    ),
+    cut AS (
+      SELECT CAST(p.p AS INT) AS decile, ids.doc_id AS cutoff_doc
+      FROM (SELECT unnest(range(1, 11)) AS p) p
+      JOIN ids ON ids.rn = (p.p * ids.nd) // 10
+    ),
+    tf AS (
+      SELECT t, min(doc_id) AS fdoc
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+      GROUP BY t
+    ),
+    pts AS (
+      SELECT c.decile, c.cutoff_doc,
+             (SELECT CAST(sum(tok) AS BIGINT) FROM dtok
+              WHERE doc_id <= c.cutoff_doc) AS t_tokens,
+             (SELECT CAST(count(*) AS BIGINT) FROM tf
+              WHERE fdoc <= c.cutoff_doc) AS v_vocab
+      FROM cut c
+    ),
+    folded AS (
+      SELECT count(*) OVER w AS np,
+             sum(ln(CAST(t_tokens AS DOUBLE))) OVER w AS sx,
+             sum(ln(CAST(v_vocab AS DOUBLE))) OVER w AS sy,
+             sum(ln(CAST(t_tokens AS DOUBLE))
+                 * ln(CAST(v_vocab AS DOUBLE))) OVER w AS sxy,
+             sum(ln(CAST(t_tokens AS DOUBLE))
+                 * ln(CAST(t_tokens AS DOUBLE))) OVER w AS sxx,
+             row_number() OVER (ORDER BY decile DESC) AS last_rn
+      FROM pts
+      WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    fit AS (
+      SELECT CASE WHEN np * sxx - sx * sx > 0
+                  THEN round((np * sxy - sx * sy)
+                             / (np * sxx - sx * sx), 6) END AS beta,
+             CASE WHEN np * sxx - sx * sx > 0
+                  THEN round(exp((sy - (np * sxy - sx * sy)
+                                       / (np * sxx - sx * sx) * sx)
+                                 / np), 6) END AS k_est
+      FROM folded WHERE last_rn = 1
+    )
+    SELECT pts.decile, CAST(pts.cutoff_doc AS BIGINT) AS cutoff_doc,
+           pts.t_tokens, pts.v_vocab, fit.beta, fit.k_est
+    FROM pts CROSS JOIN fit
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V = K·Tᵝ of vocabulary growth over corpus-prefix
+    deciles — the GROWTH member of the vocabulary family: zipf_slope
+    describes the frequency head, chao1 extrapolates the unseen total,
+    Heaps' β predicts how fast the next shard of tokens buys new types
+    (β≈1: every shard is mostly new vocabulary — tokenizer tables and
+    dedup shingle spaces keep growing; β≈0.5: the canonical web-text
+    regime). Prefixes are doc_id-ordered; each decile point is an
+    EXACT pair (Σ tokens, #types-first-seen) decided by integer
+    compares against the exact decile-rank cutoff doc; the ln-ln OLS
+    folds over the 10-point frame in decile order (one canonical
+    float order), denominator-guarded (a degenerate all-in-one-decile
+    corpus yields NULL fit, points still reported).
+
+    Scale shape: one doc-level token-count frame, one token-first
+    frame (min over the exploded corpus, map-side combined), 10
+    conditional rollups via a broadcast cutoff list. The only global
+    sort is the row_number over the DOC frame to find 10 exact rank
+    cutoffs — at 10^9 docs swap in approx_percentile cutoffs (the
+    join_skew_profile contract: exact here IS the calibration twin)."""
+    docs = load(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ", -1))
+        .cast("bigint")
+        .alias("tok"),
+    )
+    nd = dtok.agg(F.count("*").alias("nd"))
+    ids = dtok.select("doc_id").select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+    ).crossJoin(F.broadcast(nd))
+    p = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    cut = p.join(
+        F.broadcast(ids),
+        F.col("rn") == F.expr("decile * nd div 10"),
+    ).select("decile", F.col("doc_id").alias("cutoff_doc"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(words(F.col("text"))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("fdoc"))
+    )
+    t_pts = (
+        dtok.crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") <= F.col("cutoff_doc"))
+        .groupBy("decile", "cutoff_doc")
+        .agg(F.sum("tok").cast("bigint").alias("t_tokens"))
+    )
+    v_pts = (
+        tf.crossJoin(F.broadcast(cut))
+        .filter(F.col("fdoc") <= F.col("cutoff_doc"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("v_vocab"))
+    )
+    pts = t_pts.join(v_pts, "decile")
+    lx = F.log(F.col("t_tokens").cast("double"))
+    ly = F.log(F.col("v_vocab").cast("double"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = pts.select(
+        F.count("*").over(w_cum).alias("np"),
+        F.sum(lx).over(w_cum).alias("sx"),
+        F.sum(ly).over(w_cum).alias("sy"),
+        F.sum(lx * ly).over(w_cum).alias("sxy"),
+        F.sum(lx * lx).over(w_cum).alias("sxx"),
+        F.row_number().over(Window.orderBy(F.desc("decile"))).alias(
+            "last_rn"
+        ),
+    ).filter(F.col("last_rn") == 1)
+    den = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    fit = folded.select(
+        F.when(den > 0, F.round(beta, 6)).alias("beta"),
+        F.when(
+            den > 0,
+            F.round(
+                F.exp((F.col("sy") - beta * F.col("sx")) / F.col("np")), 6
+            ),
+        ).alias("k_est"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "decile",
+        F.col("cutoff_doc").cast("bigint").alias("cutoff_doc"),
+        "t_tokens",
+        "v_vocab",
+        "beta",
+        "k_est",
+    )
+
+
+@query(
+    "ljung_box_portmanteau",
+    """
+    WITH d AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d),
+    lagged AS (
+      SELECT l.k,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.n) AS BIGINT) AS sx,
+             CAST(sum(b.n) AS BIGINT) AS sy,
+             CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(sum(b.n * b.n) AS BIGINT) AS syy
+      FROM (SELECT unnest(range(1, 8)) AS k) l
+      JOIN d a ON true
+      JOIN d b ON b.day = a.day + l.k
+      GROUP BY l.k
+    ),
+    rho AS (
+      SELECT k, n_pairs,
+             CASE WHEN n_pairs * sxx - sx * sx > 0
+                   AND n_pairs * syy - sy * sy > 0
+                  THEN (n_pairs * sxy - sx * sy)
+                       / sqrt((n_pairs * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * sx)
+                              * (n_pairs * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * sy))
+             END AS r
+      FROM lagged
+    ),
+    folded AS (
+      SELECT sum(CASE WHEN rho.r IS NULL OR nd.n_days - rho.k <= 0
+                      THEN NULL
+                      ELSE rho.r * rho.r / (nd.n_days - rho.k) END)
+               OVER (ORDER BY rho.k ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS s,
+             count(*) OVER (ORDER BY rho.k ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS n_lags_seen,
+             sum(CASE WHEN rho.r IS NULL OR nd.n_days - rho.k <= 0
+                      THEN 1 ELSE 0 END)
+               OVER (ORDER BY rho.k ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS n_bad,
+             row_number() OVER (ORDER BY rho.k DESC) AS last_rn,
+             nd.n_days
+      FROM rho CROSS JOIN nd
+    ),
+    q AS (
+      SELECT CASE WHEN n_bad = 0 AND n_lags_seen = 7
+                  THEN round(n_days * (n_days + 2) * s, 6) END AS q_stat,
+             n_days
+      FROM folded WHERE last_rn = 1
+    )
+    SELECT rho.k AS lag, rho.n_pairs, round(rho.r, 6) AS rho,
+           q.n_days, q.q_stat,
+           CASE WHEN q.q_stat IS NOT NULL
+                THEN q.q_stat > 14.067140 END AS significant
+    FROM rho CROSS JOIN q
+    """,
+)
+def ljung_box_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test over lags 1..7 of the GLOBAL daily
+    event-count series — the 'is there ANY serial structure?' gate
+    that events_autocorr_lag1's single lag can't close (a weekly
+    cycle hides at lag 7 with a flat lag 1): Q = n(n+2)·Σ ρ²_k/(n−k)
+    vs χ²₇ at 95% (14.067140). Each lag's ρ is the calendar-
+    consecutive pairwise Pearson over exact integer moment sums (the
+    lag-1 query's law extended to a lag list); Σ folds as an ORDERED
+    window over the 7-row lag frame; Q is NULL — never a partial sum
+    — if any lag's variance gate fails or n ≤ 7, with per-lag ρ rows
+    still reported.
+
+    Scale shape: events collapse map-side to the days frame; the lag
+    join and every window run on frames of ≤ days and 7 rows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        (ntz_epoch_ms(F.col("ts")) / F.lit(86400000))
+        .cast("bigint")
+        .alias("day")
+    ).groupBy("day").agg(F.count("*").cast("bigint").alias("n"))
+    nd = d.agg(F.count("*").cast("bigint").alias("n_days"))
+    lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
+    a = d.select(F.col("day").alias("da"), F.col("n").alias("na"))
+    b = d.select(F.col("day").alias("db"), F.col("n").alias("nb"))
+    lagged = (
+        lags.join(a)
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("na").cast("bigint").alias("sx"),
+            F.sum("nb").cast("bigint").alias("sy"),
+            F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("sxy"),
+            F.sum(F.col("na") * F.col("na")).cast("bigint").alias("sxx"),
+            F.sum(F.col("nb") * F.col("nb")).cast("bigint").alias("syy"),
+        )
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (
+        (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (
+                F.col("n_pairs") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            * (
+                F.col("n_pairs") * F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+        )
+    )
+    rho = lagged.select(
+        "k",
+        "n_pairs",
+        F.when((vx > 0) & (vy > 0), r).alias("r"),
+    )
+    w_cum = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bad = (
+        F.col("r").isNull() | (F.col("n_days") - F.col("k") <= 0)
+    ).cast("int")
+    term = F.when(
+        bad == 0,
+        F.col("r") * F.col("r") / (F.col("n_days") - F.col("k")),
+    )
+    folded = (
+        rho.crossJoin(F.broadcast(nd))
+        .select(
+            F.sum(term).over(w_cum).alias("s"),
+            F.count("*").over(w_cum).alias("n_lags_seen"),
+            F.sum(bad).over(w_cum).alias("n_bad"),
+            F.row_number().over(Window.orderBy(F.desc("k"))).alias(
+                "last_rn"
+            ),
+            "n_days",
+        )
+        .filter(F.col("last_rn") == 1)
+    )
+    q = folded.select(
+        F.when(
+            (F.col("n_bad") == 0) & (F.col("n_lags_seen") == 7),
+            F.round(
+                F.col("n_days") * (F.col("n_days") + 2) * F.col("s"), 6
+            ),
+        ).alias("q_stat"),
+        "n_days",
+    )
+    return rho.crossJoin(F.broadcast(q)).select(
+        F.col("k").alias("lag"),
+        "n_pairs",
+        F.round("r", 6).alias("rho"),
+        "n_days",
+        "q_stat",
+        F.when(
+            F.col("q_stat").isNotNull(), F.col("q_stat") > 14.067140
+        ).alias("significant"),
+    )

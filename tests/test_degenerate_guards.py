@@ -1087,3 +1087,49 @@ def test_eb_shrinkage_single_host_null(spark, tmp_path):
     compare(
         df, _conn_with({"documents": path}), ORACLE["eb_shrunk_host_rates"]
     )
+
+
+def test_heaps_single_doc_null_fit(spark, tmp_path):
+    # one document: the only surviving decile point makes all T_p
+    # equal, the OLS denominator is 0 -> beta/k_est NULL in both
+    # engines, the surviving point still reported
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(7, "alpha beta gamma delta", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["heaps_law_fit"](spark, str(tmp_path))
+    rows = df.collect()
+    # deciles with floor(p*N/10) = 0 have no rank cutoff and drop out:
+    # with N = 1 only decile 10 survives — in BOTH engines
+    assert len(rows) == 1 and rows[0].decile == 10
+    assert all(r.beta is None and r.k_est is None for r in rows)
+    assert all(r.t_tokens == 4 and r.v_vocab == 4 for r in rows)
+    compare(df, _conn_with({"documents": path}), ORACLE["heaps_law_fit"])
+
+
+def test_ljung_box_short_series_null_q(spark, tmp_path):
+    # 5 distinct days: lags 5..7 have no pairs at all (missing rows),
+    # so the 7-lag portmanteau must be NULL — never a partial-sum Q
+    import datetime
+    rows = []
+    for day in range(5):
+        for j in range(3 + day):
+            rows.append(
+                (len(rows),
+                 datetime.datetime(2026, 3, 1 + day, 8 + j),
+                 j, "view", 1.0, "{}")
+            )
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(path)
+    df = QUERIES["ljung_box_portmanteau"](spark, str(tmp_path))
+    out = df.collect()
+    assert all(r.q_stat is None and r.significant is None for r in out)
+    assert len(out) < 7  # the missing lags ARE the reason
+    compare(
+        df, _conn_with({"events": path}), ORACLE["ljung_box_portmanteau"]
+    )
