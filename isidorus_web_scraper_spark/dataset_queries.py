@@ -19512,3 +19512,72 @@ def ljung_box_portmanteau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_stat").isNotNull(), F.col("q_stat") > 14.067140
         ).alias("significant"),
     )
+
+
+@query(
+    "skyline_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS psize
+      FROM part
+    )
+    SELECT a.p_brand, a.p_partkey, a.price_cents, a.psize
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p q
+      WHERE q.p_brand = a.p_brand
+        AND q.price_cents <= a.price_cents AND q.psize >= a.psize
+        AND (q.price_cents < a.price_cents OR q.psize > a.psize)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-front) operator: per brand, the parts no other
+    part dominates on (price ↓, size ↑) — the multi-objective
+    shortlist query (\"show me every part where nothing is both
+    cheaper AND bigger\") that top-k by any single weighted score
+    cannot express, and a missing operator CLASS until now. The naive
+    form is a quadratic NOT-EXISTS dominance self-join (the oracle
+    runs exactly that, pinning the semantics); the engine computes it
+    with TWO WINDOWS and zero joins: survive iff size > max(size)
+    over STRICTLY cheaper rows (a RANGE frame to 1-cent-PRECEDING on
+    the integer price axis — ties excluded exactly) and size equals
+    the max within the same (brand, price) group (equal-price
+    dominance; exact duplicates both survive, neither dominates).
+    Every compare is exact-integer; output order-free.
+
+    Scale shape: one hash partition by brand + in-partition sort —
+    the same exchange a per-brand rollup pays; dominance resolves in
+    the sorted pass, O(n log n) against the O(n²) textbook join."""
+    part = load(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("psize"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_cents")
+    w = p.select(
+        "p_brand",
+        "p_partkey",
+        "price_cents",
+        "psize",
+        F.max("psize").over(w_cheaper).alias("best_cheaper"),
+        F.max("psize").over(w_same).alias("best_same_price"),
+    )
+    return w.filter(
+        (
+            F.col("best_cheaper").isNull()
+            | (F.col("psize") > F.col("best_cheaper"))
+        )
+        & (F.col("psize") == F.col("best_same_price"))
+    ).select("p_brand", "p_partkey", "price_cents", "psize")

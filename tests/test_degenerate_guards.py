@@ -1133,3 +1133,35 @@ def test_ljung_box_short_series_null_q(spark, tmp_path):
     compare(
         df, _conn_with({"events": path}), ORACLE["ljung_box_portmanteau"]
     )
+
+
+def test_skyline_exact_duplicates_both_survive(spark, tmp_path):
+    # two parts identical on (price, size): neither dominates the
+    # other (no strict edge), BOTH are on the front; a strictly worse
+    # part is out; a cheaper-but-smaller part stays (incomparable)
+    path = f"{tmp_path}/part.parquet"
+    spark.createDataFrame(
+        [
+            (1, "B1", 10.00, 20),
+            (2, "B1", 10.00, 20),   # exact duplicate of 1
+            (3, "B1", 10.00, 15),   # dominated (same price, smaller)
+            (4, "B1", 12.00, 18),   # dominated by 1 (pricier, smaller)
+            (5, "B1", 8.00, 10),    # survives: cheaper, incomparable
+        ],
+        "p_partkey long, p_brand string, p_retailprice double, p_size int",
+    ).write.parquet(path)
+    df = QUERIES["skyline_parts"](spark, str(tmp_path))
+    keys = sorted(r.p_partkey for r in df.collect())
+    assert keys == [1, 2, 5]
+    compare(df, _conn_with({"part": path}), ORACLE["skyline_parts"])
+
+
+def test_skyline_single_part_survives(spark, tmp_path):
+    path = f"{tmp_path}/part.parquet"
+    spark.createDataFrame(
+        [(9, "B2", 5.00, 1)],
+        "p_partkey long, p_brand string, p_retailprice double, p_size int",
+    ).write.parquet(path)
+    df = QUERIES["skyline_parts"](spark, str(tmp_path))
+    assert df.count() == 1
+    compare(df, _conn_with({"part": path}), ORACLE["skyline_parts"])
