@@ -19581,3 +19581,106 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (F.col("psize") == F.col("best_same_price"))
     ).select("p_brand", "p_partkey", "price_cents", "psize")
+
+
+@query(
+    "sequence_pattern_match",
+    """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'click' THEN 'c'
+                                        WHEN 'view' THEN 'v'
+                                        WHEN 'purchase' THEN 'p'
+                                        WHEN 'signup' THEN 's'
+                                        ELSE 'e' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM s),
+    pat AS (
+      SELECT * FROM (VALUES
+        ('direct_purchase', '^p'),
+        ('view_to_purchase', 'v[^p]*p'),
+        ('error_before_purchase', 'e[^p]*p'),
+        ('never_purchased', '^[^p]*$')) t(pattern, rx)
+    )
+    SELECT pat.pattern,
+           CAST(sum(CASE WHEN regexp_matches(s.seq, pat.rx)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN regexp_matches(s.seq, pat.rx)
+                         THEN 1 ELSE 0 END) * 1000 // tot.n_total
+                AS BIGINT) AS share_permille
+    FROM pat CROSS JOIN tot CROSS JOIN s
+    GROUP BY pat.pattern, tot.n_total
+    """,
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern matching over each user's
+    full event-type SEQUENCE — the behavioral-pattern operator class
+    the funnel family only special-cases (funnel_conversion fixes one
+    ordered chain; a regex asks arbitrary questions: 'purchase as the
+    FIRST touch', 'a view eventually converting', 'an error on the
+    path to purchase', 'never bought at all' — each one row here).
+    Sequences are deterministic strings (events folded per user in
+    (ts, event_id) order — the sessionizer's tiebreak law — via
+    sort_array-of-struct on the Spark side and ORDER BY string_agg in
+    the oracle); the four patterns use only regex constructs with
+    identical semantics in Java regex and RE2 (anchors, literal
+    classes, negated classes, star). Shares are exact floored
+    permille of the user universe.
+
+    Scale shape: ONE user-keyed fold (the shuffle any per-user op
+    pays; string length = that user's event count), then 4 regex
+    predicates evaluated JVM-side over the users frame — patterns are
+    a 4-row broadcast, never a second pass over events."""
+    ev = load(spark, sf_dir, "events")
+    letter = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    s = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), letter.alias("l")
+            ).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("st")),
+                    lambda x: x["l"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    tot = s.agg(F.count("*").cast("bigint").alias("n_total"))
+    pat = spark.createDataFrame(
+        [
+            ("direct_purchase", "^p"),
+            ("view_to_purchase", "v[^p]*p"),
+            ("error_before_purchase", "e[^p]*p"),
+            ("never_purchased", "^[^p]*$"),
+        ],
+        "pattern string, rx string",
+    )
+    hit = F.expr("CASE WHEN seq rlike rx THEN 1 ELSE 0 END")
+    return (
+        F.broadcast(pat)
+        .crossJoin(F.broadcast(tot))
+        .join(s)
+        .groupBy("pattern", "n_total")
+        .agg(F.sum(hit).cast("bigint").alias("n_users"))
+        .select(
+            "pattern",
+            "n_users",
+            F.expr("n_users * 1000 div n_total")
+            .cast("bigint")
+            .alias("share_permille"),
+        )
+    )

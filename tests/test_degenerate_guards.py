@@ -1165,3 +1165,39 @@ def test_skyline_single_part_survives(spark, tmp_path):
     df = QUERIES["skyline_parts"](spark, str(tmp_path))
     assert df.count() == 1
     compare(df, _conn_with({"part": path}), ORACLE["skyline_parts"])
+
+
+def test_sequence_pattern_constructed_paths(spark, tmp_path):
+    # hand-built sequences with KNOWN matches per pattern, including a
+    # same-timestamp pair broken by event_id (the deterministic-order
+    # law) whose order decides the 'direct_purchase' verdict
+    import datetime
+    t0 = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    dt = datetime.timedelta(minutes=1)
+    rows = [
+        # user 0: p first (same ts as the view — event_id orders p first)
+        (0, t0, 0, "purchase", 1.0, "{}"),
+        (1, t0, 0, "view", 1.0, "{}"),
+        # user 1: v ... p (with an error before the purchase)
+        (2, t0, 1, "view", 1.0, "{}"),
+        (3, t0 + dt, 1, "error", 1.0, "{}"),
+        (4, t0 + 2 * dt, 1, "purchase", 1.0, "{}"),
+        # user 2: clicks only
+        (5, t0, 2, "click", 1.0, "{}"),
+        (6, t0 + dt, 2, "click", 1.0, "{}"),
+    ]
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(path)
+    df = QUERIES["sequence_pattern_match"](spark, str(tmp_path))
+    got = {r.pattern: (r.n_users, r.share_permille) for r in df.collect()}
+    assert got["direct_purchase"] == (1, 333)      # user 0 only
+    assert got["view_to_purchase"] == (1, 333)     # user 1 only
+    assert got["error_before_purchase"] == (1, 333)
+    assert got["never_purchased"] == (1, 333)      # user 2
+    compare(
+        df, _conn_with({"events": path}), ORACLE["sequence_pattern_match"]
+    )
