@@ -19684,3 +19684,219 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_permille"),
         )
     )
+
+
+@query(
+    "abc_xyz_matrix",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             epoch_ms(l_shipdate) // 2592000000 AS m,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS rev
+      FROM lineitem
+    ),
+    months AS (SELECT DISTINCT m FROM li),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM months),
+    pm AS (
+      SELECT l_partkey, m, CAST(sum(q) AS BIGINT) AS q
+      FROM li GROUP BY l_partkey, m
+    ),
+    parts AS (SELECT DISTINCT l_partkey FROM li),
+    dense AS (
+      SELECT p.l_partkey, coalesce(pm.q, 0) AS q
+      FROM parts p CROSS JOIN months mo
+      LEFT JOIN pm ON pm.l_partkey = p.l_partkey AND pm.m = mo.m
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CAST(sum(q) AS HUGEINT) AS s1,
+             CAST(sum(q * q) AS HUGEINT) AS s2
+      FROM dense GROUP BY l_partkey
+    ),
+    xyz_c AS (
+      SELECT xyz.l_partkey,
+             CASE WHEN s1 = 0 THEN 'Z'
+                  WHEN 4 * (nm.n_months * s2 - s1 * s1) < s1 * s1 THEN 'X'
+                  WHEN nm.n_months * s2 - s1 * s1 < s1 * s1 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM xyz CROSS JOIN nm
+    ),
+    pr AS (
+      SELECT l_partkey, CAST(sum(rev) AS BIGINT) AS rev
+      FROM li GROUP BY l_partkey
+    ),
+    abc AS (
+      SELECT l_partkey,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM (
+        SELECT l_partkey, rev,
+               CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey)
+                    AS BIGINT) AS cum,
+               CAST(sum(rev) OVER () AS BIGINT) AS total
+        FROM pr
+      )
+    )
+    SELECT abc.abc_class, xyz_c.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM abc JOIN xyz_c ON abc.l_partkey = xyz_c.l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC×XYZ stocking-policy matrix: value classes (the
+    abc_classification 80/95 cumulative-revenue law, reused verbatim)
+    crossed with demand-VARIABILITY classes — X: CV < 0.5 (steady,
+    forecastable), Y: CV < 1, Z: lumpy — because an A-value part with
+    Z-variability needs a completely different safety stock than an
+    A/X one. Variability is decided in EXACT integers: with monthly
+    quantity sums S1, S2 over the month-DENSIFIED per-part series
+    (zero months included — skipping them understates variability,
+    the same truncation trap negative_binomial_fit documents),
+    CV² < 1/4 ⟺ 4(M·S2 − S1²) < S1² and CV² < 1 ⟺ M·S2 − S1² < S1²
+    — no mean, no sqrt, no division anywhere in the verdict
+    (HUGEINT/DECIMAL(38,0) intermediates).
+
+    Scale shape: one fact-table rollup to (part, month), a
+    |parts|×|months| densify via a broadcast month list, two
+    part-level aggs, and the ABC rank window over the parts frame —
+    the fact table is touched once."""
+    li = load(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        "l_partkey",
+        (ntz_epoch_ms(F.col("l_shipdate")) / F.lit(2592000000))
+        .cast("bigint")
+        .alias("m"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev"),
+    )
+    months = base.select("m").distinct()
+    nm = months.agg(F.count("*").cast("bigint").alias("n_months"))
+    pm = base.groupBy("l_partkey", "m").agg(
+        F.sum("q").cast("bigint").alias("q")
+    )
+    parts = base.select("l_partkey").distinct()
+    dense = (
+        parts.crossJoin(F.broadcast(months))
+        .join(pm, ["l_partkey", "m"], "left")
+        .select("l_partkey", F.coalesce("q", F.lit(0)).alias("q"))
+    )
+    xyz = dense.groupBy("l_partkey").agg(
+        F.sum("q").cast(d38).alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast(d38).alias("s2"),
+    )
+    var_num = F.col("n_months") * F.col("s2") - F.col("s1") * F.col("s1")
+    s1sq = F.col("s1") * F.col("s1")
+    xyz_c = xyz.crossJoin(F.broadcast(nm)).select(
+        "l_partkey",
+        F.when(F.col("s1") == 0, "Z")
+        .when(4 * var_num < s1sq, "X")
+        .when(var_num < s1sq, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    pr = base.groupBy("l_partkey").agg(
+        F.sum("rev").cast("bigint").alias("rev")
+    )
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    abc = pr.select(
+        "l_partkey",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+    ).select(
+        "l_partkey",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        abc.join(xyz_c, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+
+
+@query(
+    "sample_size_power_calc",
+    """
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'
+    ),
+    d AS (SELECT unnest([0.01::DOUBLE, 0.02::DOUBLE, 0.05::DOUBLE])
+            AS delta)
+    SELECT d.delta,
+           round(CAST(base.x AS DOUBLE) / base.n, 6) AS p_base,
+           CASE WHEN base.n > 0
+                 AND CAST(base.x AS DOUBLE) / base.n + d.delta < 1.0
+                THEN CAST(ceil(
+                  pow(1.959964 * sqrt(2 * ((CAST(base.x AS DOUBLE) / base.n
+                         + d.delta / 2)
+                        * (1 - (CAST(base.x AS DOUBLE) / base.n
+                                + d.delta / 2))))
+                      + 0.841621 * sqrt(
+                          CAST(base.x AS DOUBLE) / base.n
+                          * (1 - CAST(base.x AS DOUBLE) / base.n)
+                          + (CAST(base.x AS DOUBLE) / base.n + d.delta)
+                            * (1 - (CAST(base.x AS DOUBLE) / base.n
+                                    + d.delta))),
+                      2) / (d.delta * d.delta)) AS BIGINT)
+           END AS n_per_arm
+    FROM d CROSS JOIN base
+    """,
+)
+def sample_size_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planner: purchase events PER ARM needed to
+    detect an absolute lift of {1, 2, 5} points over the observed
+    high-value-purchase rate P(value > 50 | purchase) at α = 0.05
+    (two-sided) and 80% power — the question a team asks BEFORE
+    ab_test_zprop can say anything ('how long must this run?'),
+    answered from the corpus's own baseline:
+    n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁ + p₂q₂))²/δ² with the normal
+    quantiles as exact shared literals (1.959964, 0.841621). The
+    baseline x/n is exact; each candidate-delta row evaluates one
+    identical IEEE expression; p₂ ≥ 1 rows are guarded NULL (no such
+    experiment exists). The ceil lands mid-range of the float (the
+    expression is nowhere near an integer boundary for real rates) —
+    output also carries p_base so the reader can recompute.
+
+    Scale shape: one filtered scalar agg, then a 3-row VALUES
+    cross-join against a 1-row baseline."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    d = spark.createDataFrame(
+        [(0.01,), (0.02,), (0.05,)], "delta double"
+    )
+    p1 = F.col("x").cast("double") / F.col("n")
+    p2 = p1 + F.col("delta")
+    pbar = p1 + F.col("delta") / 2
+    expr_n = F.ceil(
+        F.pow(
+            F.lit(1.959964) * F.sqrt(2 * (pbar * (1 - pbar)))
+            + F.lit(0.841621)
+            * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+            F.lit(2),
+        )
+        / (F.col("delta") * F.col("delta"))
+    ).cast("bigint")
+    return d.crossJoin(F.broadcast(base)).select(
+        "delta",
+        F.round(p1, 6).alias("p_base"),
+        F.when((F.col("n") > 0) & (p2 < 1.0), expr_n).alias("n_per_arm"),
+    )

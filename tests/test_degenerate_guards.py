@@ -1201,3 +1201,51 @@ def test_sequence_pattern_constructed_paths(spark, tmp_path):
     compare(
         df, _conn_with({"events": path}), ORACLE["sequence_pattern_match"]
     )
+
+
+def test_abc_xyz_zero_demand_and_constant_demand(spark, tmp_path):
+    # part 1 ships every month with IDENTICAL quantity -> CV = 0 -> X;
+    # part 2 ships once in 3 months (lumpy) -> CV^2 = 2 > 1 -> Z.
+    # ABC note: with one part carrying ~all revenue its OWN cumulative
+    # already exceeds the 95% cut, so the abc_classification law
+    # (reused verbatim) files BOTH parts under C — the pin asserts
+    # that boundary convention rather than an intuitive 'A'
+    import datetime
+    rows = []
+    # 40-day spacing guarantees three DISTINCT 30-day epoch buckets
+    d0 = datetime.datetime(2026, 1, 10)
+    dates = [d0 + datetime.timedelta(days=40 * m) for m in range(3)]
+    for d in dates:
+        rows.append((1, d, 10.0, 5000.0))
+    # part 2 ships once, ON one of part 1's dates (no extra bucket)
+    rows.append((2, dates[1], 5.0, 10.0))
+    path = f"{tmp_path}/lineitem.parquet"
+    spark.createDataFrame(
+        rows,
+        "l_partkey long, l_shipdate timestamp_ntz, l_quantity double,"
+        " l_extendedprice double",
+    ).write.parquet(path)
+    df = QUERIES["abc_xyz_matrix"](spark, str(tmp_path))
+    got = {(r.abc_class, r.xyz_class): r.n_parts for r in df.collect()}
+    assert got == {("C", "X"): 1, ("C", "Z"): 1}
+    compare(df, _conn_with({"lineitem": path}), ORACLE["abc_xyz_matrix"])
+
+
+def test_power_calc_saturated_baseline_null(spark, tmp_path):
+    # every purchase is high-value: p_base = 1.0, p2 > 1 for every
+    # delta, all rows guarded NULL (no such experiment exists)
+    import datetime
+    base = datetime.datetime(2026, 3, 1)
+    rows = [(i, base, i, "purchase", 90.0, "{}") for i in range(5)]
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(path)
+    df = QUERIES["sample_size_power_calc"](spark, str(tmp_path))
+    rows_out = df.collect()
+    assert all(r.p_base == 1.0 and r.n_per_arm is None for r in rows_out)
+    compare(
+        df, _conn_with({"events": path}), ORACLE["sample_size_power_calc"]
+    )
