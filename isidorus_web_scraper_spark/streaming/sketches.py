@@ -122,3 +122,47 @@ class StreamingHeavyHitters:
         return counts.filter(
             F.col("freq") * self.k > F.lit(self.n)
         ).select("term", "freq")
+
+
+class StreamingKMV:
+    """Bounded-state distinct-count monitor: the KMV (bottom-k)
+    sketch of ``dataset_queries.kmv_distinct`` fed incrementally by
+    foreachBatch. Each micro-batch contributes its own DISTINCT
+    bottom-k hash set (a TakeOrderedAndProject per batch — k rows
+    cross the wire, never the keyspace); the driver merge is the KMV
+    union law — set-union the hashes, keep the k smallest. State is
+    ≤ k integers for any stream length, and because bottom-k union is
+    exactly mergeable the end state is IDENTICAL to the batch sketch
+    of the full corpus (not merely close — the test pins equality of
+    h_k and the estimate)."""
+
+    def __init__(self, k: int = 8):
+        self.k = k
+        self.hashes: set[int] = set()
+
+    def process(self, batch_df: DataFrame, _batch_id: int) -> None:
+        from ..dataset_queries import md5_long
+
+        rows = (
+            batch_df.select(
+                md5_long(F.col("user_id").cast("string")).alias("hv")
+            )
+            .distinct()
+            .orderBy("hv")
+            .limit(self.k)
+            .collect()
+        )
+        self.hashes.update(r.hv for r in rows)
+        if len(self.hashes) > self.k:
+            self.hashes = set(sorted(self.hashes)[: self.k])
+
+    def estimate(self) -> tuple[int, int, float]:
+        """(k_actual, h_k, est_distinct) — the batch query's exact
+        output law: D ≈ (k−1)·2^60/h_k."""
+        ks = sorted(self.hashes)
+        k_actual = len(ks)
+        h_k = ks[-1] if ks else 0
+        est = (
+            (k_actual - 1) * (1152921504606846976.0 / h_k) if h_k else 0.0
+        )
+        return k_actual, h_k, round(est, 3)

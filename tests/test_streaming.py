@@ -743,3 +743,37 @@ def test_streaming_heavy_hitters_equals_exact(spark, tmp_path):
     assert {t for t, _ in exact} <= set(hh.candidates())  # superset
     got = {(r.term, r.freq) for r in hh.finalize(spark, docs).collect()}
     assert got == exact
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, sf_small, tmp_path):
+    # the KMV union law is EXACTLY mergeable: streaming the events
+    # table in micro-batches must land on the identical bottom-k set,
+    # h_k, and estimate as the batch kmv_distinct query
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.driver_queries import QUERIES
+    from isidorus_web_scraper_spark.sources.testdata import load
+    from isidorus_web_scraper_spark.streaming.sketches import StreamingKMV
+
+    ev = load(spark, sf_small, "events")
+    stream_dir = f"{tmp_path}/stream_in"
+    for b in range(4):
+        ev.filter(F.col("event_id") % 4 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    kmv = StreamingKMV(k=8)
+    q = (
+        spark.readStream.schema(ev.schema).parquet(stream_dir)
+        .writeStream.foreachBatch(kmv.process)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(kmv.hashes) <= 8  # bounded state
+    k_actual, h_k, est = kmv.estimate()
+    batch = QUERIES["kmv_distinct"](spark, sf_small).collect()[0]
+    assert (k_actual, h_k) == (batch.k_actual, batch.h_k)
+    assert est == batch.est_distinct
