@@ -16278,16 +16278,26 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n - n1 AS BIGINT) AS n2,
            CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
            CAST(sum_t AS BIGINT) AS tie_term,
-           CAST(1875 * (two_r1 - n1 * (n1 + 1) - n1 * (n - n1))
-                     * (two_r1 - n1 * (n1 + 1) - n1 * (n - n1))
-                     * n * (n - 1) AS DOUBLE) AS z_lhs,
-           CAST(2401 * n1 * (n - n1) * (n * (n * n - 1) - sum_t)
-                AS DOUBLE) AS z_rhs,
-           1875 * (two_r1 - n1 * (n1 + 1) - n1 * (n - n1))
-                * (two_r1 - n1 * (n1 + 1) - n1 * (n - n1))
-                * n * (n - 1)
-             > 2401 * n1 * (n - n1) * (n * (n * n - 1) - sum_t)
-             AS significant
+           CASE WHEN n1 * (n - n1) > 0 AND n * (n * n - 1) - sum_t > 0
+                THEN round(
+                  3.0 * CAST(two_r1 - n1 * (n1 + 1) - n1 * (n - n1)
+                             AS DOUBLE)
+                      * CAST(two_r1 - n1 * (n1 + 1) - n1 * (n - n1)
+                             AS DOUBLE)
+                      * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                  / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                     * CAST(n * (n * n - 1) - sum_t AS DOUBLE)), 6)
+           END AS z2,
+           CASE WHEN n1 * (n - n1) > 0 AND n * (n * n - 1) - sum_t > 0
+                THEN 3.0 * CAST(two_r1 - n1 * (n1 + 1) - n1 * (n - n1)
+                               AS DOUBLE)
+                        * CAST(two_r1 - n1 * (n1 + 1) - n1 * (n - n1)
+                               AS DOUBLE)
+                        * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                     / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                        * CAST(n * (n * n - 1) - sum_t AS DOUBLE))
+                     > 3.8416
+           END AS significant
     FROM s
     """,
 )
@@ -16301,13 +16311,16 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All rank arithmetic is integer-exact: ranks live DOUBLED
     (2·avg_rank = 2·c_lt + t + 1 is an integer even where midranks are
-    .5), so 2R1, 2U1 and the tie term Σ(t³−t) are exact; the |z|>1.96
-    verdict is decided by cross-multiplication —
-    1875·(2U1 − n1n2)²·N(N−1) > 2401·n1·n2·(N³−N−ΣT), the exact
-    rational form of z² > (49/25)² with the tie-corrected variance —
-    no division, no sqrt, bit-identical across engines (ab_test_zprop
-    discipline extended to rank statistics; intermediates ride
-    DECIMAL(38,0): diff²·N² ≈ 10^33 at sf0.1, far under 38 digits).
+    .5), so 2R1, 2U1 and the tie term Σ(t³−t) are exact. The |z|>1.96
+    verdict evaluates z² = 3·diff²·N(N−1)/(n1·n2·(N³−N−ΣT)) as ONE
+    double expression of those exact integers — each factor cast
+    individually, the identical IEEE tree in both engines, with
+    exact-INTEGER guards (n1·n2 > 0, tie denominator > 0) deciding
+    reachability before any division. The fully-cross-multiplied
+    DECIMAL(38,0) form was rejected in review: 1875·diff²·N(N−1)
+    exceeds 38 digits one scale step above the tested envelope and
+    the engines fail differently there (DuckDB raises on HUGEINT
+    overflow, Spark nulls).
 
     Scale shape: one hash-agg to the DISTINCT-price frame (bounded by
     price resolution, not rows), one window over that small frame, one
@@ -16344,18 +16357,34 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n - n1
     two_u1 = F.col("two_r1") - n1 * (n1 + 1)
     diff = two_u1 - n1 * n2
-    lhs = F.lit(1875).cast(d38) * diff * diff * n * (n - 1)
-    rhs = (
-        F.lit(2401).cast(d38) * n1 * n2 * (n * (n * n - 1) - F.col("sum_t"))
+    tie_den = n * (n * n - 1) - F.col("sum_t")
+    # the verdict is z² > 1.96² with z² computed as ONE double
+    # expression of the exact integer components (each cast to double
+    # individually, the identical tree in the oracle): the earlier
+    # cross-multiplied DECIMAL(38,0) form 1875·diff²·N(N−1) overflows
+    # one scale step above sf0.1's envelope and the engines fail
+    # DIFFERENTLY there (DuckDB raises, Spark nulls) — review
+    # finding, session 14. Guards stay exact-integer.
+    guard = (n1 * n2 > 0) & (tie_den > 0)
+    z2 = (
+        F.lit(3.0)
+        * diff.cast("double")
+        * diff.cast("double")
+        * n.cast("double")
+        * (n.cast("double") - 1)
+        / (
+            n1.cast("double")
+            * n2.cast("double")
+            * tie_den.cast("double")
+        )
     )
     return s.select(
         n1.cast("bigint").alias("n1"),
         n2.cast("bigint").alias("n2"),
         two_u1.cast("bigint").alias("two_u1"),
         F.col("sum_t").cast("bigint").alias("tie_term"),
-        lhs.cast("double").alias("z_lhs"),
-        rhs.cast("double").alias("z_rhs"),
-        (lhs > rhs).alias("significant"),
+        F.when(guard, F.round(z2, 6)).alias("z2"),
+        F.when(guard, z2 > 3.8416).alias("significant"),
     )
 
 
@@ -17655,7 +17684,9 @@ def jains_fairness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HUGEINT/DECIMAL(38,0): Σx² ≈ 10^17 at 10^9 fetches over 10^4
     hosts); J is ONE double division of two exact integers. Σx > 0
     whenever any host exists, so no guard branch is reachable on a
-    nonempty ledger (empty ledger = empty result, both engines).
+    nonempty ledger (an EMPTY ledger still emits one row — ungrouped
+    aggregates always do — with n_hosts = 0 and NULL stats, the same
+    in both engines).
 
     Scale shape: one map-side-combinable hash agg to the hosts frame,
     one scalar rollup. The ledger is touched once."""
@@ -18735,12 +18766,16 @@ def cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(nn AS BIGINT) AS n_events,
            CAST(xx AS BIGINT) AS n_hits,
            CAST(nn * swx - xx * swn AS DOUBLE) AS t_num,
-           CAST(xx * (nn - xx) * (nn * swwn - swn * swn) AS DOUBLE)
-             AS t_den,
-           CASE WHEN xx * (nn - xx) * (nn * swwn - swn * swn) > 0
-                THEN 625 * nn * (nn * swx - xx * swn)
-                         * (nn * swx - xx * swn)
-                   > 2401 * xx * (nn - xx) * (nn * swwn - swn * swn)
+           CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
+             * CAST(nn * swwn - swn * swn AS DOUBLE) AS t_den,
+           CASE WHEN xx > 0 AND xx < nn
+                 AND nn * swwn - swn * swn > 0
+                THEN CAST(nn AS DOUBLE)
+                     * CAST(nn * swx - xx * swn AS DOUBLE)
+                     * CAST(nn * swx - xx * swn AS DOUBLE)
+                     / (CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
+                        * CAST(nn * swwn - swn * swn AS DOUBLE))
+                     > 3.8416
            END AS significant
     FROM s
     """,
@@ -18752,13 +18787,14 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares two slices, benjamini_hochberg sweeps m unordered slices,
     CA asks 'does the rate climb with the hour?' using the ordering
     itself (more powerful than chi-square when the alternative is
-    monotone). The z² > 1.96² verdict is decided ENTIRELY in integers
-    by cross-multiplication — 625·N·(N·Σwx − X·Σwn)² >
-    2401·X(N−X)(N·Σw²n − (Σwn)²) — no pooled-rate division, no sqrt;
-    intermediates ride HUGEINT/DECIMAL(38,0) ((N·Σwx)²·N ≈ 10^34 at
-    10^8 events). Degenerate slices (all-hit / no-hit / single hour)
-    drive the denominator to exactly 0 → NULL verdict in both
-    engines.
+    monotone). The z² > 1.96² verdict evaluates
+    z² = N·(N·Σwx − X·Σwn)² / (X(N−X)(N·Σw²n − (Σwn)²)) as ONE double
+    expression of the exact integer components (identical IEEE tree
+    both engines) behind exact-INTEGER guards on each factor —
+    the fully-cross-multiplied decimal form was rejected in review
+    (it wraps 38 digits above the tested envelope with divergent
+    engine failure modes). Degenerate slices (all-hit / no-hit /
+    single hour) fail a guard → NULL verdict in both engines.
 
     Scale shape: one map-side agg to the 24-row hour frame, one
     scalar rollup — the corpus is touched once."""
@@ -18780,19 +18816,31 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn, xx = F.col("nn"), F.col("xx")
     t_num = nn * F.col("swx") - xx * F.col("swn")
-    t_den = xx * (nn - xx) * (
-        nn * F.col("swwn") - F.col("swn") * F.col("swn")
+    var_w = nn * F.col("swwn") - F.col("swn") * F.col("swn")
+    # verdict as ONE double expression of the exact integer
+    # components (identical tree in the oracle), with exact-integer
+    # guards on each factor — the fully-cross-multiplied
+    # 625·N·t_num² DECIMAL(38,0) form overflows above the tested
+    # envelope with DIVERGENT engine failure modes (review finding,
+    # session 14; same fix as mann_whitney_u); t_den is likewise a
+    # double PRODUCT because the integer product X(N−X)·var wraps at
+    # 10^10 events even though each factor fits
+    t_den_d = (
+        xx.cast("double") * (nn - xx).cast("double") * var_w.cast("double")
+    )
+    guard = (xx > 0) & (xx < nn) & (var_w > 0)
+    z2 = (
+        nn.cast("double")
+        * t_num.cast("double")
+        * t_num.cast("double")
+        / t_den_d
     )
     return s.select(
         nn.cast("bigint").alias("n_events"),
         xx.cast("bigint").alias("n_hits"),
         t_num.cast("double").alias("t_num"),
-        t_den.cast("double").alias("t_den"),
-        F.when(
-            t_den > 0,
-            F.lit(625).cast(d38) * nn * t_num * t_num
-            > F.lit(2401).cast(d38) * t_den,
-        ).alias("significant"),
+        t_den_d.alias("t_den"),
+        F.when(guard, z2 > 3.8416).alias("significant"),
     )
 
 
@@ -18850,29 +18898,27 @@ def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HUGEINT/DECIMAL(38,0): N·S2 ≈ 10^21 at 10^9 users). Poisson-or-
     under slices get NULL r (the guard IS the model check).
 
-    Scale shape: one (type, user) count agg; the densify cross-join
-    is |types| × |users| with a broadcast type list — linear in
-    users, map-side combinable, never quadratic."""
+    Scale shape: one (type, user) count agg over OBSERVED pairs plus
+    a 1-row broadcast user-universe count — the zero rows the
+    statistics need are accounted for algebraically (they contribute
+    nothing to S1/S2), never materialized; the oracle runs the
+    explicit densify as the independent formulation."""
     ev = load(spark, sf_dir, "events")
     d38 = "decimal(38,0)"
-    u = ev.select("user_id").distinct()
-    t = ev.select("event_type").distinct()
+    # the zero-densify is ALGEBRAIC, not material: zero counts add
+    # nothing to S1/S2 and the user universe is one global scalar, so
+    # the engine aggregates only the OBSERVED (type, user) frame and
+    # broadcasts countDistinct(user_id) as nu — identical output to
+    # the oracle's explicit types x users densify at a fraction of
+    # the rows (review finding, session 14)
+    u = ev.agg(F.countDistinct("user_id").cast(d38).alias("nu"))
     k = ev.groupBy("event_type", "user_id").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    c = (
-        t.crossJoin(u)
-        .join(k, ["event_type", "user_id"], "left")
-        .select(
-            "event_type",
-            F.coalesce("c", F.lit(0)).alias("c"),
-        )
-    )
-    s = c.groupBy("event_type").agg(
-        F.count("*").cast(d38).alias("nu"),
+    s = k.groupBy("event_type").agg(
         F.sum("c").cast(d38).alias("s1"),
         F.sum(F.col("c") * F.col("c")).cast(d38).alias("s2"),
-    )
+    ).crossJoin(F.broadcast(u))
     nu, s1, s2 = F.col("nu"), F.col("s1"), F.col("s2")
     var_num = nu * s2 - s1 * s1
     return s.select(
@@ -19290,9 +19336,14 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
     ).crossJoin(F.broadcast(nd))
     p = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
-    cut = p.join(
-        F.broadcast(ids),
-        F.col("rn") == F.expr("decile * nd div 10"),
+    # broadcast the 10-row (decile, rank) side and keep the |docs|
+    # rank frame distributed — broadcasting ids itself is an OOM
+    # hazard at 10^9 docs (review finding, session 14)
+    cutranks = p.crossJoin(F.broadcast(nd)).select(
+        "decile", F.expr("decile * nd div 10").alias("cut_rn")
+    )
+    cut = ids.join(
+        F.broadcast(cutranks), F.col("rn") == F.col("cut_rn")
     ).select("decile", F.col("doc_id").alias("cutoff_doc"))
     tf = (
         docs.select(
@@ -19759,10 +19810,12 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no mean, no sqrt, no division anywhere in the verdict
     (HUGEINT/DECIMAL(38,0) intermediates).
 
-    Scale shape: one fact-table rollup to (part, month), a
-    |parts|×|months| densify via a broadcast month list, two
-    part-level aggs, and the ABC rank window over the parts frame —
-    the fact table is touched once."""
+    Scale shape: one fact-table rollup to (part, month), part-level
+    aggs over OBSERVED rows only (the zero months the CV needs enter
+    through the broadcast month count M, never as materialized rows —
+    the oracle's explicit densify is the independent twin), and the
+    ABC rank window over the parts frame — the fact table is touched
+    once."""
     li = load(spark, sf_dir, "lineitem")
     d38 = "decimal(38,0)"
     base = li.select(
@@ -19778,13 +19831,12 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pm = base.groupBy("l_partkey", "m").agg(
         F.sum("q").cast("bigint").alias("q")
     )
-    parts = base.select("l_partkey").distinct()
-    dense = (
-        parts.crossJoin(F.broadcast(months))
-        .join(pm, ["l_partkey", "m"], "left")
-        .select("l_partkey", F.coalesce("q", F.lit(0)).alias("q"))
-    )
-    xyz = dense.groupBy("l_partkey").agg(
+    # zero months are accounted for algebraically (they add nothing
+    # to S1/S2; M comes from the broadcast month count), so the
+    # engine aggregates only OBSERVED (part, month) rows — the oracle
+    # keeps the explicit densify as the independent formulation
+    # (review finding, session 14)
+    xyz = pm.groupBy("l_partkey").agg(
         F.sum("q").cast(d38).alias("s1"),
         F.sum(F.col("q") * F.col("q")).cast(d38).alias("s2"),
     )

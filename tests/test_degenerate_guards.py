@@ -352,9 +352,9 @@ def test_theil_sen_single_month(spark, tmp_path):
 
 def test_mann_whitney_empty_cohort_and_all_ties(spark, tmp_path):
     # all-low-priority (n1 = 0) AND every total identical (pure ties):
-    # diff = 2U1 - n1*n2 = 0 and the tie term drives the variance to 0,
-    # so BOTH sides of the cross-multiplied verdict are exactly 0 and
-    # significant must be FALSE in both engines — no 0/0, no NaN
+    # both integer guards fail (n1*n2 = 0 and the tie denominator is
+    # 0), so z2 and significant are NULL in both engines — the
+    # division is never evaluated
     path = f"{tmp_path}/orders.parquet"
     spark.createDataFrame(
         [(i, 100.0, "5-LOW") for i in range(6)],
@@ -364,15 +364,14 @@ def test_mann_whitney_empty_cohort_and_all_ties(spark, tmp_path):
     row = df.collect()[0]
     assert row.n1 == 0 and row.n2 == 6
     assert row.two_u1 == 0
-    assert row.z_lhs == 0.0 and row.z_rhs == 0.0
-    assert row.significant is False
+    assert row.z2 is None and row.significant is None
     compare(df, _conn_with({"orders": path}), ORACLE["mann_whitney_u"])
 
 
 def test_mann_whitney_all_tied_mixed_groups(spark, tmp_path):
     # both cohorts present but every value tied: midranks make
-    # 2U1 = n1*n2 exactly (diff = 0) and the verdict is FALSE with the
-    # tie term equal to N^3 - N (one tie group of size N)
+    # 2U1 = n1*n2 exactly (diff = 0) while the tie term equals
+    # N^3 - N, so the tie-denominator guard fails -> NULL verdict
     path = f"{tmp_path}/orders.parquet"
     spark.createDataFrame(
         [(i, 100.0, "1-URGENT" if i % 2 == 0 else "5-LOW") for i in range(6)],
@@ -383,7 +382,7 @@ def test_mann_whitney_all_tied_mixed_groups(spark, tmp_path):
     assert row.n1 == 3 and row.n2 == 3
     assert row.two_u1 == row.n1 * row.n2  # 2U1 = n1*n2 exactly
     assert row.tie_term == 6 ** 3 - 6
-    assert row.significant is False
+    assert row.z2 is None and row.significant is None
     compare(df, _conn_with({"orders": path}), ORACLE["mann_whitney_u"])
 
 
