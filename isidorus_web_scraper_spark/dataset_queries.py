@@ -19952,3 +19952,564 @@ def sample_size_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("p_base"),
         F.when((F.col("n") > 0) & (p2 < 1.0), expr_n).alias("n_per_arm"),
     )
+
+
+@query(
+    "welch_mean_ztest",
+    """
+    WITH s AS (
+      SELECT
+        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                      ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1
+                      ELSE 0 END) AS BIGINT) AS n2,
+        sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS HUGEINT) ELSE 0 END) AS s11,
+        sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS HUGEINT) ELSE 0 END) AS s12,
+        sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(round(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END) AS s21,
+        sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(round(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END) AS s22
+      FROM orders
+    )
+    SELECT n1, n2,
+           CASE WHEN n1 > 0
+                THEN round(CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+           END AS mean1_cents,
+           CASE WHEN n2 > 0
+                THEN round(CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+           END AS mean2_cents,
+           CASE WHEN n1 > 1 AND n2 > 1
+                 AND (n1 * s21 - s11 * s11 > 0
+                      OR n2 * s22 - s12 * s12 > 0)
+                THEN round(
+                  (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                  * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                  / (CAST(n1 * s21 - s11 * s11 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) - 1))
+                     + CAST(n2 * s22 - s12 * s12 AS DOUBLE)
+                       / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          * (CAST(n2 AS DOUBLE) - 1))), 6)
+           END AS z2,
+           CASE WHEN n1 > 1 AND n2 > 1
+                 AND (n1 * s21 - s11 * s11 > 0
+                      OR n2 * s22 - s12 * s12 > 0)
+                THEN (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     * (CAST(s11 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(s12 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / (CAST(n1 * s21 - s11 * s11 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) - 1))
+                        + CAST(n2 * s22 - s12 * s12 AS DOUBLE)
+                          / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (CAST(n2 AS DOUBLE) - 1)))
+                     > 3.8416
+           END AS significant
+    FROM s
+    """,
+)
+def welch_mean_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance z-test on MEAN order value, urgent vs
+    low priority — the parametric twin of mann_whitney_u (same
+    cohorts; MW asks about stochastic dominance of ranks, Welch about
+    the difference of means — a long right tail can flip one verdict
+    and not the other, which is why a pipeline carries both). All
+    moments are exact integers over cents (n, Σx, Σx² per cohort, one
+    map-side-combinable pass, Σx² products cast to DECIMAL(38,0)
+    BEFORE the sum — Σx² ≈ 10^23 at 10^9 orders, far past BIGINT);
+    z² = diff² / (v1/n1 + v2/n2) with vᵢ/nᵢ = (nᵢΣx²−(Σx)²)/(nᵢ²(nᵢ−1))
+    is evaluated as ONE double expression of those exact integers —
+    each factor cast individually, the identical IEEE tree in both
+    engines (mann_whitney_u discipline) — behind exact-INTEGER
+    reachability guards: nᵢ > 1 and at least one nonzero variance
+    numerator (two zero-variance cohorts have an undefined z even
+    when the means differ).
+
+    Scale shape: one conditional-aggregation pass over the fact
+    table to six scalars; the verdict is driver-free arithmetic on a
+    1-row frame."""
+    o = load(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    low = F.col("o_orderpriority") == "5-LOW"
+    s = o.agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(urgent, c.cast(d38)).otherwise(F.lit(0).cast(d38)))
+        .alias("s11"),
+        F.sum(F.when(low, c.cast(d38)).otherwise(F.lit(0).cast(d38)))
+        .alias("s12"),
+        F.sum(
+            F.when(urgent, c.cast(d38) * c).otherwise(F.lit(0).cast(d38))
+        ).alias("s21"),
+        F.sum(
+            F.when(low, c.cast(d38) * c).otherwise(F.lit(0).cast(d38))
+        ).alias("s22"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s11, s12 = F.col("s11"), F.col("s12")
+    s21, s22 = F.col("s21"), F.col("s22")
+    v1n = n1 * s21 - s11 * s11
+    v2n = n2 * s22 - s12 * s12
+    m1 = s11.cast("double") / n1.cast("double")
+    m2 = s12.cast("double") / n2.cast("double")
+    diff = m1 - m2
+    se2 = v1n.cast("double") / (
+        n1.cast("double") * n1.cast("double") * (n1.cast("double") - 1)
+    ) + v2n.cast("double") / (
+        n2.cast("double") * n2.cast("double") * (n2.cast("double") - 1)
+    )
+    z2 = diff * diff / se2
+    guard = (n1 > 1) & (n2 > 1) & ((v1n > 0) | (v2n > 0))
+    return s.select(
+        "n1",
+        "n2",
+        F.when(n1 > 0, F.round(m1, 6)).alias("mean1_cents"),
+        F.when(n2 > 0, F.round(m2, 6)).alias("mean2_cents"),
+        F.when(guard, F.round(z2, 6)).alias("z2"),
+        F.when(guard, z2 > 3.8416).alias("significant"),
+    )
+
+
+@query(
+    "g_test_independence",
+    """
+    WITH o AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+          FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+                 CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+                 CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols
+          FROM o),
+    terms AS (
+      SELECT o.event_type, o.dow, t.n, t.n_rows, t.n_cols,
+             sum(CAST(o.obs AS DOUBLE)
+                 * ln(CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      / (CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE))))
+               OVER (ORDER BY o.event_type, o.dow
+                     ROWS UNBOUNDED PRECEDING) AS acc,
+             row_number()
+               OVER (ORDER BY o.event_type DESC, o.dow DESC) AS last_rn
+      FROM o JOIN r USING (event_type) JOIN c USING (dow), t
+    ),
+    g AS (
+      SELECT n, n_rows, n_cols,
+             (n_rows - 1) * (n_cols - 1) AS df,
+             2.0 * acc AS g_stat
+      FROM terms WHERE last_rn = 1
+    )
+    SELECT n, df,
+           round(g_stat, 6) AS g_stat,
+           CASE WHEN df > 0 THEN round(
+             CAST(df AS DOUBLE)
+             * (1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))
+                + 1.6448536269514722
+                  * sqrt(2.0 / (9.0 * CAST(df AS DOUBLE))))
+             * (1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))
+                + 1.6448536269514722
+                  * sqrt(2.0 / (9.0 * CAST(df AS DOUBLE))))
+             * (1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))
+                + 1.6448536269514722
+                  * sqrt(2.0 / (9.0 * CAST(df AS DOUBLE)))), 6)
+           END AS crit_95,
+           CASE WHEN df > 0 THEN
+             round(g_stat, 6) > round(
+               CAST(df AS DOUBLE)
+               * (1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))
+                  + 1.6448536269514722
+                    * sqrt(2.0 / (9.0 * CAST(df AS DOUBLE))))
+               * (1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))
+                  + 1.6448536269514722
+                    * sqrt(2.0 / (9.0 * CAST(df AS DOUBLE))))
+               * (1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))
+                  + 1.6448536269514722
+                    * sqrt(2.0 / (9.0 * CAST(df AS DOUBLE)))), 6)
+           END AS significant
+    FROM g
+    """,
+)
+def g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio) of independence for event type ×
+    day-of-week — the information-theoretic member of the
+    independence family (chi-square ≈ its second-order Taylor
+    expansion; G is additive across nested partitions, which the
+    chi-square members cramers_v/theils_u are not, and
+    2n·MI(nats) = G exactly, tying it to info_gain_lang_source).
+    Contingency cells and margins are exact integers; each observed
+    cell ships one term obs·ln(obs·N/(R·C)) (absent cells contribute
+    exactly 0 by the 0·ln0 = 0 limit, so only observed cells are
+    touched), and G folds as an ORDERED cumulative window over the
+    ≤ types×7 cell frame — the identical IEEE addition order in both
+    engines (no shuffled float sum). The 95% verdict compares against
+    the Wilson–Hilferty chi-square critical value
+    df·(1 − 2/(9df) + z₉₅·√(2/(9df)))³ — a closed-form expression
+    tree evaluated identically in both engines (benjamini_hochberg's
+    erfc discipline), cubed by explicit self-multiplication; both
+    sides of the compare are rounded to 6 dp first so a sub-ulp ln()
+    divergence cannot flip the verdict.
+
+    Scale shape: one map-side-combinable agg to the bounded cell
+    frame; margins, the ordered fold and the verdict all ride that
+    small frame. dow uses the repo's portable epoch-day + 4 mod 7
+    convention."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    o = ev.groupBy(
+        "event_type",
+        (((ems / F.lit(86400000)).cast("bigint") + 4) % 7).alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    r = o.groupBy("event_type").agg(
+        F.sum("obs").cast("bigint").alias("rt")
+    )
+    c = o.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("ct"))
+    t = o.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("n_rows"),
+        F.countDistinct("dow").cast("bigint").alias("n_cols"),
+    )
+    cells = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(t))
+    )
+    term = F.col("obs").cast("double") * F.log(
+        F.col("obs").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+    )
+    w_acc = Window.orderBy("event_type", "dow").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_last = Window.orderBy(F.desc("event_type"), F.desc("dow"))
+    folded = cells.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        F.sum(term).over(w_acc).alias("acc"),
+        F.row_number().over(w_last).alias("last_rn"),
+    ).filter(F.col("last_rn") == 1)
+    df_ = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    g_stat = F.lit(2.0) * F.col("acc")
+    dfd = df_.cast("double")
+    wh = (
+        F.lit(1.0)
+        - F.lit(2.0) / (F.lit(9.0) * dfd)
+        + F.lit(1.6448536269514722)
+        * F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfd))
+    )
+    crit = dfd * wh * wh * wh
+    return folded.select(
+        "n",
+        df_.cast("bigint").alias("df"),
+        F.round(g_stat, 6).alias("g_stat"),
+        F.when(df_ > 0, F.round(crit, 6)).alias("crit_95"),
+        F.when(df_ > 0, F.round(g_stat, 6) > F.round(crit, 6)).alias(
+            "significant"
+        ),
+    )
+
+
+@query(
+    "ols_two_factor",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS x1,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT li.x1, li.x2,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x1 AS HUGEINT)) AS sx1,
+             sum(CAST(x2 AS HUGEINT)) AS sx2,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+             sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+             sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+             sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+             sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM j
+    ),
+    d AS (
+      SELECT n, sy, s1y, s2y, syy,
+             CAST(n AS DOUBLE) AS nd, CAST(sx1 AS DOUBLE) AS a1,
+             CAST(sx2 AS DOUBLE) AS a2, CAST(sy AS DOUBLE) AS ay,
+             CAST(s11 AS DOUBLE) AS a11, CAST(s22 AS DOUBLE) AS a22,
+             CAST(s12 AS DOUBLE) AS a12, CAST(s1y AS DOUBLE) AS a1y,
+             CAST(s2y AS DOUBLE) AS a2y, CAST(syy AS DOUBLE) AS ayy
+      FROM m
+    ),
+    k AS (
+      SELECT n, sy, s1y, s2y, syy, nd, ay, a1y, a2y, ayy,
+             nd * (a11 * a22 - a12 * a12)
+               - a1 * (a1 * a22 - a12 * a2)
+               + a2 * (a1 * a12 - a11 * a2) AS det,
+             ay * (a11 * a22 - a12 * a12)
+               - a1 * (a1y * a22 - a12 * a2y)
+               + a2 * (a1y * a12 - a11 * a2y) AS det0,
+             nd * (a1y * a22 - a12 * a2y)
+               - ay * (a1 * a22 - a12 * a2)
+               + a2 * (a1 * a2y - a1y * a2) AS det1,
+             nd * (a11 * a2y - a1y * a12)
+               - a1 * (a1 * a2y - a1y * a2)
+               + ay * (a1 * a12 - a11 * a2) AS det2
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CASE WHEN det <> 0.0 THEN round(det0 / det, 6) END AS b0,
+           CASE WHEN det <> 0.0 THEN round(det1 / det, 6) END AS b1,
+           CASE WHEN det <> 0.0 THEN round(det2 / det, 6) END AS b2,
+           CASE WHEN det <> 0.0 AND n * syy - sy * sy > 0
+                THEN round(1.0 - (ayy - ((det0 / det) * ay
+                                         + (det1 / det) * a1y
+                                         + (det2 / det) * a2y))
+                                 / (ayy - ay * ay / nd), 6)
+           END AS r2
+    FROM k
+    """,
+)
+def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-regressor OLS with intercept — order value (cents) on
+    (n_lineitems, total quantity) — solved in closed form by Cramer's
+    rule over the 3×3 normal equations: the multiple-regression
+    member events_trend_ols (single regressor) left open, and the
+    join-then-regress shape every feature-attribution job runs. The
+    nine moment sums (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y,
+    Σyy) are exact integers (products cast to DECIMAL(38,0)/HUGEINT
+    before summing — Σy² ≈ 10^21 at sf0.1 already passes BIGINT); the
+    four 3×3 determinants are evaluated as DOUBLE expression trees of
+    the individually-cast exact moments — NOT as cross-multiplied
+    decimals, which wrap 38 digits near 10^9 rows with divergent
+    engine failure modes (mann_whitney_u review lesson applied at
+    design time). Coefficients are single divisions; R² reuses the
+    same b̂ doubles so both engines walk one tree; det ≠ 0 (collinear
+    regressors) and SST > 0 (exact-integer guard n·Σyy > (Σy)²) gate
+    reachability.
+
+    Scale shape: one lineitem rollup (map-side combinable), one
+    orderkey equi-join (AQE-broadcastable at dim scale), one
+    moments pass to a 1-row frame — the verdict is arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    lir = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("x1"),
+        F.sum(F.round("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    j = o.join(lir, o.o_orderkey == lir.l_orderkey).select(
+        "x1",
+        "x2",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    m = j.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(x1.cast(d38)).alias("sx1"),
+        F.sum(x2.cast(d38)).alias("sx2"),
+        F.sum(y.cast(d38)).alias("sy"),
+        F.sum(x1.cast(d38) * x1).alias("s11"),
+        F.sum(x2.cast(d38) * x2).alias("s22"),
+        F.sum(x1.cast(d38) * x2).alias("s12"),
+        F.sum(x1.cast(d38) * y).alias("s1y"),
+        F.sum(x2.cast(d38) * y).alias("s2y"),
+        F.sum(y.cast(d38) * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    a1, a2, ay = (
+        F.col("sx1").cast("double"),
+        F.col("sx2").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    a11, a22, a12 = (
+        F.col("s11").cast("double"),
+        F.col("s22").cast("double"),
+        F.col("s12").cast("double"),
+    )
+    a1y, a2y, ayy = (
+        F.col("s1y").cast("double"),
+        F.col("s2y").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    det = (
+        nd * (a11 * a22 - a12 * a12)
+        - a1 * (a1 * a22 - a12 * a2)
+        + a2 * (a1 * a12 - a11 * a2)
+    )
+    det0 = (
+        ay * (a11 * a22 - a12 * a12)
+        - a1 * (a1y * a22 - a12 * a2y)
+        + a2 * (a1y * a12 - a11 * a2y)
+    )
+    det1 = (
+        nd * (a1y * a22 - a12 * a2y)
+        - ay * (a1 * a22 - a12 * a2)
+        + a2 * (a1 * a2y - a1y * a2)
+    )
+    det2 = (
+        nd * (a11 * a2y - a1y * a12)
+        - a1 * (a1 * a2y - a1y * a2)
+        + ay * (a1 * a12 - a11 * a2)
+    )
+    ok = det != 0.0
+    sst_guard = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    r2 = 1.0 - (ayy - (b0 * ay + b1 * a1y + b2 * a2y)) / (
+        ayy - ay * ay / nd
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.when(ok, F.round(b0, 6)).alias("b0"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(ok & sst_guard, F.round(r2, 6)).alias("r2"),
+    )
+
+
+@query(
+    "interval_union_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_ms(ts) AS s,
+             epoch_ms(ts) + greatest(CAST(round(value * 1000) AS BIGINT),
+                                     0) AS e,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN max(e) OVER (PARTITION BY user_id
+                                    ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id
+                                        ORDER BY s, e, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, e, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id,
+             min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(me - ms) AS BIGINT) AS covered_ms,
+           CAST(max(me) - min(ms) AS BIGINT) AS span_ms
+    FROM merged GROUP BY 1
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (coalesce-overlaps) per user: each event opens an
+    activity interval [ts, ts + value·1s); overlapping or touching
+    intervals merge into islands, and the rollup reports exact covered
+    milliseconds vs raw span — the classic 'total time on site'
+    operator that a naive sum(duration) double-counts and
+    sessionization (gap-based, point events) cannot express, because
+    here events carry DURATIONS that can nest (a long interval fully
+    containing later short ones: max-end-so-far, not lag(e), is what
+    detects containment — the textbook lag-based merge is WRONG for
+    nested intervals and the oracle pins the cummax form). Island
+    detection is one ordered window per user (new island ⟺ start
+    strictly after the running max end; ties at the boundary merge,
+    both engines); all arithmetic is exact integer milliseconds.
+
+    Both the flag window and the island accumulation walk ONE total
+    order (s, e, event_id) — a flag computed under one tiebreak and
+    accumulated under another silently reassigns tied-start rows to
+    islands they never touch (caught in this query's own review
+    before it shipped); the unique event_id tiebreak makes every
+    row's cumulative flag sum deterministic even under fully tied
+    (s, e).
+
+    Scale shape: one hash partition by user + in-partition sort (the
+    same exchange sessionization pays), two small aggs — no join, no
+    self-join; the quadratic overlap join the textbook answer runs is
+    replaced by the sorted pass."""
+    ev = load(spark, sf_dir, "events")
+    ems = ntz_epoch_ms(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        ems.alias("s"),
+        (
+            ems
+            + F.greatest(
+                F.round(F.col("value") * 1000).cast("bigint"), F.lit(0)
+            )
+        ).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_acc = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_acc).alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_ms"),
+        (F.max("me") - F.min("ms")).cast("bigint").alias("span_ms"),
+    )

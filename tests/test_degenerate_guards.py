@@ -1248,3 +1248,140 @@ def test_power_calc_saturated_baseline_null(spark, tmp_path):
     compare(
         df, _conn_with({"events": path}), ORACLE["sample_size_power_calc"]
     )
+
+
+def test_welch_empty_and_zero_variance_cohorts(spark, tmp_path):
+    # all-low-priority: n1 = 0 fails the n1 > 1 guard -> NULL z2 in
+    # both engines (mean1 also NULL via its own n1 > 0 guard)
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0, "5-LOW") for i in range(6)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["welch_mean_ztest"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n1 == 0 and row.n2 == 6
+    assert row.mean1_cents is None and row.z2 is None
+    assert row.significant is None
+    compare(df, _conn_with({"orders": path}), ORACLE["welch_mean_ztest"])
+
+
+def test_welch_both_cohorts_constant(spark, tmp_path):
+    # both cohorts present but EACH is constant: both variance
+    # numerators are exactly 0, se^2 would be 0/x + 0/x = 0 and
+    # diff^2/0 diverges between engines -> the integer guard must
+    # yield NULL even though the means differ
+    path = f"{tmp_path}/orders.parquet"
+    rows = [(i, 100.0, "1-URGENT") for i in range(3)] + [
+        (10 + i, 200.0, "5-LOW") for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["welch_mean_ztest"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n1 == 3 and row.n2 == 3
+    assert row.mean1_cents == 10000.0 and row.mean2_cents == 20000.0
+    assert row.z2 is None and row.significant is None
+    compare(df, _conn_with({"orders": path}), ORACLE["welch_mean_ztest"])
+
+
+def test_g_test_single_row_table(spark, tmp_path):
+    # one event type only: df = (1-1)*(n_cols-1) = 0 -> crit/verdict
+    # NULL; G itself is exactly 0 (each cell's term is
+    # obs*ln(obs*N/(N*obs)) = obs*ln(1) = 0) in both engines
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [
+            (i, f"2026-01-0{1 + i % 3} 00:00:00", 1, "click", 1.0, "{}")
+            for i in range(6)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.parquet(path)
+    df = QUERIES["g_test_independence"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.df == 0
+    assert row.g_stat == 0.0
+    assert row.crit_95 is None and row.significant is None
+    compare(df, _conn_with({"events": path}), ORACLE["g_test_independence"])
+
+
+def test_ols_collinear_regressors(spark, tmp_path):
+    # every order has exactly one lineitem with quantity 1: x1 == x2
+    # for all rows, the normal matrix is singular, det = 0.0 exactly
+    # in both engines -> all coefficients and r2 NULL, never a
+    # divide-by-zero discrepancy
+    opath = f"{tmp_path}/orders.parquet"
+    lpath = f"{tmp_path}/lineitem.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + 7 * i) for i in range(5)],
+        "o_orderkey long, o_totalprice double",
+    ).write.parquet(opath)
+    spark.createDataFrame(
+        [(i, 1.0) for i in range(5)],
+        "l_orderkey long, l_quantity double",
+    ).write.parquet(lpath)
+    df = QUERIES["ols_two_factor"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_orders == 5
+    assert row.b0 is None and row.b1 is None and row.b2 is None
+    assert row.r2 is None
+    compare(
+        df,
+        _conn_with({"orders": opath, "lineitem": lpath}),
+        ORACLE["ols_two_factor"],
+    )
+
+
+def test_interval_union_nested_and_tied_starts(spark, tmp_path):
+    # user 1: [0,100] contains [10,20], and [30,200] overlaps the
+    # FIRST interval's end, not the lag row's -> cummax (not lag)
+    # must merge all three into ONE island, covered = 200
+    # user 2: [0,5] then two TIED starts [10,30] and [10,12] -- the
+    # single-total-order fix's scenario: both tied rows must land in
+    # the SAME island (2 islands, covered 5 + 20 = 25); the pre-review
+    # mixed-order form filed [10,12] into the [0,5] island (covered 32)
+    path = f"{tmp_path}/events.parquet"
+    rows = [
+        (1, 0.0, 100.0),
+        (2, 10.0, 10.0),
+        (3, 30.0, 170.0),
+    ]
+    rows2 = [(11, 0.0, 5.0), (12, 10.0, 20.0), (13, 10.0, 2.0)]
+    data = [
+        (eid, f"2026-01-01 00:00:{int(s):02d}", 1, "click", dur, "{}")
+        for eid, s, dur in rows
+    ] + [
+        (eid, f"2026-01-01 00:00:{int(s):02d}", 2, "click", dur, "{}")
+        for eid, s, dur in rows2
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.parquet(path)
+    df = QUERIES["interval_union_coverage"](spark, str(tmp_path))
+    got = {r.user_id: (r.n_islands, r.covered_ms, r.span_ms) for r in df.collect()}
+    assert got[1] == (1, 200_000, 200_000)
+    assert got[2] == (2, 25_000, 30_000)
+    compare(
+        df,
+        _conn_with({"events": path}),
+        ORACLE["interval_union_coverage"],
+    )
