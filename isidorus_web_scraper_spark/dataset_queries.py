@@ -20513,3 +20513,284 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_ms"),
         (F.max("me") - F.min("ms")).cast("bigint").alias("span_ms"),
     )
+
+
+def _min_reach(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """(doc_id, lbl) where lbl = min node id that REACHES doc_id along
+    the directed edges (every node reaches itself). Min-label
+    propagation along in-edges, accelerated by pointer jumping —
+    sound for DIRECTED reachability because it composes true facts:
+    lbl(v)=u certifies u→*v and lbl(u)=w certifies w→*u, hence w→*v.
+    At the fixpoint lbl(v) ≤ every in-neighbor's lbl, so labels are
+    non-increasing along any path and lbl(v) is exactly the min over
+    reachers. Same plan-depth discipline as _connected_components:
+    localCheckpoint every round, O(log diameter) convergence,
+    max_iters as a raising fuse."""
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        hopped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        new_labels = (
+            hopped.alias("a")
+            .join(
+                hopped.select(
+                    F.col("doc_id").alias("lbl"), F.col("lbl").alias("lbl2")
+                ).alias("b"),
+                "lbl",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce("lbl2", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"directed min-reach did not converge in {max_iters} "
+            "iterations — graph diameter exceeds the propagation budget"
+        )
+    return labels
+
+
+def _scc_ids(docs: DataFrame, max_outer: int = 16) -> DataFrame:
+    """(doc_id, scc_id) over the directed page graph via the
+    two-direction min-label COLORING algorithm: per round, fwd(v) =
+    min node reaching v and bwd(v) = min node v reaches; fwd(v) ==
+    bwd(v) == c certifies c→*v AND v→*c, i.e. v ∈ SCC(c) — those
+    nodes are assigned and peeled, and the remainder re-colors.
+    Progress is guaranteed (the global min m of the remainder always
+    has fwd(m) = bwd(m) = m), and rounds ≈ the number of SCC 'layers'
+    below the running min — 2 on this corpus's two-component graph,
+    O(tens) on web-shaped graphs with a giant core (Broder's bowtie).
+    max_outer raises rather than returning a partial assignment."""
+    edges_all = _pagelinks(docs).localCheckpoint(eager=True)
+    remaining = docs.select("doc_id").localCheckpoint(eager=True)
+    assigned = None
+    for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        e = (
+            edges_all.join(
+                remaining.select(F.col("doc_id").alias("src")), "src"
+            )
+            .join(remaining.select(F.col("doc_id").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        fwd = _min_reach(remaining, e).withColumnRenamed("lbl", "fwd")
+        bwd = _min_reach(
+            remaining,
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ).withColumnRenamed("lbl", "bwd")
+        both = fwd.join(bwd, "doc_id").localCheckpoint(eager=True)
+        found = both.filter(F.col("fwd") == F.col("bwd")).select(
+            "doc_id", F.col("fwd").alias("scc_id")
+        )
+        assigned = (
+            found if assigned is None else assigned.unionAll(found)
+        ).localCheckpoint(eager=True)
+        remaining = (
+            both.filter(F.col("fwd") != F.col("bwd"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"SCC coloring did not converge in {max_outer} rounds"
+        )
+    return assigned
+
+
+_SCC_SQL_CTES = """reach(src, dst) AS (
+      SELECT src, dst FROM links
+      UNION
+      SELECT r.src, l.dst FROM reach r JOIN links l ON l.src = r.dst
+    ),
+    mutual AS (
+      SELECT a.src AS v, a.dst AS u
+      FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+    ),
+    sccid AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(m.u), d.doc_id)) AS scc_id
+      FROM documents d LEFT JOIN mutual m ON m.v = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sizes AS (SELECT scc_id, count(*) AS sz FROM sccid GROUP BY scc_id)"""
+
+
+@query(
+    "scc_page_graph",
+    f"""
+    WITH RECURSIVE {_PAGELINKS_SQL_CTES},
+    {_SCC_SQL_CTES}
+    SELECT CAST(sz AS BIGINT) AS scc_size,
+           CAST(count(*) AS BIGINT) AS n_sccs,
+           CAST(min(scc_id) AS BIGINT) AS min_scc_id
+    FROM sizes GROUP BY sz
+    """,
+)
+def scc_page_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY connected components of the directed page-link graph —
+    the directed twin of dedup_clusters' undirected CC, and the
+    operator web-graph analysis is built on (mutual reachability is
+    what makes a link ring a ring; undirected CC collapses every
+    drive-by link into a false cluster). Engine: the two-direction
+    min-label coloring algorithm (_scc_ids) — per peel round, two
+    pointer-jumped min-reach propagations and an equality filter; the
+    oracle computes ground truth from the transitive closure
+    (recursive CTE → mutual-pair min), pinning the fixpoint. Output
+    is the SCC size histogram — this corpus's generator graph
+    resolves to exactly two SCCs (a 20%/80% split at every SF), which
+    the histogram exposes at a glance.
+
+    Scale shape: each round is O(E) joins with plan depth clamped by
+    localCheckpoint; pointer jumping makes propagation O(log D). The
+    closure the oracle builds (O(V·V) pairs) is exactly what the
+    engine NEVER materializes — labels carry one id per node, the
+    10^10-page-safe representation."""
+    docs = load(spark, sf_dir, "documents")
+    scc = _scc_ids(docs)
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count("*").cast("bigint").alias("n_sccs"),
+        F.min("scc_id").cast("bigint").alias("min_scc_id"),
+    ).select(
+        F.col("sz").cast("bigint").alias("scc_size"),
+        "n_sccs",
+        "min_scc_id",
+    )
+
+
+@query(
+    "bowtie_decomposition",
+    f"""
+    WITH RECURSIVE {_PAGELINKS_SQL_CTES},
+    {_SCC_SQL_CTES},
+    core AS (
+      SELECT scc_id FROM sizes ORDER BY sz DESC, scc_id LIMIT 1
+    ),
+    corenodes AS (
+      SELECT doc_id FROM sccid
+      WHERE scc_id = (SELECT scc_id FROM core)
+    ),
+    to_core AS (
+      SELECT DISTINCT r.src AS v
+      FROM reach r JOIN corenodes c ON r.dst = c.doc_id
+    ),
+    from_core AS (
+      SELECT DISTINCT r.dst AS v
+      FROM reach r JOIN corenodes c ON r.src = c.doc_id
+    ),
+    cls AS (
+      SELECT d.doc_id,
+             CASE WHEN s.scc_id = (SELECT scc_id FROM core) THEN 'core'
+                  WHEN t.v IS NOT NULL THEN 'in'
+                  WHEN f.v IS NOT NULL THEN 'out'
+                  ELSE 'tendril_or_disconnected' END AS component
+      FROM documents d
+      JOIN sccid s ON s.doc_id = d.doc_id
+      LEFT JOIN to_core t ON t.v = d.doc_id
+      LEFT JOIN from_core f ON f.v = d.doc_id
+    )
+    SELECT component, CAST(count(*) AS BIGINT) AS n_pages
+    FROM cls GROUP BY component
+    """,
+)
+def bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder's WEB BOW-TIE over the page graph: CORE = the largest
+    SCC (tie → min scc_id), IN = pages that reach the core, OUT =
+    pages the core reaches, TENDRIL_OR_DISCONNECTED = the rest — the
+    canonical macro-structure question a crawl answers about the web
+    it fetched ('how much of what we crawled can even route back to
+    the hub?'). A non-core page can never be both IN and OUT (it
+    would be in the core SCC), so the classes partition exactly.
+
+    Engine: SCC from _scc_ids, then each reachability side is ONE
+    pointer-jumped min-reach with a VIRTUAL node −1 wired to the core
+    (−1 → core in the forward graph marks core-reaches-v; −1 → core
+    in the REVERSED graph marks v-reaches-core): −1 is the global
+    min, so 'marked' is simply lbl == −1, and the boolean BFS that
+    would cost O(D) unaccelerated rounds inherits min-reach's
+    O(log D) pointer jumping for free. The oracle classifies from the
+    transitive closure.
+
+    Scale shape: three label propagations (SCC's two + one per
+    direction), all localCheckpoint-clamped, no closure
+    materialization; the core row is a 1-row broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    nodes = docs.select("doc_id")
+    edges = _pagelinks(docs).localCheckpoint(eager=True)
+    scc = _scc_ids(docs).localCheckpoint(eager=True)
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("sz"))
+    core_row = sizes.orderBy(F.desc("sz"), F.asc("scc_id")).limit(1)
+    core_nodes = scc.join(
+        F.broadcast(core_row.select("scc_id")), "scc_id"
+    ).select("doc_id")
+    virt = nodes.sparkSession.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id")
+    )
+    nodes_v = nodes.unionAll(virt)
+    fwd_edges = edges.unionAll(
+        core_nodes.select(
+            F.lit(-1).cast("long").alias("src"), F.col("doc_id").alias("dst")
+        )
+    )
+    rev_edges = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).unionAll(
+        core_nodes.select(
+            F.lit(-1).cast("long").alias("src"), F.col("doc_id").alias("dst")
+        )
+    )
+    from_core = (
+        _min_reach(nodes_v, fwd_edges)
+        .filter(F.col("doc_id") >= 0)
+        .select("doc_id", (F.col("lbl") == -1).alias("f"))
+    )
+    to_core = (
+        _min_reach(nodes_v, rev_edges)
+        .filter(F.col("doc_id") >= 0)
+        .select("doc_id", (F.col("lbl") == -1).alias("t"))
+    )
+    cls = (
+        scc.join(F.broadcast(core_row.select(F.col("scc_id").alias("core_id"))))
+        .join(to_core, "doc_id")
+        .join(from_core, "doc_id")
+        .select(
+            F.when(F.col("scc_id") == F.col("core_id"), "core")
+            .when(F.col("t"), "in")
+            .when(F.col("f"), "out")
+            .otherwise("tendril_or_disconnected")
+            .alias("component")
+        )
+    )
+    return cls.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_pages")
+    )

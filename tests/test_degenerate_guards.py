@@ -1385,3 +1385,43 @@ def test_interval_union_nested_and_tied_starts(spark, tmp_path):
         _conn_with({"events": path}),
         ORACLE["interval_union_coverage"],
     )
+
+
+def test_scc_and_bowtie_three_node_graph(spark, tmp_path):
+    # doc_ids {0,1,2} under the generator edge law produce edges
+    # 0->1, 1->0, 2->1: SCCs {0,1} and {2}, and 2 reaches the core
+    # without being reached -> a genuinely multi-class bowtie (the
+    # real corpus's two components are disconnected, so 'in' is
+    # reachable only through this pin)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame([(0,), (1,), (2,)], "doc_id long").write.parquet(
+        path
+    )
+    scc = QUERIES["scc_page_graph"](spark, str(tmp_path))
+    got = sorted(map(tuple, scc.collect()))
+    assert got == [(1, 1, 2), (2, 1, 0)]
+    compare(scc, _conn_with({"documents": path}), ORACLE["scc_page_graph"])
+
+    bow = QUERIES["bowtie_decomposition"](spark, str(tmp_path))
+    gotb = sorted(map(tuple, bow.collect()))
+    assert gotb == [("core", 2), ("in", 1)]
+    compare(
+        bow, _conn_with({"documents": path}), ORACLE["bowtie_decomposition"]
+    )
+
+
+def test_scc_single_node_no_edges(spark, tmp_path):
+    # n=1: every generated edge is a filtered self-loop; the SCC set
+    # is one singleton and the bowtie is all core (the largest -- and
+    # only -- SCC), with both reachability propagations converging on
+    # an empty edge frame in one round
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame([(0,)], "doc_id long").write.parquet(path)
+    scc = QUERIES["scc_page_graph"](spark, str(tmp_path))
+    assert sorted(map(tuple, scc.collect())) == [(1, 1, 0)]
+    compare(scc, _conn_with({"documents": path}), ORACLE["scc_page_graph"])
+    bow = QUERIES["bowtie_decomposition"](spark, str(tmp_path))
+    assert sorted(map(tuple, bow.collect())) == [("core", 1)]
+    compare(
+        bow, _conn_with({"documents": path}), ORACLE["bowtie_decomposition"]
+    )
