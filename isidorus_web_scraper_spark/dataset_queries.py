@@ -20794,3 +20794,55 @@ def bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy("component").agg(
         F.count("*").cast("bigint").alias("n_pages")
     )
+
+
+@query(
+    "scc_condensation_dag",
+    f"""
+    WITH RECURSIVE {_PAGELINKS_SQL_CTES},
+    {_SCC_SQL_CTES}
+    SELECT CAST(sa.scc_id AS BIGINT) AS src_scc,
+           CAST(sb.scc_id AS BIGINT) AS dst_scc,
+           CAST(count(*) AS BIGINT) AS n_links
+    FROM links l
+    JOIN sccid sa ON sa.doc_id = l.src
+    JOIN sccid sb ON sb.doc_id = l.dst
+    WHERE sa.scc_id <> sb.scc_id
+    GROUP BY 1, 2
+    """,
+)
+def scc_condensation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONDENSATION of the page graph: collapse each SCC to one
+    node and keep only cross-SCC edges with their link multiplicity —
+    always a DAG (a cycle between condensation nodes would merge the
+    SCCs), and the frame every downstream DAG algorithm (topological
+    ordering, critical-path, dependency rollups) starts from; on this
+    corpus it also certifies, in data, that the two components the
+    SCC histogram shows are genuinely disconnected (empty result) —
+    while the 3-node pin graph yields its one bridge edge.
+
+    Scale shape: the SCC labels join onto the edge list twice (both
+    broadcast-able at host-graph scale — the condensation is the
+    10^7-node frame, not the 10^10-page one) and fold by the label
+    pair; no closure, no self-join of the condensation."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _pagelinks(docs)
+    scc = _scc_ids(docs).localCheckpoint(eager=True)
+    sa = scc.select(
+        F.col("doc_id").alias("src"), F.col("scc_id").alias("src_scc")
+    )
+    sb = scc.select(
+        F.col("doc_id").alias("dst"), F.col("scc_id").alias("dst_scc")
+    )
+    return (
+        edges.join(sa, "src")
+        .join(sb, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+        .select(
+            F.col("src_scc").cast("bigint"),
+            F.col("dst_scc").cast("bigint"),
+            "n_links",
+        )
+    )

@@ -1409,6 +1409,16 @@ def test_scc_and_bowtie_three_node_graph(spark, tmp_path):
         bow, _conn_with({"documents": path}), ORACLE["bowtie_decomposition"]
     )
 
+    # condensation: the single cross-SCC bridge 2->1 folds to one DAG
+    # edge (scc 2 -> scc 0, multiplicity 1); on the REAL corpus the
+    # condensation is empty (the two components are disconnected), so
+    # this pin is the only nonempty exercise of the edge fold
+    dag = QUERIES["scc_condensation_dag"](spark, str(tmp_path))
+    assert sorted(map(tuple, dag.collect())) == [(2, 0, 1)]
+    compare(
+        dag, _conn_with({"documents": path}), ORACLE["scc_condensation_dag"]
+    )
+
 
 def test_scc_single_node_no_edges(spark, tmp_path):
     # n=1: every generated edge is a filtered self-loop; the SCC set
