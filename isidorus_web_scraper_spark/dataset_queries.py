@@ -20846,3 +20846,102 @@ def scc_condensation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_links",
         )
     )
+
+
+@query(
+    "wl_graph_fingerprint",
+    f"""
+    WITH {_PAGELINKS_SQL_CTES},
+    c0 AS (
+      SELECT d.doc_id,
+             CAST(coalesce(o.dg, 0) AS VARCHAR) AS color
+      FROM documents d
+      LEFT JOIN (SELECT src, count(*) AS dg FROM links GROUP BY src) o
+        ON o.src = d.doc_id
+    ),
+    n1 AS (
+      SELECT l.src, string_agg(c.color, ',' ORDER BY c.color) AS nb
+      FROM links l JOIN c0 c ON c.doc_id = l.dst
+      GROUP BY l.src
+    ),
+    c1 AS (
+      SELECT c0.doc_id,
+             md5(c0.color || '|' || coalesce(n1.nb, '')) AS color
+      FROM c0 LEFT JOIN n1 ON n1.src = c0.doc_id
+    ),
+    n2 AS (
+      SELECT l.src, string_agg(c.color, ',' ORDER BY c.color) AS nb
+      FROM links l JOIN c1 c ON c.doc_id = l.dst
+      GROUP BY l.src
+    ),
+    c2 AS (
+      SELECT c1.doc_id,
+             md5(c1.color || '|' || coalesce(n2.nb, '')) AS color
+      FROM c1 LEFT JOIN n2 ON n2.src = c1.doc_id
+    )
+    SELECT color AS wl_color, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM c2 GROUP BY color
+    """,
+)
+def wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-dimensional Weisfeiler–Lehman color refinement (2 rounds)
+    over the directed page graph: color₀ = out-degree, colorₜ₊₁ =
+    md5(colorₜ ‖ sorted out-neighbor colors) — the graph-structure
+    FINGERPRINT operator (two graphs with different WL color
+    histograms are certainly non-isomorphic; near-identical
+    histograms across crawl snapshots mean the topology didn't move
+    even if ids did). The color histogram is the output — the
+    canonical form that makes snapshot-to-snapshot structural diff a
+    set compare, the structural complement of crawl_snapshot_delta's
+    content diff. The sorted-neighbor-multiset string is the WL
+    injection step: sort_array(collect_list) on the Spark side,
+    string_agg(ORDER BY) in the oracle — identical canonical strings
+    (hex colors contain no commas), md5 identical bytes.
+
+    Scale shape: each round is one groupBy(src) fold of neighbor
+    colors plus one left join back — 2 rounds, no iteration to
+    fixpoint (WL stabilizes in ≤ diameter rounds; 2 is the standard
+    kernel depth), no closure. Color strings stay O(out-degree);
+    md5 re-compresses every round so payloads never grow."""
+    docs = load(spark, sf_dir, "documents")
+    edges = _pagelinks(docs).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("dg"))
+    colors = (
+        docs.select("doc_id")
+        .join(deg, docs.doc_id == deg.src, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dg"), F.lit(0)).cast("string").alias("color"),
+        )
+    )
+    for _ in range(2):
+        nb = (
+            edges.join(
+                colors.select(
+                    F.col("doc_id").alias("dst"), F.col("color").alias("c")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(
+                F.array_join(F.sort_array(F.collect_list("c")), ",").alias(
+                    "nb"
+                )
+            )
+        )
+        colors = (
+            colors.join(nb, colors.doc_id == nb.src, "left")
+            .select(
+                "doc_id",
+                F.md5(
+                    F.concat(
+                        F.col("color"),
+                        F.lit("|"),
+                        F.coalesce(F.col("nb"), F.lit("")),
+                    )
+                ).alias("color"),
+            )
+        )
+    return colors.groupBy(F.col("color").alias("wl_color")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )

@@ -1435,3 +1435,32 @@ def test_scc_single_node_no_edges(spark, tmp_path):
     compare(
         bow, _conn_with({"documents": path}), ORACLE["bowtie_decomposition"]
     )
+
+
+def test_wl_fingerprint_tiny_graphs(spark, tmp_path):
+    # 3-node graph: node 0 emits a DOUBLE edge to 1 (both generator
+    # laws land on 1), so the multiset fold must keep duplicates;
+    # node 2 has out-degree 1 into the {0,1} cycle. All three end in
+    # distinct WL colors. Single-node graph: no edges -> the empty
+    # neighbor-list coalesce('') path, one color.
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame([(0,), (1,), (2,)], "doc_id long").write.parquet(
+        path
+    )
+    df = QUERIES["wl_graph_fingerprint"](spark, str(tmp_path))
+    rows = df.collect()
+    assert sorted(r.n_nodes for r in rows) == [1, 1, 1]
+    assert len({r.wl_color for r in rows}) == 3
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["wl_graph_fingerprint"]
+    )
+
+    path1 = f"{tmp_path}/solo/documents.parquet"
+    spark.createDataFrame([(0,)], "doc_id long").write.parquet(path1)
+    df1 = QUERIES["wl_graph_fingerprint"](spark, f"{tmp_path}/solo")
+    assert [r.n_nodes for r in df1.collect()] == [1]
+    compare(
+        df1,
+        _conn_with({"documents": path1}),
+        ORACLE["wl_graph_fingerprint"],
+    )
