@@ -20945,3 +20945,218 @@ def wl_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return colors.groupBy(F.col("color").alias("wl_color")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
+
+
+@query(
+    "difference_in_differences",
+    """
+    WITH d AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+             epoch_ms(ts) // 86400000 AS day,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    win AS (
+      SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d
+    ),
+    cells AS (
+      SELECT treat,
+             CASE WHEN d.day >= win.mid THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(y AS HUGEINT)) AS s1,
+             sum(CAST(y AS HUGEINT) * y) AS s2
+      FROM d CROSS JOIN win GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+        max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+        max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+        max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+        max(CASE WHEN treat = 0 AND post = 0 THEN s1 END) AS a00,
+        max(CASE WHEN treat = 0 AND post = 1 THEN s1 END) AS a01,
+        max(CASE WHEN treat = 1 AND post = 0 THEN s1 END) AS a10,
+        max(CASE WHEN treat = 1 AND post = 1 THEN s1 END) AS a11,
+        max(CASE WHEN treat = 0 AND post = 0 THEN s2 END) AS b00,
+        max(CASE WHEN treat = 0 AND post = 1 THEN s2 END) AS b01,
+        max(CASE WHEN treat = 1 AND post = 0 THEN s2 END) AS b10,
+        max(CASE WHEN treat = 1 AND post = 1 THEN s2 END) AS b11
+      FROM cells
+    )
+    SELECT n00, n01, n10, n11,
+           CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0
+                THEN round((CAST(a11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                            - CAST(a10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+                           - (CAST(a01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                              - CAST(a00 AS DOUBLE) / CAST(n00 AS DOUBLE)),
+                           6)
+           END AS did_cents,
+           CASE WHEN n00 > 1 AND n01 > 1 AND n10 > 1 AND n11 > 1
+                 AND (n00 * b00 - a00 * a00 > 0
+                      OR n01 * b01 - a01 * a01 > 0
+                      OR n10 * b10 - a10 * a10 > 0
+                      OR n11 * b11 - a11 * a11 > 0)
+                THEN round(
+                  ((CAST(a11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                    - CAST(a10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+                   - (CAST(a01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                      - CAST(a00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+                  * ((CAST(a11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                      - CAST(a10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+                     - (CAST(a01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                        - CAST(a00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+                  / (CAST(n00 * b00 - a00 * a00 AS DOUBLE)
+                     / (CAST(n00 AS DOUBLE) * CAST(n00 AS DOUBLE)
+                        * (CAST(n00 AS DOUBLE) - 1))
+                     + CAST(n01 * b01 - a01 * a01 AS DOUBLE)
+                       / (CAST(n01 AS DOUBLE) * CAST(n01 AS DOUBLE)
+                          * (CAST(n01 AS DOUBLE) - 1))
+                     + CAST(n10 * b10 - a10 * a10 AS DOUBLE)
+                       / (CAST(n10 AS DOUBLE) * CAST(n10 AS DOUBLE)
+                          * (CAST(n10 AS DOUBLE) - 1))
+                     + CAST(n11 * b11 - a11 * a11 AS DOUBLE)
+                       / (CAST(n11 AS DOUBLE) * CAST(n11 AS DOUBLE)
+                          * (CAST(n11 AS DOUBLE) - 1))), 6)
+           END AS z2,
+           CASE WHEN n00 > 1 AND n01 > 1 AND n10 > 1 AND n11 > 1
+                 AND (n00 * b00 - a00 * a00 > 0
+                      OR n01 * b01 - a01 * a01 > 0
+                      OR n10 * b10 - a10 * a10 > 0
+                      OR n11 * b11 - a11 * a11 > 0)
+                THEN ((CAST(a11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                       - CAST(a10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+                      - (CAST(a01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                         - CAST(a00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+                     * ((CAST(a11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                         - CAST(a10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+                        - (CAST(a01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                           - CAST(a00 AS DOUBLE) / CAST(n00 AS DOUBLE)))
+                     / (CAST(n00 * b00 - a00 * a00 AS DOUBLE)
+                        / (CAST(n00 AS DOUBLE) * CAST(n00 AS DOUBLE)
+                           * (CAST(n00 AS DOUBLE) - 1))
+                        + CAST(n01 * b01 - a01 * a01 AS DOUBLE)
+                          / (CAST(n01 AS DOUBLE) * CAST(n01 AS DOUBLE)
+                             * (CAST(n01 AS DOUBLE) - 1))
+                        + CAST(n10 * b10 - a10 * a10 AS DOUBLE)
+                          / (CAST(n10 AS DOUBLE) * CAST(n10 AS DOUBLE)
+                             * (CAST(n10 AS DOUBLE) - 1))
+                        + CAST(n11 * b11 - a11 * a11 AS DOUBLE)
+                          / (CAST(n11 AS DOUBLE) * CAST(n11 AS DOUBLE)
+                             * (CAST(n11 AS DOUBLE) - 1)))
+                     > 3.8416
+           END AS significant
+    FROM w
+    """,
+)
+def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over a 2×2 (treat × pre/post) design —
+    the causal-inference member the A/B family is missing (ab_test_*
+    randomize at assignment time; DiD is what you run when treatment
+    arrived as a POLICY at a point in time and the control cohort
+    carries the trend): treat = user parity, post = the second half
+    of the observation window (midpoint from exact integer epoch-day
+    min/max, ceil-rounded identically via (min+max+1) DIV 2). Each
+    cell folds to exact integers (n, Σy, Σy² in cents, products cast
+    wide before summing); the estimate (m̄₁₁−m̄₁₀)−(m̄₀₁−m̄₀₀) and the
+    four-cell Welch-style z² are single double trees of those
+    integers (welch_mean_ztest discipline), gated by exact-integer
+    guards: all cells populated for the estimate, all n > 1 plus at
+    least one positive variance numerator for the verdict.
+
+    Scale shape: one pass to 4 cells (map-side combinable, the
+    1-row day-window broadcast joined in), then scalar arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    day = (ntz_epoch_ms(F.col("ts")) / F.lit(86400000)).cast("bigint")
+    d = ev.select(
+        (F.col("user_id") % 2).cast("bigint").alias("treat"),
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    win = d.agg(
+        ((F.min("day") + F.max("day") + 1) / 2)
+        .cast("bigint")
+        .alias("mid")
+    )
+    cells = (
+        d.crossJoin(F.broadcast(win))
+        .groupBy(
+            "treat",
+            F.when(F.col("day") >= F.col("mid"), 1).otherwise(0).alias(
+                "post"
+            ),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("y").cast(d38)).alias("s1"),
+            F.sum(F.col("y").cast(d38) * F.col("y")).alias("s2"),
+        )
+    )
+
+    def cell(col: str, tr: int, po: int) -> Column:
+        return F.max(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col(col))
+        )
+
+    w = cells.agg(
+        *[
+            cell("n", t, p).alias(f"n{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            cell("s1", t, p).alias(f"a{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            cell("s2", t, p).alias(f"b{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+    )
+
+    def m(t: int, p: int) -> Column:
+        return F.col(f"a{t}{p}").cast("double") / F.col(
+            f"n{t}{p}"
+        ).cast("double")
+
+    def vnum(t: int, p: int) -> Column:
+        return F.col(f"n{t}{p}") * F.col(f"b{t}{p}") - F.col(
+            f"a{t}{p}"
+        ) * F.col(f"a{t}{p}")
+
+    def vterm(t: int, p: int) -> Column:
+        nd = F.col(f"n{t}{p}").cast("double")
+        return vnum(t, p).cast("double") / (nd * nd * (nd - 1))
+
+    did = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+    se2 = vterm(0, 0) + vterm(0, 1) + vterm(1, 0) + vterm(1, 1)
+    z2 = did * did / se2
+    all_pop = (
+        (F.col("n00") > 0)
+        & (F.col("n01") > 0)
+        & (F.col("n10") > 0)
+        & (F.col("n11") > 0)
+    )
+    guard = (
+        (F.col("n00") > 1)
+        & (F.col("n01") > 1)
+        & (F.col("n10") > 1)
+        & (F.col("n11") > 1)
+        & (
+            (vnum(0, 0) > 0)
+            | (vnum(0, 1) > 0)
+            | (vnum(1, 0) > 0)
+            | (vnum(1, 1) > 0)
+        )
+    )
+    return w.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.when(all_pop, F.round(did, 6)).alias("did_cents"),
+        F.when(guard, F.round(z2, 6)).alias("z2"),
+        F.when(guard, z2 > 3.8416).alias("significant"),
+    )

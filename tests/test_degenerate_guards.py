@@ -1464,3 +1464,66 @@ def test_wl_fingerprint_tiny_graphs(spark, tmp_path):
         _conn_with({"documents": path1}),
         ORACLE["wl_graph_fingerprint"],
     )
+
+
+def test_did_single_day_and_constant_values(spark, tmp_path):
+    # single-day corpus: mid = day, every event lands post=1, the two
+    # pre cells are absent -> estimate and verdict NULL in both
+    # engines (counts for missing cells are NULL too: the pivot is a
+    # conditional max, not a coalesced sum)
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [
+            (i, "2026-01-01 10:00:00", i, "click", 5.0, "{}")
+            for i in range(8)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.parquet(path)
+    df = QUERIES["difference_in_differences"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n00 is None and row.n10 is None
+    assert row.n01 == 4 and row.n11 == 4
+    assert row.did_cents is None and row.z2 is None
+    compare(
+        df,
+        _conn_with({"events": path}),
+        ORACLE["difference_in_differences"],
+    )
+
+    # two days, constant value everywhere: all four cells populated
+    # (did = 0.0 exactly) but every variance numerator is exactly 0,
+    # so z2/verdict are NULL while the estimate reports
+    path2 = f"{tmp_path}/flat/events.parquet"
+    spark.createDataFrame(
+        [
+            (i, f"2026-01-0{1 + i // 4} 10:00:00", i % 4, "click", 5.0, "{}")
+            for i in range(8)
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.parquet(path2)
+    df2 = QUERIES["difference_in_differences"](spark, f"{tmp_path}/flat")
+    row2 = df2.collect()[0]
+    assert (row2.n00, row2.n01, row2.n10, row2.n11) == (2, 2, 2, 2)
+    assert row2.did_cents == 0.0
+    assert row2.z2 is None and row2.significant is None
+    compare(
+        df2,
+        _conn_with({"events": path2}),
+        ORACLE["difference_in_differences"],
+    )
