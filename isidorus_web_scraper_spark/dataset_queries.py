@@ -21160,3 +21160,382 @@ def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(guard, F.round(z2, 6)).alias("z2"),
         F.when(guard, z2 > 3.8416).alias("significant"),
     )
+
+
+def _markov_stationary_sql(iters: int = 6) -> str:
+    """K chained power-iteration steps as SQL CTEs over the event-type
+    transition matrix — all arithmetic scaled-integer (see
+    markov_stationary_power)."""
+    chain = []
+    for k in range(1, iters + 1):
+        chain.append(
+            f"""p{k} AS (
+      SELECT s.state,
+             CAST(coalesce(f.flow, 0)
+                  + CASE WHEN mm.src IS NULL THEN p.pi ELSE 0 END
+                  AS BIGINT) AS pi
+      FROM states s
+      LEFT JOIN (
+        SELECT t.dst AS state,
+               CAST(sum((CAST(p.pi AS HUGEINT) * t.n) // mo.m)
+                    AS BIGINT) AS flow
+        FROM trans t
+        JOIN p{k - 1} p ON p.state = t.src
+        JOIN m mo ON mo.src = t.src
+        GROUP BY t.dst
+      ) f ON f.state = s.state
+      LEFT JOIN p{k - 1} p ON p.state = s.state
+      LEFT JOIN m mm ON mm.src = s.state
+    )"""
+        )
+    joined = ",\n    ".join(chain)
+    return f"""
+    WITH o AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (SELECT src, CAST(sum(n) AS BIGINT) AS m FROM trans GROUP BY 1),
+    states AS (SELECT DISTINCT event_type AS state FROM events),
+    ns AS (SELECT count(*) AS c FROM states),
+    p0 AS (
+      SELECT state, CAST(1000000000000 // c AS BIGINT) AS pi
+      FROM states, ns
+    ),
+    {joined}
+    SELECT state, pi AS pi_scaled,
+           CAST(row_number() OVER (ORDER BY pi DESC, state) AS BIGINT)
+             AS rnk
+    FROM p{iters}
+    """
+
+
+@query("markov_stationary_power", _markov_stationary_sql())
+def markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behaviour Markov chain via
+    6 power-iteration steps from uniform — the long-run occupancy the
+    raw transition matrix (events_markov_transitions) only implies:
+    "where do users SPEND their sessions", the number behind cache
+    sizing and capacity planning per event surface.
+
+    Cross-engine exactness (pagerank_dup_graph discipline): mass is a
+    scaled 10^12 BIGINT; each step ships (pi·n) div m along the
+    transition edges — the product cast DECIMAL(38,0)/HUGEINT BEFORE
+    multiplying (pi·n ≤ 10^12·|events| overflows BIGINT) — and integer
+    sums are order-independent where float sums are not. States with
+    no observed successor (possible in tiny slices where a type only
+    appears sequence-final) keep their own mass — the self-loop
+    convention, so total mass never leaks.
+
+    Scale shape: ONE event-sized shuffle (the per-user lead window);
+    everything after lives on the |states|² transition frame — the
+    6 join+agg steps are broadcast-sized. The same loop at a 10^10-row
+    event log still pays only the one window exchange."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = (
+        o.groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    m = trans.groupBy("src").agg(F.sum("n").cast("bigint").alias("m"))
+    states = (
+        ev.select(F.col("event_type").alias("state"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ns = states.agg(F.count("*").alias("c"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr("CAST(1000000000000 div c AS BIGINT)").alias("pi")
+    )
+    has_out = m.select(F.col("src").alias("state"), F.lit(1).alias("has_out"))
+    for _ in range(6):
+        flow = (
+            trans.join(
+                pi.select(F.col("state").alias("src"), "pi"), "src"
+            )
+            .join(m, "src")
+            .select(
+                F.col("dst").alias("state"),
+                F.expr(
+                    "CAST((CAST(pi AS DECIMAL(38,0)) * n) div m AS BIGINT)"
+                ).alias("c"),
+            )
+            .groupBy("state")
+            .agg(F.sum("c").cast("bigint").alias("flow"))
+        )
+        pi = (
+            states.join(flow, "state", "left")
+            .join(pi, "state", "left")
+            .join(has_out, "state", "left")
+            .select(
+                "state",
+                (
+                    F.coalesce(F.col("flow"), F.lit(0))
+                    + F.when(F.col("has_out").isNull(), F.col("pi")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("bigint")
+                .alias("pi"),
+            )
+        )
+    rw = Window.orderBy(F.col("pi").desc(), "state")
+    return pi.select(
+        "state",
+        F.col("pi").alias("pi_scaled"),
+        F.row_number().over(rw).cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "source_modularity",
+    f"""
+    WITH {_PAGELINKS_SQL_CTES},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM links
+    ),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    comm AS (SELECT doc_id, source FROM documents),
+    deg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS doc_id FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY 1
+    ),
+    dc AS (
+      SELECT c.source, CAST(sum(d.d) AS BIGINT) AS d_c
+      FROM deg d JOIN comm c USING (doc_id) GROUP BY 1
+    ),
+    ec AS (
+      SELECT ca.source, CAST(count(*) AS BIGINT) AS e_c
+      FROM und u
+      JOIN comm ca ON ca.doc_id = u.a
+      JOIN comm cb ON cb.doc_id = u.b
+      WHERE ca.source = cb.source
+      GROUP BY 1
+    )
+    SELECT d.source,
+           coalesce(e.e_c, 0) AS within_edges,
+           d.d_c AS degree_sum,
+           CASE WHEN mm.m > 0 THEN round(
+             CAST(4 * mm.m * coalesce(e.e_c, 0) - d.d_c * d.d_c AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE), 6)
+           END AS q_contrib
+    FROM dc d LEFT JOIN ec e USING (source) CROSS JOIN mm
+    """,
+)
+def source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the SOURCE partition over the page-link
+    graph — "does linking stay within a crawl source?": per community
+    the within-edge count, degree sum, and its additive contribution
+    to Q = Σ_c [e_c/m − (d_c/2m)²] (sum the q_contrib column for the
+    scalar). Positive total ⇒ sources are link-communities (crawl
+    frontiers can shard by source without cutting many edges);
+    ≈0 ⇒ the attribute is independent of topology. Unlike
+    label_propagation this scores a GIVEN partition, closing the
+    community family: detect (label_propagation) then QUANTIFY (here).
+
+    Exactness: edges undirected via DISTINCT(least, greatest); the
+    contribution is one double division of two exact integers,
+    (4·m·e_c − d_c²) / 4m², guarded on m > 0 (a 1-document corpus has
+    no links).
+
+    Scale shape: two joins ship community labels along edges (each a
+    doc_id-keyed shuffle an AQE skew split handles), degree/within
+    counts are map-side-combinable aggs, and the 1-row m frame
+    broadcasts. No all-pairs term anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    links = _pagelinks(docs)
+    und = (
+        links.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mm = und.agg(F.count("*").cast("bigint").alias("m"))
+    comm = docs.select("doc_id", "source")
+    deg = (
+        und.select(F.col("a").alias("doc_id"))
+        .unionAll(und.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    dc = (
+        deg.join(comm, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    ec = (
+        und.join(
+            comm.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")),
+            "a",
+        )
+        .join(
+            comm.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")),
+            "b",
+        )
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    ecz = F.coalesce(F.col("e_c"), F.lit(0))
+    return (
+        dc.join(ec, "source", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "source",
+            ecz.alias("within_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.when(
+                F.col("m") > 0,
+                F.round(
+                    (4 * F.col("m") * ecz - F.col("d_c") * F.col("d_c")).cast(
+                        "double"
+                    )
+                    / (4 * F.col("m") * F.col("m")).cast("double"),
+                    6,
+                ),
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@query(
+    "jarque_bera_normality",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+               AS s1,
+             sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS s2,
+             sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS s3,
+             sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS s4
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT event_type, n,
+             n > 3 AND n * s2 - s1 * s1 > 0 AS ok,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM s
+    ),
+    c AS (
+      SELECT event_type, n, ok, nd,
+             r2 - r1 * r1 AS mu2,
+             r3 - 3 * r1 * r2 + 2 * (r1 * r1 * r1) AS mu3,
+             r4 - 4 * r1 * r3 + 6 * ((r1 * r1) * r2)
+                - 3 * ((r1 * r1) * (r1 * r1)) AS mu4
+      FROM d
+    ),
+    k AS (
+      SELECT event_type, n, ok, nd,
+             mu3 / (mu2 * sqrt(mu2)) AS skew,
+             mu4 / (mu2 * mu2) - 3 AS kx
+      FROM c
+    )
+    SELECT event_type, n,
+           CASE WHEN ok THEN round(skew, 6) END AS skewness,
+           CASE WHEN ok THEN round(kx, 6) END AS kurtosis_excess,
+           CASE WHEN ok
+                THEN round(nd * (skew * skew + kx * kx / 4) / 6, 6)
+           END AS jb,
+           CASE WHEN ok
+                THEN nd * (skew * skew + kx * kx / 4) / 6 > 5.991465
+           END AS normal_rejected
+    FROM k
+    """,
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type — the moment-based
+    normality gate (JB = n/6·(S² + K²/4), S skewness, K excess
+    kurtosis, χ²₂ critical 5.991) that says whether z-score anomaly
+    thresholds (events_anomaly_zscore) and Welch verdicts are even
+    meaningful for this slice: a heavy-tailed type needs the MAD or
+    rank path instead.
+
+    Exactness discipline: raw moments Σy..Σy⁴ over cents are exact
+    integers (products cast DECIMAL(38,0)/HUGEINT BEFORE summing —
+    y⁴ ≈ 10²⁴ at 10⁶-cent values, far past BIGINT); central moments,
+    S, K and JB are then ONE layered double tree of those integers
+    (the welch_mean_ztest discipline, staged via named intermediate
+    columns so both engines build the identical IEEE tree), behind
+    the exact-integer guard n > 3 AND n·Σy² − (Σy)² > 0 (a constant
+    slice has no defined moments).
+
+    Scale shape: one map-side-combinable pass over the fact table to
+    |types| rows of 5 integers; all the statistics are driver-free
+    arithmetic on that frame."""
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    y = F.round(F.col("value") * 100).cast("bigint")
+    yd = y.cast(d38)
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(yd).alias("s1"),
+        F.sum(yd * y).alias("s2"),
+        F.sum(yd * y * y).alias("s3"),
+        F.sum(yd * y * y * y).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    d = s.select(
+        "event_type",
+        "n",
+        ((F.col("n") > 3) & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)).alias("ok"),
+        nd.alias("nd"),
+        (F.col("s1").cast("double") / nd).alias("r1"),
+        (F.col("s2").cast("double") / nd).alias("r2"),
+        (F.col("s3").cast("double") / nd).alias("r3"),
+        (F.col("s4").cast("double") / nd).alias("r4"),
+    )
+    r1, r2, r3, r4 = (F.col(x) for x in ("r1", "r2", "r3", "r4"))
+    c = d.select(
+        "event_type",
+        "n",
+        "ok",
+        "nd",
+        (r2 - r1 * r1).alias("mu2"),
+        (r3 - 3 * r1 * r2 + 2 * (r1 * r1 * r1)).alias("mu3"),
+        (
+            r4 - 4 * r1 * r3 + 6 * ((r1 * r1) * r2) - 3 * ((r1 * r1) * (r1 * r1))
+        ).alias("mu4"),
+    )
+    mu2, mu3, mu4 = (F.col(x) for x in ("mu2", "mu3", "mu4"))
+    k = c.select(
+        "event_type",
+        "n",
+        "ok",
+        "nd",
+        (mu3 / (mu2 * F.sqrt(mu2))).alias("skew"),
+        (mu4 / (mu2 * mu2) - 3).alias("kx"),
+    )
+    skew, kx = F.col("skew"), F.col("kx")
+    jb = F.col("nd") * (skew * skew + kx * kx / 4) / 6
+    ok = F.col("ok")
+    return k.select(
+        "event_type",
+        "n",
+        F.when(ok, F.round(skew, 6)).alias("skewness"),
+        F.when(ok, F.round(kx, 6)).alias("kurtosis_excess"),
+        F.when(ok, F.round(jb, 6)).alias("jb"),
+        F.when(ok, jb > 5.991465).alias("normal_rejected"),
+    )
