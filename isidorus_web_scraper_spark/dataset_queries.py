@@ -21449,8 +21449,8 @@ def source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     k AS (
       SELECT event_type, n, ok, nd,
-             mu3 / (mu2 * sqrt(mu2)) AS skew,
-             mu4 / (mu2 * mu2) - 3 AS kx
+             CASE WHEN ok THEN mu3 / (mu2 * sqrt(mu2)) END AS skew,
+             CASE WHEN ok THEN mu4 / (mu2 * mu2) - 3 END AS kx
       FROM c
     )
     SELECT event_type, n,
@@ -21520,13 +21520,18 @@ def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mu4"),
     )
     mu2, mu3, mu4 = (F.col(x) for x in ("mu2", "mu3", "mu4"))
+    # the divisions are gated INSIDE this stage (not just at the final
+    # projection): ANSI mode raises on mu2 = 0 for a constant slice if
+    # the expression ever evaluates (degenerate pin:
+    # test_jarque_bera_constant_slice)
+    okc = F.col("ok")
     k = c.select(
         "event_type",
         "n",
         "ok",
         "nd",
-        (mu3 / (mu2 * F.sqrt(mu2))).alias("skew"),
-        (mu4 / (mu2 * mu2) - 3).alias("kx"),
+        F.when(okc, mu3 / (mu2 * F.sqrt(mu2))).alias("skew"),
+        F.when(okc, mu4 / (mu2 * mu2) - 3).alias("kx"),
     )
     skew, kx = F.col("skew"), F.col("kx")
     jb = F.col("nd") * (skew * skew + kx * kx / 4) / 6
@@ -21538,4 +21543,330 @@ def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(kx, 6)).alias("kurtosis_excess"),
         F.when(ok, F.round(jb, 6)).alias("jb"),
         F.when(ok, jb > 5.991465).alias("normal_rejected"),
+    )
+
+
+@query(
+    "levene_test",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    g1 AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(y AS HUGEINT)) AS BIGINT) AS s_g
+      FROM o GROUP BY grp
+    ),
+    z AS (
+      SELECT o.grp, g1.n_g, abs(g1.n_g * o.y - g1.s_g) AS z
+      FROM o JOIN g1 USING (grp)
+    ),
+    g AS (
+      SELECT grp, n_g,
+             sum(CAST(z AS HUGEINT)) AS a_g,
+             sum(CAST(z AS HUGEINT) * z) AS b_g
+      FROM z GROUP BY grp, n_g
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(max(CASE WHEN n_g * b_g - a_g * a_g > 0 THEN 1
+                           ELSE 0 END) AS BIGINT) AS any_var
+      FROM g
+    ),
+    zbar_f AS (
+      SELECT sum(CAST(a_g AS DOUBLE) / (CAST(n_g AS DOUBLE)
+                                        * CAST(n_g AS DOUBLE))
+                 * CAST(n_g AS DOUBLE)) OVER (
+               ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS sum_group_means,
+             row_number() OVER (ORDER BY grp DESC) AS rn
+      FROM g
+    ),
+    zbar AS (
+      SELECT zbar_f.sum_group_means / CAST(tot.n AS DOUBLE) AS zb
+      FROM zbar_f CROSS JOIN tot WHERE zbar_f.rn = 1
+    ),
+    folded AS (
+      SELECT
+        sum(CAST(n_g AS DOUBLE)
+            * (CAST(a_g AS DOUBLE) / (CAST(n_g AS DOUBLE)
+                                      * CAST(n_g AS DOUBLE)) - zbar.zb)
+            * (CAST(a_g AS DOUBLE) / (CAST(n_g AS DOUBLE)
+                                      * CAST(n_g AS DOUBLE)) - zbar.zb))
+          OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS num,
+        sum(CAST(b_g AS DOUBLE) / (CAST(n_g AS DOUBLE)
+                                   * CAST(n_g AS DOUBLE))
+            - (CAST(a_g AS DOUBLE) * CAST(a_g AS DOUBLE))
+              / (CAST(n_g AS DOUBLE) * CAST(n_g AS DOUBLE)
+                 * CAST(n_g AS DOUBLE))) OVER (
+          ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS den,
+        row_number() OVER (ORDER BY grp DESC) AS rn
+      FROM g CROSS JOIN zbar
+    )
+    SELECT tot.n, tot.k,
+           CASE WHEN tot.k > 1 AND tot.n > tot.k AND tot.any_var = 1
+                THEN round(CAST(tot.n - tot.k AS DOUBLE)
+                           / CAST(tot.k - 1 AS DOUBLE)
+                           * folded.num / folded.den, 6)
+           END AS w,
+           CASE WHEN tot.k > 1 AND tot.n > tot.k AND tot.any_var = 1
+                THEN CAST(tot.n - tot.k AS DOUBLE)
+                     / CAST(tot.k - 1 AS DOUBLE)
+                     * folded.num / folded.den
+                     > CASE tot.k - 1
+                         WHEN 1 THEN 3.841459 WHEN 2 THEN 2.9957325
+                         WHEN 3 THEN 2.6049093 WHEN 4 THEN 2.3719323
+                         ELSE NULL END
+           END AS heteroscedastic
+    FROM folded CROSS JOIN tot WHERE folded.rn = 1
+    """,
+)
+def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test (mean-centered) for variance homogeneity across
+    the five order priorities — the PRECONDITION check for every
+    equal-variance assumption upstream: kruskal_wallis compares
+    locations, welch_mean_ztest already pays the unequal-variance
+    correction, and this is the test that says whether the plain
+    pooled-variance shortcut would have been safe.
+
+    Exactness: the absolute deviation |y − ȳ_g| is kept exact by
+    scaling per group — z = |n_g·y − Σy_g| is an INTEGER (the float
+    mean never materializes); per group A = Σz and B = Σz² are exact
+    integer sums (cast HUGEINT/DECIMAL(38,0) before summing). Every
+    within-group float quantity is then a ratio of those integers
+    (Z̄_g = A/n_g², Σ(Z−Z̄_g)² = B/n_g² − A²/n_g³), and the k-row
+    cross-group sums fold as ORDERED cumulative windows over the
+    group frame (kruskal_wallis's canonical-float-order discipline).
+    W = (N−k)/(k−1) · Σn_g(Z̄_g−Z̄)² / ΣΣ(Z−Z̄_g)², verdict vs the
+    large-N F approximation χ²_{k−1}/(k−1) (df-indexed CASE, NULL
+    beyond the table), guarded by exact-integer checks: k > 1,
+    N > k, and at least one positive within-group variance numerator
+    n_g·B − A².
+
+    Scale shape: one agg to (n_g, Σy), one broadcast join back, one
+    agg to (A, B) — two map-side-combinable passes over the fact
+    table; everything after lives on the k-row frame."""
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    g1 = o.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(F.col("y").cast(d38)).cast("bigint").alias("s_g"),
+    )
+    z = o.join(F.broadcast(g1), "grp").select(
+        "grp",
+        "n_g",
+        F.abs(F.col("n_g") * F.col("y") - F.col("s_g")).alias("z"),
+    )
+    g = z.groupBy("grp", "n_g").agg(
+        F.sum(F.col("z").cast(d38)).alias("a_g"),
+        F.sum(F.col("z").cast(d38) * F.col("z")).alias("b_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.max(
+            F.when(
+                F.col("n_g") * F.col("b_g") - F.col("a_g") * F.col("a_g") > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("any_var"),
+    )
+    nd = F.col("n_g").cast("double")
+    ad = F.col("a_g").cast("double")
+    bd = F.col("b_g").cast("double")
+    w_cum = Window.orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_last = Window.orderBy(F.desc("grp"))
+    zbar_f = g.select(
+        F.sum(ad / (nd * nd) * nd).over(w_cum).alias("sum_group_means"),
+        F.row_number().over(w_last).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    zbar = zbar_f.crossJoin(F.broadcast(tot)).select(
+        (F.col("sum_group_means") / F.col("n").cast("double")).alias("zb")
+    )
+    folded = (
+        g.crossJoin(F.broadcast(zbar))
+        .select(
+            F.sum(
+                nd
+                * (ad / (nd * nd) - F.col("zb"))
+                * (ad / (nd * nd) - F.col("zb"))
+            )
+            .over(w_cum)
+            .alias("num"),
+            F.sum(bd / (nd * nd) - (ad * ad) / (nd * nd * nd))
+            .over(w_cum)
+            .alias("den"),
+            F.row_number().over(w_last).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    res = folded.crossJoin(F.broadcast(tot))
+    ok = (
+        (F.col("k") > 1)
+        & (F.col("n") > F.col("k"))
+        & (F.col("any_var") == 1)
+    )
+    w_stat = (
+        (F.col("n") - F.col("k")).cast("double")
+        / (F.col("k") - 1).cast("double")
+        * F.col("num")
+        / F.col("den")
+    )
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841459)
+        .when(F.col("k") - 1 == 2, 2.9957325)
+        .when(F.col("k") - 1 == 3, 2.6049093)
+        .when(F.col("k") - 1 == 4, 2.3719323)
+    )
+    return res.select(
+        "n",
+        "k",
+        F.when(ok, F.round(w_stat, 6)).alias("w"),
+        F.when(ok, w_stat > crit).alias("heteroscedastic"),
+    )
+
+
+@query(
+    "durbin_watson_orders",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT y,
+             CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(t * t) AS BIGINT) AS st2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(t * y) AS BIGINT) AS sty
+      FROM t
+    ),
+    coef AS (
+      SELECT n, n * st2 - st * st AS d,
+             n * sty - st * sy AS bd,
+             sy * st2 - st * sty AS ad
+      FROM s
+    ),
+    e AS (
+      SELECT t.t, coef.n, coef.d,
+             coef.d * t.y - coef.ad - coef.bd * t.t AS de
+      FROM t CROSS JOIN coef
+    ),
+    l AS (
+      SELECT n, d, de,
+             lag(de) OVER (ORDER BY t) AS de_prev
+      FROM e
+    ),
+    agg AS (
+      SELECT n, d,
+             sum(CAST(de AS HUGEINT) * de) AS ss,
+             sum(CASE WHEN de_prev IS NOT NULL
+                      THEN CAST(de - de_prev AS HUGEINT) * (de - de_prev)
+                      ELSE CAST(0 AS HUGEINT) END) AS sd
+      FROM l GROUP BY n, d
+    )
+    SELECT n AS n_days,
+           CASE WHEN n > 2 AND d > 0 AND ss > 0
+                THEN round(CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE), 6)
+           END AS dw,
+           CASE WHEN n > 2 AND d > 0 AND ss > 0
+                THEN round(1 - CAST(sd AS DOUBLE)
+                               / CAST(ss AS DOUBLE) / 2, 6)
+           END AS rho_hat,
+           CASE WHEN n > 2 AND d > 0 AND ss > 0
+                THEN CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE) < 1.5
+           END AS positive_autocorr
+    FROM agg
+    """,
+)
+def durbin_watson_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of the daily
+    order-count linear trend — the serial-correlation gate behind
+    events_trend_ols and forecast_revenue_change: an OLS trend whose
+    residuals autocorrelate (DW ≪ 2) has understated standard errors,
+    so trend "significance" upstream is optimistic; DW ≈ 2 clears it.
+
+    Exactness: the OLS residual is kept exact by SCALING by the
+    normal-equation determinant — D·e_t = D·y_t − aD − bD·t where
+    D = nΣt²−(Σt)², bD = nΣty−ΣtΣy, aD = ΣyΣt²−ΣtΣty are exact
+    BIGINTs (counts/day bound every product well under 2^63); DW is
+    then the ratio of two exact integer sums Σ(Δ(De))²/Σ(De)²
+    (D² cancels; squares ride HUGEINT/DECIMAL(38,0)) evaluated as one
+    double division. ρ̂ = 1 − DW/2; the verdict flags DW < 1.5 (the
+    conventional positive-autocorrelation screen; exact dL/dU bounds
+    are n-indexed tables out of scope). Guards: n > 2, D > 0
+    (degenerate single-day series), Σ(De)² > 0 (a perfectly linear
+    series has no residual to test) — all exact-integer compares.
+
+    Scale shape: one agg to the day frame (bounded by the calendar),
+    a 1-row broadcast of the five OLS sums, one lag window over days.
+    The fact-table pass is a single map-side-combinable count."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    t = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("bigint")
+        .alias("t"),
+    )
+    s = t.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("st2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    coef = s.select(
+        "n",
+        (F.col("n") * F.col("st2") - F.col("st") * F.col("st")).alias("d"),
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).alias("bd"),
+        (F.col("sy") * F.col("st2") - F.col("st") * F.col("sty")).alias("ad"),
+    )
+    e = t.crossJoin(F.broadcast(coef)).select(
+        "t",
+        "n",
+        "d",
+        (F.col("d") * F.col("y") - F.col("ad") - F.col("bd") * F.col("t")).alias(
+            "de"
+        ),
+    )
+    d38 = "decimal(38,0)"
+    lw = Window.orderBy("t")
+    l = e.select("n", "d", "de", F.lag("de").over(lw).alias("de_prev"))
+    diff = F.col("de") - F.col("de_prev")
+    agg = l.groupBy("n", "d").agg(
+        F.sum(F.col("de").cast(d38) * F.col("de")).alias("ss"),
+        F.sum(
+            F.when(
+                F.col("de_prev").isNotNull(), diff.cast(d38) * diff
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("sd"),
+    )
+    ok = (F.col("n") > 2) & (F.col("d") > 0) & (F.col("ss") > 0)
+    dw = F.col("sd").cast("double") / F.col("ss").cast("double")
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.when(ok, F.round(dw, 6)).alias("dw"),
+        F.when(ok, F.round(1 - dw / 2, 6)).alias("rho_hat"),
+        F.when(ok, dw < 1.5).alias("positive_autocorr"),
     )

@@ -1527,3 +1527,152 @@ def test_did_single_day_and_constant_values(spark, tmp_path):
         _conn_with({"events": path2}),
         ORACLE["difference_in_differences"],
     )
+
+
+def test_markov_stationary_no_transitions(spark, tmp_path):
+    # one event per user: no successor pairs, every state is dangling
+    # and keeps its own (uniform) mass through all 6 iterations
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [
+            (i, i, t, base + datetime.timedelta(days=i))
+            for i, t in enumerate(["click", "view", "buy"])
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["markov_stationary_power"](spark, str(tmp_path))
+    rows = {r.state: r.pi_scaled for r in df.collect()}
+    assert rows == {
+        "click": 1_000_000_000_000 // 3,
+        "view": 1_000_000_000_000 // 3,
+        "buy": 1_000_000_000_000 // 3,
+    }
+    compare(df, _conn_with({"events": path}), ORACLE["markov_stationary_power"])
+
+
+def test_markov_stationary_absorbing_chain(spark, tmp_path):
+    # A -> B once, B absorbing (dangling keeps its mass): after one
+    # step ALL of A's mass is in B; mass is conserved exactly
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [
+            (0, 0, "a", base),
+            (1, 0, "b", base + datetime.timedelta(hours=1)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["markov_stationary_power"](spark, str(tmp_path))
+    rows = {r.state: r.pi_scaled for r in df.collect()}
+    assert rows["a"] == 0
+    assert rows["b"] == 1_000_000_000_000  # 2 * (10^12 // 2)
+    compare(df, _conn_with({"events": path}), ORACLE["markov_stationary_power"])
+
+
+def test_source_modularity_two_docs(spark, tmp_path):
+    # 2 docs, one undirected edge (0,1): same source -> e_c=1, d_c=2,
+    # q = (4*1*1 - 4)/4 = 0 exactly (a single within-community edge
+    # is exactly what degree chance predicts at m=1)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "web"), (1, "web")], "doc_id long, source string"
+    ).write.parquet(path)
+    df = QUERIES["source_modularity"](spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].within_edges == 1 and rows[0].degree_sum == 2
+    assert rows[0].q_contrib == 0.0
+    compare(df, _conn_with({"documents": path}), ORACLE["source_modularity"])
+
+
+def test_jarque_bera_constant_slice(spark, tmp_path):
+    # constant value within a type: variance witness n*s2 - s1^2 == 0,
+    # skew/kurtosis/jb NULL in both engines; a small varying type with
+    # n <= 3 is also guarded (moments need n > 3)
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [(i, "flat", 5.0, base) for i in range(6)] + [
+        (10 + i, "tiny", float(i), base) for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["jarque_bera_normality"](spark, str(tmp_path))
+    got = {r.event_type: r for r in df.collect()}
+    assert got["flat"].n == 6 and got["flat"].jb is None
+    assert got["tiny"].n == 3 and got["tiny"].jb is None
+    compare(df, _conn_with({"events": path}), ORACLE["jarque_bera_normality"])
+
+
+def test_levene_all_constant_groups(spark, tmp_path):
+    # every group constant: all within-group deviations are exactly 0,
+    # any_var = 0 and W is NULL in both engines (0/0 never evaluated)
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0, "1-URGENT" if i % 2 else "5-LOW") for i in range(8)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["levene_test"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 8 and row.k == 2
+    assert row.w is None and row.heteroscedastic is None
+    compare(df, _conn_with({"orders": path}), ORACLE["levene_test"])
+
+
+def test_levene_single_group(spark, tmp_path):
+    # k = 1: between-group df is 0, W undefined -> NULL in both engines
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + i, "5-LOW") for i in range(5)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["levene_test"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.k == 1 and row.w is None
+    compare(df, _conn_with({"orders": path}), ORACLE["levene_test"])
+
+
+def test_durbin_watson_single_day(spark, tmp_path):
+    # all orders on one day: n = 1, the trend determinant D = 0 and
+    # DW is NULL in both engines
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    day = datetime.datetime(2026, 3, 1)
+    spark.createDataFrame(
+        [(i, day) for i in range(4)],
+        "o_orderkey long, o_orderdate timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["durbin_watson_orders"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_days == 1 and row.dw is None
+    compare(df, _conn_with({"orders": path}), ORACLE["durbin_watson_orders"])
+
+
+def test_durbin_watson_perfect_trend(spark, tmp_path):
+    # daily counts exactly linear (1,2,3,4 orders/day): every residual
+    # is exactly 0, ss = 0 and DW is NULL in both engines (not 0/0)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    base = datetime.datetime(2026, 3, 1)
+    rows = []
+    k = 0
+    for d in range(4):
+        for _ in range(d + 1):
+            rows.append((k, base + datetime.timedelta(days=d)))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["durbin_watson_orders"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_days == 4 and row.dw is None
+    compare(df, _conn_with({"orders": path}), ORACLE["durbin_watson_orders"])
