@@ -21870,3 +21870,263 @@ def durbin_watson_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(1 - dw / 2, 6)).alias("rho_hat"),
         F.when(ok, dw < 1.5).alias("positive_autocorr"),
     )
+
+
+@query(
+    "decision_stump_train",
+    """
+    WITH o AS (
+      SELECT n_chars AS y,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab
+      FROM documents
+    ),
+    v AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(lab) AS BIGINT) AS pos
+      FROM o GROUP BY y
+    ),
+    c AS (
+      SELECT y,
+             CAST(sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS nl,
+             CAST(sum(pos) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS al
+      FROM v
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lab) AS BIGINT) AS a
+      FROM o
+    ),
+    scored AS (
+      SELECT c.y AS threshold, c.nl, c.al, tot.n, tot.a,
+             (CAST(c.al AS DOUBLE) * CAST(c.al AS DOUBLE)
+              + CAST(c.nl - c.al AS DOUBLE) * CAST(c.nl - c.al AS DOUBLE))
+               / CAST(c.nl AS DOUBLE)
+             + (CAST(tot.a - c.al AS DOUBLE) * CAST(tot.a - c.al AS DOUBLE)
+                + CAST((tot.n - c.nl) - (tot.a - c.al) AS DOUBLE)
+                  * CAST((tot.n - c.nl) - (tot.a - c.al) AS DOUBLE))
+               / CAST(tot.n - c.nl AS DOUBLE) AS purity
+      FROM c CROSS JOIN tot
+      WHERE c.nl < tot.n
+    ),
+    best AS (
+      SELECT threshold, nl, al, n, a, purity,
+             row_number() OVER (ORDER BY purity DESC, threshold) AS rn
+      FROM scored
+    )
+    SELECT threshold, nl AS n_left, n - nl AS n_right,
+           al AS pos_left, a - al AS pos_right,
+           round((CAST(n AS DOUBLE) - purity) / CAST(n AS DOUBLE), 6)
+             AS gini_split,
+           round(1 - (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                      + CAST(n - a AS DOUBLE) * CAST(n - a AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS gini_root
+    FROM best WHERE rn = 1
+    """,
+)
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a one-split decision stump — is-English by document
+    length — the simplest useful model the corpus pipeline trains
+    (naive_bayes_model is its multi-feature sibling; a stump is what
+    a quality-gate threshold IS, here chosen optimally instead of by
+    hand): over every candidate threshold y ≤ t, pick the split
+    minimizing weighted Gini impurity.
+
+    Exactness: per-candidate class counts (n_L, a_L) are exact-integer
+    cumulative windows over the distinct-value frame; minimizing
+    impurity = maximizing purity = (a_L²+b_L²)/n_L + (a_R²+b_R²)/n_R,
+    evaluated as ONE double tree of those integers (identical IEEE
+    bits both engines, so the argmax row_number agrees), deterministic
+    tiebreak on the lower threshold. The last cumulative row (empty
+    right side) is excluded by the exact compare n_L < N, which also
+    guards both divisions; a single-valued feature yields zero
+    candidates and an empty result in both engines.
+
+    Scale shape: one hash-agg to the distinct-(value) frame, one
+    cumulative window over it (|distinct values| rows — bounded, not
+    corpus-sized), a 1-row broadcast of class totals. At 10^10 docs
+    swap the exact distinct frame for the quantile-histogram sketch's
+    bin edges (quantile_histogram_sketch) — same plan, bounded
+    candidates."""
+    docs = load(spark, sf_dir, "documents")
+    o = docs.select(
+        F.col("n_chars").alias("y"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("lab"),
+    )
+    v = o.groupBy("y").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("lab").cast("bigint").alias("pos"),
+    )
+    w_cum = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = v.select(
+        "y",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("nl"),
+        F.sum("pos").over(w_cum).cast("bigint").alias("al"),
+    )
+    tot = o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lab").cast("bigint").alias("a"),
+    )
+    ald = F.col("al").cast("double")
+    bld = (F.col("nl") - F.col("al")).cast("double")
+    ard = (F.col("a") - F.col("al")).cast("double")
+    brd = ((F.col("n") - F.col("nl")) - (F.col("a") - F.col("al"))).cast(
+        "double"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            F.col("y").alias("threshold"),
+            "nl",
+            "al",
+            "n",
+            "a",
+            (
+                (ald * ald + bld * bld) / F.col("nl").cast("double")
+                + (ard * ard + brd * brd)
+                / (F.col("n") - F.col("nl")).cast("double")
+            ).alias("purity"),
+        )
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("purity").desc(), "threshold")
+        ),
+    ).filter(F.col("rn") == 1)
+    ad = F.col("a").cast("double")
+    nd = F.col("n").cast("double")
+    nad = (F.col("n") - F.col("a")).cast("double")
+    return best.select(
+        "threshold",
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.col("al").alias("pos_left"),
+        (F.col("a") - F.col("al")).alias("pos_right"),
+        F.round((nd - F.col("purity")) / nd, 6).alias("gini_split"),
+        F.round(1 - (ad * ad + nad * nad) / (nd * nd), 6).alias("gini_root"),
+    )
+
+
+@query(
+    "pettitt_changepoint",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    tv AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS tcnt FROM daily GROUP BY y
+    ),
+    r AS (
+      SELECT y, tcnt,
+             CAST(coalesce(sum(tcnt) OVER (
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS c_lt
+      FROM tv
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    u AS (
+      SELECT daily.day,
+             CAST(sum(2 * r.c_lt + r.tcnt + 1) OVER (
+               ORDER BY daily.day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT)
+             - CAST(row_number() OVER (ORDER BY daily.day) AS BIGINT)
+               * (nn.n + 1) AS u2
+      FROM daily JOIN r USING (y) CROSS JOIN nn
+    ),
+    best AS (
+      SELECT day, abs(u2) AS k,
+             row_number() OVER (ORDER BY abs(u2) DESC, day) AS rn
+      FROM u
+    )
+    SELECT nn.n AS n_days, best.day AS change_day,
+           best.k AS k_stat,
+           6 * CAST(best.k AS DOUBLE) * CAST(best.k AS DOUBLE)
+             > 3.688879
+               * (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                  * CAST(nn.n AS DOUBLE)
+                  + CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE))
+             AS significant
+    FROM best CROSS JOIN nn WHERE best.rn = 1
+    """,
+)
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's rank-based changepoint test on daily order volume —
+    the nonparametric twin of changepoint_cusum (CUSUM reacts to mean
+    shifts in the VALUES and inherits their tails; Pettitt ranks
+    first, so one crazy day can't fake a regime change): the day t
+    maximizing |U_t|, U_t = Σ_{i≤t}Σ_{j>t} sgn(y_i − y_j), is the
+    most likely split point.
+
+    Exactness: by the midrank identity Σ_j sgn(y_i−y_j) = 2m_i−(n+1)
+    (2m = 2·count_less + ties + 1, an integer even at half-integer
+    midranks), U_t folds EXACTLY to (Σ_{i≤t} 2m_i) − t(n+1) — exact
+    integers end-to-end (mann_whitney_u's machinery pointed at a
+    cumulative window); K = max|U| is engine-exact and the argmax
+    tiebreaks on the earlier day. The verdict evaluates the classic
+    approximation p ≈ 2exp(−6K²/(n³+n²)) < 0.05 as one double
+    compare (6K² > ln40·(n³+n²)) of exact integers. A constant
+    series has every U_t = 0 — K = 0, first day, not significant —
+    with no division anywhere to guard.
+
+    Scale shape: one agg to the day frame, one ranks window over
+    distinct values, one cumulative window over days (calendar-
+    bounded), a 1-row n broadcast. The fact-table pass is a single
+    map-side-combinable count."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    tv = daily.groupBy("y").agg(F.count("*").cast("bigint").alias("tcnt"))
+    w_lt = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    r = tv.select(
+        "y",
+        "tcnt",
+        F.coalesce(F.sum("tcnt").over(w_lt), F.lit(0))
+        .cast("bigint")
+        .alias("c_lt"),
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = (
+        daily.join(r, "y")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "day",
+            (
+                F.sum(2 * F.col("c_lt") + F.col("tcnt") + 1)
+                .over(w_cum)
+                .cast("bigint")
+                - F.row_number().over(Window.orderBy("day")).cast("bigint")
+                * (F.col("n") + 1)
+            ).alias("u2"),
+        )
+    )
+    best = u.select(
+        "day",
+        F.abs(F.col("u2")).alias("k"),
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("u2")).desc(), "day"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    return best.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("change_day"),
+        F.col("k").alias("k_stat"),
+        (
+            F.lit(6) * kd * kd
+            > F.lit(3.688879) * (nd * nd * nd + nd * nd)
+        ).alias("significant"),
+    )

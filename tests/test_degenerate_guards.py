@@ -1676,3 +1676,80 @@ def test_durbin_watson_perfect_trend(spark, tmp_path):
     row = df.collect()[0]
     assert row.n_days == 4 and row.dw is None
     compare(df, _conn_with({"orders": path}), ORACLE["durbin_watson_orders"])
+
+
+def test_decision_stump_single_value(spark, tmp_path):
+    # one distinct feature value: no candidate split (the only
+    # cumulative row has an empty right side) -> 0 rows, both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, 100, "en" if i % 2 else "fr") for i in range(6)],
+        "doc_id long, n_chars long, lang string",
+    ).write.parquet(path)
+    df = QUERIES["decision_stump_train"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(df, _conn_with({"documents": path}), ORACLE["decision_stump_train"])
+
+
+def test_decision_stump_perfect_split(spark, tmp_path):
+    # short docs all 'fr', long docs all 'en': the optimal threshold
+    # separates them perfectly and both child nodes are pure
+    path = f"{tmp_path}/documents.parquet"
+    rows = [(i, 10 + i, "fr") for i in range(4)] + [
+        (10 + i, 100 + i, "en") for i in range(4)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, n_chars long, lang string"
+    ).write.parquet(path)
+    df = QUERIES["decision_stump_train"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.threshold == 13 and row.gini_split == 0.0
+    assert row.pos_left == 0 and row.pos_right == 4
+    compare(df, _conn_with({"documents": path}), ORACLE["decision_stump_train"])
+
+
+def test_pettitt_constant_series(spark, tmp_path):
+    # constant daily counts: every doubled midrank equals n+1, so
+    # U_t = 0 for all t -> K = 0, earliest day, not significant
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    base = datetime.datetime(2026, 3, 1)
+    rows = [
+        (3 * d + j, base + datetime.timedelta(days=d))
+        for d in range(5)
+        for j in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["pettitt_changepoint"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_days == 5 and row.k_stat == 0
+    assert row.change_day == base and row.significant is False
+    compare(df, _conn_with({"orders": path}), ORACLE["pettitt_changepoint"])
+
+
+def test_pettitt_step_series(spark, tmp_path):
+    # a clean step (1,1,1 -> 5,5,5): |U| peaks exactly at the last
+    # pre-step day (t=3: all 9 cross pairs negative -> U_3 = -9,
+    # K = 9)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    base = datetime.datetime(2026, 3, 1)
+    rows = []
+    k = 0
+    for d in range(6):
+        for _ in range(1 if d < 3 else 5):
+            rows.append((k, base + datetime.timedelta(days=d)))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["pettitt_changepoint"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_days == 6
+    assert row.change_day == base + datetime.timedelta(days=2)
+    assert row.k_stat == 9
+    compare(df, _conn_with({"orders": path}), ORACLE["pettitt_changepoint"])
