@@ -22130,3 +22130,324 @@ def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(3.688879) * (nd * nd * nd + nd * nd)
         ).alias("significant"),
     )
+
+
+@query(
+    "kendall_tau_topk",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w = 'vector')) AS BIGINT) AS tf,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id,
+             ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS bm25,
+             tf * ln(CAST(n AS DOUBLE) / df) AS tfidf
+      FROM base CROSS JOIN stats WHERE tf > 0
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1,
+             row_number() OVER (ORDER BY tfidf DESC, doc_id) AS r2
+      FROM m
+    ),
+    topk AS (SELECT r1, r2 FROM ranked WHERE r1 <= 100),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN a.r2 < b.r2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN a.r2 > b.r2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+      FROM topk a JOIN topk b ON a.r1 < b.r1
+    ),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM topk)
+    SELECT kk.k, coalesce(pairs.c, 0) AS concordant,
+           coalesce(pairs.d, 0) AS discordant,
+           CASE WHEN kk.k >= 2
+                THEN round(CAST(coalesce(pairs.c, 0)
+                                - coalesce(pairs.d, 0) AS DOUBLE)
+                           / (CAST(kk.k AS DOUBLE)
+                              * (CAST(kk.k AS DOUBLE) - 1) / 2), 6)
+           END AS kendall_tau
+    FROM pairs CROSS JOIN kk
+    """,
+)
+def kendall_tau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ between the BM25 and TF-IDF orderings of the top
+    100 BM25 results for 'vector' — the pairwise-inversion companion
+    of ranker_agreement_spearman (ρ weights displacement
+    quadratically and is dominated by big jumps; τ counts HOW MANY
+    pairs flipped — the number a reranker's swap budget actually
+    answers to). Scoped to the served page (top-k), because that is
+    where ranking disagreement costs anything.
+
+    Exactness: both scorers are identical IEEE trees, so the
+    positional row_number ranks (doc_id tiebreak) match bit-for-bit
+    across engines; concordant/discordant counts are then exact
+    integers from tie-free rank permutations and
+    τ = (C−D)/(k(k−1)/2) is one double division, guarded on k ≥ 2
+    (the empty-pairs frame coalesces to 0s).
+
+    Scale shape: the quadratic pair join is over the k=100-row frame
+    — 4,950 pairs at ANY corpus size, broadcast-joined; everything
+    corpus-sized is the same single tokenize pass + rank windows the
+    spearman twin pays. An all-matched-docs τ would be O(df²) and is
+    deliberately not offered."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.size(F.filter(F.col("w"), lambda x: x == F.lit("vector")))
+        .cast("bigint")
+        .alias("tf"),
+        F.size("w").cast("bigint").alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf") > 0).cast("bigint")).cast("bigint").alias("df"),
+    )
+    m = base.filter(F.col("tf") > 0).crossJoin(F.broadcast(stats))
+    bm25 = (
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    tfidf = F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+    ranked = m.select(bm25.alias("bm25"), tfidf.alias("tfidf"), "doc_id").select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("tfidf"), F.asc("doc_id")))
+        .alias("r2"),
+    )
+    topk = ranked.filter(F.col("r1") <= 100).localCheckpoint(eager=True)
+    a = topk.select(F.col("r1").alias("ar1"), F.col("r2").alias("ar2"))
+    b = topk.select(F.col("r1").alias("br1"), F.col("r2").alias("br2"))
+    pairs = a.join(F.broadcast(b), F.col("ar1") < F.col("br1")).agg(
+        F.sum(F.when(F.col("ar2") < F.col("br2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("ar2") > F.col("br2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    kk = topk.agg(F.count("*").cast("bigint").alias("k"))
+    cz = F.coalesce(F.col("c"), F.lit(0))
+    dz = F.coalesce(F.col("d"), F.lit(0))
+    kd = F.col("k").cast("double")
+    return pairs.crossJoin(F.broadcast(kk)).select(
+        "k",
+        cz.alias("concordant"),
+        dz.alias("discordant"),
+        F.when(
+            F.col("k") >= 2,
+            F.round((cz - dz).cast("double") / (kd * (kd - 1) / 2), 6),
+        ).alias("kendall_tau"),
+    )
+
+
+@query(
+    "gumbel_daily_max",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(mx AS HUGEINT)) AS s1,
+             sum(CAST(mx AS HUGEINT) * mx) AS s2,
+             CAST(max(mx) AS BIGINT) AS grand_max
+      FROM daily
+    ),
+    d AS (
+      SELECT n, grand_max,
+             n > 1 AND n * s2 - s1 * s1 > 0 AS ok,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(n * s2 - s1 * s1 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var
+      FROM s
+    ),
+    p AS (
+      SELECT n, grand_max, ok, mean,
+             CASE WHEN ok THEN sqrt(6 * var) / 3.141592653589793 END
+               AS beta
+      FROM d
+    )
+    SELECT n AS n_days, grand_max AS max_cents,
+           CASE WHEN ok THEN round(mean - 0.5772156649015329 * beta, 6)
+           END AS mu_cents,
+           CASE WHEN ok THEN round(beta, 6) END AS beta_cents,
+           CASE WHEN ok THEN round(
+             1 - exp(-exp(-(CAST(grand_max AS DOUBLE)
+                            - (mean - 0.5772156649015329 * beta))
+                          / beta)), 6)
+           END AS p_next_day_exceeds_max
+    FROM p
+    """,
+)
+def gumbel_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (extreme-value type I) fit to the DAILY MAXIMUM order
+    value by method of moments — the block-maxima member of the tail
+    family (hill_tail_index fits the tail exponent of ALL values;
+    Gumbel models the distribution of per-period RECORDS, which is
+    what capacity limits and fraud ceilings are set against):
+    β = √(6·Var)/π, μ = mean − γ·β, and the operational number
+    P(tomorrow's max exceeds the all-time max) = 1 − exp(−exp(−(M−μ)/β)).
+
+    Exactness: per-day maxima are exact integer cents (max of
+    integers), their moments exact HUGEINT/DECIMAL(38,0) sums; μ, β
+    and the exceedance probability are one layered double tree of
+    those integers (population variance (nΣx²−S²)/n², γ and π as
+    fixed literals), guarded by the exact-integer witnesses n > 1 and
+    nΣx² − S² > 0 (one day, or identical maxima every day, fit
+    nothing).
+
+    Scale shape: one map-side-combinable max per day, one 1-row
+    moment agg over the calendar-bounded day frame."""
+    orders = load(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("mx")
+    )
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("mx").cast(d38)).alias("s1"),
+        F.sum(F.col("mx").cast(d38) * F.col("mx")).alias("s2"),
+        F.max("mx").cast("bigint").alias("grand_max"),
+    )
+    nd = F.col("n").cast("double")
+    d = s.select(
+        "n",
+        "grand_max",
+        (
+            (F.col("n") > 1)
+            & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        ).alias("ok"),
+        (F.col("s1").cast("double") / nd).alias("mean"),
+        (
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (nd * nd)
+        ).alias("var"),
+    )
+    p = d.select(
+        "n",
+        "grand_max",
+        "ok",
+        "mean",
+        F.when(
+            F.col("ok"), F.sqrt(6 * F.col("var")) / F.lit(3.141592653589793)
+        ).alias("beta"),
+    )
+    ok = F.col("ok")
+    mu = F.col("mean") - 0.5772156649015329 * F.col("beta")
+    pex = 1 - F.exp(
+        -F.exp(-(F.col("grand_max").cast("double") - mu) / F.col("beta"))
+    )
+    return p.select(
+        F.col("n").alias("n_days"),
+        F.col("grand_max").alias("max_cents"),
+        F.when(ok, F.round(mu, 6)).alias("mu_cents"),
+        F.when(ok, F.round(F.col("beta"), 6)).alias("beta_cents"),
+        F.when(ok, F.round(pex, 6)).alias("p_next_day_exceeds_max"),
+    )
+
+
+@query(
+    "goodman_kruskal_lambda",
+    """
+    WITH o AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    colmax AS (
+      SELECT dow, CAST(max(obs) AS BIGINT) AS mx FROM o GROUP BY dow
+    ),
+    rowmarg AS (
+      SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST((SELECT sum(obs) FROM o) AS BIGINT) AS n,
+             CAST((SELECT sum(mx) FROM colmax) AS BIGINT) AS sum_colmax,
+             CAST((SELECT max(rt) FROM rowmarg) AS BIGINT) AS max_row
+    )
+    SELECT n, sum_colmax, max_row,
+           CASE WHEN n - max_row > 0
+                THEN round(CAST(sum_colmax - max_row AS DOUBLE)
+                           / CAST(n - max_row AS DOUBLE), 6)
+           END AS lambda_type_given_dow
+    FROM t
+    """,
+)
+def goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal λ for predicting event type from day-of-week —
+    the PROPORTIONAL-REDUCTION-IN-ERROR member that completes the
+    categorical-association trio (cramers_v_type_dow is the χ²-based
+    effect size, theils_u_type_dow the information-theoretic one; λ
+    is the operational one: "guessing the modal type per weekday
+    beats always guessing the global modal type by λ of the errors").
+    λ = (Σ_dow max_type n_cells − max_type n_row) / (n − max_type
+    n_row).
+
+    Exactness: every term is an exact integer (cell counts, per-column
+    maxima, the modal row margin — integer max/sum have no ordering
+    sensitivity); λ is ONE double division, guarded by the exact
+    compare n − max_row > 0 (a single-type corpus has no errors to
+    reduce — λ undefined, NULL both engines). Day-of-week is the
+    zone-free integer law (epoch_ms // day + 4) % 7 shared with
+    cramers_v/theils_u.
+
+    Scale shape: one map-side-combinable agg to the |types|×7 cell
+    frame; maxima, margins and λ are arithmetic on that broadcast-
+    sized frame."""
+    ev = load(spark, sf_dir, "events")
+    dow = ((ntz_epoch_ms(F.col("ts")) / F.lit(86400000)).cast("bigint") + 4) % 7
+    o = ev.groupBy(F.col("event_type"), dow.alias("dow")).agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    colmax = o.groupBy("dow").agg(F.max("obs").cast("bigint").alias("mx"))
+    rowmarg = o.groupBy("event_type").agg(
+        F.sum("obs").cast("bigint").alias("rt")
+    )
+    t = (
+        o.agg(F.sum("obs").cast("bigint").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                colmax.agg(F.sum("mx").cast("bigint").alias("sum_colmax"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(rowmarg.agg(F.max("rt").cast("bigint").alias("max_row")))
+        )
+    )
+    ok = F.col("n") - F.col("max_row") > 0
+    return t.select(
+        "n",
+        "sum_colmax",
+        "max_row",
+        F.when(
+            ok,
+            F.round(
+                (F.col("sum_colmax") - F.col("max_row")).cast("double")
+                / (F.col("n") - F.col("max_row")).cast("double"),
+                6,
+            ),
+        ).alias("lambda_type_given_dow"),
+    )

@@ -1753,3 +1753,99 @@ def test_pettitt_step_series(spark, tmp_path):
     assert row.change_day == base + datetime.timedelta(days=2)
     assert row.k_stat == 9
     compare(df, _conn_with({"orders": path}), ORACLE["pettitt_changepoint"])
+
+
+def test_kendall_tau_single_match(spark, tmp_path):
+    # one matching doc: k = 1, no pairs -> counts coalesce to 0 and
+    # tau is NULL in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "vector search"), (1, "plain text"), (2, "other words")],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = QUERIES["kendall_tau_topk"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.k == 1 and row.concordant == 0 and row.discordant == 0
+    assert row.kendall_tau is None
+    compare(df, _conn_with({"documents": path}), ORACLE["kendall_tau_topk"])
+
+
+def test_kendall_tau_identical_rankings(spark, tmp_path):
+    # two matched docs with different tf: BM25 and TF-IDF order them
+    # the same way -> C=1, D=0, tau = 1 exactly
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [
+            (0, "vector vector vector search"),
+            (1, "vector text here now"),
+            (2, "other words entirely filler"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = QUERIES["kendall_tau_topk"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.k == 2 and row.kendall_tau == 1.0
+    compare(df, _conn_with({"documents": path}), ORACLE["kendall_tau_topk"])
+
+
+def test_gumbel_identical_daily_maxima(spark, tmp_path):
+    # same max every day: variance witness n*s2 - s1^2 == 0, the fit
+    # is NULL in both engines
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    base = datetime.datetime(2026, 3, 1)
+    rows = [
+        (2 * d + j, 100.0 + j, base + datetime.timedelta(days=d))
+        for d in range(4)
+        for j in range(2)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["gumbel_daily_max"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_days == 4 and row.max_cents == 10100
+    assert row.mu_cents is None and row.p_next_day_exceeds_max is None
+    compare(df, _conn_with({"orders": path}), ORACLE["gumbel_daily_max"])
+
+
+def test_lambda_single_type(spark, tmp_path):
+    # one event type: the modal row IS the whole table, n - max_row = 0
+    # and lambda is NULL in both engines
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, "click", base + datetime.timedelta(days=i)) for i in range(6)],
+        "event_id long, event_type string, ts timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["goodman_kruskal_lambda"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 6 and row.max_row == 6
+    assert row.lambda_type_given_dow is None
+    compare(df, _conn_with({"events": path}), ORACLE["goodman_kruskal_lambda"])
+
+
+def test_lambda_perfect_predictor(spark, tmp_path):
+    # each weekday maps to exactly one type: per-column maxima sum to
+    # n, lambda = (n - max_row)/(n - max_row) = 1 exactly
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 2, 12, 0, 0)  # a Monday
+    rows = []
+    for d in range(4):
+        for j in range(3):
+            rows.append(
+                (3 * d + j, f"type{d}", base + datetime.timedelta(days=d))
+            )
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["goodman_kruskal_lambda"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 12 and row.sum_colmax == 12
+    assert row.lambda_type_given_dow == 1.0
+    compare(df, _conn_with({"events": path}), ORACLE["goodman_kruskal_lambda"])
