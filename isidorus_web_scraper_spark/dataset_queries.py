@@ -22451,3 +22451,400 @@ def goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("lambda_type_given_dow"),
     )
+
+
+@query(
+    "yule_k_richness",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    f AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2)
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CASE WHEN sum(c) > 0
+                THEN round(10000.0
+                           * CAST(sum(CAST(c AS HUGEINT) * c)
+                                  - sum(c) AS DOUBLE)
+                           / (CAST(sum(c) AS DOUBLE)
+                              * CAST(sum(c) AS DOUBLE)), 6)
+           END AS yule_k
+    FROM f GROUP BY lang
+    """,
+)
+def yule_k_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-repetitiveness characteristic per language —
+    the length-invariant member of the vocabulary family (hapax rate
+    and Chao1 move with corpus size; K = 10⁴(Σc² − N)/N² is a
+    repeat-probability and stays put as the corpus grows, which makes
+    it the right cross-language and cross-snapshot comparison knob:
+    high K = repetitive/templated text, low K = rich prose).
+
+    Exactness: the frequency spectrum identity Σm²V(m) = Σ_types c²
+    means K needs only per-type counts — Σc and Σc² are exact
+    integers (Σc² on HUGEINT/DECIMAL(38,0)); K is ONE double division
+    behind the exact N > 0 witness. Same ' '-split token law as the
+    hapax/coverage/fertility family.
+
+    Scale shape: one (lang, token) count agg off the tokenize
+    explode, one map-side-combinable rollup per language."""
+    docs = load(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    f = (
+        docs.select("lang", F.explode(words(F.col("text"))).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    agg = f.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("s2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_vocab",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.lit(10000.0)
+                * (F.col("s2") - F.col("n_tokens")).cast("double")
+                / (nd * nd),
+                6,
+            ),
+        ).alias("yule_k"),
+    )
+
+
+@query(
+    "feature_correlation_matrix",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS x1,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT li.x1, li.x2,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x1 AS HUGEINT)) AS sx1,
+             sum(CAST(x2 AS HUGEINT)) AS sx2,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+             sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+             sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+             sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+             sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM j
+    )
+    SELECT 'price~lines' AS pair, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * syy - sy * sy > 0 AND n * s11 - sx1 * sx1 > 0
+                THEN round(CAST(n * s1y - sx1 * sy AS DOUBLE)
+                           / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                                  * CAST(n * s11 - sx1 * sx1 AS DOUBLE)), 6)
+           END AS r
+    FROM m
+    UNION ALL
+    SELECT 'price~qty', CAST(n AS BIGINT),
+           CASE WHEN n * syy - sy * sy > 0 AND n * s22 - sx2 * sx2 > 0
+                THEN round(CAST(n * s2y - sx2 * sy AS DOUBLE)
+                           / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                                  * CAST(n * s22 - sx2 * sx2 AS DOUBLE)), 6)
+           END
+    FROM m
+    UNION ALL
+    SELECT 'lines~qty', CAST(n AS BIGINT),
+           CASE WHEN n * s11 - sx1 * sx1 > 0 AND n * s22 - sx2 * sx2 > 0
+                THEN round(CAST(n * s12 - sx1 * sx2 AS DOUBLE)
+                           / sqrt(CAST(n * s11 - sx1 * sx1 AS DOUBLE)
+                                  * CAST(n * s22 - sx2 * sx2 AS DOUBLE)), 6)
+           END
+    FROM m
+    """,
+)
+def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pairwise Pearson correlation matrix of the order
+    feature triple (total price, lineitem count, total quantity) from
+    ONE pass — the collinearity screen that belongs in front of
+    ols_two_factor (two highly-correlated regressors make its Cramer
+    determinant nearly singular and the coefficients meaningless;
+    this is the number that says so beforehand), generalizing
+    part_price_size_correlation's single pair to the matrix every
+    feature-selection step wants.
+
+    Exactness: the same nine exact integer moment sums as
+    ols_two_factor (products on HUGEINT/DECIMAL(38,0) before
+    summing); each r = (nΣab−ΣaΣb)/√((nΣa²−(Σa)²)(nΣb²−(Σb)²)) is
+    one double tree per pair behind BOTH exact-integer variance
+    witnesses (a constant feature yields NULL for its pairs, never
+    0/0).
+
+    Scale shape: one lineitem rollup + one order join feed a single
+    map-side-combinable 10-scalar agg; the matrix is a 3-row constant
+    fold of that 1-row frame."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    li = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("x1"),
+        F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "x1",
+        "x2",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    c38 = lambda c: F.col(c).cast(d38)
+    m = j.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(c38("x1")).alias("sx1"),
+        F.sum(c38("x2")).alias("sx2"),
+        F.sum(c38("y")).alias("sy"),
+        F.sum(c38("x1") * F.col("x1")).alias("s11"),
+        F.sum(c38("x2") * F.col("x2")).alias("s22"),
+        F.sum(c38("x1") * F.col("x2")).alias("s12"),
+        F.sum(c38("x1") * F.col("y")).alias("s1y"),
+        F.sum(c38("x2") * F.col("y")).alias("s2y"),
+        F.sum(c38("y") * F.col("y")).alias("syy"),
+    ).localCheckpoint(eager=True)
+
+    def pearson_row(label, sab, sa, sb, saa, sbb):
+        n = F.col("n")
+        va = n * F.col(saa) - F.col(sa) * F.col(sa)
+        vb = n * F.col(sbb) - F.col(sb) * F.col(sb)
+        cov = n * F.col(sab) - F.col(sa) * F.col(sb)
+        return m.select(
+            F.lit(label).alias("pair"),
+            F.col("n").cast("bigint").alias("n"),
+            F.when(
+                (va > 0) & (vb > 0),
+                F.round(
+                    cov.cast("double")
+                    / F.sqrt(va.cast("double") * vb.cast("double")),
+                    6,
+                ),
+            ).alias("r"),
+        )
+
+    return (
+        pearson_row("price~lines", "s1y", "sx1", "sy", "s11", "syy")
+        .unionByName(
+            pearson_row("price~qty", "s2y", "sx2", "sy", "s22", "syy")
+        )
+        .unionByName(
+            pearson_row("lines~qty", "s12", "sx1", "sx2", "s11", "s22")
+        )
+    )
+
+
+@query(
+    "hurst_exponent",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT y, CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+      FROM daily
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    lsd AS (
+      SELECT DISTINCT nn.n // denom AS l
+      FROM (SELECT unnest([16, 8, 4, 2]) AS denom) CROSS JOIN nn
+      WHERE nn.n // denom >= 4
+    ),
+    seg AS (
+      SELECT lsd.l, t.t // lsd.l AS seg, t.t, t.y
+      FROM t CROSS JOIN lsd CROSS JOIN nn
+      WHERE t.t // lsd.l < nn.n // lsd.l
+    ),
+    segsum AS (
+      SELECT l, seg, CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM seg GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT seg.l, seg.seg,
+             CAST(sum(seg.l * seg.y - ss.s) OVER (
+               PARTITION BY seg.l, seg.seg ORDER BY seg.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS zk
+      FROM seg JOIN segsum ss USING (l, seg)
+    ),
+    rs AS (
+      SELECT l, seg, CAST(max(zk) - min(zk) AS BIGINT) AS zrange
+      FROM z GROUP BY 1, 2
+    ),
+    lnrs AS (
+      SELECT rs.l, rs.seg,
+             CASE WHEN ss.l * ss.s2 - ss.s * ss.s > 0 AND rs.zrange > 0
+                  THEN ln(CAST(rs.zrange AS DOUBLE)
+                          / sqrt(CAST(ss.l * ss.s2 - ss.s * ss.s
+                                      AS DOUBLE)))
+             END AS v
+      FROM rs JOIN segsum ss USING (l, seg)
+    ),
+    pl_f AS (
+      SELECT l,
+             sum(v) OVER (PARTITION BY l ORDER BY seg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc,
+             count(v) OVER (PARTITION BY l ORDER BY seg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt,
+             row_number() OVER (PARTITION BY l ORDER BY seg DESC) AS rn
+      FROM lnrs
+    ),
+    pts AS (
+      SELECT l, ln(CAST(l AS DOUBLE)) AS x, acc / cnt AS yv
+      FROM pl_f WHERE rn = 1 AND cnt > 0
+    ),
+    fold AS (
+      SELECT count(*) OVER w AS m,
+             sum(x) OVER w AS sx, sum(yv) OVER w AS sy,
+             sum(x * yv) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+             row_number() OVER (ORDER BY l DESC) AS rn
+      FROM pts
+      WINDOW w AS (ORDER BY l
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT nn.n AS n_days, fold.m AS n_scales,
+           CASE WHEN fold.m >= 2
+                THEN round((fold.m * fold.sxy - fold.sx * fold.sy)
+                           / (fold.m * fold.sxx - fold.sx * fold.sx), 6)
+           END AS hurst,
+           CASE WHEN fold.m >= 2
+                THEN (fold.m * fold.sxy - fold.sx * fold.sy)
+                     / (fold.m * fold.sxx - fold.sx * fold.sx) > 0.5
+           END AS persistent
+    FROM fold CROSS JOIN nn WHERE fold.rn = 1
+    """,
+)
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily order volume by classic rescaled-range
+    (R/S) analysis over four block sizes (n/16, n/8, n/4, n/2) — the
+    long-range-dependence member of the time-series family
+    (autocorr_lag1 sees one step, ljung_box seven; H answers whether
+    deviations COMPOUND across months: H > 0.5 persistent trends,
+    H < 0.5 mean-reverting, and H ≈ 1 is the self-similar burstiness
+    word_burstiness measures per term): H = OLS slope of
+    mean ln(R/S) on ln(block size).
+
+    Exactness: within a block everything is scaled-integer — the
+    cumulative deviation Z_k = Σ(L·y − Σy) is an exact integer
+    window, R = max Z − min Z and the variance witness L·Σy² − (Σy)²
+    are exact integers — so ln(R/S) = ln(R/√V) is one double tree per
+    block; per-scale means and the 4-point OLS slope fold as ORDERED
+    cumulative windows (the canonical-float-order discipline). Flat
+    blocks (V = 0 or R = 0, undefined ln) are excluded by exact
+    integer witnesses ON BOTH SIDES — the mean is over defined blocks
+    only; scales shorter than 4 days are dropped, and H needs ≥ 2
+    distinct scale points (distinct ln L makes the OLS denominator
+    strictly positive — no division guard needed beyond m ≥ 2).
+
+    Scale shape: one agg to the calendar-bounded day frame; blocks
+    explode that frame ×4 (still calendar-bounded); per-block windows
+    partition by (scale, block) — no corpus-sized shuffle beyond the
+    daily rollup's."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    t = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("bigint")
+        .alias("t"),
+    ).localCheckpoint(eager=True)
+    nn = t.agg(F.count("*").cast("bigint").alias("n"))
+    lsd = (
+        spark.createDataFrame([(16,), (8,), (4,), (2,)], "denom int")
+        .crossJoin(F.broadcast(nn))
+        .select(F.expr("n div denom").alias("l"))
+        .filter(F.col("l") >= 4)
+        .distinct()
+    )
+    seg = (
+        t.crossJoin(F.broadcast(lsd))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.expr("t div l") < F.expr("n div l"))
+        .select("l", F.expr("t div l").alias("seg"), "t", "y")
+    )
+    segsum = seg.groupBy("l", "seg").agg(
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    w_z = (
+        Window.partitionBy("l", "seg")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = seg.join(segsum, ["l", "seg"]).select(
+        "l",
+        "seg",
+        F.sum(F.col("l") * F.col("y") - F.col("s"))
+        .over(w_z)
+        .cast("bigint")
+        .alias("zk"),
+    )
+    rs = z.groupBy("l", "seg").agg(
+        (F.max("zk") - F.min("zk")).cast("bigint").alias("zrange")
+    )
+    vwit = F.col("l") * F.col("s2") - F.col("s") * F.col("s")
+    lnrs = rs.join(segsum, ["l", "seg"]).select(
+        "l",
+        "seg",
+        F.when(
+            (vwit > 0) & (F.col("zrange") > 0),
+            F.log(F.col("zrange").cast("double") / F.sqrt(vwit.cast("double"))),
+        ).alias("v"),
+    )
+    w_pl = (
+        Window.partitionBy("l")
+        .orderBy("seg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pl_f = lnrs.select(
+        "l",
+        F.sum("v").over(w_pl).alias("acc"),
+        F.count("v").over(w_pl).alias("cnt"),
+        F.row_number()
+        .over(Window.partitionBy("l").orderBy(F.desc("seg")))
+        .alias("rn"),
+    ).filter((F.col("rn") == 1) & (F.col("cnt") > 0))
+    pts = pl_f.select(
+        "l",
+        F.log(F.col("l").cast("double")).alias("x"),
+        (F.col("acc") / F.col("cnt")).alias("yv"),
+    )
+    w_fold = Window.orderBy("l").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fold = pts.select(
+        F.count("*").over(w_fold).alias("m"),
+        F.sum("x").over(w_fold).alias("sx"),
+        F.sum("yv").over(w_fold).alias("sy"),
+        F.sum(F.col("x") * F.col("yv")).over(w_fold).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w_fold).alias("sxx"),
+        F.row_number().over(Window.orderBy(F.desc("l"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fold.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_days"),
+        F.col("m").alias("n_scales"),
+        F.when(F.col("m") >= 2, F.round(slope, 6)).alias("hurst"),
+        F.when(F.col("m") >= 2, slope > 0.5).alias("persistent"),
+    )

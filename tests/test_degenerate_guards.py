@@ -1849,3 +1849,64 @@ def test_lambda_perfect_predictor(spark, tmp_path):
     assert row.n == 12 and row.sum_colmax == 12
     assert row.lambda_type_given_dow == 1.0
     compare(df, _conn_with({"events": path}), ORACLE["goodman_kruskal_lambda"])
+
+
+def test_yule_k_all_distinct_tokens(spark, tmp_path):
+    # every token unique: Sum(c^2) == N so K = 0 exactly (no repeats)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "en", "alpha beta gamma"), (1, "en", "delta epsilon zeta")],
+        "doc_id long, lang string, text string",
+    ).write.parquet(path)
+    df = QUERIES["yule_k_richness"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_tokens == 6 and row.n_vocab == 6 and row.yule_k == 0.0
+    compare(df, _conn_with({"documents": path}), ORACLE["yule_k_richness"])
+
+
+def test_correlation_matrix_constant_feature(spark, tmp_path):
+    # every order has exactly 1 lineitem with qty 7: the x1 and x2
+    # variance witnesses are 0, so every pair touching them is NULL
+    # while price~... pairs involving only y would need variance too
+    opath = f"{tmp_path}/orders.parquet"
+    lpath = f"{tmp_path}/lineitem.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + i) for i in range(5)],
+        "o_orderkey long, o_totalprice double",
+    ).write.parquet(opath)
+    spark.createDataFrame(
+        [(i, 7.0) for i in range(5)],
+        "l_orderkey long, l_quantity double",
+    ).write.parquet(lpath)
+    df = QUERIES["feature_correlation_matrix"](spark, str(tmp_path))
+    got = {r.pair: r.r for r in df.collect()}
+    assert got == {"price~lines": None, "price~qty": None, "lines~qty": None}
+    compare(
+        df,
+        _conn_with({"orders": opath, "lineitem": lpath}),
+        ORACLE["feature_correlation_matrix"],
+    )
+
+
+def test_hurst_short_series(spark, tmp_path):
+    # 8 days: every scale candidate n//denom is < 4 except n//2 = 4,
+    # leaving ONE scale point -> m = 1 < 2 and H is NULL in both
+    # engines (slope needs two scales)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    base = datetime.datetime(2026, 3, 1)
+    rows = []
+    k = 0
+    for d in range(8):
+        for _ in range((d % 3) + 1):
+            rows.append((k, base + datetime.timedelta(days=d)))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["hurst_exponent"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_days == 8 and row.n_scales == 1
+    assert row.hurst is None and row.persistent is None
+    compare(df, _conn_with({"orders": path}), ORACLE["hurst_exponent"])
