@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     # the corpus-explode vocab rollup (hapax tail)
     "events_fano_burstiness",
     "vocab_hapax_rate",
+    # r5 sessions 14-15: the directed-SCC pointer-jumping peel (the
+    # heaviest iterative graph op) and the multi-scale R/S block
+    # analysis (4x block-partitioned cumulative windows off one rollup)
+    "scc_page_graph",
+    "hurst_exponent",
 ]
 
 

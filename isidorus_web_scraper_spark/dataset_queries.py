@@ -22848,3 +22848,186 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("m") >= 2, F.round(slope, 6)).alias("hurst"),
         F.when(F.col("m") >= 2, slope > 0.5).alias("persistent"),
     )
+
+
+@query(
+    "markov_entropy_rate",
+    f"""
+    WITH pi AS (
+      SELECT state, pi_scaled FROM ({_markov_stationary_sql()})
+    ),
+    o2 AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs2 AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+      FROM o2 WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT src,
+             log2(CAST(sum(n) AS DOUBLE))
+               - sum(n * log2(CAST(n AS DOUBLE)))
+                 / CAST(sum(n) AS DOUBLE) AS h
+      FROM pairs2 GROUP BY src
+    ),
+    terms AS (
+      SELECT pi.state,
+             CAST(pi.pi_scaled AS DOUBLE) / 1000000000000.0
+               * coalesce(ent.h, 0.0) AS term
+      FROM pi LEFT JOIN ent ON ent.src = pi.state
+    ),
+    fold AS (
+      SELECT sum(term) OVER (ORDER BY state
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc,
+             count(*) OVER (ORDER BY state
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m,
+             row_number() OVER (ORDER BY state DESC) AS rn
+      FROM terms
+    )
+    SELECT m AS n_states, round(acc, 6) AS entropy_rate_bits
+    FROM fold WHERE rn = 1
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the user-behaviour Markov chain —
+    H = Σ_s π_s·H(next|s) bits per step, the stationary-weighted
+    average of transition_entropy's per-state numbers: the single
+    compressibility/predictability scalar for the whole behaviour
+    stream (how many bits a next-action predictor must emit per
+    event, weighted by where users actually spend time — composing
+    E69's π with the conditional entropies instead of letting hot
+    states with chaotic exits hide behind cold deterministic ones).
+
+    Exactness: π comes from the scaled-integer power iteration
+    (markov_stationary_power's oracle embedded verbatim — zero
+    drift); per-state H uses the aggregation-friendly identity
+    log₂T − Σ n·log₂n / T over exact integer pair counts
+    (transition_entropy's discipline, ≤|states| float terms);
+    the cross-state Σ π_s·H_s folds as an ORDERED cumulative window
+    over the state frame. Successor-free states carry H = 0 (the
+    self-loop convention their π already assumes — absorbing means
+    perfectly predictable).
+
+    Scale shape: one per-user lead window is the only event-sized
+    shuffle (shared shape with E69/transition_entropy); everything
+    downstream lives on |states|-bounded frames."""
+    ev = load(spark, sf_dir, "events")
+    pi = markov_stationary_power(spark, sf_dir).select("state", "pi_scaled")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    pairs = o.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    t = F.sum("n")
+    ent = pairs.groupBy("src").agg(
+        (
+            F.log2(t.cast("double"))
+            - F.sum(F.col("n") * F.log2(F.col("n").cast("double")))
+            / t.cast("double")
+        ).alias("h")
+    )
+    terms = pi.join(ent, pi.state == ent.src, "left").select(
+        "state",
+        (
+            F.col("pi_scaled").cast("double") / F.lit(1000000000000.0)
+            * F.coalesce(F.col("h"), F.lit(0.0))
+        ).alias("term"),
+    )
+    w_cum = Window.orderBy("state").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fold = terms.select(
+        F.sum("term").over(w_cum).alias("acc"),
+        F.count("*").over(w_cum).alias("m"),
+        F.row_number().over(Window.orderBy(F.desc("state"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return fold.select(
+        F.col("m").alias("n_states"),
+        F.round(F.col("acc"), 6).alias("entropy_rate_bits"),
+    )
+
+
+@query(
+    "embedding_anisotropy",
+    """
+    WITH ranked AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY vec_id) AS rn
+      FROM embeddings
+    ),
+    lim AS (SELECT * FROM ranked WHERE rn <= 512),
+    pairs AS (
+      SELECT (a.rn - 1) // 2 AS p,
+             round(list_cosine_similarity(a.embedding, b.embedding), 6)
+               AS cos
+      FROM lim a JOIN lim b ON b.rn = a.rn + 1 AND a.rn % 2 = 1
+    ),
+    fold AS (
+      SELECT sum(cos) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc,
+             count(*) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m,
+             row_number() OVER (ORDER BY p DESC) AS rn
+      FROM pairs
+    )
+    SELECT CAST(m AS BIGINT) AS n_pairs,
+           round(acc / m, 6) AS mean_cosine,
+           acc / m > 0.01 AS anisotropic
+    FROM fold WHERE rn = 1
+    """,
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy probe of the embedding space: mean cosine between
+    256 deterministic disjoint vector pairs (consecutive by vec_id) —
+    the 'narrow cone' diagnostic (Ethayarajh-style): isotropic
+    embeddings average ≈ 0 cosine between unrelated pairs; a clearly
+    positive mean says cosine scores are inflated corpus-wide and the
+    ANN family's absolute thresholds (dedup_embedding_cosine's cut,
+    IVF cell margins) need recalibrating against this baseline.
+
+    Exactness: cosines ride the shared expression pair (functions/
+    vector.cosine vs list_cosine_similarity — the ann family's pinned
+    equivalence), each rounded to 6 dp BEFORE the mean so a sub-ulp
+    engine divergence is quenched per pair (a worst-case flip moves
+    the 256-pair mean by ~4e-9, invisible at the rounded output); the
+    mean folds as an ORDERED cumulative window over the pair frame.
+
+    Scale shape: the probe frame is top-512-by-id
+    (TakeOrderedAndProject — k rows cross the wire at any corpus
+    size), pairs join rank k to k+1, everything downstream is a
+    256-row fold. A corpus-wide mean would be an unordered float
+    aggregation — deliberately not offered; widen by raising the
+    probe size, not by unbounding it."""
+    emb = load(spark, sf_dir, "embeddings")
+    ranked = emb.select(
+        "vec_id",
+        "embedding",
+        F.row_number().over(Window.orderBy("vec_id")).alias("rn"),
+    ).filter(F.col("rn") <= 512)
+    a = ranked.filter(F.col("rn") % 2 == 1).select(
+        ((F.col("rn") - 1) / 2).cast("bigint").alias("p"),
+        F.col("rn").alias("arn"),
+        F.col("embedding").alias("ea"),
+    )
+    b = ranked.select(F.col("rn").alias("brn"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, a.arn + 1 == b.brn).select(
+        "p", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos")
+    )
+    w_cum = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fold = pairs.select(
+        F.sum("cos").over(w_cum).alias("acc"),
+        F.count("*").over(w_cum).alias("m"),
+        F.row_number().over(Window.orderBy(F.desc("p"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return fold.select(
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.round(F.col("acc") / F.col("m"), 6).alias("mean_cosine"),
+        (F.col("acc") / F.col("m") > 0.01).alias("anisotropic"),
+    )

@@ -1910,3 +1910,62 @@ def test_hurst_short_series(spark, tmp_path):
     assert row.n_days == 8 and row.n_scales == 1
     assert row.hurst is None and row.persistent is None
     compare(df, _conn_with({"orders": path}), ORACLE["hurst_exponent"])
+
+
+def test_entropy_rate_deterministic_chain(spark, tmp_path):
+    # a -> b -> a -> b ... : every transition is deterministic, every
+    # per-state H is exactly 0, so the rate is exactly 0 bits/step
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        (i, 0, "a" if i % 2 == 0 else "b", base + datetime.timedelta(hours=i))
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["markov_entropy_rate"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_states == 2 and row.entropy_rate_bits == 0.0
+    compare(df, _conn_with({"events": path}), ORACLE["markov_entropy_rate"])
+
+
+def test_entropy_rate_no_transitions(spark, tmp_path):
+    # one event per user: no successor pairs anywhere; every state is
+    # dangling (H = 0 by the absorbing convention) -> rate exactly 0
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, i, t, base) for i, t in enumerate(["x", "y", "z"])],
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["markov_entropy_rate"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_states == 3 and row.entropy_rate_bits == 0.0
+    compare(df, _conn_with({"events": path}), ORACLE["markov_entropy_rate"])
+
+
+def test_anisotropy_odd_tail_vector(spark, tmp_path):
+    # 5 vectors: ranks pair (1,2) and (3,4); rank 5 has no partner and
+    # is dropped -> exactly 2 pairs in both engines; identical vectors
+    # in a pair give cosine exactly 1
+    path = f"{tmp_path}/embeddings.parquet"
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.0, 1.0]),
+            (4, [1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(path)
+    df = QUERIES["embedding_anisotropy"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_pairs == 2 and row.mean_cosine == 1.0
+    assert row.anisotropic is True
+    compare(df, _conn_with({"embeddings": path}), ORACLE["embedding_anisotropy"])
