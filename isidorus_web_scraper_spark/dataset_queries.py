@@ -23031,3 +23031,279 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("acc") / F.col("m"), 6).alias("mean_cosine"),
         (F.col("acc") / F.col("m") > 0.01).alias("anisotropic"),
     )
+
+
+@query(
+    "bloom_fpp_audit",
+    """
+    WITH members AS (SELECT doc_id AS x FROM documents),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM members),
+    mpos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT CAST(('0x' || substr(md5(x::VARCHAR || '|' || k::VARCHAR),
+                     1, 15))::BIGINT % 65536 AS BIGINT) AS pos
+        FROM members CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      )
+    ),
+    nbits AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM mpos),
+    probes AS (
+      SELECT doc_id + 1000000007 AS x FROM documents
+    ),
+    ppos AS (
+      SELECT x,
+             CAST(('0x' || substr(md5(x::VARCHAR || '|' || k::VARCHAR),
+                   1, 15))::BIGINT % 65536 AS BIGINT) AS pos,
+             k
+      FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    ),
+    hits AS (
+      SELECT p.x, CAST(count(*) AS BIGINT) AS nhit
+      FROM (SELECT DISTINCT x, pos FROM ppos) p
+      JOIN mpos USING (pos)
+      GROUP BY p.x
+    ),
+    kdist AS (
+      SELECT x, CAST(count(DISTINCT pos) AS BIGINT) AS kx FROM ppos
+      GROUP BY x
+    ),
+    fp AS (
+      SELECT CAST(sum(CASE WHEN h.nhit = kd.kx THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fp
+      FROM kdist kd LEFT JOIN hits h USING (x)
+    )
+    SELECT nn.n AS n_members, nbits.bits_set,
+           coalesce(fp.n_fp, 0) AS observed_fp,
+           CASE WHEN nn.n > 0
+                THEN round(CAST(coalesce(fp.n_fp, 0) AS DOUBLE)
+                           / CAST(nn.n AS DOUBLE), 6)
+           END AS observed_rate,
+           CASE WHEN nn.n > 0
+                THEN round(
+                  (1 - exp(-4.0 * CAST(nn.n AS DOUBLE) / 65536.0))
+                  * (1 - exp(-4.0 * CAST(nn.n AS DOUBLE) / 65536.0))
+                  * (1 - exp(-4.0 * CAST(nn.n AS DOUBLE) / 65536.0))
+                  * (1 - exp(-4.0 * CAST(nn.n AS DOUBLE) / 65536.0)), 6)
+           END AS expected_rate
+    FROM nn CROSS JOIN nbits CROSS JOIN fp
+    """,
+)
+def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-filter false-positive law itself under the oracle
+    gate: build an m=65536-bit, k=4 filter over the doc_id member set
+    with portable md5 position hashing, probe it with a disjoint
+    non-member set, and compare the OBSERVED false-positive rate to
+    the textbook (1−e^{−kn/m})^k — the engine-health row that
+    certifies, in data, the fpp budget operators/bloom.py's seen-set
+    pre-filter promises the crawl (same family as
+    hash_uniformity_audit: the audit of an assumption every sketch
+    rides).
+
+    Exactness: the filter is a DISTINCT position set and a probe is a
+    false positive iff ALL its distinct positions (kx ≤ 4 — two probe
+    hashes can collide, counted once on both sides) hit — semi-join +
+    exact integer counts end-to-end; only the expected-rate formula
+    is floating point (one identical exp tree). Guarded on n > 0.
+
+    Scale shape: positions are bounded by m = 65536 (broadcast side);
+    member/probe hashing is one codegen'd md5 pass each; the hit join
+    is probe-positions ⋈ broadcast bit-set. At 10^10 members raise m
+    with the same plan (the bit-set side stays the small one)."""
+    docs = load(spark, sf_dir, "documents")
+    ks = spark.createDataFrame([(0,), (1,), (2,), (3,)], "k int")
+
+    def pos(xcol):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(xcol.cast("string"), F.lit("|"), F.col("k").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint") % 65536
+
+    members = docs.select(F.col("doc_id").alias("x"))
+    nn = members.agg(F.count("*").cast("bigint").alias("n"))
+    mpos = (
+        members.crossJoin(F.broadcast(ks))
+        .select(pos(F.col("x")).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbits = mpos.agg(F.count("*").cast("bigint").alias("bits_set"))
+    ppos = (
+        docs.select((F.col("doc_id") + 1000000007).alias("x"))
+        .crossJoin(F.broadcast(ks))
+        .select("x", pos(F.col("x")).alias("pos"))
+    )
+    pdist = ppos.distinct()
+    hits = (
+        pdist.join(F.broadcast(mpos), "pos")
+        .groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("nhit"))
+    )
+    kdist = pdist.groupBy("x").agg(
+        F.count("*").cast("bigint").alias("kx")
+    )
+    fp = kdist.join(hits, "x", "left").agg(
+        F.sum(F.when(F.col("nhit") == F.col("kx"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fp")
+    )
+    nd = F.col("n").cast("double")
+    one_bit = 1 - F.exp(F.lit(-4.0) * nd / F.lit(65536.0))
+    fpz = F.coalesce(F.col("n_fp"), F.lit(0))
+    return (
+        nn.crossJoin(F.broadcast(nbits))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            F.col("n").alias("n_members"),
+            "bits_set",
+            fpz.alias("observed_fp"),
+            F.when(
+                F.col("n") > 0, F.round(fpz.cast("double") / nd, 6)
+            ).alias("observed_rate"),
+            F.when(
+                F.col("n") > 0,
+                F.round(one_bit * one_bit * one_bit * one_bit, 6),
+            ).alias("expected_rate"),
+        )
+    )
+
+
+@query(
+    "hash_collision_audit",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM documents
+    ),
+    g AS (SELECT hv, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY hv),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS colliding_pairs
+      FROM g
+    )
+    SELECT n, n_distinct, colliding_pairs,
+           round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                 / 2305843009213693952.0 / 2, 6) AS expected_pairs,
+           colliding_pairs = 0 AS unique_keyspace
+    FROM s
+    """,
+)
+def hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Birthday-bound audit of the 60-bit md5_long key — the
+    assumption the dedup/claim/bucket machinery rides silently (a
+    colliding key silently MERGES two distinct documents in every
+    hash-keyed dedup and seen-set path): exact observed colliding
+    pairs Σ c(c−1)/2 from one groupBy against the birthday
+    expectation n(n−1)/2^61, plus the unique_keyspace flag the
+    pipeline wants to see TRUE. Sister row to hash_uniformity_audit
+    (uniformity says buckets balance; this says identities don't
+    merge).
+
+    Exactness: collision counts are exact integers off one hash agg;
+    the expectation is one double tree (2^61 literal). At n = 10^9
+    the expectation is ~0.2 — this audit stays meaningful exactly
+    until the corpus outgrows the key, which is the point.
+
+    Scale shape: one map-side-combinable count per hash value, one
+    1-row rollup."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        md5_long(F.col("doc_id").cast("string")).alias("hv")
+    ).groupBy("hv").agg(F.count("*").cast("bigint").alias("c"))
+    s = g.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias(
+            "colliding_pairs"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        "n_distinct",
+        "colliding_pairs",
+        F.round(
+            nd * (nd - 1) / F.lit(2305843009213693952.0) / 2, 6
+        ).alias("expected_pairs"),
+        (F.col("colliding_pairs") == 0).alias("unique_keyspace"),
+    )
+
+
+@query(
+    "degree_powerlaw_mle",
+    f"""
+    WITH {_PAGELINKS_SQL_CTES},
+    deg AS (
+      SELECT dst, CAST(count(*) AS BIGINT) AS d
+      FROM links GROUP BY dst
+    ),
+    elig AS (SELECT d FROM deg WHERE d >= 2),
+    fold AS (
+      SELECT CAST(count(*) OVER w AS BIGINT) AS m,
+             sum(ln(CAST(d AS DOUBLE) / 1.5)) OVER w AS slog,
+             row_number() OVER (ORDER BY d DESC, rowid DESC) AS rn
+      FROM (SELECT d, row_number() OVER (ORDER BY d) AS rowid FROM elig)
+      WINDOW w AS (ORDER BY d, rowid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT m AS n_tail, round(slog, 6) AS sum_log,
+           CASE WHEN m > 0 AND slog > 0
+                THEN round(1 + CAST(m AS DOUBLE) / slog, 6)
+           END AS alpha_hat
+    FROM fold WHERE rn = 1
+    """,
+)
+def degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law (Pareto) MLE for the page IN-degree tail —
+    the graph-side member of the heavy-tail triangle (zipf_slope fits
+    words, hill_tail_index fits order values; this fits the degree
+    distribution every hub/authority and crawl-prioritization
+    assumption rests on): α̂ = 1 + m / Σ ln(d / (dmin − ½)) over
+    degrees d ≥ dmin = 2 (the Clauset-Shalizi-Newman continuity
+    correction, dmin − ½ = 1.5 as a shared literal). α ≤ 2 means the
+    mean degree is tail-dominated and uniform host budgets are wrong
+    by construction.
+
+    Exactness: degrees are exact integers off one edge agg; the
+    Σ ln(d/1.5) folds as an ORDERED cumulative window over the
+    eligible-degree frame (deterministic (d, rowid) order on both
+    sides); α̂ is one double division behind the guards m > 0 (empty
+    tail) and Σ > 0 — the latter can never trip on a nonempty tail
+    (every term is ≥ ln(2/1.5) > 0) and exists only so the division
+    is structurally unreachable without a defined denominator.
+
+    Scale shape: one in-degree agg over the edge list (the shuffle
+    every degree query pays); the fold runs over eligible-degree ROWS
+    (tail-sized here). At 10^10 edges collapse equal degrees to
+    (d, count) weights first — the same estimator as a
+    |distinct d|-row fold."""
+    docs = load(spark, sf_dir, "documents")
+    links = _pagelinks(docs)
+    deg = links.groupBy("dst").agg(F.count("*").cast("bigint").alias("d"))
+    elig = deg.filter(F.col("d") >= 2).select(
+        "d", F.row_number().over(Window.orderBy("d")).alias("rowid")
+    )
+    w_cum = Window.orderBy("d", "rowid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fold = elig.select(
+        F.count("*").over(w_cum).cast("bigint").alias("m"),
+        F.sum(F.log(F.col("d").cast("double") / F.lit(1.5)))
+        .over(w_cum)
+        .alias("slog"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("d"), F.desc("rowid")))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return fold.select(
+        F.col("m").alias("n_tail"),
+        F.round(F.col("slog"), 6).alias("sum_log"),
+        F.when(
+            (F.col("m") > 0) & (F.col("slog") > 0),
+            F.round(1 + F.col("m").cast("double") / F.col("slog"), 6),
+        ).alias("alpha_hat"),
+    )

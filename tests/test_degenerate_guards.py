@@ -1969,3 +1969,62 @@ def test_anisotropy_odd_tail_vector(spark, tmp_path):
     assert row.n_pairs == 2 and row.mean_cosine == 1.0
     assert row.anisotropic is True
     compare(df, _conn_with({"embeddings": path}), ORACLE["embedding_anisotropy"])
+
+
+def test_bloom_fpp_tiny_filter(spark, tmp_path):
+    # 4 members in a 65536-bit filter: expected fpp ~ (1-e^-0.000244)^4
+    # ~ 3.5e-15 — observed false positives must be 0 and the rates
+    # must agree between engines exactly (same md5 position law)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i,) for i in range(4)], "doc_id long"
+    ).write.parquet(path)
+    df = QUERIES["bloom_fpp_audit"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_members == 4 and row.observed_fp == 0
+    assert row.bits_set <= 16
+    compare(df, _conn_with({"documents": path}), ORACLE["bloom_fpp_audit"])
+
+
+def test_hash_collision_no_collisions(spark, tmp_path):
+    # distinct small ids: the 60-bit keyspace cannot collide at n=6;
+    # unique_keyspace TRUE, expectation ~ 6.5e-18
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    ).write.parquet(path)
+    df = QUERIES["hash_collision_audit"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 6 and row.n_distinct == 6
+    assert row.colliding_pairs == 0 and row.unique_keyspace is True
+    compare(df, _conn_with({"documents": path}), ORACLE["hash_collision_audit"])
+
+
+def test_degree_powerlaw_empty_graph(spark, tmp_path):
+    # a single document: both 2-out generator edges are self-loops and
+    # are dropped, the link graph is EMPTY, no in-degree reaches
+    # dmin=2 -> zero eligible rows and an empty result in BOTH engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "web")], "doc_id long, source string"
+    ).write.parquet(path)
+    df = QUERIES["degree_powerlaw_mle"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(df, _conn_with({"documents": path}), ORACLE["degree_powerlaw_mle"])
+
+
+def test_degree_powerlaw_two_docs_tail(spark, tmp_path):
+    # 2 docs: both generator edges land on dst=1 (in-degree exactly
+    # dmin=2), the tail is the single degree d=2 and
+    # alpha = 1 + 1/ln(2/1.5) exactly
+    import math
+
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "web"), (1, "web")], "doc_id long, source string"
+    ).write.parquet(path)
+    df = QUERIES["degree_powerlaw_mle"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_tail == 1
+    assert row.alpha_hat == round(1 + 1 / math.log(2 / 1.5), 6)
+    compare(df, _conn_with({"documents": path}), ORACLE["degree_powerlaw_mle"])
