@@ -23307,3 +23307,361 @@ def degree_powerlaw_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 + F.col("m").cast("double") / F.col("slog"), 6),
         ).alias("alpha_hat"),
     )
+
+
+_SIMHASH_SQL_CTES = """w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    wh AS (
+      SELECT doc_id, word, count(*) AS cnt,
+             ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+      FROM w GROUP BY doc_id, word
+    ),
+    sums AS (
+      SELECT doc_id,
+             sum(CASE WHEN (h >> 0) & 1 = 1 THEN cnt ELSE -cnt END) AS b0,
+             sum(CASE WHEN (h >> 1) & 1 = 1 THEN cnt ELSE -cnt END) AS b1,
+             sum(CASE WHEN (h >> 2) & 1 = 1 THEN cnt ELSE -cnt END) AS b2,
+             sum(CASE WHEN (h >> 3) & 1 = 1 THEN cnt ELSE -cnt END) AS b3,
+             sum(CASE WHEN (h >> 4) & 1 = 1 THEN cnt ELSE -cnt END) AS b4,
+             sum(CASE WHEN (h >> 5) & 1 = 1 THEN cnt ELSE -cnt END) AS b5,
+             sum(CASE WHEN (h >> 6) & 1 = 1 THEN cnt ELSE -cnt END) AS b6,
+             sum(CASE WHEN (h >> 7) & 1 = 1 THEN cnt ELSE -cnt END) AS b7,
+             sum(CASE WHEN (h >> 8) & 1 = 1 THEN cnt ELSE -cnt END) AS b8,
+             sum(CASE WHEN (h >> 9) & 1 = 1 THEN cnt ELSE -cnt END) AS b9,
+             sum(CASE WHEN (h >> 10) & 1 = 1 THEN cnt ELSE -cnt END) AS b10,
+             sum(CASE WHEN (h >> 11) & 1 = 1 THEN cnt ELSE -cnt END) AS b11,
+             sum(CASE WHEN (h >> 12) & 1 = 1 THEN cnt ELSE -cnt END) AS b12,
+             sum(CASE WHEN (h >> 13) & 1 = 1 THEN cnt ELSE -cnt END) AS b13,
+             sum(CASE WHEN (h >> 14) & 1 = 1 THEN cnt ELSE -cnt END) AS b14,
+             sum(CASE WHEN (h >> 15) & 1 = 1 THEN cnt ELSE -cnt END) AS b15
+      FROM wh GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(CASE WHEN b0 > 0 THEN 1 ELSE 0 END
+                + CASE WHEN b1 > 0 THEN 2 ELSE 0 END
+                + CASE WHEN b2 > 0 THEN 4 ELSE 0 END
+                + CASE WHEN b3 > 0 THEN 8 ELSE 0 END
+                + CASE WHEN b4 > 0 THEN 16 ELSE 0 END
+                + CASE WHEN b5 > 0 THEN 32 ELSE 0 END
+                + CASE WHEN b6 > 0 THEN 64 ELSE 0 END
+                + CASE WHEN b7 > 0 THEN 128 ELSE 0 END
+                + CASE WHEN b8 > 0 THEN 256 ELSE 0 END
+                + CASE WHEN b9 > 0 THEN 512 ELSE 0 END
+                + CASE WHEN b10 > 0 THEN 1024 ELSE 0 END
+                + CASE WHEN b11 > 0 THEN 2048 ELSE 0 END
+                + CASE WHEN b12 > 0 THEN 4096 ELSE 0 END
+                + CASE WHEN b13 > 0 THEN 8192 ELSE 0 END
+                + CASE WHEN b14 > 0 THEN 16384 ELSE 0 END
+                + CASE WHEN b15 > 0 THEN 32768 ELSE 0 END AS BIGINT)
+               AS simhash
+      FROM sums
+    )"""
+
+
+@query(
+    "simhash_precision",
+    f"""
+    WITH {_SIMHASH_SQL_CTES},
+    bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * 4)) & 15 AS key
+      FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT doc_a, doc_b,
+             CAST((xor(sa, sb) >> 0) & 1 AS BIGINT)
+             + ((xor(sa, sb) >> 1) & 1) + ((xor(sa, sb) >> 2) & 1)
+             + ((xor(sa, sb) >> 3) & 1) + ((xor(sa, sb) >> 4) & 1)
+             + ((xor(sa, sb) >> 5) & 1) + ((xor(sa, sb) >> 6) & 1)
+             + ((xor(sa, sb) >> 7) & 1) + ((xor(sa, sb) >> 8) & 1)
+             + ((xor(sa, sb) >> 9) & 1) + ((xor(sa, sb) >> 10) & 1)
+             + ((xor(sa, sb) >> 11) & 1) + ((xor(sa, sb) >> 12) & 1)
+             + ((xor(sa, sb) >> 13) & 1) + ((xor(sa, sb) >> 14) & 1)
+             + ((xor(sa, sb) >> 15) & 1) AS hd
+      FROM cand
+    ),
+    close AS (SELECT doc_a, doc_b FROM ham WHERE hd <= 3),
+    dsize AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM wh GROUP BY 1
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM close c
+      JOIN wh a ON a.doc_id = c.doc_a
+      JOIN wh b ON b.doc_id = c.doc_b AND b.word = a.word
+      GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS inter,
+             sa.sz + sb.sz - coalesce(i.i, 0) AS uni
+      FROM close c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN dsize sa ON sa.doc_id = c.doc_a
+      JOIN dsize sb ON sb.doc_id = c.doc_b
+    ),
+    s AS (
+      SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+             CAST(count(*) AS BIGINT) AS n_close,
+             CAST(sum(CASE WHEN 5 * inter >= uni THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_verified
+      FROM v
+    )
+    SELECT n_candidates, n_close, coalesce(n_verified, 0) AS n_verified,
+           CASE WHEN n_close > 0
+                THEN coalesce(n_verified, 0) * 1000 // n_close
+           END AS precision_permille
+    FROM s
+    """,
+)
+def simhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION of the SimHash near-dup tier — the D10 tuning number
+    (lsh_candidate_precision) pointed at the OTHER sketch:
+    pigeonhole-block candidates (4 bands of 4 bits; Hamming ≤ 3 over
+    16 bits forces ≥ 1 identical band, so the band join provably
+    recalls every close pair — never all-pairs), exact XOR-popcount
+    Hamming cut, then exact word-set Jaccard ≥ 0.2 as the truth gate
+    (5·|∩| ≥ |∪| cross-multiplied — no division). A precision
+    collapse here means 16 bits is too few for this corpus and the
+    Spark-side 64-bit widening dedup_simhash's docstring promises is
+    due.
+
+    Exactness: everything is integer — bit sums, packed hashes, band
+    keys, Hamming, set sizes, the floored permille; Jaccard's union
+    comes from |A| + |B| − |∩| (per-doc distinct-word sizes), so no
+    per-pair full join materializes.
+
+    Scale shape: one tokenize agg (shared with dedup_simhash), a
+    16-row-per-doc band explode, per-band self-join bounded by bucket
+    sizes (16 values per band key), and a verify join bounded by the
+    CLOSE pair count — the LSH-then-verify discipline end to end."""
+    docs = load(spark, sf_dir, "documents")
+    wh = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", md5_long(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    bit_sums = wh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"b{b}")
+            for b in range(16)
+        ]
+    )
+    packed = None
+    for b in range(16):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    sh = bit_sums.select(
+        "doc_id", packed.cast("long").alias("simhash")
+    ).localCheckpoint(eager=True)
+    bandv = spark.createDataFrame([(0,), (1,), (2,), (3,)], "band int")
+    bands = sh.crossJoin(F.broadcast(bandv)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, band * 4) & 15").alias("key"),
+    )
+    a = bands.select(
+        F.col("band").alias("ab"),
+        F.col("key").alias("ak"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sa"),
+    )
+    b2 = bands.select(
+        F.col("band").alias("bb"),
+        F.col("key").alias("bk"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sb"),
+    )
+    cand = (
+        a.join(
+            b2,
+            (F.col("ab") == F.col("bb"))
+            & (F.col("ak") == F.col("bk"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = F.col("sa").bitwiseXOR(F.col("sb"))
+    hd = None
+    for b in range(16):
+        t = F.shiftright(x, b).bitwiseAND(F.lit(1))
+        hd = t if hd is None else hd + t
+    close = cand.select(
+        "doc_a", "doc_b", hd.cast("bigint").alias("hd")
+    ).filter(F.col("hd") <= 3)
+    dsize = wh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    inter = (
+        close.join(
+            wh.select(F.col("doc_id").alias("doc_a"), "word"), "doc_a"
+        )
+        .join(
+            wh.select(F.col("doc_id").alias("doc_b"), "word"),
+            ["doc_b", "word"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    v = (
+        close.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            dsize.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            dsize.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .select(
+            F.coalesce(F.col("i"), F.lit(0)).alias("inter"),
+            (F.col("sza") + F.col("szb") - F.coalesce(F.col("i"), F.lit(0))).alias(
+                "uni"
+            ),
+        )
+    )
+    ncand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    s = v.agg(
+        F.count("*").cast("bigint").alias("n_close"),
+        F.sum(F.when(5 * F.col("inter") >= F.col("uni"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_verified"),
+    )
+    nv = F.coalesce(F.col("n_verified"), F.lit(0))
+    return s.crossJoin(F.broadcast(ncand)).select(
+        "n_candidates",
+        "n_close",
+        nv.alias("n_verified"),
+        F.when(
+            F.col("n_close") > 0,
+            F.expr("coalesce(n_verified, 0) * 1000 div n_close"),
+        ).alias("precision_permille"),
+    )
+
+
+@query(
+    "eta_squared_dow",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT (epoch_ms(day) // 86400000 + 4) % 7 AS dow, y FROM daily
+    ),
+    g AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(y) AS BIGINT) AS a_g
+      FROM d GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS s2
+      FROM d
+    ),
+    fold AS (
+      SELECT sum(CAST(a_g AS DOUBLE) * CAST(a_g AS DOUBLE)
+                 / CAST(n_g AS DOUBLE)) OVER (
+               ORDER BY dow ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS acc,
+             row_number() OVER (ORDER BY dow DESC) AS rn
+      FROM g
+    )
+    SELECT tot.n AS n_days,
+           CASE WHEN tot.n * tot.s2 - tot.s * tot.s > 0
+                THEN round(
+                  (fold.acc - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                              / CAST(tot.n AS DOUBLE))
+                  / (CAST(tot.s2 AS DOUBLE)
+                     - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE)), 6)
+           END AS eta_squared,
+           CASE WHEN tot.n * tot.s2 - tot.s * tot.s > 0
+                THEN (fold.acc - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                                 / CAST(tot.n AS DOUBLE))
+                     / (CAST(tot.s2 AS DOUBLE)
+                        - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                          / CAST(tot.n AS DOUBLE)) > 0.14
+           END AS strong_seasonality
+    FROM fold CROSS JOIN tot WHERE fold.rn = 1
+    """,
+)
+def eta_squared_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """η² (eta-squared) of day-of-week on daily order volume — the
+    EFFECT-SIZE companion to events_anova_dow's F-test (a significant
+    F on 2,400 days can be a trivial effect; η² = SS_between/SS_total
+    is the fraction of daily-volume variance the weekday actually
+    explains, with Cohen's 0.14 'large' as the verdict line): the
+    capacity-planning number behind 'do we staff by weekday'.
+
+    Exactness: group sums and the variance witness n·Σy² − S² are
+    exact integers; Σ_g A_g²/n_g folds as an ORDERED cumulative
+    window over the ≤7-row dow frame (kruskal_wallis's canonical
+    float order); η² is one layered double tree of exact integers
+    behind the exact witness (a constant series has no variance to
+    explain — NULL both engines). Zone-free integer dow law shared
+    with E38/E39/E75.
+
+    Scale shape: one map-side-combinable daily count, one 7-row agg,
+    one 1-row total — nothing after the rollup touches the fact
+    table."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    d38 = "decimal(38,0)"
+    d = daily.select(
+        (((ntz_epoch_ms(F.col("day")) / F.lit(86400000)).cast("bigint") + 4) % 7)
+        .alias("dow"),
+        "y",
+    )
+    g = d.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("a_g"),
+    )
+    tot = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("s2"),
+    )
+    w_cum = Window.orderBy("dow").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fold = g.select(
+        F.sum(
+            F.col("a_g").cast("double")
+            * F.col("a_g").cast("double")
+            / F.col("n_g").cast("double")
+        )
+        .over(w_cum)
+        .alias("acc"),
+        F.row_number().over(Window.orderBy(F.desc("dow"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    res = fold.crossJoin(F.broadcast(tot))
+    ok = F.col("n") * F.col("s2") - F.col("s") * F.col("s") > 0
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    eta = (F.col("acc") - sd * sd / nd) / (
+        F.col("s2").cast("double") - sd * sd / nd
+    )
+    return res.select(
+        F.col("n").alias("n_days"),
+        F.when(ok, F.round(eta, 6)).alias("eta_squared"),
+        F.when(ok, eta > 0.14).alias("strong_seasonality"),
+    )

@@ -2028,3 +2028,46 @@ def test_degree_powerlaw_two_docs_tail(spark, tmp_path):
     assert row.n_tail == 1
     assert row.alpha_hat == round(1 + 1 / math.log(2 / 1.5), 6)
     compare(df, _conn_with({"documents": path}), ORACLE["degree_powerlaw_mle"])
+
+
+def test_simhash_precision_identical_docs(spark, tmp_path):
+    # three identical docs + one unrelated: the identical trio shares
+    # a simhash (Hamming 0, Jaccard 1) -> 3 close pairs all verified,
+    # precision exactly 1000 permille
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [
+            (0, "spark window join scan"),
+            (1, "spark window join scan"),
+            (2, "spark window join scan"),
+            (3, "entirely different words here altogether now"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = QUERIES["simhash_precision"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_close >= 3 and row.n_verified >= 3
+    assert row.precision_permille is not None
+    compare(df, _conn_with({"documents": path}), ORACLE["simhash_precision"])
+
+
+def test_eta_squared_constant_series(spark, tmp_path):
+    # identical daily counts: the total-variance witness is exactly 0
+    # and eta^2 is NULL in both engines (nothing to explain)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    base = datetime.datetime(2026, 3, 1)
+    rows = [
+        (2 * d + j, base + datetime.timedelta(days=d))
+        for d in range(7)
+        for j in range(2)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["eta_squared_dow"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_days == 7
+    assert row.eta_squared is None and row.strong_seasonality is None
+    compare(df, _conn_with({"orders": path}), ORACLE["eta_squared_dow"])
