@@ -23665,3 +23665,227 @@ def eta_squared_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(eta, 6)).alias("eta_squared"),
         F.when(ok, eta > 0.14).alias("strong_seasonality"),
     )
+
+
+@query(
+    "dedup_chaining_audit",
+    f"""
+    WITH comp AS (
+      SELECT doc_id, cluster_id FROM ({_ORACLE_REG["dedup_clusters"]})
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+      FROM comp GROUP BY 1 HAVING count(*) >= 2
+    ),
+    vp AS (
+      SELECT doc_a, doc_b
+      FROM ({_ORACLE_REG["dedup_lsh_verified_jaccard"]})
+    ),
+    direct AS (
+      SELECT ca.cluster_id, CAST(count(*) AS BIGINT) AS direct_pairs
+      FROM vp
+      JOIN comp ca ON ca.doc_id = vp.doc_a
+      JOIN comp cb ON cb.doc_id = vp.doc_b
+       AND cb.cluster_id = ca.cluster_id
+      GROUP BY 1
+    )
+    SELECT s.cluster_id, s.size,
+           coalesce(d.direct_pairs, 0) AS direct_pairs,
+           s.size * (s.size - 1) // 2 - coalesce(d.direct_pairs, 0)
+             AS chained_pairs,
+           coalesce(d.direct_pairs, 0) = s.size * (s.size - 1) // 2
+             AS fully_connected
+    FROM sizes s LEFT JOIN direct d USING (cluster_id)
+    """,
+)
+def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVITY audit of the near-dup clusters: per connected
+    component, how many of its C(size,2) member pairs are DIRECTLY
+    verified-similar vs merely CHAINED through intermediates — the
+    known failure mode of CC-based dedup (A≈B≈C glues A to C even
+    when sim(A,C) fails the cut; a canonical-survivor drop then
+    deletes documents nothing was ever directly similar to). A
+    cluster with chained_pairs > 0 is where dedup_keep_canonical's
+    drop list needs human eyes; fully_connected clusters are safe by
+    construction. Composes the two registered oracles verbatim
+    (dedup_clusters' recursive-CTE components ⋈
+    dedup_lsh_verified_jaccard's verified pairs — zero drift).
+
+    Exactness: everything is exact integers — component sizes, the
+    arithmetic C(size,2) (never materialized as a pair join), and the
+    direct-pair count from one membership join of the ALREADY-bounded
+    verified-pair set.
+
+    Scale shape: two broadcastable joins of verified pairs onto the
+    component frame (both ≪ corpus — only banded docs appear), one
+    rollup; the quadratic quantity exists only as arithmetic."""
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    comp = comp.localCheckpoint(eager=True)
+    sizes = (
+        comp.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("size"))
+        .filter(F.col("size") >= 2)
+    )
+    vp = dedup_lsh_verified_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    direct = (
+        vp.join(
+            comp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("cluster_id").alias("ca"),
+            ),
+            "doc_a",
+        )
+        .join(
+            comp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("cluster_id").alias("cb"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(F.count("*").cast("bigint").alias("direct_pairs"))
+    )
+    dz = F.coalesce(F.col("direct_pairs"), F.lit(0))
+    total = F.expr("size * (size - 1) div 2")
+    return sizes.join(direct, "cluster_id", "left").select(
+        "cluster_id",
+        "size",
+        dz.alias("direct_pairs"),
+        (total - dz).cast("bigint").alias("chained_pairs"),
+        (dz == total).alias("fully_connected"),
+    )
+
+
+@query(
+    "nelson_aalen_hazard",
+    """
+    WITH o2 AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    f AS (SELECT o_custkey, min(d) AS first_d FROM o2 GROUP BY 1),
+    nxt AS (
+      SELECT o2.o_custkey, min(o2.d) AS second_d
+      FROM o2 JOIN f USING (o_custkey)
+      WHERE o2.d > f.first_d GROUP BY 1
+    ),
+    mx AS (SELECT max(d) AS horizon FROM o2),
+    durs AS (
+      SELECT CASE WHEN nxt.second_d IS NOT NULL
+                  THEN date_diff('day', f.first_d, nxt.second_d)
+                  ELSE date_diff('day', f.first_d, mx.horizon) END AS dur,
+             CASE WHEN nxt.second_d IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM f LEFT JOIN nxt USING (o_custkey), mx
+    ),
+    evs AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS d
+            FROM durs WHERE ev = 1 GROUP BY 1),
+    allc AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                    CAST(sum(ev) AS BIGINT) AS events_total FROM durs),
+    h AS (SELECT dur, CAST(count(*) AS BIGINT) AS cnt
+          FROM durs GROUP BY 1),
+    cum AS (
+      SELECT dur, coalesce(sum(cnt) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS c_lt
+      FROM h
+    ),
+    na0 AS (
+      SELECT evs.t, evs.d,
+             allc.n_total - cum.c_lt AS n_risk
+      FROM evs JOIN cum ON cum.dur = evs.t, allc
+    ),
+    na AS (
+      SELECT t,
+             sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY t) AS ch
+      FROM na0
+    )
+    SELECT hz.hz, allc.n_total, allc.events_total,
+           round(coalesce(max(na.ch), 0.0), 6) AS cum_hazard,
+           round(exp(-coalesce(max(na.ch), 0.0)), 6) AS na_survival
+    FROM (VALUES (30), (60), (90)) hz(hz)
+    LEFT JOIN na ON na.t <= hz.hz, allc
+    GROUP BY hz.hz, allc.n_total, allc.events_total
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-repeat-purchase at
+    30/60/90 days — the HAZARD-scale member completing the survival
+    trio (kaplan_meier = product-limit survival, logrank = two-group
+    comparison; NA's H(t) = Σ d/n is the additive form hazard models
+    regress on, and exp(−H) vs the KM curve bounds the discrete-event
+    approximation error — the Fleming-Harrington estimator is always
+    ≥ KM). Shares the exact duration/censoring machinery of
+    kaplan_meier_repurchase verbatim (identical CTEs through n_risk).
+
+    Exactness: d_t and at-risk counts are exact integers off the
+    distinct-duration frame; H folds the per-time d/n terms as an
+    ORDERED cumulative window (one canonical float order), reported
+    by horizon via max-over-matching (H is monotone, so max = the
+    last defined value; an event-free horizon coalesces to exactly
+    0). n_risk ≥ d ≥ 1 on every event row by construction — no
+    division guard is reachable.
+
+    Scale shape: two customer-keyed aggs + one distinct-duration
+    window — the KM plan with exp/ln traded for one running sum."""
+    orders = load(spark, sf_dir, "orders")
+    o2 = orders.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    f = o2.groupBy("o_custkey").agg(F.min("d").alias("first_d"))
+    nxt = (
+        o2.join(f, "o_custkey")
+        .filter(F.col("d") > F.col("first_d"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("second_d"))
+    )
+    mx = o2.agg(F.max("d").alias("horizon"))
+    durs = (
+        f.join(nxt, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("second_d").isNotNull(),
+                F.datediff(F.col("second_d"), F.col("first_d")),
+            )
+            .otherwise(F.datediff(F.col("horizon"), F.col("first_d")))
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("second_d").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    evs = (
+        durs.filter(F.col("ev") == 1)
+        .groupBy(F.col("dur").alias("t"))
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    allc = durs.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("ev").cast("bigint").alias("events_total"),
+    )
+    h = durs.groupBy("dur").agg(F.count("*").cast("bigint").alias("cnt"))
+    w_lt = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select(
+        "dur",
+        F.coalesce(F.sum("cnt").over(w_lt), F.lit(0)).alias("c_lt"),
+    )
+    na0 = (
+        evs.join(cum, evs.t == cum.dur)
+        .crossJoin(F.broadcast(allc))
+        .select("t", "d", (F.col("n_total") - F.col("c_lt")).alias("n_risk"))
+    )
+    w_na = Window.orderBy("t")
+    na = na0.select(
+        "t",
+        F.sum(F.col("d").cast("double") / F.col("n_risk"))
+        .over(w_na)
+        .alias("ch"),
+    )
+    hz = spark.createDataFrame([(30,), (60,), (90,)], "hz int")
+    joined = hz.join(na, na.t <= hz.hz, "left").crossJoin(F.broadcast(allc))
+    return joined.groupBy("hz", "n_total", "events_total").agg(
+        F.round(F.coalesce(F.max("ch"), F.lit(0.0)), 6).alias("cum_hazard"),
+        F.round(F.exp(-F.coalesce(F.max("ch"), F.lit(0.0))), 6).alias(
+            "na_survival"
+        ),
+    )

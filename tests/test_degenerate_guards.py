@@ -2071,3 +2071,53 @@ def test_eta_squared_constant_series(spark, tmp_path):
     assert row.n_days == 7
     assert row.eta_squared is None and row.strong_seasonality is None
     compare(df, _conn_with({"orders": path}), ORACLE["eta_squared_dow"])
+
+
+def test_chaining_audit_no_clusters(spark, tmp_path):
+    # all-unique docs: no LSH pairs, no components of size >= 2,
+    # empty result in BOTH engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = QUERIES["dedup_chaining_audit"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(df, _conn_with({"documents": path}), ORACLE["dedup_chaining_audit"])
+
+
+def test_chaining_audit_identical_pair(spark, tmp_path):
+    # two identical docs: one cluster of size 2, its single pair is
+    # directly verified (jaccard 1) -> chained_pairs 0, fully connected
+    path = f"{tmp_path}/documents.parquet"
+    txt = "spark window join scan merge sort table batch stream dup"
+    spark.createDataFrame(
+        [(0, txt), (1, txt)], "doc_id long, text string"
+    ).write.parquet(path)
+    df = QUERIES["dedup_chaining_audit"](spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].size == 2 and rows[0].direct_pairs == 1
+    assert rows[0].chained_pairs == 0 and rows[0].fully_connected is True
+    compare(df, _conn_with({"documents": path}), ORACLE["dedup_chaining_audit"])
+
+
+def test_nelson_aalen_no_repurchases(spark, tmp_path):
+    # every customer orders exactly once: zero events, every horizon
+    # reports H = 0 and survival exactly 1
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    base = datetime.datetime(2026, 3, 1)
+    spark.createDataFrame(
+        [(i, 100 + i, base + datetime.timedelta(days=i)) for i in range(5)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["nelson_aalen_hazard"](spark, str(tmp_path))
+    rows = {r.hz: r for r in df.collect()}
+    assert rows[30].events_total == 0
+    assert rows[30].cum_hazard == 0.0 and rows[30].na_survival == 1.0
+    compare(df, _conn_with({"orders": path}), ORACLE["nelson_aalen_hazard"])
