@@ -23889,3 +23889,288 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "na_survival"
         ),
     )
+
+
+@query(
+    "rbo_ranker_agreement",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w = 'vector')) AS BIGINT) AS tf,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id,
+             ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS bm25,
+             tf * ln(CAST(n AS DOUBLE) / df) AS tfidf
+      FROM base CROSS JOIN stats WHERE tf > 0
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1,
+             row_number() OVER (ORDER BY tfidf DESC, doc_id) AS r2
+      FROM m
+    ),
+    mr AS (
+      SELECT CAST(greatest(r1, r2) AS BIGINT) AS mrank FROM ranked
+    ),
+    cnt AS (
+      SELECT mrank, CAST(count(*) AS BIGINT) AS c FROM mr
+      WHERE mrank <= 100 GROUP BY mrank
+    ),
+    spine AS (SELECT unnest(generate_series(1, 100)) AS d),
+    xd AS (
+      SELECT spine.d,
+             CAST(coalesce(sum(cnt.c) OVER (ORDER BY spine.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS BIGINT) AS x
+      FROM spine LEFT JOIN cnt ON cnt.mrank = spine.d
+    ),
+    fold AS (
+      SELECT sum(exp((d - 1) * ln(0.9)) * CAST(x AS DOUBLE) / d)
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS acc,
+             row_number() OVER (ORDER BY d DESC) AS rn
+      FROM xd
+    )
+    SELECT CAST(100 AS BIGINT) AS k,
+           round(0.1 * acc, 6) AS rbo_100
+    FROM fold WHERE rn = 1
+    """,
+)
+def rbo_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p = 0.9, truncated at depth 100) between
+    the BM25 and TF-IDF rankings — the TOP-WEIGHTED member completing
+    the ranker-agreement trio (Spearman weights all positions equally,
+    Kendall counts raw inversions; RBO = (1−p)Σp^{d−1}·|A_d∩B_d|/d
+    weights depth d by p^{d−1}, which matches how users read result
+    lists and, unlike both, is defined for indefinite rankings).
+
+    Exactness: the per-depth prefix overlap collapses to exact
+    integers via max(r1, r2) — a doc is in BOTH prefixes at depth d
+    iff its max rank ≤ d — so X_d is one cumulative window over the
+    depth spine; p^{d−1} is written exp((d−1)·ln 0.9) as the
+    identical tree both engines (sub-ulp exp noise summed over 100
+    terms is ~1e-14, quenched by round-6) and the weighted sum folds
+    ordered. Empty match frame ⇒ every X_d = 0 ⇒ RBO exactly 0, no
+    guard needed.
+
+    Scale shape: same one tokenize pass + two rank windows as the
+    spearman/kendall twins; everything after lives on the 100-row
+    spine."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.size(F.filter(F.col("w"), lambda x: x == F.lit("vector")))
+        .cast("bigint")
+        .alias("tf"),
+        F.size("w").cast("bigint").alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf") > 0).cast("bigint")).cast("bigint").alias("df"),
+    )
+    m = base.filter(F.col("tf") > 0).crossJoin(F.broadcast(stats))
+    bm25 = (
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    tfidf = F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+    ranked = m.select(bm25.alias("bm25"), tfidf.alias("tfidf"), "doc_id").select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("tfidf"), F.asc("doc_id")))
+        .alias("r2"),
+    )
+    cnt = (
+        ranked.select(
+            F.greatest(F.col("r1"), F.col("r2")).cast("bigint").alias("mrank")
+        )
+        .filter(F.col("mrank") <= 100)
+        .groupBy("mrank")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    spine = spark.range(1, 101).select(F.col("id").alias("d"))
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    xd = spine.join(cnt, spine.d == cnt.mrank, "left").select(
+        "d",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    term = (
+        F.exp((F.col("d") - 1) * F.log(F.lit(0.9)))
+        * F.col("x").cast("double")
+        / F.col("d")
+    )
+    fold = xd.select(
+        F.sum(term).over(w_cum).alias("acc"),
+        F.row_number().over(Window.orderBy(F.desc("d"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return fold.select(
+        F.lit(100).cast("bigint").alias("k"),
+        F.round(F.lit(0.1) * F.col("acc"), 6).alias("rbo_100"),
+    )
+
+
+@query(
+    "hub_attack_robustness",
+    f"""
+    WITH RECURSIVE {_PAGELINKS_SQL_CTES},
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM links
+    ),
+    indeg AS (
+      SELECT dst, CAST(count(*) AS BIGINT) AS d FROM links GROUP BY dst
+    ),
+    hubs AS (
+      SELECT dst AS hub FROM (
+        SELECT dst, row_number() OVER (ORDER BY d DESC, dst) AS rn
+        FROM indeg
+      ) WHERE rn <= 5
+    ),
+    e1 AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    v1 AS (SELECT DISTINCT src AS doc_id FROM e1),
+    walk1(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM v1
+      UNION
+      SELECT w.doc_id, e.dst FROM walk1 w JOIN e1 e ON e.src = w.reach
+    ),
+    comp1 AS (
+      SELECT doc_id, min(reach) AS cid FROM walk1 GROUP BY doc_id
+    ),
+    lcc1 AS (
+      SELECT CAST(max(sz) AS BIGINT) AS lcc,
+             CAST(count(*) AS BIGINT) AS n_comp FROM (
+        SELECT cid, count(*) AS sz FROM comp1 GROUP BY cid
+      )
+    ),
+    und2 AS (
+      SELECT u.a, u.b FROM und u
+      WHERE NOT EXISTS (SELECT 1 FROM hubs h WHERE h.hub = u.a)
+        AND NOT EXISTS (SELECT 1 FROM hubs h WHERE h.hub = u.b)
+    ),
+    e2 AS (
+      SELECT a AS src, b AS dst FROM und2
+      UNION ALL SELECT b, a FROM und2
+    ),
+    v2 AS (SELECT DISTINCT src AS doc_id FROM e2),
+    walk2(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM v2
+      UNION
+      SELECT w.doc_id, e.dst FROM walk2 w JOIN e2 e ON e.src = w.reach
+    ),
+    comp2 AS (
+      SELECT doc_id, min(reach) AS cid FROM walk2 GROUP BY doc_id
+    ),
+    lcc2 AS (
+      SELECT CAST(coalesce(max(sz), 0) AS BIGINT) AS lcc FROM (
+        SELECT cid, count(*) AS sz FROM comp2 GROUP BY cid
+      )
+    ),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM v1)
+    SELECT nv.n_nodes, lcc1.lcc AS lcc_before, lcc2.lcc AS lcc_after,
+           CASE WHEN lcc1.lcc > 0
+                THEN lcc2.lcc * 1000 // lcc1.lcc
+           END AS retained_permille
+    FROM nv CROSS JOIN lcc1 CROSS JOIN lcc2
+    """,
+)
+def hub_attack_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness of the page graph (Albert-Jeong-
+    Barabási): remove the top-5 in-degree hubs and measure how much
+    of the largest connected component survives — THE macro question
+    for a crawler's frontier health (scale-free graphs shatter under
+    hub removal but shrug off random loss; retained_permille says
+    which regime this web is in, and how exposed the crawl is to a
+    few hub hosts going dark). Complements the bow-tie (static
+    structure) with a perturbation read.
+
+    Exactness: hubs are a deterministic top-5 (in-degree desc, id
+    tiebreak); both component passes are the engine's pointer-jumped
+    min-label CC against the oracle's recursive-closure ground truth
+    (dedup_clusters' pinned pattern, run before AND after the cut);
+    sizes and the floored permille are exact integers, guarded on a
+    nonempty pre-attack component.
+
+    Scale shape: two CC runs (O(log diameter) rounds each,
+    per-iteration localCheckpoint), one degree agg, a 5-row broadcast
+    anti-join for the cut. The closure-style oracle is the TEST
+    harness; the engine path never materializes reachability."""
+    docs = load(spark, sf_dir, "documents")
+    links = _pagelinks(docs).localCheckpoint(eager=True)
+    und = (
+        links.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    indeg = links.groupBy("dst").agg(F.count("*").cast("bigint").alias("d"))
+    hubs = (
+        indeg.select(
+            "dst",
+            F.row_number()
+            .over(Window.orderBy(F.desc("d"), F.asc("dst")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select(F.col("dst").alias("hub"))
+    )
+    pairs1 = und.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    comp1 = _connected_components(pairs1).select("doc_id", F.col("cluster_id"))
+    lcc1 = (
+        comp1.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.max("sz").cast("bigint").alias("lcc_before"))
+    )
+    und2 = (
+        und.join(F.broadcast(hubs), und.a == F.col("hub"), "left_anti")
+        .join(F.broadcast(hubs), F.col("b") == F.col("hub"), "left_anti")
+    )
+    pairs2 = und2.select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+    comp2 = _connected_components(pairs2)
+    lcc2 = (
+        comp2.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("lcc_after"))
+    )
+    nv = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    return (
+        nv.crossJoin(F.broadcast(lcc1))
+        .crossJoin(F.broadcast(lcc2))
+        .select(
+            "n_nodes",
+            "lcc_before",
+            "lcc_after",
+            F.when(
+                F.col("lcc_before") > 0,
+                F.expr("lcc_after * 1000 div lcc_before"),
+            ).alias("retained_permille"),
+        )
+    )

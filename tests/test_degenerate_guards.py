@@ -2121,3 +2121,47 @@ def test_nelson_aalen_no_repurchases(spark, tmp_path):
     assert rows[30].events_total == 0
     assert rows[30].cum_hazard == 0.0 and rows[30].na_survival == 1.0
     compare(df, _conn_with({"orders": path}), ORACLE["nelson_aalen_hazard"])
+
+
+def test_rbo_no_matches(spark, tmp_path):
+    # no doc contains the query term: both rankings are empty, every
+    # prefix overlap is 0 and RBO is exactly 0 in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = QUERIES["rbo_ranker_agreement"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.k == 100 and row.rbo_100 == 0.0
+    compare(df, _conn_with({"documents": path}), ORACLE["rbo_ranker_agreement"])
+
+
+def test_hub_attack_shatters_star(spark, tmp_path):
+    # n=6 docs: the 2-out generator makes a sparse graph where the
+    # top hubs carry most connectivity; pin cross-engine parity and
+    # the exact-integer permille identity on whatever it computes
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "web") for i in range(6)], "doc_id long, source string"
+    ).write.parquet(path)
+    df = QUERIES["hub_attack_robustness"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.lcc_before >= row.lcc_after
+    if row.retained_permille is not None:
+        assert row.retained_permille == row.lcc_after * 1000 // row.lcc_before
+    compare(df, _conn_with({"documents": path}), ORACLE["hub_attack_robustness"])
+
+
+def test_hub_attack_empty_after(spark, tmp_path):
+    # 2 docs, single edge (0,1): node 1 is the top hub; removing the
+    # top-5 hubs leaves no edges -> lcc_after = 0, retained 0
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "web"), (1, "web")], "doc_id long, source string"
+    ).write.parquet(path)
+    df = QUERIES["hub_attack_robustness"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_nodes == 2 and row.lcc_before == 2
+    assert row.lcc_after == 0 and row.retained_permille == 0
+    compare(df, _conn_with({"documents": path}), ORACLE["hub_attack_robustness"])
