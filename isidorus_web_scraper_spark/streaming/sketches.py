@@ -166,3 +166,62 @@ class StreamingKMV:
             (k_actual - 1) * (1152921504606846976.0 / h_k) if h_k else 0.0
         )
         return k_actual, h_k, round(est, 3)
+
+
+class StreamingEWMA:
+    """Bounded-state recency-weighted activity monitor: the streaming
+    twin of ``dataset_queries.events_ewma_halflife``. The batch law's
+    weights are EXACT powers of two over the trailing 30 days, which
+    makes the sketch exactly mergeable the way KMV is: state is the
+    per-(type, day) count dict PRUNED to the trailing 30 days of the
+    max day seen so far — pruning is safe because the max day only
+    grows, so a pruned day can never re-enter the window — and
+    ``finalize`` recomputes the integer weighted sum from those
+    counts, landing on the IDENTICAL (ewma_num_x2p29, n_events) rows
+    as the batch query (integers; the test pins equality, not
+    closeness).
+
+    Per micro-batch, the stream side does one distributed
+    (type, day) rollup and collects the BOUNDED result
+    (≤ |types| × days-in-batch rows — never event rows); driver state
+    is ≤ |types| × 30 integers for any stream length."""
+
+    def __init__(self, window_days: int = 30):
+        self.window = window_days
+        self.counts: dict = {}  # (event_type, day) -> count
+        self.last_day: int | None = None
+
+    def process(self, batch_df: DataFrame, _batch_id: int) -> None:
+        from ..dataset_queries import ntz_epoch_ms
+
+        day = (ntz_epoch_ms(F.col("ts")) / F.lit(86_400_000)).cast("bigint")
+        rows = (
+            batch_df.select("event_type", day.alias("d"))
+            .groupBy("event_type", "d")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .collect()
+        )
+        for r in rows:
+            key = (r.event_type, int(r.d))
+            self.counts[key] = self.counts.get(key, 0) + int(r.c)
+            if self.last_day is None or int(r.d) > self.last_day:
+                self.last_day = int(r.d)
+        cutoff = self.last_day - self.window
+        self.counts = {
+            (t, d): c for (t, d), c in self.counts.items() if d > cutoff
+        }
+
+    def finalize(self) -> dict:
+        """{event_type: (ewma_num_x2p29, n_events)} — the batch law:
+        day d in the trailing window weighs 2^(d - last_day + 29),
+        all integers (bit-identical to events_ewma_halflife)."""
+        out: dict = {}
+        if self.last_day is None:
+            return out
+        for (t, d), c in self.counts.items():
+            if d <= self.last_day - self.window:
+                continue
+            di = d - self.last_day + 29
+            num, n = out.get(t, (0, 0))
+            out[t] = (num + c * (1 << di), n + c)
+        return out

@@ -777,3 +777,41 @@ def test_streaming_kmv_equals_batch_sketch(spark, sf_small, tmp_path):
     batch = QUERIES["kmv_distinct"](spark, sf_small).collect()[0]
     assert (k_actual, h_k) == (batch.k_actual, batch.h_k)
     assert est == batch.est_distinct
+
+
+def test_streaming_ewma_equals_batch_law(spark, sf_small, tmp_path):
+    # power-of-two day weights make the EWMA sketch exactly mergeable:
+    # streaming the events table in micro-batches must land on the
+    # IDENTICAL integer (numerator, n) per type as the batch query
+    from pyspark.sql import functions as F
+
+    from isidorus_web_scraper_spark.driver_queries import QUERIES
+    from isidorus_web_scraper_spark.sources.testdata import load
+    from isidorus_web_scraper_spark.streaming.sketches import StreamingEWMA
+
+    ev = load(spark, sf_small, "events")
+    stream_dir = f"{tmp_path}/stream_in"
+    for b in range(4):
+        ev.filter(F.col("event_id") % 4 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    ew = StreamingEWMA()
+    q = (
+        spark.readStream.schema(ev.schema).parquet(stream_dir)
+        .writeStream.foreachBatch(ew.process)
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n_types = ev.select("event_type").distinct().count()
+    assert len(ew.counts) <= n_types * 30  # bounded state
+
+    got = ew.finalize()
+    batch = {
+        r.event_type: (r.ewma_num_x2p29, r.n_events)
+        for r in QUERIES["events_ewma_halflife"](spark, sf_small).collect()
+    }
+    assert got == batch  # integer-exact, not merely close
