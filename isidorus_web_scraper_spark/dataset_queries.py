@@ -24174,3 +24174,205 @@ def hub_attack_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_permille"),
         )
     )
+
+
+@query(
+    "market_basket_triples",
+    """
+    WITH ol AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_type AS t
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM ol),
+    s1 AS (SELECT t, count(*) AS s FROM ol GROUP BY t),
+    triples AS (
+      SELECT a.t AS type_a, b.t AS type_b, c.t AS type_c,
+             count(*) AS s_abc
+      FROM ol a
+      JOIN ol b ON a.ok = b.ok AND a.t < b.t
+      JOIN ol c ON a.ok = c.ok AND b.t < c.t
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 3
+    )
+    SELECT tr.type_a, tr.type_b, tr.type_c,
+           CAST(tr.s_abc AS BIGINT) AS support_abc,
+           CAST(sa.s AS BIGINT) AS support_a,
+           CAST(sb.s AS BIGINT) AS support_b,
+           CAST(sc.s AS BIGINT) AS support_c,
+           CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+           CAST(tr.s_abc AS HUGEINT) * nb.n_baskets * nb.n_baskets
+             > CAST(sa.s AS HUGEINT) * sb.s * sc.s AS positive_lift3
+    FROM triples tr
+    JOIN s1 sa ON sa.t = tr.type_a
+    JOIN s1 sb ON sb.t = tr.type_b
+    JOIN s1 sc ON sc.t = tr.type_c
+    CROSS JOIN nb
+    """,
+)
+def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-itemset market-basket affinity — the next rung of the
+    association-rule ladder above market_basket_lift's pairs (a
+    bundle recommendation needs the TRIPLE support; pair lifts can
+    all be positive while the triple never co-occurs): per ordered
+    type-triple the support (floor 3 prunes noise) and the lift-3
+    verdict decided entirely in integers — lift(A,B,C) > 1 ⇔
+    s_abc·N² > s_a·s_b·s_c (products on HUGEINT/DECIMAL(38,0):
+    (1.5·10⁵)³ passes BIGINT at sf1 already), all witnesses shipped
+    so the consumer ranks by exact rational lift.
+
+    Scale shape: the triple self-join is keyed on the basket id with
+    width bounded by the per-basket TYPE vocabulary (6 types ⇒ ≤ 20
+    triples/basket — combinatorics of the domain, not line-item
+    fan-out); supports broadcast onto the |types|³-bounded frame."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    d38 = "decimal(38,0)"
+    ol = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nb = ol.select("ok").distinct().agg(
+        F.count("*").cast("bigint").alias("n_baskets")
+    )
+    s1 = ol.groupBy("t").agg(F.count("*").cast("bigint").alias("s"))
+    a = ol.select("ok", F.col("t").alias("ta"))
+    b = ol.select("ok", F.col("t").alias("tb"))
+    c = ol.select("ok", F.col("t").alias("tc"))
+    triples = (
+        a.join(b, "ok")
+        .filter(F.col("ta") < F.col("tb"))
+        .join(c, "ok")
+        .filter(F.col("tb") < F.col("tc"))
+        .groupBy(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("tc").alias("type_c"),
+        )
+        .agg(F.count("*").cast("bigint").alias("s_abc"))
+        .filter(F.col("s_abc") >= 3)
+    )
+    sa = s1.select(F.col("t").alias("type_a"), F.col("s").alias("support_a"))
+    sb = s1.select(F.col("t").alias("type_b"), F.col("s").alias("support_b"))
+    sc = s1.select(F.col("t").alias("type_c"), F.col("s").alias("support_c"))
+    return (
+        triples.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(sc), "type_c")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            "type_c",
+            F.col("s_abc").alias("support_abc"),
+            "support_a",
+            "support_b",
+            "support_c",
+            "n_baskets",
+            (
+                F.col("s_abc").cast(d38)
+                * F.col("n_baskets")
+                * F.col("n_baskets")
+                > F.col("support_a").cast(d38)
+                * F.col("support_b")
+                * F.col("support_c")
+            ).alias("positive_lift3"),
+        )
+    )
+
+
+def _hitting_time_sql(iters: int = 6) -> str:
+    chain = []
+    for k in range(1, iters + 1):
+        chain.append(
+            f"""h{k} AS (
+      SELECT n.doc_id,
+             CASE WHEN n.doc_id = 0 THEN CAST(0 AS BIGINT)
+                  WHEN f.s IS NULL THEN p.h + 1048576
+                  ELSE CAST(1048576 + f.s // f.od AS BIGINT)
+             END AS h
+      FROM nodes n
+      LEFT JOIN (
+        SELECT l.src, sum(p.h) AS s, count(*) AS od
+        FROM links l JOIN h{k - 1} p ON p.doc_id = l.dst
+        GROUP BY l.src
+      ) f ON f.src = n.doc_id
+      LEFT JOIN h{k - 1} p ON p.doc_id = n.doc_id
+    )"""
+        )
+    joined = ",\n    ".join(chain)
+    return f"""
+    WITH {_PAGELINKS_SQL_CTES},
+    nodes AS (SELECT doc_id FROM documents),
+    h0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS h FROM nodes),
+    {joined}
+    SELECT doc_id, h AS hit6_x2p20,
+           CAST(row_number() OVER (ORDER BY h DESC, doc_id) AS BIGINT)
+             AS rnk
+    FROM h{iters}
+    """
+
+
+@query("hitting_time_to_root", _hitting_time_sql())
+def hitting_time_to_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated expected hitting time of a uniform random surf to
+    the root page (doc 0) — the VALUE-ITERATION operator class
+    (expected-cost dynamic programming on a graph) the centrality
+    family doesn't cover: PageRank asks where a surfer accumulates,
+    hitting time asks how many clicks AWAY each page is in
+    expectation, the number behind 'how discoverable is this page
+    from the home page' and crawl-depth budgeting. Six Bellman
+    updates h ← 1 + mean over out-neighbors (root absorbing at 0, so
+    h_k is the k-step truncated expectation — a monotone lower bound
+    of the true hitting time; pages that cannot reach the root just
+    grow toward the horizon).
+
+    Cross-engine exactness (markov_stationary_power discipline):
+    h is scaled 2^20 fixed-point and every update is integer — the
+    neighbor mean is Σh div outdeg (floor on both engines), the +1
+    is +2^20. Nodes with no out-edges advance one full step into
+    themselves per iteration (+2^20) — a dangling page can never
+    reach the root, and its value growing WITH the horizon is exactly
+    the unreachable signal (a keep-value convention would make it
+    read as sitting at the root). The deterministic rank column makes the output a
+    ready 'deepest pages' report.
+
+    Scale shape: per iteration one join ships h along edges + one
+    hash agg by source + a LEFT join from the node set — O(iters)
+    shuffles, the same plan family as pagerank/HITS, with
+    per-iteration localCheckpoint bounding plan depth."""
+    docs = load(spark, sf_dir, "documents")
+    links = _pagelinks(docs).localCheckpoint(eager=True)
+    nodes = docs.select("doc_id").localCheckpoint(eager=True)
+    h = nodes.withColumn("h", F.lit(0).cast("bigint"))
+    for _ in range(6):
+        flow = (
+            links.join(
+                h.select(F.col("doc_id").alias("dst"), "h"), "dst"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("h").alias("s"), F.count("*").alias("od"))
+        )
+        h = (
+            nodes.join(flow, "doc_id", "left")
+            .join(h.select("doc_id", F.col("h").alias("ph")), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") == 0, F.lit(0).cast("bigint"))
+                .when(F.col("s").isNull(), F.col("ph") + 1048576)
+                .otherwise(
+                    (F.lit(1048576) + F.expr("s div od")).cast("bigint")
+                )
+                .alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h.select(
+        "doc_id",
+        F.col("h").alias("hit6_x2p20"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("h"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("rnk"),
+    )

@@ -2165,3 +2165,37 @@ def test_hub_attack_empty_after(spark, tmp_path):
     assert row.n_nodes == 2 and row.lcc_before == 2
     assert row.lcc_after == 0 and row.retained_permille == 0
     compare(df, _conn_with({"documents": path}), ORACLE["hub_attack_robustness"])
+
+
+def test_triples_single_type_baskets(spark, tmp_path):
+    # every order contains one part type: no triple (or pair) can
+    # form -> empty result in BOTH engines
+    opath = f"{tmp_path}/lineitem.parquet"
+    ppath = f"{tmp_path}/part.parquet"
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], "l_orderkey long, l_partkey long"
+    ).write.parquet(opath)
+    spark.createDataFrame(
+        [(i, "STEEL") for i in range(3)], "p_partkey long, p_type string"
+    ).write.parquet(ppath)
+    df = QUERIES["market_basket_triples"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df,
+        _conn_with({"lineitem": opath, "part": ppath}),
+        ORACLE["market_basket_triples"],
+    )
+
+
+def test_hitting_time_root_absorbing(spark, tmp_path):
+    # the root always reports 0 through every iteration; every other
+    # node is at least one step (2^20 scaled) away
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "web") for i in range(5)], "doc_id long, source string"
+    ).write.parquet(path)
+    df = QUERIES["hitting_time_to_root"](spark, str(tmp_path))
+    rows = {r.doc_id: r.hit6_x2p20 for r in df.collect()}
+    assert rows[0] == 0
+    assert all(v >= 1048576 for k, v in rows.items() if k != 0)
+    compare(df, _conn_with({"documents": path}), ORACLE["hitting_time_to_root"])
