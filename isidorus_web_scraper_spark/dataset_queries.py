@@ -24376,3 +24376,177 @@ def hitting_time_to_root(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rnk"),
     )
+
+
+@query(
+    "unit_price_drift",
+    """
+    WITH lm AS (
+      SELECT p.p_type AS t,
+             CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1
+               AS BIGINT) AS m,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS e,
+             CAST(round(l.l_quantity) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    g AS (
+      SELECT t, m,
+             CAST(sum(CAST(e AS HUGEINT)) AS BIGINT) AS te,
+             CAST(sum(q) AS BIGINT) AS tq
+      FROM lm GROUP BY t, m
+    ),
+    l AS (
+      SELECT t, m, te, tq,
+             lag(te) OVER (PARTITION BY t ORDER BY m) AS pe,
+             lag(tq) OVER (PARTITION BY t ORDER BY m) AS pq
+      FROM g
+    )
+    SELECT t AS part_type, m AS month_idx,
+           CASE WHEN tq > 0
+                THEN round(CAST(te AS DOUBLE) / CAST(tq AS DOUBLE), 6)
+           END AS unit_price_cents,
+           CASE WHEN pe IS NULL OR tq = 0 OR pq = 0 THEN NULL
+                WHEN CAST(te AS HUGEINT) * pq > CAST(pe AS HUGEINT) * tq
+                  THEN CAST(1 AS BIGINT)
+                WHEN CAST(te AS HUGEINT) * pq < CAST(pe AS HUGEINT) * tq
+                  THEN CAST(-1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT)
+           END AS mom_direction
+    FROM l
+    """,
+)
+def unit_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly unit-price drift per part type — the price-monitoring
+    operator (is STEEL getting more expensive per unit, independent
+    of volume?): per (type, month) the quantity-weighted unit price
+    and a month-over-month direction verdict that never divides —
+    price_t > price_{t−1} ⇔ E_t·Q_{t−1} > E_{t−1}·Q_t
+    cross-multiplied over exact integer cents/quantity sums
+    (HUGEINT/DECIMAL(38,0) headroom: E·Q ≈ 10^15 at sf0.1, 10^19 at
+    sf10 — wide before it matters). The displayed unit price is the
+    only division, guarded on Q > 0; the first month of a type and
+    zero-quantity edges report NULL direction.
+
+    Scale shape: one map-side-combinable rollup to the (6 types ×
+    84 months) frame off the part join (broadcast dim); the lag
+    window runs on that bounded frame."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    d38 = "decimal(38,0)"
+    lm = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_type").alias("t"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("m"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("e"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+    )
+    g = lm.groupBy("t", "m").agg(
+        F.sum(F.col("e").cast(d38)).cast("bigint").alias("te"),
+        F.sum("q").cast("bigint").alias("tq"),
+    )
+    w = Window.partitionBy("t").orderBy("m")
+    l = g.select(
+        "t",
+        "m",
+        "te",
+        "tq",
+        F.lag("te").over(w).alias("pe"),
+        F.lag("tq").over(w).alias("pq"),
+    )
+    cur = F.col("te").cast(d38) * F.col("pq")
+    prv = F.col("pe").cast(d38) * F.col("tq")
+    return l.select(
+        F.col("t").alias("part_type"),
+        F.col("m").alias("month_idx"),
+        F.when(
+            F.col("tq") > 0,
+            F.round(F.col("te").cast("double") / F.col("tq").cast("double"), 6),
+        ).alias("unit_price_cents"),
+        F.when(
+            F.col("pe").isNull() | (F.col("tq") == 0) | (F.col("pq") == 0),
+            F.lit(None).cast("bigint"),
+        )
+        .when(cur > prv, F.lit(1))
+        .when(cur < prv, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mom_direction"),
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    """
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+               AS BIGINT) AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    first_m AS (
+      SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1
+    ),
+    sizes AS (
+      SELECT m0, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first_m GROUP BY m0
+    ),
+    rev AS (
+      SELECT f.m0, om.m - f.m0 AS age,
+             CAST(sum(CAST(om.cents AS HUGEINT)) AS BIGINT) AS r
+      FROM om JOIN first_m f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT rev.m0 AS cohort_month, rev.age AS age_months,
+           sizes.cohort_size,
+           CAST(sum(rev.r) OVER (PARTITION BY rev.m0 ORDER BY rev.age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_revenue_cents
+    FROM rev JOIN sizes USING (m0)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per
+    acquisition cohort (first-order month) by age in months — the
+    REVENUE companion to cohort_retention's headcount triangle (the
+    LTV curve is what acquisition spend is actually justified
+    against; retention can hold while basket size collapses and only
+    this curve notices). Every number is an exact integer: cohort
+    assignment by integer month index, per-(cohort, age) revenue
+    sums on HUGEINT/DECIMAL(38,0), the running curve an exact
+    cumulative window over ages within each cohort.
+
+    Scale shape: one first-order agg (customer-keyed), one
+    (cohort × age)-keyed revenue rollup off the same join, and the
+    cumsum window runs on the cohorts×ages-bounded frame (84² at 7
+    years), not on orders."""
+    orders = load(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = first_m.groupBy("m0").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        om.join(first_m, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age"))
+        .agg(F.sum(F.col("cents").cast(d38)).cast("bigint").alias("r"))
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.join(sizes, "m0").select(
+        F.col("m0").alias("cohort_month"),
+        F.col("age").alias("age_months"),
+        "cohort_size",
+        F.sum("r").over(w).cast("bigint").alias("cum_revenue_cents"),
+    )

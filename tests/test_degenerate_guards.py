@@ -2199,3 +2199,59 @@ def test_hitting_time_root_absorbing(spark, tmp_path):
     assert rows[0] == 0
     assert all(v >= 1048576 for k, v in rows.items() if k != 0)
     compare(df, _conn_with({"documents": path}), ORACLE["hitting_time_to_root"])
+
+
+def test_unit_price_first_month_null_direction(spark, tmp_path):
+    # a single month per type: lag is NULL, direction NULL; equal
+    # unit prices across two months give direction exactly 0
+    import datetime
+
+    lpath = f"{tmp_path}/lineitem.parquet"
+    ppath = f"{tmp_path}/part.parquet"
+    m1 = datetime.datetime(2026, 3, 10)
+    m2 = datetime.datetime(2026, 4, 10)
+    spark.createDataFrame(
+        [
+            (0, 0, 2.0, 20.0, m1),
+            (1, 0, 4.0, 40.0, m2),  # same 10.0 unit price
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_shipdate timestamp_ntz",
+    ).write.parquet(lpath)
+    spark.createDataFrame(
+        [(0, "STEEL")], "p_partkey long, p_type string"
+    ).write.parquet(ppath)
+    df = QUERIES["unit_price_drift"](spark, str(tmp_path))
+    rows = sorted(df.collect(), key=lambda r: r.month_idx)
+    assert rows[0].mom_direction is None
+    assert rows[1].mom_direction == 0
+    assert rows[0].unit_price_cents == 1000.0
+    compare(
+        df,
+        _conn_with({"lineitem": lpath, "part": ppath}),
+        ORACLE["unit_price_drift"],
+    )
+
+
+def test_cohort_ltv_single_cohort(spark, tmp_path):
+    # all customers start the same month: one cohort, the curve is a
+    # plain running total over ages with exact integer cents
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [
+            (0, 1, 10.0, datetime.datetime(2026, 1, 5)),
+            (1, 2, 20.0, datetime.datetime(2026, 1, 15)),
+            (2, 1, 30.0, datetime.datetime(2026, 2, 5)),
+            (3, 2, 40.0, datetime.datetime(2026, 3, 5)),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["cohort_ltv_curve"](spark, str(tmp_path))
+    rows = {r.age_months: r for r in df.collect()}
+    assert rows[0].cohort_size == 2 and rows[0].cum_revenue_cents == 3000
+    assert rows[1].cum_revenue_cents == 6000
+    assert rows[2].cum_revenue_cents == 10000
+    compare(df, _conn_with({"orders": path}), ORACLE["cohort_ltv_curve"])
