@@ -24550,3 +24550,213 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         F.sum("r").over(w).cast("bigint").alias("cum_revenue_cents"),
     )
+
+
+@query(
+    "lang_vocab_overlap",
+    """
+    WITH toks AS (
+      SELECT DISTINCT lang, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    vs AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM toks GROUP BY 1),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM toks a JOIN toks b ON a.t = b.t AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b, i.shared,
+           va.v AS vocab_a, vb.v AS vocab_b,
+           i.shared * 1000 // (va.v + vb.v - i.shared)
+             AS jaccard_permille
+    FROM inter i
+    JOIN vs va ON va.lang = i.lang_a
+    JOIN vs vb ON vb.lang = i.lang_b
+    """,
+)
+def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary overlap matrix: per language pair the
+    shared-type count and vocabulary Jaccard (floored permille) — the
+    script-contamination / code-switching detector the per-language
+    stats can't see (a high en↔fr overlap means mislabeled docs or
+    boilerplate leaking across the langid gate, and it's exactly what
+    inflates langid_confusion's off-diagonals). Natural companion to
+    source_overlap_matrix (sources × near-dups; here languages ×
+    vocabulary).
+
+    Exactness: all integers — distinct (lang, token) sets, the
+    pairwise intersection via one token-keyed join, union by
+    |A|+|B|−|∩|, floored permille. The pair frame is |langs|²-bounded
+    (10 rows at 5 languages); a nonempty pair always has union ≥ 1,
+    so the division needs no guard.
+
+    Scale shape: one tokenize distinct (the vocab family's shared
+    agg), a token-keyed self-join whose width is the number of
+    LANGUAGES sharing a token (≤ |langs|), two broadcast size joins."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", F.explode(words(F.col("text"))).alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vs = toks.groupBy("lang").agg(F.count("*").cast("bigint").alias("v"))
+    a = toks.select(F.col("lang").alias("lang_a"), "t")
+    b = toks.select(F.col("lang").alias("lang_b"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    va = vs.select(F.col("lang").alias("lang_a"), F.col("v").alias("vocab_a"))
+    vb = vs.select(F.col("lang").alias("lang_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), "lang_a")
+        .join(F.broadcast(vb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "shared",
+            "vocab_a",
+            "vocab_b",
+            F.expr(
+                "shared * 1000 div (vocab_a + vocab_b - shared)"
+            ).alias("jaccard_permille"),
+        )
+    )
+
+
+@query(
+    "growth_accounting_monthly",
+    """
+    WITH um AS (
+      SELECT DISTINCT user_id,
+             CAST((epoch_ms(ts) // 86400000 + 719468) // 30 AS BIGINT)
+               AS m
+      FROM events
+    ),
+    f AS (SELECT user_id, min(m) AS m0 FROM um GROUP BY 1),
+    lagged AS (
+      SELECT um.user_id, um.m, f.m0,
+             lag(um.m) OVER (PARTITION BY um.user_id ORDER BY um.m)
+               AS pm
+      FROM um JOIN f USING (user_id)
+    ),
+    classes AS (
+      SELECT m,
+             CAST(sum(CASE WHEN m = m0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(sum(CASE WHEN m > m0 AND pm = m - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS retained,
+             CAST(sum(CASE WHEN m > m0 AND pm < m - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS resurrected
+      FROM lagged GROUP BY m
+    ),
+    churn AS (
+      SELECT pm + 1 AS m, CAST(count(*) AS BIGINT) AS churned
+      FROM (
+        SELECT user_id, m AS pm,
+               lead(m) OVER (PARTITION BY user_id ORDER BY m) AS nm
+        FROM um
+      ) WHERE nm IS NULL OR nm > pm + 1
+      GROUP BY pm + 1
+    ),
+    mx AS (SELECT max(m) AS last_m FROM um)
+    SELECT c.m AS month_idx, c.new_users, c.retained, c.resurrected,
+           coalesce(ch.churned, 0) AS churned_in,
+           CASE WHEN coalesce(ch.churned, 0) > 0
+                THEN (c.new_users + c.resurrected) * 1000
+                     // coalesce(ch.churned, 0)
+           END AS quick_ratio_permille
+    FROM classes c
+    LEFT JOIN churn ch ON ch.m = c.m
+    CROSS JOIN mx
+    WHERE c.m <= mx.last_m
+    """,
+)
+def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting — the 4-class active-user ledger
+    (Social-Capital style) that events_new_vs_returning and
+    events_inactive_churn each show one face of: per 30-day month
+    index, NEW (first month ever), RETAINED (also active previous
+    month), RESURRECTED (active, gap behind them), and CHURNED-IN
+    (users whose streak ended the month before — lead-gap law, so a
+    user churns exactly once per gap), plus the quick ratio
+    (new+resurrected)/churned as a floored permille. The classes
+    partition each month's actives exactly: new + retained +
+    resurrected = MAU(m).
+
+    Exactness: months are integer 30-day buckets off zone-free epoch
+    days (the +719468 offset keeps bucket edges away from the data's
+    era so sf slices agree); classification is pure integer
+    lag/lead arithmetic on the distinct user-month frame; the quick
+    ratio divides only behind the churned > 0 witness.
+
+    Scale shape: one distinct to user-months, one user-keyed
+    min-agg + two user-partitioned windows (the same exchange), a
+    month-keyed rollup — nothing after the distinct touches event
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    day = (ntz_epoch_ms(F.col("ts")) / F.lit(86400000)).cast("bigint")
+    um = (
+        ev.select(
+            "user_id",
+            ((day + 719468) / F.lit(30)).cast("bigint").alias("m"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    f = um.groupBy("user_id").agg(F.min("m").alias("m0"))
+    w = Window.partitionBy("user_id").orderBy("m")
+    lagged = um.join(f, "user_id").select(
+        "user_id", "m", "m0", F.lag("m").over(w).alias("pm")
+    )
+    classes = lagged.groupBy("m").agg(
+        F.sum(F.when(F.col("m") == F.col("m0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(
+            F.when(
+                (F.col("m") > F.col("m0")) & (F.col("pm") == F.col("m") - 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("m") > F.col("m0")) & (F.col("pm") < F.col("m") - 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    churn = (
+        um.select(
+            "user_id", F.col("m").alias("pm"), F.lead("m").over(w).alias("nm")
+        )
+        .filter(F.col("nm").isNull() | (F.col("nm") > F.col("pm") + 1))
+        .groupBy((F.col("pm") + 1).alias("m"))
+        .agg(F.count("*").cast("bigint").alias("churned"))
+    )
+    mx = um.agg(F.max("m").alias("last_m"))
+    chz = F.coalesce(F.col("churned"), F.lit(0))
+    return (
+        classes.join(churn, "m", "left")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("m") <= F.col("last_m"))
+        .select(
+            F.col("m").alias("month_idx"),
+            "new_users",
+            "retained",
+            "resurrected",
+            chz.alias("churned_in"),
+            F.when(
+                chz > 0,
+                F.expr(
+                    "(new_users + resurrected) * 1000 "
+                    "div coalesce(churned, 0)"
+                ),
+            ).alias("quick_ratio_permille"),
+        )
+    )

@@ -2255,3 +2255,66 @@ def test_cohort_ltv_single_cohort(spark, tmp_path):
     assert rows[1].cum_revenue_cents == 6000
     assert rows[2].cum_revenue_cents == 10000
     compare(df, _conn_with({"orders": path}), ORACLE["cohort_ltv_curve"])
+
+
+def test_vocab_overlap_disjoint_languages(spark, tmp_path):
+    # no shared token between the two languages: the pair row is
+    # absent entirely (inner join on shared tokens) in BOTH engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "en", "alpha beta"), (1, "fr", "gamma delta")],
+        "doc_id long, lang string, text string",
+    ).write.parquet(path)
+    df = QUERIES["lang_vocab_overlap"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(df, _conn_with({"documents": path}), ORACLE["lang_vocab_overlap"])
+
+
+def test_vocab_overlap_identical_vocab(spark, tmp_path):
+    # identical vocabularies: jaccard exactly 1000 permille
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "en", "alpha beta"), (1, "fr", "beta alpha")],
+        "doc_id long, lang string, text string",
+    ).write.parquet(path)
+    df = QUERIES["lang_vocab_overlap"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.shared == 2 and row.jaccard_permille == 1000
+    compare(df, _conn_with({"documents": path}), ORACLE["lang_vocab_overlap"])
+
+
+def test_growth_accounting_ledger_identity(spark, tmp_path):
+    # crafted 3-bucket stream: user A active all three months
+    # (retained x2), user B active first and third (resurrected),
+    # user C first month only (churned into month 2); classes must
+    # partition each month's actives and the churn law must fire once
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 1, 15)  # all within stable buckets
+    rows = []
+    eid = 0
+
+    def add(uid, day_offset):
+        nonlocal eid
+        rows.append((eid, uid, "e", base + datetime.timedelta(days=day_offset)))
+        eid += 1
+
+    for off in (0, 30, 60):
+        add(1, off)          # user 1: every bucket
+    add(2, 0); add(2, 60)    # user 2: gap in the middle
+    add(3, 0)                # user 3: first bucket only
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["growth_accounting_monthly"](spark, str(tmp_path))
+    got = {r.month_idx: r for r in df.collect()}
+    ms = sorted(got)
+    assert len(ms) == 3
+    m0, m1, m2 = ms
+    assert got[m0].new_users == 3
+    assert got[m1].retained == 1 and got[m1].churned_in == 2
+    assert got[m2].retained == 1 and got[m2].resurrected == 1
+    # quick ratio in month 2: (0 new + 0 res) / 2 churned -> 0
+    assert got[m1].quick_ratio_permille == 0
+    compare(df, _conn_with({"events": path}), ORACLE["growth_accounting_monthly"])
