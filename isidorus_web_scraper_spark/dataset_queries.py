@@ -24760,3 +24760,183 @@ def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quick_ratio_permille"),
         )
     )
+
+
+@query(
+    "p_chart_late_shipments",
+    """
+    WITH first_ship AS (
+      SELECT l_orderkey, min(epoch_ms(l_shipdate)) AS ship_ms
+      FROM lineitem GROUP BY 1
+    ),
+    o AS (
+      SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+               AS BIGINT) AS m,
+             CASE WHEN fs.ship_ms - epoch_ms(o.o_orderdate)
+                       > CAST(30 AS BIGINT) * 86400000
+                  THEN 1 ELSE 0 END AS late
+      FROM orders o JOIN first_ship fs ON fs.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(late) AS BIGINT) AS x_i
+      FROM o GROUP BY m
+    ),
+    tot AS (
+      SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(x_i) AS BIGINT) AS x
+      FROM g
+    )
+    SELECT g.m AS month_idx, g.n_i, g.x_i,
+           g.x_i * 1000 // g.n_i AS late_permille,
+           CASE WHEN tot.x > 0 AND tot.x < tot.n THEN
+             CAST(g.x_i AS HUGEINT) * tot.n - CAST(tot.x AS HUGEINT) * g.n_i
+             > 0
+             AND (CAST(g.x_i AS HUGEINT) * tot.n
+                  - CAST(tot.x AS HUGEINT) * g.n_i)
+                 * (CAST(g.x_i AS HUGEINT) * tot.n
+                    - CAST(tot.x AS HUGEINT) * g.n_i)
+               > 9 * CAST(tot.x AS HUGEINT) * (tot.n - tot.x) * g.n_i
+           END AS above_ucl,
+           CASE WHEN tot.x > 0 AND tot.x < tot.n THEN
+             CAST(g.x_i AS HUGEINT) * tot.n - CAST(tot.x AS HUGEINT) * g.n_i
+             < 0
+             AND (CAST(g.x_i AS HUGEINT) * tot.n
+                  - CAST(tot.x AS HUGEINT) * g.n_i)
+                 * (CAST(g.x_i AS HUGEINT) * tot.n
+                    - CAST(tot.x AS HUGEINT) * g.n_i)
+               > 9 * CAST(tot.x AS HUGEINT) * (tot.n - tot.x) * g.n_i
+           END AS below_lcl
+    FROM g CROSS JOIN tot
+    """,
+)
+def p_chart_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (attribute control chart) on the monthly late-shipment
+    proportion — the statistical-process-control member the anomaly
+    family is missing (z-score/MAD/CUSUM watch a VALUE series; a
+    p-chart watches a PROPORTION with per-month sample-size-aware 3σ
+    limits, the Shewhart law a fulfilment dashboard actually runs):
+    late = first line shipped > 30 days after order (E-SLA's law),
+    limits p̄ ± 3√(p̄(1−p̄)/n_i) from the pooled rate.
+
+    Exactness: the 3σ verdict never computes the sqrt — out-of-
+    control ⇔ (x_i·N − X·n_i)² > 9·X(N−X)·n_i with the sign split
+    into above/below columns, all on HUGEINT/DECIMAL(38,0) exact
+    integers ((x·N)² ≈ 10²¹ at sf1), behind the degenerate witness
+    0 < X < N (an all-late or never-late process has no binomial
+    width — NULL both engines). The displayed rate is a floored
+    permille.
+
+    Scale shape: lineitem collapses map-side to one min per order
+    BEFORE the join (the E-SLA discipline); months fold to a
+    calendar-bounded frame with a 1-row pooled broadcast."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(ntz_epoch_ms(F.col("l_shipdate"))).alias("ship_ms")
+    )
+    om = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("m"),
+        F.when(
+            F.col("ship_ms") - ntz_epoch_ms(F.col("o_orderdate"))
+            > 30 * 86400000,
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    g = om.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("late").cast("bigint").alias("x_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("x_i").cast("bigint").alias("x"),
+    )
+    res = g.crossJoin(F.broadcast(tot))
+    diff = F.col("x_i").cast(d38) * F.col("n") - F.col("x").cast(d38) * F.col(
+        "n_i"
+    )
+    thresh = (
+        F.lit(9) * F.col("x").cast(d38) * (F.col("n") - F.col("x")) * F.col("n_i")
+    )
+    ok = (F.col("x") > 0) & (F.col("x") < F.col("n"))
+    return res.select(
+        F.col("m").alias("month_idx"),
+        "n_i",
+        "x_i",
+        F.expr("x_i * 1000 div n_i").alias("late_permille"),
+        F.when(ok, (diff > 0) & (diff * diff > thresh)).alias("above_ucl"),
+        F.when(ok, (diff < 0) & (diff * diff > thresh)).alias("below_lcl"),
+    )
+
+
+@query(
+    "c_chart_error_days",
+    """
+    WITH d AS (
+      SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day
+      FROM events WHERE event_type = 'error'
+    ),
+    g AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY day),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM g
+    )
+    SELECT g.day, g.c,
+           CAST(g.c AS HUGEINT) * tot.n_days - tot.total > 0
+             AS above_mean,
+           (CAST(g.c AS HUGEINT) * tot.n_days - tot.total)
+             * (CAST(g.c AS HUGEINT) * tot.n_days - tot.total)
+             > 9 * CAST(tot.total AS HUGEINT) * tot.n_days
+             AS out_of_control
+    FROM g CROSS JOIN tot
+    WHERE (CAST(g.c AS HUGEINT) * tot.n_days - tot.total)
+          * (CAST(g.c AS HUGEINT) * tot.n_days - tot.total)
+          > 9 * CAST(tot.total AS HUGEINT) * tot.n_days
+    """,
+)
+def c_chart_error_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-chart on daily error counts — the COUNT-side Shewhart
+    control chart next to the p-chart's proportions (c-charts assume
+    Poisson: limits c̄ ± 3√c̄; a day outside them is a special-cause
+    incident, not noise — the SPC-grade answer where
+    events_anomaly_zscore's z-threshold assumes normality that
+    events_fano_burstiness may have already disproven). Emits ONLY
+    the out-of-control days (the incident list a pager wants).
+
+    Exactness: the 3σ verdict is sqrt-free — |c_i·D − C|² > 9·C·D on
+    HUGEINT/DECIMAL(38,0) exact integers — and the above/below sign
+    rides along; an error-free corpus yields an empty day frame and
+    an empty result in both engines, no guard needed.
+
+    Scale shape: one filtered map-side daily count, a 1-row pooled
+    broadcast, the flag filter on the calendar-bounded frame."""
+    ev = load(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    g = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            (ntz_epoch_ms(F.col("ts")) / F.lit(86400000))
+            .cast("bigint")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = g.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    res = g.crossJoin(F.broadcast(tot))
+    diff = F.col("c").cast(d38) * F.col("n_days") - F.col("total")
+    thresh = F.lit(9) * F.col("total").cast(d38) * F.col("n_days")
+    return res.filter(diff * diff > thresh).select(
+        "day",
+        "c",
+        (diff > 0).alias("above_mean"),
+        (diff * diff > thresh).alias("out_of_control"),
+    )

@@ -2318,3 +2318,56 @@ def test_growth_accounting_ledger_identity(spark, tmp_path):
     # quick ratio in month 2: (0 new + 0 res) / 2 churned -> 0
     assert got[m1].quick_ratio_permille == 0
     compare(df, _conn_with({"events": path}), ORACLE["growth_accounting_monthly"])
+
+
+def test_p_chart_never_late_process(spark, tmp_path):
+    # every order ships same-day: X = 0, the binomial width witness
+    # 0 < X < N fails and both limit columns are NULL in both engines
+    import datetime
+
+    opath = f"{tmp_path}/orders.parquet"
+    lpath = f"{tmp_path}/lineitem.parquet"
+    day = datetime.datetime(2026, 3, 1)
+    spark.createDataFrame(
+        [(i, day) for i in range(4)],
+        "o_orderkey long, o_orderdate timestamp_ntz",
+    ).write.parquet(opath)
+    spark.createDataFrame(
+        [(i, day) for i in range(4)],
+        "l_orderkey long, l_shipdate timestamp_ntz",
+    ).write.parquet(lpath)
+    df = QUERIES["p_chart_late_shipments"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.x_i == 0 and row.late_permille == 0
+    assert row.above_ucl is None and row.below_lcl is None
+    compare(
+        df,
+        _conn_with({"orders": opath, "lineitem": lpath}),
+        ORACLE["p_chart_late_shipments"],
+    )
+
+
+def test_c_chart_flags_spike_day(spark, tmp_path):
+    # 9 quiet days of 1 error + one day with 60: c-bar ~ 6.9,
+    # 3*sqrt(c-bar) ~ 7.9 -> only the spike day exceeds UCL; quiet
+    # days are inside the limits and the result is exactly one row
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(9):
+        rows.append((eid, "error", base + datetime.timedelta(days=d)))
+        eid += 1
+    for _ in range(60):
+        rows.append((eid, "error", base + datetime.timedelta(days=9)))
+        eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["c_chart_error_days"](spark, str(tmp_path))
+    rows_out = df.collect()
+    assert len(rows_out) == 1
+    assert rows_out[0].c == 60 and rows_out[0].above_mean is True
+    compare(df, _conn_with({"events": path}), ORACLE["c_chart_error_days"])
