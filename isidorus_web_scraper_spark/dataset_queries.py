@@ -24940,3 +24940,307 @@ def c_chart_error_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (diff > 0).alias("above_mean"),
         (diff * diff > thresh).alias("out_of_control"),
     )
+
+
+@query(
+    "burrows_delta_sources",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    mfw AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM toks GROUP BY w
+      ) WHERE rn <= 10
+    ),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+           FROM toks GROUP BY source),
+    sw AS (
+      SELECT toks.source, toks.w, CAST(count(*) AS BIGINT) AS c
+      FROM toks JOIN mfw USING (w) GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT st.source, mfw.w,
+             CAST(coalesce(sw.c, 0) AS DOUBLE) / CAST(st.t AS DOUBLE) AS f
+      FROM st CROSS JOIN mfw
+      LEFT JOIN sw ON sw.source = st.source AND sw.w = mfw.w
+    ),
+    mu_f AS (
+      SELECT w,
+             sum(f) OVER (PARTITION BY w ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc,
+             count(*) OVER (PARTITION BY w ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             row_number() OVER (PARTITION BY w ORDER BY source DESC)
+               AS rn
+      FROM fr
+    ),
+    mu AS (SELECT w, acc / s AS mu, s FROM mu_f WHERE rn = 1),
+    var_f AS (
+      SELECT fr.w,
+             sum((fr.f - mu.mu) * (fr.f - mu.mu)) OVER (
+               PARTITION BY fr.w ORDER BY fr.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vacc,
+             row_number() OVER (PARTITION BY fr.w
+                                ORDER BY fr.source DESC) AS rn
+      FROM fr JOIN mu USING (w)
+    ),
+    sig AS (
+      SELECT var_f.w, sqrt(var_f.vacc / mu.s) AS sigma
+      FROM var_f JOIN mu USING (w) WHERE var_f.rn = 1
+        AND var_f.vacc > 0
+    ),
+    z AS (
+      SELECT fr.source, fr.w, (fr.f - mu.mu) / sig.sigma AS z
+      FROM fr JOIN mu USING (w) JOIN sig USING (w)
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.w,
+             abs(a.z - b.z) AS dz
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    ),
+    fold AS (
+      SELECT source_a, source_b,
+             sum(dz) OVER (PARTITION BY source_a, source_b ORDER BY w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc,
+             count(*) OVER (PARTITION BY source_a, source_b ORDER BY w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m,
+             row_number() OVER (PARTITION BY source_a, source_b
+                                ORDER BY w DESC) AS rn
+      FROM pairs
+    )
+    SELECT source_a, source_b, CAST(m AS BIGINT) AS n_words,
+           round(acc / m, 6) AS delta
+    FROM fold WHERE rn = 1
+    """,
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between crawl sources — the STYLOMETRY operator
+    (authorship/agency attribution over most-frequent-word profiles):
+    z-score each source's relative frequency of the corpus's top-10
+    words, Delta(a,b) = mean |z_a − z_b| — low Delta = same editorial
+    hand/template farm (a de-biasing and spam-network signal the
+    near-dup tiers can't see, because style survives paraphrase that
+    defeats shingling).
+
+    Exactness: frequencies are ratios of exact integers cast once;
+    per-word means, variances and per-pair Delta all fold as ORDERED
+    cumulative windows over BOUNDED frames (sources, top-10 words,
+    |sources|² pairs — never corpus-sized floats); zero-variance
+    words (identical rational frequency everywhere ⇒ exactly-0
+    accumulated variance in both engines) are excluded by the same
+    rule on both sides before any division.
+
+    Scale shape: one tokenize pass feeds the top-10 window and the
+    (source, word) rollup; everything after is arithmetic on
+    ≤ |sources|·10-row frames."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=True)
+    mfw = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("w")
+    )
+    st = toks.groupBy("source").agg(F.count("*").cast("bigint").alias("t"))
+    sw = (
+        toks.join(F.broadcast(mfw), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    fr = (
+        st.crossJoin(F.broadcast(mfw))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("t").cast("double")
+            ).alias("f"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_cum = (
+        Window.partitionBy("w")
+        .orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_last = Window.partitionBy("w").orderBy(F.desc("source"))
+    mu = (
+        fr.select(
+            "w",
+            F.sum("f").over(w_cum).alias("acc"),
+            F.count("*").over(w_cum).alias("s"),
+            F.row_number().over(w_last).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("w", (F.col("acc") / F.col("s")).alias("mu"), "s")
+    )
+    var_f = (
+        fr.join(F.broadcast(mu), "w")
+        .select(
+            "w",
+            "s",
+            F.sum((F.col("f") - F.col("mu")) * (F.col("f") - F.col("mu")))
+            .over(w_cum)
+            .alias("vacc"),
+            F.row_number().over(w_last).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("vacc") > 0))
+    )
+    sig = var_f.select(
+        "w", F.sqrt(F.col("vacc") / F.col("s")).alias("sigma")
+    )
+    z = fr.join(F.broadcast(mu), "w").join(F.broadcast(sig), "w").select(
+        "source", "w", ((F.col("f") - F.col("mu")) / F.col("sigma")).alias("z")
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b", "w", F.abs(F.col("za") - F.col("zb")).alias("dz")
+        )
+    )
+    w_p = (
+        Window.partitionBy("source_a", "source_b")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_pl = Window.partitionBy("source_a", "source_b").orderBy(F.desc("w"))
+    fold = pairs.select(
+        "source_a",
+        "source_b",
+        F.sum("dz").over(w_p).alias("acc"),
+        F.count("*").over(w_p).alias("m"),
+        F.row_number().over(w_pl).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return fold.select(
+        "source_a",
+        "source_b",
+        F.col("m").cast("bigint").alias("n_words"),
+        F.round(F.col("acc") / F.col("m"), 6).alias("delta"),
+    )
+
+
+@query(
+    "gini_mean_difference",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    v AS (
+      SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+      FROM o GROUP BY grp, x
+    ),
+    cum AS (
+      SELECT grp, x, c,
+             CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c_lt,
+             CAST(coalesce(sum(CAST(x AS HUGEINT) * c) OVER (
+               PARTITION BY grp ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS HUGEINT) AS s_lt
+      FROM v
+    ),
+    g AS (
+      SELECT grp,
+             CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT) * c) AS s,
+             sum(CAST(x AS HUGEINT) * c * c_lt - c * s_lt) AS cross_sum
+      FROM cum GROUP BY grp
+    )
+    SELECT grp AS priority, n,
+           CASE WHEN n > 1
+                THEN round(2 * CAST(cross_sum AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)),
+                           6)
+           END AS gmd_cents,
+           CASE WHEN n > 1 AND s > 0
+                THEN round(CAST(cross_sum AS DOUBLE)
+                           / ((CAST(n AS DOUBLE) - 1) * CAST(s AS DOUBLE)),
+                           6)
+           END AS gini
+    FROM g
+    """,
+)
+def gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference (and the Gini coefficient it implies) of
+    order value per priority — the PAIRWISE-dispersion member of the
+    robust family (stddev squares outliers in, MAD ignores shape
+    between quartiles; GMD = E|X−X'| weighs every pair once and
+    Gini = GMD/2μ is its scale-free form — here per priority,
+    complementing revenue_gini's customer-level Lorenz read).
+
+    Exactness: the O(n²) pairwise sum collapses to the exact sorted
+    identity Σ_{i<j}|x_i−x_j| = Σ_v [x_v·c_v·C_lt − c_v·S_lt] over
+    the distinct-value frame (two cumulative windows, all integers
+    on HUGEINT/DECIMAL(38,0)); GMD and Gini are one guarded double
+    division each (n > 1, S > 0 — a single order has no pairs).
+
+    Scale shape: one hash-agg to distinct (priority, cents), two
+    windows partitioned by priority over that frame — the
+    mann_whitney/kruskal exchange, never an all-pairs join."""
+    orders = load(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    o = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    v = o.groupBy("grp", "x").agg(F.count("*").cast("bigint").alias("c"))
+    w_lt = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = v.select(
+        "grp",
+        "x",
+        "c",
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).cast("bigint").alias("c_lt"),
+        F.coalesce(
+            F.sum(F.col("x").cast(d38) * F.col("c")).over(w_lt),
+            F.lit(0).cast(d38),
+        ).alias("s_lt"),
+    )
+    g = cum.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(d38) * F.col("c")).alias("s"),
+        F.sum(
+            F.col("x").cast(d38) * F.col("c") * F.col("c_lt")
+            - F.col("c") * F.col("s_lt")
+        ).alias("cross_sum"),
+    )
+    nd = F.col("n").cast("double")
+    return g.select(
+        F.col("grp").alias("priority"),
+        "n",
+        F.when(
+            F.col("n") > 1,
+            F.round(2 * F.col("cross_sum").cast("double") / (nd * (nd - 1)), 6),
+        ).alias("gmd_cents"),
+        F.when(
+            (F.col("n") > 1) & (F.col("s") > 0),
+            F.round(
+                F.col("cross_sum").cast("double")
+                / ((nd - 1) * F.col("s").cast("double")),
+                6,
+            ),
+        ).alias("gini"),
+    )

@@ -2371,3 +2371,48 @@ def test_c_chart_flags_spike_day(spark, tmp_path):
     assert len(rows_out) == 1
     assert rows_out[0].c == 60 and rows_out[0].above_mean is True
     compare(df, _conn_with({"events": path}), ORACLE["c_chart_error_days"])
+
+
+def test_burrows_delta_identical_styles(spark, tmp_path):
+    # two sources with identical word distributions: every word has
+    # zero cross-source variance, the sigma frame is empty and the
+    # result has no rows in BOTH engines (no z-scores to compare)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "a", "x y z"), (1, "b", "x y z")],
+        "doc_id long, source string, text string",
+    ).write.parquet(path)
+    df = QUERIES["burrows_delta_sources"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["burrows_delta_sources"]
+    )
+
+
+def test_gmd_constant_group(spark, tmp_path):
+    # constant prices: every pair differs by 0 -> GMD exactly 0 and
+    # gini exactly 0; a single-order group reports NULLs
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0, "5-LOW") for i in range(4)] + [(9, 50.0, "1-URGENT")],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["gini_mean_difference"](spark, str(tmp_path))
+    got = {r.priority: r for r in df.collect()}
+    assert got["5-LOW"].gmd_cents == 0.0 and got["5-LOW"].gini == 0.0
+    assert got["1-URGENT"].gmd_cents is None
+    compare(df, _conn_with({"orders": path}), ORACLE["gini_mean_difference"])
+
+
+def test_gmd_two_values_exact(spark, tmp_path):
+    # two orders at 10.00 and 30.00: GMD = |3000-1000| * 2/(2*1) =
+    # 2000 cents exactly; gini = 2000/(2*mean)/... = cross/(1*4000) = 0.5
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(0, 10.0, "5-LOW"), (1, 30.0, "5-LOW")],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["gini_mean_difference"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.gmd_cents == 2000.0 and row.gini == 0.5
+    compare(df, _conn_with({"orders": path}), ORACLE["gini_mean_difference"])
