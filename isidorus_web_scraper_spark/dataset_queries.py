@@ -25244,3 +25244,212 @@ def gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("gini"),
     )
+
+
+@query(
+    "dominant_cycle_detect",
+    """
+    WITH d AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT l.k,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.n) AS BIGINT) AS sx,
+             CAST(sum(b.n) AS BIGINT) AS sy,
+             CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(sum(b.n * b.n) AS BIGINT) AS syy
+      FROM (SELECT unnest(range(2, 15)) AS k) l
+      JOIN d a ON true
+      JOIN d b ON b.day = a.day + l.k
+      GROUP BY l.k
+    ),
+    rho AS (
+      SELECT k, n_pairs,
+             (n_pairs * sxy - sx * sy)
+               / sqrt((n_pairs * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * sx)
+                      * (n_pairs * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * sy)) AS r
+      FROM lagged
+      WHERE n_pairs * sxx - sx * sx > 0
+        AND n_pairs * syy - sy * sy > 0
+    ),
+    best AS (
+      SELECT k, n_pairs, r,
+             row_number() OVER (ORDER BY r DESC, k) AS rn
+      FROM rho
+    )
+    SELECT CAST(k AS BIGINT) AS dominant_lag_days, n_pairs,
+           round(r, 6) AS rho, k = 7 AS weekly
+    FROM best WHERE rn = 1
+    """,
+)
+def dominant_cycle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-cycle detection on the daily event series: the lag in
+    2..14 days with the HIGHEST calendar-aligned autocorrelation —
+    the 'which period?' answer after ljung_box says 'some serial
+    structure exists' (a portmanteau can't name the cycle; staffing
+    and anomaly baselines need the number, and weekly=true is the
+    expected corpus answer a pipeline asserts on).
+
+    Exactness: per-lag Pearson over exact integer moment sums on
+    calendar-consecutive pairs (ljung_box's machinery widened to lags
+    2..14), degenerate lags excluded by the exact integer variance
+    witnesses BEFORE any division; the argmax orders identical IEEE
+    doubles (bit-equal both engines) with the shorter lag as
+    tiebreak. A constant or too-short series excludes every lag and
+    returns an empty result in both engines.
+
+    Scale shape: one daily rollup, a 13-lag × day-frame join keyed on
+    the calendar (bounded), a 13-row argmax window."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            (ntz_epoch_ms(F.col("ts")) / F.lit(86400000))
+            .cast("bigint")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    ks = spark.range(2, 15).select(F.col("id").cast("int").alias("k"))
+    a = d.select(F.col("day").alias("da"), F.col("n").alias("na"))
+    b = d.select(F.col("day").alias("db"), F.col("n").alias("nb"))
+    lagged = (
+        ks.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("na").cast("bigint").alias("sx"),
+            F.sum("nb").cast("bigint").alias("sy"),
+            F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("sxy"),
+            F.sum(F.col("na") * F.col("na")).cast("bigint").alias("sxx"),
+            F.sum(F.col("nb") * F.col("nb")).cast("bigint").alias("syy"),
+        )
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (
+            F.col("n_pairs") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n_pairs") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    rho = lagged.filter((vx > 0) & (vy > 0)).select(
+        "k", "n_pairs", r.alias("r")
+    )
+    best = rho.select(
+        "k",
+        "n_pairs",
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("r"), F.asc("k"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("k").cast("bigint").alias("dominant_lag_days"),
+        "n_pairs",
+        F.round(F.col("r"), 6).alias("rho"),
+        (F.col("k") == 7).alias("weekly"),
+    )
+
+
+@query(
+    "segment_migration_matrix",
+    """
+    WITH spans AS (
+      SELECT (min(epoch_ms(o_orderdate) // 86400000)
+              + max(epoch_ms(o_orderdate) // 86400000) + 1) // 2 AS mid
+      FROM orders
+    ),
+    halves AS (
+      SELECT o_custkey,
+             CASE WHEN epoch_ms(o_orderdate) // 86400000
+                       >= (SELECT mid FROM spans)
+                  THEN 1 ELSE 0 END AS half,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    spend AS (
+      SELECT o_custkey, half,
+             CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS s
+      FROM halves GROUP BY 1, 2
+    ),
+    terc AS (
+      SELECT o_custkey, half,
+             CAST(ntile(3) OVER (PARTITION BY half
+                                 ORDER BY s, o_custkey) AS BIGINT) AS t
+      FROM spend
+    )
+    SELECT a.t AS tercile_from, b.t AS tercile_to,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM terc a JOIN terc b
+      ON a.o_custkey = b.o_custkey AND a.half = 0 AND b.half = 1
+    GROUP BY 1, 2
+    """,
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration matrix: spend terciles in the
+    first half of the observation window vs the second (the 3×3
+    'did our best customers stay our best customers' transition
+    table behind churn-risk and upsell targeting — cohort_retention
+    tracks presence, this tracks RANK movement; a heavy 3→1 cell is
+    the early-warning revenue_gini only shows after the fact).
+
+    Exactness: the window midpoint is the exact integer ceil-day
+    (difference_in_differences' law); per-half spend sums are exact
+    integers; tercile assignment is ntile over the (spend, custkey)
+    TOTAL order — byte-identical buckets in both engines
+    (lorenz_revenue_deciles' pinned convention); the matrix counts
+    only customers active in BOTH halves (one self-join on the
+    customer key).
+
+    Scale shape: one fact rollup to (customer, half), two ntile
+    windows partitioned by half, one customer-keyed join to the
+    ≤ 9-row matrix."""
+    orders = load(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    day = (ntz_epoch_ms(F.col("o_orderdate")) / F.lit(86400000)).cast("bigint")
+    with_day = orders.select(
+        "o_custkey",
+        day.alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    spans = with_day.agg(
+        ((F.min("day") + F.max("day") + 1) / 2).cast("bigint").alias("mid")
+    )
+    halves = with_day.crossJoin(F.broadcast(spans)).select(
+        "o_custkey",
+        F.when(F.col("day") >= F.col("mid"), 1).otherwise(0).alias("half"),
+        "cents",
+    )
+    spend = halves.groupBy("o_custkey", "half").agg(
+        F.sum(F.col("cents").cast(d38)).cast("bigint").alias("s")
+    )
+    terc = spend.select(
+        "o_custkey",
+        "half",
+        F.ntile(3)
+        .over(Window.partitionBy("half").orderBy("s", "o_custkey"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    a = terc.filter(F.col("half") == 0).select(
+        "o_custkey", F.col("t").alias("tercile_from")
+    )
+    b = terc.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("t").alias("tercile_to")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("tercile_from", "tercile_to")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )

@@ -2416,3 +2416,68 @@ def test_gmd_two_values_exact(spark, tmp_path):
     row = df.collect()[0]
     assert row.gmd_cents == 2000.0 and row.gini == 0.5
     compare(df, _conn_with({"orders": path}), ORACLE["gini_mean_difference"])
+
+
+def test_dominant_cycle_constant_series(spark, tmp_path):
+    # identical daily counts: every lag's variance witness is 0,
+    # every candidate excluded -> empty result in BOTH engines
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        (3 * d + j, "click", base + datetime.timedelta(days=d))
+        for d in range(20)
+        for j in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["dominant_cycle_detect"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(df, _conn_with({"events": path}), ORACLE["dominant_cycle_detect"])
+
+
+def test_dominant_cycle_finds_planted_week(spark, tmp_path):
+    # plant a clean 7-day cycle (weekend spikes): lag 7 must win
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 2, 12, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(42):
+        count = 10 if d % 7 in (5, 6) else 2
+        for _ in range(count):
+            rows.append((eid, "click", base + datetime.timedelta(days=d)))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["dominant_cycle_detect"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.dominant_lag_days == 7 and row.weekly is True
+    compare(df, _conn_with({"events": path}), ORACLE["dominant_cycle_detect"])
+
+
+def test_segment_migration_stable_ranks(spark, tmp_path):
+    # three customers with unchanged relative spend across halves:
+    # the matrix is exactly diagonal (1->1, 2->2, 3->3 each n=1)
+    import datetime
+
+    path = f"{tmp_path}/orders.parquet"
+    h1 = datetime.datetime(2026, 1, 10)
+    h2 = datetime.datetime(2026, 3, 10)
+    rows = [
+        (0, 1, 10.0, h1), (1, 2, 20.0, h1), (2, 3, 30.0, h1),
+        (3, 1, 11.0, h2), (4, 2, 21.0, h2), (5, 3, 31.0, h2),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["segment_migration_matrix"](spark, str(tmp_path))
+    got = {(r.tercile_from, r.tercile_to): r.n_customers for r in df.collect()}
+    assert got == {(1, 1): 1, (2, 2): 1, (3, 3): 1}
+    compare(df, _conn_with({"orders": path}), ORACLE["segment_migration_matrix"])
