@@ -25453,3 +25453,226 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tercile_from", "tercile_to")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
+
+
+@query(
+    "woe_information_value",
+    """
+    WITH e AS (
+      SELECT CAST((epoch_ms(ts) % 86400000) // 3600000 AS BIGINT) AS hr,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+      FROM events
+    ),
+    g AS (
+      SELECT hr, CAST(sum(good) AS BIGINT) AS gi,
+             CAST(sum(1 - good) AS BIGINT) AS bi
+      FROM e GROUP BY hr
+    ),
+    tot AS (
+      SELECT CAST(sum(gi) AS BIGINT) AS gt, CAST(sum(bi) AS BIGINT) AS bt
+      FROM g
+    ),
+    woe AS (
+      SELECT g.hr, g.gi, g.bi, tot.gt, tot.bt,
+             CASE WHEN g.gi > 0 AND g.bi > 0 AND tot.gt > 0 AND tot.bt > 0
+                  THEN ln((CAST(g.gi AS DOUBLE) * tot.bt)
+                          / (CAST(g.bi AS DOUBLE) * tot.gt))
+             END AS w
+      FROM g CROSS JOIN tot
+    ),
+    iv_f AS (
+      SELECT sum(CASE WHEN w IS NOT NULL
+                      THEN (CAST(gi AS DOUBLE) * bt - CAST(bi AS DOUBLE) * gt)
+                           / (CAST(gt AS DOUBLE) * bt) * w END)
+               OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS iv,
+             sum(CASE WHEN w IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS used,
+             row_number() OVER (ORDER BY hr DESC) AS rn
+      FROM woe
+    )
+    SELECT woe.hr AS hour, woe.gi AS n_purchase, woe.bi AS n_other,
+           round(woe.w, 6) AS woe,
+           round(iv_f.iv, 6) AS information_value,
+           CAST(iv_f.used AS BIGINT) AS iv_bins_used
+    FROM woe CROSS JOIN iv_f WHERE iv_f.rn = 1
+    """,
+)
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value of hour-of-day
+    for predicting purchases — the credit-scoring feature-screening
+    operator (WoE is the log-odds encoding a scorecard feeds its
+    regression; IV = Σ(g%−b%)·WoE is the keep/drop number: < 0.02
+    useless, > 0.3 strong). Completes the feature-evaluation family
+    (info_gain is entropy-based and symmetric; WoE/IV is the
+    odds-based, direction-carrying form modelers actually encode
+    with).
+
+    Exactness: bin counts and margins are exact integers; WoE is one
+    guarded log of an integer ratio (bins with zero goods OR zero
+    bads are excluded by exact witnesses on both sides — the
+    standard practice — and reported NULL with the used-bin count
+    alongside); the IV folds as an ORDERED cumulative window over
+    the 24-row hour frame and rides every row for a one-result
+    read.
+
+    Scale shape: one map-side conditional agg to 24 rows; all else
+    is arithmetic on that frame."""
+    ev = load(spark, sf_dir, "events")
+    hr = ((ntz_epoch_ms(F.col("ts")) % 86400000) / F.lit(3600000)).cast(
+        "bigint"
+    )
+    e = ev.select(
+        hr.alias("hr"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("good"),
+    )
+    g = e.groupBy("hr").agg(
+        F.sum("good").cast("bigint").alias("gi"),
+        F.sum(1 - F.col("good")).cast("bigint").alias("bi"),
+    )
+    tot = g.agg(
+        F.sum("gi").cast("bigint").alias("gt"),
+        F.sum("bi").cast("bigint").alias("bt"),
+    )
+    ok = (
+        (F.col("gi") > 0)
+        & (F.col("bi") > 0)
+        & (F.col("gt") > 0)
+        & (F.col("bt") > 0)
+    )
+    w = F.log(
+        (F.col("gi").cast("double") * F.col("bt"))
+        / (F.col("bi").cast("double") * F.col("gt"))
+    )
+    woe = g.crossJoin(F.broadcast(tot)).select(
+        "hr", "gi", "bi", "gt", "bt", F.when(ok, w).alias("w")
+    )
+    term = (
+        (F.col("gi").cast("double") * F.col("bt") - F.col("bi").cast("double") * F.col("gt"))
+        / (F.col("gt").cast("double") * F.col("bt"))
+        * F.col("w")
+    )
+    w_cum = Window.orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    iv_f = woe.select(
+        F.sum(F.when(F.col("w").isNotNull(), term)).over(w_cum).alias("iv"),
+        F.sum(F.when(F.col("w").isNotNull(), 1).otherwise(0))
+        .over(w_cum)
+        .alias("used"),
+        F.row_number().over(Window.orderBy(F.desc("hr"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return woe.crossJoin(F.broadcast(iv_f)).select(
+        F.col("hr").alias("hour"),
+        F.col("gi").alias("n_purchase"),
+        F.col("bi").alias("n_other"),
+        F.round(F.col("w"), 6).alias("woe"),
+        F.round(F.col("iv"), 6).alias("information_value"),
+        F.col("used").cast("bigint").alias("iv_bins_used"),
+    )
+
+
+@query(
+    "cumulative_gains_curve",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS pos
+      FROM s GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt
+      FROM g
+    ),
+    c AS (
+      SELECT g.decile, g.n, g.pos,
+             CAST(sum(g.n) OVER (ORDER BY g.decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(sum(g.pos) OVER (ORDER BY g.decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+      FROM g
+    )
+    SELECT c.decile, c.n, c.pos, c.cum_pos,
+           CASE WHEN tot.pt > 0
+                THEN c.cum_pos * 1000 // tot.pt END AS gain_permille,
+           CASE WHEN tot.pt > 0 AND c.cum_n > 0
+                THEN (c.cum_pos * tot.nt * 1000)
+                     // (CAST(tot.pt AS HUGEINT) * c.cum_n)
+           END AS cum_lift_permille
+    FROM c CROSS JOIN tot
+    """,
+)
+def cumulative_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift-chart deciles for the length→is-English
+    scorer — the targeting-economics read that completes the
+    model-eval family (score_auc summarizes ranking in one number,
+    calibration_bins checks probability honesty; the gains curve
+    answers the operational question 'if we only act on the top k%,
+    what fraction of positives do we capture and at what lift?').
+
+    Exactness: deciles are ntile over the (score DESC, doc_id) TOTAL
+    order (byte-identical buckets — the E45/E89 convention, ties
+    broken by id so equal scores split deterministically); per-decile
+    counts, cumulative captures and the floored permille gain/lift
+    ratios are exact integers end-to-end (the lift numerator rides
+    HUGEINT/DECIMAL(38,0)). Division guarded on a positives-free or
+    empty corpus.
+
+    Scale shape: one global ntile window (a TOTAL sort — at 10^10
+    rows swap for range-partitioned bucketing by pre-computed score
+    quantiles, same downstream frame), one 10-row rollup, one
+    cumulative window on 10 rows."""
+    docs = load(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    s = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    g = s.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("pt"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).cast("bigint").alias("cum_n"),
+        F.sum("pos").over(w_cum).cast("bigint").alias("cum_pos"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "pos",
+        "cum_pos",
+        F.when(F.col("pt") > 0, F.expr("cum_pos * 1000 div pt")).alias(
+            "gain_permille"
+        ),
+        F.when(
+            (F.col("pt") > 0) & (F.col("cum_n") > 0),
+            F.expr(
+                "CAST((CAST(cum_pos AS DECIMAL(38,0)) * nt * 1000) div "
+                "(CAST(pt AS DECIMAL(38,0)) * cum_n) AS BIGINT)"
+            ),
+        ).alias("cum_lift_permille"),
+    )

@@ -2481,3 +2481,67 @@ def test_segment_migration_stable_ranks(spark, tmp_path):
     got = {(r.tercile_from, r.tercile_to): r.n_customers for r in df.collect()}
     assert got == {(1, 1): 1, (2, 2): 1, (3, 3): 1}
     compare(df, _conn_with({"orders": path}), ORACLE["segment_migration_matrix"])
+
+
+def test_woe_degenerate_bins(spark, tmp_path):
+    # one hour has only purchases (bi=0), another only views (gi=0):
+    # both WoE NULL, excluded from IV; a mixed hour carries the IV
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 0, 30, 0)
+    rows = []
+    eid = 0
+
+    def add(hour, etype, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(
+                (eid, etype, base + datetime.timedelta(hours=hour))
+            )
+            eid += 1
+
+    add(1, "purchase", 3)            # pure-good bin
+    add(2, "view", 4)                # pure-bad bin
+    add(3, "purchase", 2); add(3, "view", 2)  # mixed
+    add(4, "purchase", 1); add(4, "view", 5)  # mixed
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["woe_information_value"](spark, str(tmp_path))
+    got = {r.hour: r for r in df.collect()}
+    assert got[1].woe is None and got[2].woe is None
+    assert got[3].woe is not None and got[3].iv_bins_used == 2
+    compare(df, _conn_with({"events": path}), ORACLE["woe_information_value"])
+
+
+def test_gains_curve_no_positives(spark, tmp_path):
+    # zero English docs: gain/lift guarded NULL in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, "fr", 100 + i) for i in range(20)],
+        "doc_id long, lang string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["cumulative_gains_curve"](spark, str(tmp_path))
+    rows = df.collect()
+    assert all(r.gain_permille is None for r in rows)
+    compare(df, _conn_with({"documents": path}), ORACLE["cumulative_gains_curve"])
+
+
+def test_gains_curve_perfect_separation(spark, tmp_path):
+    # long docs all English, short all French, 20 docs -> decile 1-5
+    # capture all 10 positives: gain hits 1000 by decile 5 and lift
+    # in decile 1 is exactly 2000 permille
+    path = f"{tmp_path}/documents.parquet"
+    rows = [(i, "en", 1000 + i) for i in range(10)] + [
+        (10 + i, "fr", 100 + i) for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    ).write.parquet(path)
+    df = QUERIES["cumulative_gains_curve"](spark, str(tmp_path))
+    got = {r.decile: r for r in df.collect()}
+    assert got[1].cum_lift_permille == 2000
+    assert got[5].gain_permille == 1000
+    assert got[10].gain_permille == 1000
+    compare(df, _conn_with({"documents": path}), ORACLE["cumulative_gains_curve"])
