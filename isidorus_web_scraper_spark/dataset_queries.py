@@ -25676,3 +25676,246 @@ def cumulative_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cum_lift_permille"),
     )
+
+
+@query(
+    "cramer_von_mises",
+    """
+    WITH o AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders
+    ),
+    v AS (
+      SELECT x,
+             CAST(sum(a) AS BIGINT) AS ca,
+             CAST(sum(1 - a) AS BIGINT) AS cb
+      FROM o GROUP BY x
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cb) AS BIGINT) AS n2
+      FROM v
+    ),
+    c AS (
+      SELECT x, ca, cb,
+             CAST(sum(ca) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS f1,
+             CAST(sum(cb) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS f2
+      FROM v
+    ),
+    u AS (
+      SELECT tot.n1, tot.n2,
+             sum((CAST(c.f1 AS HUGEINT) * tot.n2
+                  - CAST(c.f2 AS HUGEINT) * tot.n1)
+                 * (CAST(c.f1 AS HUGEINT) * tot.n2
+                    - CAST(c.f2 AS HUGEINT) * tot.n1)
+                 * (c.ca + c.cb)) AS num
+      FROM c CROSS JOIN tot
+      GROUP BY tot.n1, tot.n2
+    )
+    SELECT n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(CAST(num AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * n2
+                              * (CAST(n1 AS DOUBLE) + n2)
+                              * (CAST(n1 AS DOUBLE) + n2)), 6)
+           END AS t_stat,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN CAST(num AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * n2
+                        * (CAST(n1 AS DOUBLE) + n2)
+                        * (CAST(n1 AS DOUBLE) + n2)) > 0.461
+           END AS distributions_differ
+    FROM u
+    """,
+)
+def cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises test (urgent vs rest on order
+    value) — the INTEGRATED-distance member completing the
+    distribution-comparison trio (KS reacts to the single worst ECDF
+    gap; Mann-Whitney to rank shift; CvM integrates the squared gap
+    over the whole pooled sample, catching spread/shape differences a
+    matched-median KS misses): T = Σ_pooled (F₁−F₂)²·w / (n₁n₂N²)
+    with w = pooled multiplicity at each distinct value.
+
+    Exactness: the ECDF gap at each distinct value is the exact
+    integer cross-difference f₁·n₂ − f₂·n₁ (cumulative windows over
+    the distinct-value frame — KS's machinery, squared and summed
+    instead of maxed); the numerator Σ(f₁n₂−f₂n₁)²·(c₁+c₂) rides
+    HUGEINT/DECIMAL(38,0) (≈10^26 at sf0.1) and T is ONE guarded
+    double division. The 0.461 large-sample 5% critical value is the
+    standard CvM table constant; empty cohorts report NULL.
+
+    Scale shape: one hash-agg to distinct values, one cumulative
+    window, one 1-row rollup — identical footprint to ks_two_sample."""
+    orders = load(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    o = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("a"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    v = o.groupBy("x").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("a")).cast("bigint").alias("cb"),
+    )
+    tot = v.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+    )
+    w_cum = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = v.select(
+        "x",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_cum).cast("bigint").alias("f1"),
+        F.sum("cb").over(w_cum).cast("bigint").alias("f2"),
+    )
+    diff = F.col("f1").cast(d38) * F.col("n2") - F.col("f2").cast(d38) * F.col(
+        "n1"
+    )
+    u = (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.sum(diff * diff * (F.col("ca") + F.col("cb"))).alias("num"))
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    t = F.col("num").cast("double") / (
+        n1d * F.col("n2") * (n1d + F.col("n2")) * (n1d + F.col("n2"))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return u.select(
+        "n1",
+        "n2",
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, t > 0.461).alias("distributions_differ"),
+    )
+
+
+@query(
+    "lead_lag_xcorr",
+    """
+    WITH d AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS p
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT l.k,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.c) AS BIGINT) AS sx,
+             CAST(sum(b.p) AS BIGINT) AS sy,
+             CAST(sum(a.c * b.p) AS BIGINT) AS sxy,
+             CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+             CAST(sum(b.p * b.p) AS BIGINT) AS syy
+      FROM (SELECT unnest(range(-7, 8)) AS k) l
+      JOIN d a ON true
+      JOIN d b ON b.day = a.day + l.k
+      GROUP BY l.k
+    ),
+    rho AS (
+      SELECT k, n,
+             (n * sxy - sx * sy)
+               / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * (n * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * sy)) AS r
+      FROM lagged
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ),
+    best AS (
+      SELECT k, n, r, row_number() OVER (ORDER BY r DESC, k) AS rn
+      FROM rho
+    )
+    SELECT CAST(k AS BIGINT) AS best_lag_days, n AS n_pairs,
+           round(r, 6) AS rho,
+           k > 0 AS clicks_lead
+    FROM best WHERE rn = 1
+    """,
+)
+def lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily click and purchase
+    volume over lags −7..+7 — the 'which series LEADS, and by how
+    many days?' operator (event_type_correlation reports same-day
+    co-movement; a positive best lag here means clicks predict
+    purchases k days out, the number a demand-forecast feature
+    actually encodes; negative would mean purchases lead, i.e. the
+    funnel intuition is wrong for this corpus).
+
+    Exactness: per-lag Pearson on exact integer moment sums over
+    calendar-aligned day pairs (dominant_cycle_detect's machinery
+    pointed across two series), degenerate lags excluded by exact
+    integer variance witnesses before any division, argmax over
+    bit-identical doubles with the smaller lag as tiebreak.
+
+    Scale shape: one daily two-counter rollup, a 15-lag ×
+    calendar-bounded join, a 15-row argmax window."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            (ntz_epoch_ms(F.col("ts")) / F.lit(86400000))
+            .cast("bigint")
+            .alias("day"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ic"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("ip"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("ic").cast("bigint").alias("c"),
+            F.sum("ip").cast("bigint").alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ks = spark.range(-7, 8).select(F.col("id").cast("int").alias("k"))
+    a = d.select(F.col("day").alias("da"), F.col("c").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("p").alias("yb"))
+    lagged = (
+        ks.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("xa").cast("bigint").alias("sx"),
+            F.sum("yb").cast("bigint").alias("sy"),
+            F.sum(F.col("xa") * F.col("yb")).cast("bigint").alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("sxx"),
+            F.sum(F.col("yb") * F.col("yb")).cast("bigint").alias("syy"),
+        )
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    rho = lagged.filter((vx > 0) & (vy > 0)).select("k", "n", r.alias("r"))
+    best = rho.select(
+        "k",
+        "n",
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("r"), F.asc("k"))).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("k").cast("bigint").alias("best_lag_days"),
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("r"), 6).alias("rho"),
+        (F.col("k") > 0).alias("clicks_lead"),
+    )

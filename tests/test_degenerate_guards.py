@@ -2545,3 +2545,64 @@ def test_gains_curve_perfect_separation(spark, tmp_path):
     assert got[5].gain_permille == 1000
     assert got[10].gain_permille == 1000
     compare(df, _conn_with({"documents": path}), ORACLE["cumulative_gains_curve"])
+
+
+def test_cvm_empty_cohort(spark, tmp_path):
+    # no urgent orders: n1 = 0, T guarded NULL in both engines
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, 100.0 + i, "5-LOW") for i in range(6)],
+        "o_orderkey long, o_totalprice double, o_orderpriority string",
+    ).write.parquet(path)
+    df = QUERIES["cramer_von_mises"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n1 == 0 and row.t_stat is None
+    compare(df, _conn_with({"orders": path}), ORACLE["cramer_von_mises"])
+
+
+def test_cvm_identical_distributions(spark, tmp_path):
+    # both cohorts identical: every ECDF cross-difference where both
+    # cohorts are balanced... with equal values the gap is exactly 0
+    # at every pooled point, T exactly 0
+    path = f"{tmp_path}/orders.parquet"
+    rows = []
+    k = 0
+    for v in (10.0, 20.0, 30.0):
+        rows.append((k, v, "1-URGENT")); k += 1
+        rows.append((k, v, "5-LOW")); k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).write.parquet(path)
+    df = QUERIES["cramer_von_mises"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.t_stat == 0.0 and row.distributions_differ is False
+    compare(df, _conn_with({"orders": path}), ORACLE["cramer_von_mises"])
+
+
+def test_lead_lag_planted_lead(spark, tmp_path):
+    # purchases copy the click series shifted 3 days later: the
+    # cross-correlation must peak at lag +3 with clicks_lead True
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    series = [2, 9, 4, 7, 1, 8, 3, 6, 2, 9, 5, 7, 2, 8, 4, 6, 1, 9, 3, 7]
+    rows = []
+    eid = 0
+    for d, n in enumerate(series):
+        for _ in range(n):
+            rows.append((eid, "click", base + datetime.timedelta(days=d)))
+            eid += 1
+        for _ in range(n):  # same counts, 3 days later
+            rows.append(
+                (eid, "purchase", base + datetime.timedelta(days=d + 3))
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["lead_lag_xcorr"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.best_lag_days == 3 and row.clicks_lead is True
+    assert row.rho == 1.0
+    compare(df, _conn_with({"events": path}), ORACLE["lead_lag_xcorr"])
