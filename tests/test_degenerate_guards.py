@@ -2606,3 +2606,27 @@ def test_lead_lag_planted_lead(spark, tmp_path):
     assert row.best_lag_days == 3 and row.clicks_lead is True
     assert row.rho == 1.0
     compare(df, _conn_with({"events": path}), ORACLE["lead_lag_xcorr"])
+
+
+def test_dn_retention_horizon_censoring(spark, tmp_path):
+    # a 9-day dataset: no user is eligible for D30 (denominator 0 ->
+    # NULL rate); a user returning exactly on day 7 counts for D7;
+    # day 8 does not count for D7
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        (0, 1, base), (1, 1, base + datetime.timedelta(days=7)),
+        (2, 2, base), (3, 2, base + datetime.timedelta(days=8)),
+        (4, 3, base + datetime.timedelta(days=1)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["dn_retention"](spark, str(tmp_path))
+    got = {r.day_n: r for r in df.collect()}
+    assert got[30].n_eligible == 0 and got[30].retention_permille is None
+    assert got[7].n_retained == 1 and got[7].n_eligible == 3
+    assert got[1].n_retained == 0
+    compare(df, _conn_with({"events": path}), ORACLE["dn_retention"])
