@@ -2630,3 +2630,51 @@ def test_dn_retention_horizon_censoring(spark, tmp_path):
     assert got[7].n_retained == 1 and got[7].n_eligible == 3
     assert got[1].n_retained == 0
     compare(df, _conn_with({"events": path}), ORACLE["dn_retention"])
+
+
+def test_session_affinity_splits_on_gap(spark, tmp_path):
+    # one user, two events 31 minutes apart: they land in DIFFERENT
+    # sessions, so no pair forms -> empty result; 29 minutes apart
+    # would co-occur (pinned via a second user)
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        (0, 1, "click", base),
+        (1, 1, "purchase", base + datetime.timedelta(minutes=31)),
+        (2, 2, "click", base),
+        (3, 2, "purchase", base + datetime.timedelta(minutes=29)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["session_type_affinity"](spark, str(tmp_path))
+    rows_out = df.collect()
+    assert len(rows_out) == 1  # only user 2's session pairs the types
+    assert rows_out[0].support_ab == 1 and rows_out[0].n_sessions == 3
+    compare(df, _conn_with({"events": path}), ORACLE["session_type_affinity"])
+
+
+def test_supplier_dependency_single_customer(spark, tmp_path):
+    # one supplier, one customer: dependency exactly 1000 permille and
+    # majority_dependent True; tie between two equal customers picks
+    # the min key deterministically
+    lpath = f"{tmp_path}/lineitem.parquet"
+    opath = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(0, 7, 50.0), (1, 7, 50.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double",
+    ).write.parquet(lpath)
+    spark.createDataFrame(
+        [(0, 101), (1, 102)], "o_orderkey long, o_custkey long"
+    ).write.parquet(opath)
+    df = QUERIES["supplier_customer_dependency"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_customers == 2 and row.top_cust == 101
+    assert row.dependency_permille == 500 and row.majority_dependent is False
+    compare(
+        df,
+        _conn_with({"lineitem": lpath, "orders": opath}),
+        ORACLE["supplier_customer_dependency"],
+    )
