@@ -2678,3 +2678,45 @@ def test_supplier_dependency_single_customer(spark, tmp_path):
         _conn_with({"lineitem": lpath, "orders": opath}),
         ORACLE["supplier_customer_dependency"],
     )
+
+
+def test_keep_best_quality_prefers_longest(spark, tmp_path):
+    # two identical-text docs with different n_chars metadata: the
+    # quality keep picks the longer one, the min-id keep would pick
+    # doc 0 -> differs_from_min_id True when lengths invert ids
+    path = f"{tmp_path}/documents.parquet"
+    txt = "spark window join scan merge sort table batch stream dup"
+    spark.createDataFrame(
+        [(0, txt, 50), (1, txt, 90)],
+        "doc_id long, text string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["dedup_keep_best_quality"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.size == 2 and row.keep_doc == 1 and row.keep_chars == 90
+    assert row.min_id_doc == 0 and row.differs_from_min_id is True
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["dedup_keep_best_quality"]
+    )
+
+
+def test_conversion_depth_zero_bucket(spark, tmp_path):
+    # a purchase-only user has path_depth 0 and converts; a view-only
+    # user has depth 1 and does not
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        (0, 1, "purchase", base),
+        (1, 2, "view", base),
+        (2, 3, "view", base), (3, 3, "click", base), (4, 3, "purchase", base),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["conversion_by_path_depth"](spark, str(tmp_path))
+    got = {r.path_depth: r for r in df.collect()}
+    assert got[0].n_users == 1 and got[0].conversion_permille == 1000
+    assert got[1].n_users == 1 and got[1].conversion_permille == 0
+    assert got[2].n_users == 1 and got[2].conversion_permille == 1000
+    compare(df, _conn_with({"events": path}), ORACLE["conversion_by_path_depth"])
