@@ -2720,3 +2720,83 @@ def test_conversion_depth_zero_bucket(spark, tmp_path):
     assert got[1].n_users == 1 and got[1].conversion_permille == 0
     assert got[2].n_users == 1 and got[2].conversion_permille == 1000
     compare(df, _conn_with({"events": path}), ORACLE["conversion_by_path_depth"])
+
+
+def test_cuped_exact_theta_and_zero_variance(spark, tmp_path):
+    import datetime
+
+    path = f"{tmp_path}/events.parquet"
+    d0 = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    d1 = datetime.datetime(2026, 3, 2, 12, 0, 0)
+    # 3 users, post = exactly 2x pre (in cents): theta = 2, rho2 = 1
+    rows = []
+    for uid, v in [(1, 10.0), (2, 20.0), (3, 40.0)]:
+        rows.append((uid * 10, uid, "view", d0, v))
+        rows.append((uid * 10 + 1, uid, "view", d1, 2 * v))
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    ).write.parquet(path)
+    df = QUERIES["cuped_adjustment"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_users == 3 and row.theta == 2.0 and row.rho2 == 1.0
+    assert row.useful is True
+    compare(df, _conn_with({"events": path}), ORACLE["cuped_adjustment"])
+
+    # single user: var(X) = 0 exactly -> every output guarded NULL
+    path2 = f"{tmp_path}/solo/events.parquet"
+    spark.createDataFrame(
+        [(0, 1, "view", d0, 5.0), (1, 1, "view", d1, 9.0)],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    ).write.parquet(path2)
+    df2 = QUERIES["cuped_adjustment"](spark, f"{tmp_path}/solo")
+    r2 = df2.collect()[0]
+    assert r2.n_users == 1 and r2.theta is None and r2.rho2 is None
+    assert r2.useful is None
+    compare(
+        df2, _conn_with({"events": path2}), ORACLE["cuped_adjustment"]
+    )
+
+
+def test_friedman_all_tied_blocks_and_known_q(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    # every type has the same count within each day -> den = 0 -> NULL
+    path = f"{tmp_path}/events.parquet"
+    rows, eid = [], 0
+    for day in range(3):
+        ts = datetime.datetime(2026, 3, 1 + day, 8, 0, 0)
+        for t in ("view", "click"):
+            for _ in range(4):
+                rows.append((eid, 1, t, ts, 1.0))
+                eid += 1
+    spark.createDataFrame(rows, sch).write.parquet(path)
+    df = QUERIES["friedman_test"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_blocks == 3 and row.k_treatments == 2
+    assert row.q_den == 0 and row.q is None and row.significant is None
+    compare(df, _conn_with({"events": path}), ORACLE["friedman_test"])
+
+    # clean untied k=2, n=3: click > view every day -> perfect split,
+    # Q = n(k-1) = 3 (classic 12/(nk(k+1))*Sum R_j^2 - 3n(k+1) with
+    # R_view = 3, R_click = 6), below the df=1 critical 3.841
+    path2 = f"{tmp_path}/clean/events.parquet"
+    rows2, eid = [], 0
+    for day in range(3):
+        ts = datetime.datetime(2026, 3, 1 + day, 8, 0, 0)
+        for t, c in (("view", 1), ("click", 2 + day)):
+            for _ in range(c):
+                rows2.append((eid, 1, t, ts, 1.0))
+                eid += 1
+    spark.createDataFrame(rows2, sch).write.parquet(path2)
+    df2 = QUERIES["friedman_test"](spark, f"{tmp_path}/clean")
+    r2 = df2.collect()[0]
+    assert r2.n_blocks == 3 and r2.k_treatments == 2
+    assert r2.q == 3.0 and r2.significant is False
+    compare(df2, _conn_with({"events": path2}), ORACLE["friedman_test"])
