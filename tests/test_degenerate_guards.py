@@ -2800,3 +2800,60 @@ def test_friedman_all_tied_blocks_and_known_q(spark, tmp_path):
     assert r2.n_blocks == 3 and r2.k_treatments == 2
     assert r2.q == 3.0 and r2.significant is False
     compare(df2, _conn_with({"events": path2}), ORACLE["friedman_test"])
+
+
+def test_price_elasticity_guard_and_unit_slope(spark, tmp_path):
+    # brand B1: price doubles (100 -> 200 cents), qty halves (4 -> 2)
+    # -> log-log slope exactly -1.0, elastic False (strictly < -1
+    # required); brand B2: one distinct price -> npx guard -> NULL
+    lpath = f"{tmp_path}/lineitem.parquet"
+    ppath = f"{tmp_path}/part.parquet"
+    spark.createDataFrame(
+        [(1, 4.0, 4.0, 0.0), (2, 2.0, 4.0, 0.0),
+         (3, 5.0, 5.0, 0.0), (3, 5.0, 5.0, 0.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    ).write.parquet(lpath)
+    spark.createDataFrame(
+        [(1, "B1"), (2, "B1"), (3, "B2")],
+        "p_partkey long, p_brand string",
+    ).write.parquet(ppath)
+    df = QUERIES["price_elasticity_brand"](spark, str(tmp_path))
+    got = {r.brand: r for r in df.collect()}
+    assert got["B1"].elasticity == -1.0 and got["B1"].elastic is False
+    assert got["B2"].n_lines == 2 and got["B2"].elasticity is None
+    assert got["B2"].elastic is None
+    compare(
+        df,
+        _conn_with({"lineitem": lpath, "part": ppath}),
+        ORACLE["price_elasticity_brand"],
+    )
+
+
+def test_triad_census_no_triangle_and_known_census(spark, tmp_path):
+    # n=3 docs: derived host pairs (0,1) and (1,2) only — no triangle,
+    # so the permille guard must emit NULL in both engines
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(3)], "doc_id long, text string"
+    ).write.parquet(path)
+    df = QUERIES["triad_census_directed"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_triangles == 0 and row.cyclic_permille is None
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["triad_census_directed"]
+    )
+
+    # n=7 docs: brute-force census of the derived tournament gives
+    # 3 triangles, 2 cyclic (enumerated offline) -> permille 666
+    path2 = f"{tmp_path}/seven/documents.parquet"
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], "doc_id long, text string"
+    ).write.parquet(path2)
+    df2 = QUERIES["triad_census_directed"](spark, f"{tmp_path}/seven")
+    r2 = df2.collect()[0]
+    assert r2.n_triangles == 3 and r2.n_cyclic == 2
+    assert r2.n_transitive == 1 and r2.cyclic_permille == 666
+    compare(
+        df2, _conn_with({"documents": path2}), ORACLE["triad_census_directed"]
+    )
