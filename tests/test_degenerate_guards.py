@@ -2857,3 +2857,70 @@ def test_triad_census_no_triangle_and_known_census(spark, tmp_path):
     compare(
         df2, _conn_with({"documents": path2}), ORACLE["triad_census_directed"]
     )
+
+
+def test_anderson_darling_matches_brute_force(spark, tmp_path):
+    # independent recompute: hashlib md5 + math.log over 5 docs must
+    # land on the same A2 (same integer-derived u inputs, IEEE ops)
+    import hashlib
+    import math
+
+    import pytest
+
+    path = f"{tmp_path}/documents.parquet"
+    ids = [0, 1, 2, 3, 4]
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+    ).write.parquet(path)
+    us = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1048576
+         + 0.5) / 1048576.0
+        for i in ids
+    )
+    n = len(us)
+    s = sum(
+        (2 * (i + 1) - 1) * math.log(us[i])
+        + (2 * n - 2 * (i + 1) + 1) * math.log(1 - us[i])
+        for i in range(n)
+    )
+    expect = -n - s / n
+    df = QUERIES["anderson_darling_uniform"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_docs == 5
+    assert row.a2 == pytest.approx(expect, abs=1e-5)
+    assert row.reject_uniform is (expect > 2.492)
+    compare(
+        df,
+        _conn_with({"documents": path}),
+        ORACLE["anderson_darling_uniform"],
+    )
+
+
+def test_slo_burn_page_and_calendar_gap(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    path = f"{tmp_path}/events.parquet"
+    rows, eid = [], 0
+    # day 0: 2 errors / 10 events (20% > 2x budget); week = day alone
+    # -> page True. day 10: clean, and its RANGE week must NOT reach
+    # back to day 0 across the gap (rows-frame would).
+    d0 = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    for i in range(10):
+        rows.append((eid, 1, "error" if i < 2 else "view", d0, 1.0))
+        eid += 1
+    d10 = d0 + datetime.timedelta(days=10)
+    for i in range(4):
+        rows.append((eid, 1, "view", d10, 1.0))
+        eid += 1
+    spark.createDataFrame(rows, sch).write.parquet(path)
+    df = QUERIES["slo_burn_rate"](spark, str(tmp_path))
+    got = {r.day - min(x.day for x in df.collect()): r
+           for r in df.collect()}
+    assert got[0].burn_1d_permille == 4000 and got[0].page is True
+    assert got[10].n_7d == 4 and got[10].err_7d == 0
+    assert got[10].burn_7d_permille == 0 and got[10].page is False
+    compare(df, _conn_with({"events": path}), ORACLE["slo_burn_rate"])
