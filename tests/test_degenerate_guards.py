@@ -2924,3 +2924,57 @@ def test_slo_burn_page_and_calendar_gap(spark, tmp_path):
     assert got[10].n_7d == 4 and got[10].err_7d == 0
     assert got[10].burn_7d_permille == 0 and got[10].page is False
     compare(df, _conn_with({"events": path}), ORACLE["slo_burn_rate"])
+
+
+def test_srm_detected_on_one_sided_assignment(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    ts = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    # all-even user ids: n1 = 0, chi2 = N -> SRM fires
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [(i, 2 * i, "view", ts, 1.0) for i in range(10)], sch
+    ).write.parquet(path)
+    df = QUERIES["srm_check"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n0 == 10 and row.n1 == 0 and row.chi2 == 10.0
+    assert row.srm_detected is True
+    compare(df, _conn_with({"events": path}), ORACLE["srm_check"])
+
+    # balanced 5/5: chi2 = 0, no SRM
+    path2 = f"{tmp_path}/ok/events.parquet"
+    spark.createDataFrame(
+        [(i, i, "view", ts, 1.0) for i in range(10)], sch
+    ).write.parquet(path2)
+    df2 = QUERIES["srm_check"](spark, f"{tmp_path}/ok")
+    r2 = df2.collect()[0]
+    assert r2.chi2 == 0.0 and r2.srm_detected is False
+    compare(df2, _conn_with({"events": path2}), ORACLE["srm_check"])
+
+
+def test_aa_calibration_all_splits_degenerate(spark, tmp_path):
+    import datetime
+
+    # zero conversions anywhere: every split's pooled variance is 0,
+    # all 20 verdicts NULL -> n_decided = 0 and the permille/verdict
+    # stay NULL in BOTH engines (integer x div 0 is NULL on both)
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    ts = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [(i, i, "view", ts, 1.0) for i in range(8)], sch
+    ).write.parquet(path)
+    df = QUERIES["aa_test_calibration"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_splits == 20 and row.n_decided == 0 and row.n_sig is None
+    assert row.sig_permille is None and row.miscalibrated is None
+    compare(
+        df, _conn_with({"events": path}), ORACLE["aa_test_calibration"]
+    )
