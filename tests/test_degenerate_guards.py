@@ -2978,3 +2978,74 @@ def test_aa_calibration_all_splits_degenerate(spark, tmp_path):
     compare(
         df, _conn_with({"events": path}), ORACLE["aa_test_calibration"]
     )
+
+
+def test_diameter_edge_free_and_known_path(spark, tmp_path):
+    # single doc: no host edges -> zero rows in BOTH engines (the
+    # seeded-FROM guard; a scalar-subquery formulation would emit a
+    # NULL-filled row instead)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "doc 0")], "doc_id long, text string"
+    ).write.parquet(path)
+    df = QUERIES["host_graph_diameter"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["host_graph_diameter"]
+    )
+
+    # n=3 docs: derived host graph is the path 0-1-2, so the double
+    # sweep finds far=2 from seed 0 and ecc(2)=2 back to far2=0
+    path2 = f"{tmp_path}/three/documents.parquet"
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(3)], "doc_id long, text string"
+    ).write.parquet(path2)
+    df2 = QUERIES["host_graph_diameter"](spark, f"{tmp_path}/three")
+    r2 = df2.collect()[0]
+    assert r2.seed_host == 0 and r2.far_host == 2 and r2.far2_host == 0
+    assert r2.diameter_lb == 2 and r2.n_hosts == 3 and r2.n_reached == 3
+    assert r2.disconnected is False
+    compare(
+        df2, _conn_with({"documents": path2}), ORACLE["host_graph_diameter"]
+    )
+
+
+def test_stratified_ate_positivity_and_exact_adjustment(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    ts = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    # both users treated (odd ids): no control anywhere -> crude,
+    # adjusted and sign_flip all guarded NULL in both engines
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [(0, 1, "view", ts, 2.0), (1, 3, "view", ts, 4.0)], sch
+    ).write.parquet(path)
+    df = QUERIES["stratified_ate"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_users == 2 and row.n_overlap == 0
+    assert row.crude_diff_cents is None
+    assert row.adjusted_ate_cents is None and row.sign_flip is None
+    compare(df, _conn_with({"events": path}), ORACLE["stratified_ate"])
+
+    # hand-built composition bias: stratum0 diff=200c (w=2), stratum1
+    # diff=400c (w=3) -> adjusted=(2*200+3*400)/5=320; crude=2300/3-350
+    # =416.666667 (extra treated user in the high band inflates it)
+    path2 = f"{tmp_path}/adj/events.parquet"
+    rows = [
+        (0, 1, "view", ts, 3.0),                      # t=1, s0, y=300
+        (1, 2, "view", ts, 1.0),                      # t=0, s0, y=100
+        (2, 3, "view", ts, 4.0), (3, 3, "view", ts, 6.0),   # t=1, s1, 1000
+        (4, 4, "view", ts, 2.0), (5, 4, "view", ts, 4.0),   # t=0, s1, 600
+        (6, 5, "view", ts, 5.0), (7, 5, "view", ts, 5.0),   # t=1, s1, 1000
+    ]
+    spark.createDataFrame(rows, sch).write.parquet(path2)
+    df2 = QUERIES["stratified_ate"](spark, f"{tmp_path}/adj")
+    r2 = df2.collect()[0]
+    assert r2.n_users == 5 and r2.n_overlap == 5
+    assert r2.crude_diff_cents == 416.666667
+    assert r2.adjusted_ate_cents == 320.0 and r2.sign_flip is False
+    compare(df2, _conn_with({"events": path2}), ORACLE["stratified_ate"])
