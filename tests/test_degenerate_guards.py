@@ -3049,3 +3049,89 @@ def test_stratified_ate_positivity_and_exact_adjustment(spark, tmp_path):
     assert r2.crude_diff_cents == 416.666667
     assert r2.adjusted_ate_cents == 320.0 and r2.sign_flip is False
     compare(df2, _conn_with({"events": path2}), ORACLE["stratified_ate"])
+
+
+def test_tukey_df_zero_and_separated_groups(spark, tmp_path):
+    # every row its own group: N = k, df = 0 -> the MSW row drops and
+    # the query emits ZERO pair rows in both engines (no div-by-zero)
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(1, "1-URGENT", 100.0), (2, "2-HIGH", 200.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).write.parquet(path)
+    df = QUERIES["tukey_hsd_priority"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(df, _conn_with({"orders": path}), ORACLE["tukey_hsd_priority"])
+
+    # zero within-variance, clean separation: significant True with
+    # exact mean difference; then huge within-variance, tiny diff:
+    # False
+    path2 = f"{tmp_path}/sep/orders.parquet"
+    spark.createDataFrame(
+        [(1, "A", 100.0), (2, "A", 100.0), (3, "B", 200.0),
+         (4, "B", 200.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).write.parquet(path2)
+    df2 = QUERIES["tukey_hsd_priority"](spark, f"{tmp_path}/sep")
+    r2 = df2.collect()[0]
+    assert r2.grp_a == "A" and r2.grp_b == "B"
+    assert r2.diff_cents == 10000.0 and r2.significant is True
+    compare(
+        df2, _conn_with({"orders": path2}), ORACLE["tukey_hsd_priority"]
+    )
+
+    path3 = f"{tmp_path}/noisy/orders.parquet"
+    spark.createDataFrame(
+        [(1, "A", 0.0), (2, "A", 10000.0), (3, "B", 1.0),
+         (4, "B", 10001.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).write.parquet(path3)
+    df3 = QUERIES["tukey_hsd_priority"](spark, f"{tmp_path}/noisy")
+    r3 = df3.collect()[0]
+    assert r3.diff_cents == 100.0 and r3.significant is False
+    compare(
+        df3, _conn_with({"orders": path3}), ORACLE["tukey_hsd_priority"]
+    )
+
+
+def test_capture_recapture_disjoint_and_full_overlap(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    d0 = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    d9 = datetime.datetime(2026, 3, 10, 9, 0, 0)
+    # disjoint day cohorts: m = 0 -> Lincoln-Petersen NULL, Chapman
+    # finite (3*3//1 - 1 = 8 against 4 true users -> 2000 permille)
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [(0, 1, "view", d0, 1.0), (1, 2, "view", d0, 1.0),
+         (2, 3, "view", d9, 1.0), (3, 4, "view", d9, 1.0)],
+        sch,
+    ).write.parquet(path)
+    df = QUERIES["capture_recapture_users"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n1 == 2 and row.n2 == 2 and row.m == 0
+    assert row.lincoln_petersen is None and row.chapman_estimate == 8
+    assert row.chapman_vs_true_permille == 2000
+    compare(
+        df, _conn_with({"events": path}), ORACLE["capture_recapture_users"]
+    )
+
+    # full overlap: both estimators hit the truth exactly
+    path2 = f"{tmp_path}/same/events.parquet"
+    spark.createDataFrame(
+        [(0, 1, "view", d0, 1.0), (1, 2, "view", d0, 1.0),
+         (2, 1, "view", d9, 1.0), (3, 2, "view", d9, 1.0)],
+        sch,
+    ).write.parquet(path2)
+    df2 = QUERIES["capture_recapture_users"](spark, f"{tmp_path}/same")
+    r2 = df2.collect()[0]
+    assert r2.m == 2 and r2.chapman_estimate == 2
+    assert r2.lincoln_petersen == 2 and r2.chapman_vs_true_permille == 1000
+    compare(
+        df2, _conn_with({"events": path2}),
+        ORACLE["capture_recapture_users"],
+    )
