@@ -3135,3 +3135,69 @@ def test_capture_recapture_disjoint_and_full_overlap(spark, tmp_path):
         df2, _conn_with({"events": path2}),
         ORACLE["capture_recapture_users"],
     )
+
+
+def test_median_ci_small_n_and_degenerate_spread(spark, tmp_path):
+    # n = 5: k = floor((5 - 1.96*sqrt(5))/2) = 0 -> CI guarded NULL,
+    # median still exact
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(i, float(100 + i)) for i in range(5)],
+        "o_orderkey long, o_totalprice double",
+    ).write.parquet(path)
+    df = QUERIES["median_ci_order_stats"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n == 5 and row.k == 0 and row.median_cents == 10200
+    assert row.ci_lo_cents is None and row.ci_hi_cents is None
+    compare(
+        df, _conn_with({"orders": path}), ORACLE["median_ci_order_stats"]
+    )
+
+    # 100 identical values: the interval degenerates to the point
+    path2 = f"{tmp_path}/const/orders.parquet"
+    spark.createDataFrame(
+        [(i, 250.0) for i in range(100)],
+        "o_orderkey long, o_totalprice double",
+    ).write.parquet(path2)
+    df2 = QUERIES["median_ci_order_stats"](spark, f"{tmp_path}/const")
+    r2 = df2.collect()[0]
+    assert r2.k == 40 and r2.median_cents == 25000
+    assert r2.ci_lo_cents == 25000 and r2.ci_hi_cents == 25000
+    compare(
+        df2, _conn_with({"orders": path2}), ORACLE["median_ci_order_stats"]
+    )
+
+
+def test_optimal_threshold_perfect_separation(spark, tmp_path):
+    # en docs score high, non-en low: t=10 gives cost 0 and beats
+    # both constant classifiers
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "a", "xx", 5), (1, "b", "xx", 6),
+         (2, "c", "en", 10), (3, "d", "en", 20)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["optimal_threshold_cost"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.best_threshold == 10 and row.cost == 0
+    assert row.tp == 2 and row.fp == 0 and row.fn == 0 and row.tn == 2
+    assert row.beats_constant is True
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["optimal_threshold_cost"]
+    )
+
+    # all-positive corpus: always-positive already costs 0, so the
+    # sweep cannot strictly beat the constant classifier
+    path2 = f"{tmp_path}/allpos/documents.parquet"
+    spark.createDataFrame(
+        [(0, "a", "en", 5), (1, "b", "en", 9)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).write.parquet(path2)
+    df2 = QUERIES["optimal_threshold_cost"](spark, f"{tmp_path}/allpos")
+    r2 = df2.collect()[0]
+    assert r2.cost == 0 and r2.cost_always_positive == 0
+    assert r2.beats_constant is False
+    compare(
+        df2, _conn_with({"documents": path2}),
+        ORACLE["optimal_threshold_cost"],
+    )
