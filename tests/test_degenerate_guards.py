@@ -3201,3 +3201,90 @@ def test_optimal_threshold_perfect_separation(spark, tmp_path):
         df2, _conn_with({"documents": path2}),
         ORACLE["optimal_threshold_cost"],
     )
+
+
+def test_group_sequential_early_stop_and_null_interim(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    d0 = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    d1 = datetime.datetime(2026, 3, 2, 9, 0, 0)
+    # zero interim conversions: interim verdict NULL (pooled variance
+    # 0), early_stop coalesces to False; final look separates cleanly
+    path = f"{tmp_path}/events.parquet"
+    rows, eid = [], 0
+    for uid in range(1, 9):
+        rows.append((eid, uid, "view", d0, 1.0)); eid += 1
+        if uid % 2 == 1:
+            rows.append((eid, uid, "purchase", d1, 1.0)); eid += 1
+    spark.createDataFrame(rows, sch).write.parquet(path)
+    df = QUERIES["group_sequential_looks"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_interim == 8 and row.x_interim == 0
+    assert row.interim_significant is None and row.early_stop is False
+    assert row.final_significant is True and row.reject_null is True
+    compare(
+        df, _conn_with({"events": path}), ORACLE["group_sequential_looks"]
+    )
+
+    # all 6 treated users convert AT the interim (6v6, 0 control
+    # conversions): z^2 clears even the 2.963 OBF interim bar
+    path2 = f"{tmp_path}/early/events.parquet"
+    rows2, eid = [], 0
+    for uid in range(1, 13):
+        rows2.append((eid, uid, "view", d0, 1.0)); eid += 1
+        if uid % 2 == 1:
+            rows2.append((eid, uid, "purchase", d0, 1.0)); eid += 1
+        rows2.append((eid, uid, "view", d1, 1.0)); eid += 1
+    spark.createDataFrame(rows2, sch).write.parquet(path2)
+    df2 = QUERIES["group_sequential_looks"](spark, f"{tmp_path}/early")
+    r2 = df2.collect()[0]
+    assert r2.interim_significant is True and r2.early_stop is True
+    assert r2.reject_null is True
+    compare(
+        df2, _conn_with({"events": path2}),
+        ORACLE["group_sequential_looks"],
+    )
+
+
+def test_rayleigh_point_mass_and_antipodal_balance(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    # all events in hour 0: rbar = 1 exactly (cos 0 = 1, sin 0 = 0),
+    # Z = n, maximal rejection, circular mean hour 0
+    path = f"{tmp_path}/events.parquet"
+    h0 = datetime.datetime(2026, 3, 1, 0, 30, 0)
+    spark.createDataFrame(
+        [(i, 1, "view", h0, 1.0) for i in range(10)], sch
+    ).write.parquet(path)
+    df = QUERIES["rayleigh_hour_uniformity"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_events == 10 and row.rayleigh_z == 10.0
+    assert row.mean_hour == 0.0 and row.reject_uniform is True
+    compare(
+        df, _conn_with({"events": path}),
+        ORACLE["rayleigh_hour_uniformity"],
+    )
+
+    # balanced antipodal hours (0 and 12): the resultant cancels,
+    # Z rounds to 0, no rejection — the wrap-around case a linear
+    # variance test misreads as maximal spread
+    path2 = f"{tmp_path}/anti/events.parquet"
+    h12 = datetime.datetime(2026, 3, 1, 12, 30, 0)
+    rows = [(i, 1, "view", h0, 1.0) for i in range(5)]
+    rows += [(5 + i, 1, "view", h12, 1.0) for i in range(5)]
+    spark.createDataFrame(rows, sch).write.parquet(path2)
+    df2 = QUERIES["rayleigh_hour_uniformity"](spark, f"{tmp_path}/anti")
+    r2 = df2.collect()[0]
+    assert r2.rayleigh_z == 0.0 and r2.reject_uniform is False
+    compare(
+        df2, _conn_with({"events": path2}),
+        ORACLE["rayleigh_hour_uniformity"],
+    )
