@@ -127,6 +127,12 @@ BENCH_QUERIES = [
     # analysis (4x block-partitioned cumulative windows off one rollup)
     "scc_page_graph",
     "hurst_exponent",
+    # r5 session 16: the exact-ECDF global-sort fold (one total-order
+    # window over the corpus — the honest cost ceiling of the
+    # goodness-of-fit family) and the double-sweep condensed-graph BFS
+    # (2x8 checkpointed frontier rounds on the host graph)
+    "anderson_darling_uniform",
+    "host_graph_diameter",
 ]
 
 
