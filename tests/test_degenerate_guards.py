@@ -3288,3 +3288,79 @@ def test_rayleigh_point_mass_and_antipodal_balance(spark, tmp_path):
         df2, _conn_with({"events": path2}),
         ORACLE["rayleigh_hour_uniformity"],
     )
+
+
+def test_price_index_unmatched_and_exact_doubling(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_shipdate timestamp_ntz"
+    )
+    d0 = datetime.datetime(2026, 1, 1)
+    d1 = datetime.datetime(2026, 6, 1)
+    # part 1 only in the first month, part 2 only in the last: no
+    # matched basket -> zero rows in both engines
+    path = f"{tmp_path}/lineitem.parquet"
+    spark.createDataFrame(
+        [(1, 2.0, 4.0, 0.0, d0), (2, 2.0, 4.0, 0.0, d1)], sch
+    ).write.parquet(path)
+    df = QUERIES["price_index_fisher"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df, _conn_with({"lineitem": path}), ORACLE["price_index_fisher"]
+    )
+
+    # one matched part, same quantity, price exactly doubles:
+    # L = P = Fisher = 2.0
+    path2 = f"{tmp_path}/dbl/lineitem.parquet"
+    spark.createDataFrame(
+        [(1, 2.0, 4.0, 0.0, d0), (1, 2.0, 8.0, 0.0, d1)], sch
+    ).write.parquet(path2)
+    df2 = QUERIES["price_index_fisher"](spark, f"{tmp_path}/dbl")
+    r2 = df2.collect()[0]
+    assert r2.n_matched_parts == 1
+    assert r2.laspeyres == 2.0 and r2.paasche == 2.0 and r2.fisher == 2.0
+    assert r2.inflating is True
+    compare(
+        df2, _conn_with({"lineitem": path2}), ORACLE["price_index_fisher"]
+    )
+
+
+def test_shift_share_identity_and_entry_nation(spark, tmp_path):
+    import datetime
+
+    d0 = datetime.datetime(2026, 1, 1)
+    d1 = datetime.datetime(2026, 6, 1)
+    opath = f"{tmp_path}/orders.parquet"
+    cpath = f"{tmp_path}/customer.parquet"
+    npath = f"{tmp_path}/nation.parquet"
+    # nation A: 2 orders @100 then 3 @150 -> volume (3-2)*10000 =
+    # 10000, rate 3*(15000-10000) = 15000, delta 25000 (exact
+    # identity); nation B: entry (last month only) -> NULL effects
+    spark.createDataFrame(
+        [(1, 1, 100.0, d0), (2, 1, 100.0, d0),
+         (3, 1, 150.0, d1), (4, 1, 150.0, d1), (5, 1, 150.0, d1),
+         (6, 2, 99.0, d1)],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp_ntz",
+    ).write.parquet(opath)
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "c_custkey long, c_nationkey long"
+    ).write.parquet(cpath)
+    spark.createDataFrame(
+        [(10, "ALPHA"), (20, "BETA")], "n_nationkey long, n_name string"
+    ).write.parquet(npath)
+    df = QUERIES["shift_share_decomposition"](spark, str(tmp_path))
+    got = {r.nation: r for r in df.collect()}
+    a = got["ALPHA"]
+    assert a.n0 == 2 and a.n1 == 3 and a.delta_cents == 25000
+    assert a.volume_effect == 10000.0 and a.rate_effect == 15000.0
+    b = got["BETA"]
+    assert b.n0 == 0 and b.delta_cents == 9900
+    assert b.volume_effect is None and b.rate_effect is None
+    compare(
+        df,
+        _conn_with({"orders": opath, "customer": cpath, "nation": npath}),
+        ORACLE["shift_share_decomposition"],
+    )
