@@ -3364,3 +3364,69 @@ def test_shift_share_identity_and_entry_nation(spark, tmp_path):
         _conn_with({"orders": opath, "customer": cpath, "nation": npath}),
         ORACLE["shift_share_decomposition"],
     )
+
+
+def test_textrank_fixed_point_and_star(spark, tmp_path):
+    # a single symmetric pair is PageRank's fixed point: both words
+    # hold exactly the initial 10^9 scaled rank through every
+    # iteration (teleport 0.15 + 0.85 * full neighbor rank)
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id long, text string"
+    ).write.parquet(path)
+    df = QUERIES["textrank_keywords"](spark, str(tmp_path))
+    got = {r.word: r.rank_scaled for r in df.collect()}
+    assert got == {"alpha": 1_000_000_000, "beta": 1_000_000_000}
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["textrank_keywords"]
+    )
+
+    # hub-and-spokes: the hub outranks every spoke, symmetric spokes
+    # (b, c) tie exactly, and the one-word corpus yields zero rows
+    path2 = f"{tmp_path}/star/documents.parquet"
+    spark.createDataFrame(
+        [(0, "a hub b hub c hub")], "doc_id long, text string"
+    ).write.parquet(path2)
+    df2 = QUERIES["textrank_keywords"](spark, f"{tmp_path}/star")
+    got2 = {r.word: r.rank_scaled for r in df2.collect()}
+    assert got2["hub"] > got2["b"] == got2["c"] > got2["a"]
+    compare(
+        df2, _conn_with({"documents": path2}), ORACLE["textrank_keywords"]
+    )
+
+    path3 = f"{tmp_path}/solo/documents.parquet"
+    spark.createDataFrame(
+        [(0, "loner")], "doc_id long, text string"
+    ).write.parquet(path3)
+    df3 = QUERIES["textrank_keywords"](spark, f"{tmp_path}/solo")
+    assert df3.count() == 0
+    compare(
+        df3, _conn_with({"documents": path3}), ORACLE["textrank_keywords"]
+    )
+
+
+def test_cluster_lang_purity_cross_lingual(spark, tmp_path):
+    # three identical texts (en, en, xx) form one cluster: majority
+    # en at 666 permille, cross_lingual True; an en-only pair stays
+    # pure at 1000
+    path = f"{tmp_path}/documents.parquet"
+    t1 = "spark window join scan merge sort table batch stream dup"
+    t2 = "totally different words about crawling parsing and storage"
+    spark.createDataFrame(
+        [(0, t1, "en"), (1, t1, "en"), (2, t1, "xx"),
+         (10, t2, "en"), (11, t2, "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(path)
+    df = QUERIES["dedup_cluster_lang_purity"](spark, str(tmp_path))
+    rows = {r.cluster_id: r for r in df.collect()}
+    tri = rows[0]
+    assert tri.size == 3 and tri.n_langs == 2
+    assert tri.majority_lang == "en" and tri.purity_permille == 666
+    assert tri.cross_lingual is True
+    duo = rows[10]
+    assert duo.size == 2 and duo.purity_permille == 1000
+    assert duo.cross_lingual is False
+    compare(
+        df, _conn_with({"documents": path}),
+        ORACLE["dedup_cluster_lang_purity"],
+    )
