@@ -3430,3 +3430,50 @@ def test_cluster_lang_purity_cross_lingual(spark, tmp_path):
         df, _conn_with({"documents": path}),
         ORACLE["dedup_cluster_lang_purity"],
     )
+
+
+def test_benford_second_digit_gate_and_extraction(spark, tmp_path):
+    # every value below 10 cents: no second digit exists anywhere ->
+    # zero rows in both engines (the n > 0 gate)
+    path = f"{tmp_path}/orders.parquet"
+    spark.createDataFrame(
+        [(1, 0.05), (2, 0.09)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(path)
+    df = QUERIES["benford_second_digit"](spark, str(tmp_path))
+    assert df.count() == 0
+    compare(
+        df, _conn_with({"orders": path}), ORACLE["benford_second_digit"]
+    )
+
+    # 12 / 345 / 6789 cents: second digits 2, 4, 7 — n counts only
+    # the eligible values and the chi2 is engine-identical
+    path2 = f"{tmp_path}/mix/orders.parquet"
+    spark.createDataFrame(
+        [(1, 0.12), (2, 3.45), (3, 67.89), (4, 0.07)],
+        "o_orderkey long, o_totalprice double",
+    ).write.parquet(path2)
+    df2 = QUERIES["benford_second_digit"](spark, f"{tmp_path}/mix")
+    r2 = df2.collect()[0]
+    assert r2.n_values == 3 and r2.chi2 is not None
+    compare(
+        df2, _conn_with({"orders": path2}), ORACLE["benford_second_digit"]
+    )
+
+
+def test_tukey_fences_zero_iqr(spark, tmp_path):
+    # over half the mass on one value: IQR = 0 and the fences
+    # collapse to the point — the lone extreme value is both a
+    # whisker outlier and far-out, with no division anywhere
+    path = f"{tmp_path}/orders.parquet"
+    rows = [(i, 1.0) for i in range(10)] + [(10, 100.0)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double"
+    ).write.parquet(path)
+    df = QUERIES["tukey_fences_outliers"](spark, str(tmp_path))
+    r = df.collect()[0]
+    assert r.n == 11 and r.q1_cents == 100 and r.q3_cents == 100
+    assert r.iqr_cents == 0 and r.n_low == 0
+    assert r.n_high == 1 and r.n_far_out == 1
+    compare(
+        df, _conn_with({"orders": path}), ORACLE["tukey_fences_outliers"]
+    )
