@@ -3477,3 +3477,57 @@ def test_tukey_fences_zero_iqr(spark, tmp_path):
     compare(
         df, _conn_with({"orders": path}), ORACLE["tukey_fences_outliers"]
     )
+
+
+def test_bounce_rate_gap_boundary(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    base = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    # user 1: two events 31 min apart -> two one-event sessions, both
+    # bounces; user 2: 29 min apart -> ONE two-event session, not a
+    # bounce (the 30-min fence is strict >)
+    path = f"{tmp_path}/events.parquet"
+    rows = [
+        (0, 1, "view", base, 1.0),
+        (1, 1, "view", base + datetime.timedelta(minutes=31), 1.0),
+        (2, 2, "view", base, 1.0),
+        (3, 2, "view", base + datetime.timedelta(minutes=29), 1.0),
+    ]
+    spark.createDataFrame(rows, sch).write.parquet(path)
+    df = QUERIES["session_bounce_rate"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_sessions == 3 and row.n_bounces == 2
+    assert row.bounce_permille == 666
+    compare(df, _conn_with({"events": path}), ORACLE["session_bounce_rate"])
+
+
+def test_user_entropy_specialist_vs_generalist(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    ts = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    # user 1: 4 views (specialist, H = 0); user 2: 2 views + 2 clicks
+    # (H = ln 2) -> mean entropy ln(2)/2, one single-type user
+    path = f"{tmp_path}/events.parquet"
+    rows = [(i, 1, "view", ts, 1.0) for i in range(4)]
+    rows += [(4, 2, "view", ts, 1.0), (5, 2, "view", ts, 1.0),
+             (6, 2, "click", ts, 1.0), (7, 2, "click", ts, 1.0)]
+    spark.createDataFrame(rows, sch).write.parquet(path)
+    df = QUERIES["user_type_entropy"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_users == 2 and row.n_single_type == 1
+    import math
+
+    assert row.mean_entropy_nats == pytest.approx(
+        math.log(2) / 2, abs=1e-6
+    )
+    compare(df, _conn_with({"events": path}), ORACLE["user_type_entropy"])
