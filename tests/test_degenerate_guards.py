@@ -3531,3 +3531,67 @@ def test_user_entropy_specialist_vs_generalist(spark, tmp_path):
         math.log(2) / 2, abs=1e-6
     )
     compare(df, _conn_with({"events": path}), ORACLE["user_type_entropy"])
+
+
+def test_kendalls_w_perfect_and_all_tied(spark, tmp_path):
+    # two sources ranked identically by all three metrics: W = 1.0
+    # exactly; chi2 = 3 at df=1 stays under 3.841 -> not significant
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "x" * 10, "en", "A", 10),
+         (1, "y" * 40, "en", "B", 40), (2, "z" * 60, "xx", "B", 60)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(path)
+    df = QUERIES["kendalls_w_sources"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_items == 2 and row.w == 1.0 and row.significant is False
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["kendalls_w_sources"]
+    )
+
+    # identical metrics everywhere: every ranking fully tied, the
+    # tie-corrected denominator is 0 exactly -> W and verdict NULL
+    path2 = f"{tmp_path}/tied/documents.parquet"
+    spark.createDataFrame(
+        [(0, "x" * 10, "en", "A", 10), (1, "y" * 10, "en", "B", 10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(path2)
+    df2 = QUERIES["kendalls_w_sources"](spark, f"{tmp_path}/tied")
+    r2 = df2.collect()[0]
+    assert r2.w_den == 0 and r2.w is None and r2.significant is None
+    compare(
+        df2, _conn_with({"documents": path2}), ORACLE["kendalls_w_sources"]
+    )
+
+
+def test_imr_chart_spike_and_single_day(spark, tmp_path):
+    import datetime
+
+    base = datetime.datetime(2026, 3, 1)
+    path = f"{tmp_path}/orders.parquet"
+    rows = [(i, 1.0, base + datetime.timedelta(days=i)) for i in range(9)]
+    rows.append((9, 100.0, base + datetime.timedelta(days=9)))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, "
+        "o_orderdate timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["imr_control_chart"](spark, str(tmp_path))
+    got = sorted(df.collect(), key=lambda r: r.day)
+    assert [r.out_of_control for r in got] == [False] * 9 + [True]
+    assert got[9].moving_range == 9900 and got[0].moving_range is None
+    compare(df, _conn_with({"orders": path}), ORACLE["imr_control_chart"])
+
+    # single day: no moving range exists -> verdict guarded NULL
+    path2 = f"{tmp_path}/one/orders.parquet"
+    spark.createDataFrame(
+        [(0, 5.0, base)],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp_ntz",
+    ).write.parquet(path2)
+    df2 = QUERIES["imr_control_chart"](spark, f"{tmp_path}/one")
+    r2 = df2.collect()[0]
+    assert r2.out_of_control is None and r2.moving_range is None
+    compare(
+        df2, _conn_with({"orders": path2}), ORACLE["imr_control_chart"]
+    )
