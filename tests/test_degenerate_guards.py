@@ -3595,3 +3595,35 @@ def test_imr_chart_spike_and_single_day(spark, tmp_path):
     compare(
         df2, _conn_with({"orders": path2}), ORACLE["imr_control_chart"]
     )
+
+
+def test_association_rules_certain_and_direction(spark, tmp_path):
+    # A appears in 2 baskets, always with B; B appears alone once
+    # more: A->B is certain (conviction NULL, flag True) while B->A
+    # has confidence 666 permille — direction matters
+    lpath = f"{tmp_path}/lineitem.parquet"
+    ppath = f"{tmp_path}/part.parquet"
+    spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 2)],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(lpath)
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_type string"
+    ).write.parquet(ppath)
+    df = QUERIES["association_rules"](spark, str(tmp_path))
+    got = {(r.ante, r.cons): r for r in df.collect()}
+    ab = got[("A", "B")]
+    assert ab.s_ab == 2 and ab.s_ante == 2
+    assert ab.confidence_permille == 1000 and ab.rule_certain is True
+    # B rides in EVERY basket: conf = 1 but lift is exactly 1 too —
+    # a universal consequent can never show positive lift
+    assert ab.conviction is None and ab.positive_lift is False
+    ba = got[("B", "A")]
+    assert ba.confidence_permille == 666 and ba.rule_certain is False
+    # conviction(B->A) = (3-2)*3 / (3*(3-2)) = 1.0 exactly
+    assert ba.conviction == 1.0
+    compare(
+        df,
+        _conn_with({"lineitem": lpath, "part": ppath}),
+        ORACLE["association_rules"],
+    )
