@@ -3627,3 +3627,67 @@ def test_association_rules_certain_and_direction(spark, tmp_path):
         _conn_with({"lineitem": lpath, "part": ppath}),
         ORACLE["association_rules"],
     )
+
+
+def test_lang_assortativity_zero_and_single_lang(spark, tmp_path):
+    # 3-doc graph (edges 0->1 x2, 1->0, 2->1) with langs en/en/xx:
+    # E*diag = 4*3 equals Sum(A_i*B_i) = 12 exactly -> r = 0.0, the
+    # no-association fixed point, decided on exact integers
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "a", "en"), (1, "b", "en"), (2, "c", "xx")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(path)
+    df = QUERIES["lang_assortativity"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_edges == 4 and row.n_same_lang == 3
+    assert row.r_num == 0 and row.assortativity == 0.0
+    assert row.assortative is False
+    compare(
+        df, _conn_with({"documents": path}), ORACLE["lang_assortativity"]
+    )
+
+    # single-language graph: denominator exactly 0 (everything is
+    # trivially same-lang) -> r and the verdict guard to NULL
+    path2 = f"{tmp_path}/mono/documents.parquet"
+    spark.createDataFrame(
+        [(0, "a", "en"), (1, "b", "en"), (2, "c", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(path2)
+    df2 = QUERIES["lang_assortativity"](spark, f"{tmp_path}/mono")
+    r2 = df2.collect()[0]
+    assert r2.r_den == 0 and r2.assortativity is None
+    assert r2.assortative is None
+    compare(
+        df2, _conn_with({"documents": path2}), ORACLE["lang_assortativity"]
+    )
+
+
+def test_broker_centrality_path_and_no_open_pairs(spark, tmp_path):
+    # 3-doc path graph 0-1-2: host 1 is the ONLY broker of the open
+    # pair (0, 2); hosts 0 and 2 broker nothing and emit no row
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(3)], "doc_id long, text string"
+    ).write.parquet(path)
+    df = QUERIES["host_broker_centrality"](spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].host == 1 and rows[0].brokerage == 1
+    assert rows[0].exclusive_brokerage == 1
+    compare(
+        df, _conn_with({"documents": path}),
+        ORACLE["host_broker_centrality"],
+    )
+
+    # 2 hosts, one edge: no wedge exists at all -> zero rows
+    path2 = f"{tmp_path}/two/documents.parquet"
+    spark.createDataFrame(
+        [(0, "a"), (1, "b")], "doc_id long, text string"
+    ).write.parquet(path2)
+    df2 = QUERIES["host_broker_centrality"](spark, f"{tmp_path}/two")
+    assert df2.count() == 0
+    compare(
+        df2, _conn_with({"documents": path2}),
+        ORACLE["host_broker_centrality"],
+    )
