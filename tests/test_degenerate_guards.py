@@ -3691,3 +3691,95 @@ def test_broker_centrality_path_and_no_open_pairs(spark, tmp_path):
         df2, _conn_with({"documents": path2}),
         ORACLE["host_broker_centrality"],
     )
+
+
+def test_half_sample_stability_extremes(spark, tmp_path):
+    import hashlib
+
+    lpath = f"{tmp_path}/lineitem.parquet"
+    ppath = f"{tmp_path}/part.parquet"
+    # brand A tiny lines, brand B huge lines, 16 each: any hash split
+    # ranks B above A in both halves -> rho = 1.0 exactly
+    rows = []
+    for i in range(16):
+        rows.append((100 + i, 1, 1, 1.0))
+        rows.append((200 + i, 1, 2, 10000.0))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_extendedprice double",
+    ).write.parquet(lpath)
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_brand string"
+    ).write.parquet(ppath)
+    # precondition: every (brand, half) cell is non-empty under md5
+    for base in (100, 200):
+        halves = {
+            int(hashlib.md5(f"{base + i}:1".encode()).hexdigest()[:15], 16)
+            % 2
+            for i in range(16)
+        }
+        assert halves == {0, 1}
+    df = QUERIES["half_sample_rank_stability"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_brands == 2 and row.spearman_rho == 1.0
+    assert row.stable is True
+    compare(
+        df,
+        _conn_with({"lineitem": lpath, "part": ppath}),
+        ORACLE["half_sample_rank_stability"],
+    )
+
+    # single brand: zero rank variance -> rho guarded NULL
+    lpath2 = f"{tmp_path}/one/lineitem.parquet"
+    ppath2 = f"{tmp_path}/one/part.parquet"
+    spark.createDataFrame(
+        [(100 + i, 1, 1, 5.0) for i in range(8)],
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_extendedprice double",
+    ).write.parquet(lpath2)
+    spark.createDataFrame(
+        [(1, "A")], "p_partkey long, p_brand string"
+    ).write.parquet(ppath2)
+    df2 = QUERIES["half_sample_rank_stability"](spark, f"{tmp_path}/one")
+    r2 = df2.collect()[0]
+    assert r2.n_brands == 1 and r2.spearman_rho is None
+    assert r2.stable is None
+    compare(
+        df2,
+        _conn_with({"lineitem": lpath2, "part": ppath2}),
+        ORACLE["half_sample_rank_stability"],
+    )
+
+
+def test_hhi_trend_concentrating_and_single_month(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "l_suppkey long, l_extendedprice double, l_shipdate timestamp_ntz"
+    )
+    d0 = datetime.datetime(2026, 1, 1)
+    d1 = datetime.datetime(2026, 6, 1)
+    # month 1: two equal suppliers (HHI 5000 bp); month 2: one
+    # supplier (HHI 10000) -> S = +1, concentrating True
+    path = f"{tmp_path}/lineitem.parquet"
+    spark.createDataFrame(
+        [(1, 50.0, d0), (2, 50.0, d0), (1, 80.0, d1)], sch
+    ).write.parquet(path)
+    df = QUERIES["supplier_hhi_trend"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_months == 2 and row.s_stat == 1
+    assert row.hhi_first == 5000 and row.hhi_last == 10000
+    assert row.concentrating is True
+    compare(df, _conn_with({"lineitem": path}), ORACLE["supplier_hhi_trend"])
+
+    # single month: no pair to trend over -> verdict NULL
+    path2 = f"{tmp_path}/one/lineitem.parquet"
+    spark.createDataFrame([(1, 50.0, d0)], sch).write.parquet(path2)
+    df2 = QUERIES["supplier_hhi_trend"](spark, f"{tmp_path}/one")
+    r2 = df2.collect()[0]
+    assert r2.n_months == 1 and r2.s_stat == 0
+    assert r2.concentrating is None
+    compare(
+        df2, _conn_with({"lineitem": path2}), ORACLE["supplier_hhi_trend"]
+    )
