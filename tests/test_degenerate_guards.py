@@ -3783,3 +3783,92 @@ def test_hhi_trend_concentrating_and_single_month(spark, tmp_path):
     compare(
         df2, _conn_with({"lineitem": path2}), ORACLE["supplier_hhi_trend"]
     )
+
+
+def test_time_decay_credit_conservation(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    d = lambda k: datetime.datetime(2026, 3, 1 + k, 12, 0, 0)  # noqa: E731
+    # purchase on day 2 with a view on day 0 (w=1/4) and a click on
+    # day 2 (w=1): click gets 0.8, view 0.2 — and credits sum to 1
+    path = f"{tmp_path}/events.parquet"
+    rows = [
+        (0, 1, "view", d(0), 1.0),
+        (1, 1, "click", d(2), 1.0),
+        (2, 1, "purchase", d(2), 1.0),
+    ]
+    spark.createDataFrame(rows, sch).write.parquet(path)
+    df = QUERIES["time_decay_attribution"](spark, str(tmp_path))
+    got = {r.channel: r.credit for r in df.collect()}
+    assert got == {"click": 0.8, "view": 0.2}
+    compare(
+        df, _conn_with({"events": path}),
+        ORACLE["time_decay_attribution"],
+    )
+
+    # a purchase with NO touch in the 7-day window contributes no
+    # row at all (stale view 10 days earlier)
+    path2 = f"{tmp_path}/stale/events.parquet"
+    spark.createDataFrame(
+        [(0, 1, "view", d(0), 1.0),
+         (1, 1, "purchase", d(10), 1.0)], sch
+    ).write.parquet(path2)
+    df2 = QUERIES["time_decay_attribution"](spark, f"{tmp_path}/stale")
+    assert df2.count() == 0
+    compare(
+        df2, _conn_with({"events": path2}),
+        ORACLE["time_decay_attribution"],
+    )
+
+
+def test_funnel_significance_no_clicks_guard(spark, tmp_path):
+    import datetime
+
+    sch = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    ts = datetime.datetime(2026, 3, 1, 9, 0, 0)
+    # views only: step 1 is 0 permille and every step-2 readout is
+    # guarded NULL (no division by the empty click cohort)
+    path = f"{tmp_path}/events.parquet"
+    spark.createDataFrame(
+        [(i, i, "view", ts, 1.0) for i in range(4)], sch
+    ).write.parquet(path)
+    df = QUERIES["funnel_step_significance"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_view == 4 and row.n_click == 0
+    assert row.step1_permille == 0 and row.step2_permille is None
+    assert row.second_step_worse is None
+    assert row.drop_gap_significant is None
+    compare(
+        df, _conn_with({"events": path}),
+        ORACLE["funnel_step_significance"],
+    )
+
+    # clean separated funnel: 8 viewers, 4 clickers, 0 purchases —
+    # step2 (0/4) is worse than step1 (4/8) but n is too small for
+    # significance
+    path2 = f"{tmp_path}/drop/events.parquet"
+    rows, eid = [], 0
+    for uid in range(8):
+        rows.append((eid, uid, "view", ts, 1.0)); eid += 1
+        if uid < 4:
+            rows.append(
+                (eid, uid, "click",
+                 ts + datetime.timedelta(minutes=1), 1.0))
+            eid += 1
+    spark.createDataFrame(rows, sch).write.parquet(path2)
+    df2 = QUERIES["funnel_step_significance"](spark, f"{tmp_path}/drop")
+    r2 = df2.collect()[0]
+    assert r2.step1_permille == 500 and r2.step2_permille == 0
+    assert r2.second_step_worse is True
+    assert r2.drop_gap_significant is False
+    compare(
+        df2, _conn_with({"events": path2}),
+        ORACLE["funnel_step_significance"],
+    )
