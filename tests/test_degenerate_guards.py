@@ -3872,3 +3872,48 @@ def test_funnel_significance_no_clicks_guard(spark, tmp_path):
         df2, _conn_with({"events": path2}),
         ORACLE["funnel_step_significance"],
     )
+
+
+def test_query_likelihood_absent_term_guard(spark, tmp_path):
+    # 'vector' and 'window' never occur: their collection model is 0
+    # and both engines must contribute exactly 0 (not -inf vs NULL);
+    # ranking falls to the 'join' term — more mentions, higher score
+    path = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(
+        [(0, "join join scan"), (1, "join scan merge"), (2, "scan merge")],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = QUERIES["query_likelihood_search"](spark, str(tmp_path))
+    rows = df.collect()
+    assert [r.doc_id for r in rows] == [0, 1]
+    assert rows[0].ql_score > rows[1].ql_score
+    compare(
+        df, _conn_with({"documents": path}),
+        ORACLE["query_likelihood_search"],
+    )
+
+
+def test_p_alive_calibrated_per_customer(spark, tmp_path):
+    import datetime
+
+    d = lambda k: datetime.datetime(2026, 1, 1) + datetime.timedelta(  # noqa: E731
+        days=k
+    )
+    path = f"{tmp_path}/orders.parquet"
+    # horizon T = day 100. cust 1: weekly buyer (days 0,7,14) silent
+    # 86 days -> dead. cust 2: ~annual cadence (days 0,90) silent 10
+    # -> alive ((100-90)*1 < 2*90). cust 3: single order -> NULL.
+    rows = [
+        (1, 1, d(0)), (2, 1, d(7)), (3, 1, d(14)),
+        (4, 2, d(0)), (5, 2, d(90)),
+        (6, 3, d(100)),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz"
+    ).write.parquet(path)
+    df = QUERIES["p_alive_heuristic"](spark, str(tmp_path))
+    row = df.collect()[0]
+    assert row.n_customers == 3 and row.n_repeat == 2
+    assert row.n_alive == 1 and row.n_dormant == 1
+    assert row.alive_permille_of_repeat == 500
+    compare(df, _conn_with({"orders": path}), ORACLE["p_alive_heuristic"])
