@@ -3917,3 +3917,72 @@ def test_p_alive_calibrated_per_customer(spark, tmp_path):
     assert row.n_alive == 1 and row.n_dormant == 1
     assert row.alive_permille_of_repeat == 500
     compare(df, _conn_with({"orders": path}), ORACLE["p_alive_heuristic"])
+
+
+def test_backlog_aging_buckets_and_no_open(spark, tmp_path):
+    import datetime
+
+    d = lambda k: datetime.datetime(2026, 1, 1) + datetime.timedelta(  # noqa: E731
+        days=k
+    )
+    path = f"{tmp_path}/orders.parquet"
+    # horizon = day 400 (a closed order sets it). open orders aged
+    # 0, 60, 200, 400 land in the four buckets exactly
+    rows = [
+        (1, "O", 100.0, d(400)), (2, "O", 100.0, d(340)),
+        (3, "O", 100.0, d(200)), (4, "O", 100.0, d(0)),
+        (5, "F", 999.0, d(400)),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz",
+    ).write.parquet(path)
+    df = QUERIES["order_backlog_aging"](spark, str(tmp_path))
+    got = {r.age_bucket: r for r in df.collect()}
+    assert set(got) == {"0-30", "31-90", "91-365", "365+"}
+    assert all(r.n_orders == 1 and r.share_permille == 250
+               for r in got.values())
+    compare(df, _conn_with({"orders": path}), ORACLE["order_backlog_aging"])
+
+    # all closed: zero rows in both engines
+    path2 = f"{tmp_path}/closed/orders.parquet"
+    spark.createDataFrame(
+        [(1, "F", 50.0, d(0))],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz",
+    ).write.parquet(path2)
+    df2 = QUERIES["order_backlog_aging"](spark, f"{tmp_path}/closed")
+    assert df2.count() == 0
+    compare(
+        df2, _conn_with({"orders": path2}), ORACLE["order_backlog_aging"]
+    )
+
+
+def test_borda_fusion_dominant_supplier(spark, tmp_path):
+    import datetime
+
+    d0 = datetime.datetime(2026, 1, 1)
+    lpath = f"{tmp_path}/lineitem.parquet"
+    opath = f"{tmp_path}/orders.parquet"
+    # supplier 1 dominates every metric (more revenue, ships same
+    # day, no returns); supplier 2 loses all three: perfect sweep is
+    # 2x(n-1) per metric x3 = 6*2 - 3*2 = 6 vs 6*2 - 3*4 = 0
+    spark.createDataFrame(
+        [(1, 1, 100.0, "N", d0),
+         (2, 2, 10.0, "R", d0 + datetime.timedelta(days=30))],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_returnflag string, l_shipdate timestamp_ntz",
+    ).write.parquet(lpath)
+    spark.createDataFrame(
+        [(1, d0), (2, d0)],
+        "o_orderkey long, o_orderdate timestamp_ntz",
+    ).write.parquet(opath)
+    df = QUERIES["borda_supplier_ranking"](spark, str(tmp_path))
+    rows = df.collect()
+    assert [r.suppkey for r in rows] == [1, 2]
+    assert rows[0].borda2x == 6 and rows[1].borda2x == 0
+    compare(
+        df,
+        _conn_with({"lineitem": lpath, "orders": opath}),
+        ORACLE["borda_supplier_ranking"],
+    )
