@@ -3986,3 +3986,85 @@ def test_borda_fusion_dominant_supplier(spark, tmp_path):
         _conn_with({"lineitem": lpath, "orders": opath}),
         ORACLE["borda_supplier_ranking"],
     )
+
+
+def test_substitute_pairs_either_or(spark, tmp_path):
+    # 40 baskets, types X and Y each in 20, NEVER together: the
+    # never-co-occurring pair enters via the dense join (s_ab = 0)
+    # and the chi-square (=N=40) clears 3.84 -> one substitute pair
+    lpath = f"{tmp_path}/lineitem.parquet"
+    ppath = f"{tmp_path}/part.parquet"
+    rows = []
+    for ok in range(40):
+        rows.append((ok, 1 if ok % 2 == 0 else 2))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(lpath)
+    spark.createDataFrame(
+        [(1, "X"), (2, "Y")], "p_partkey long, p_type string"
+    ).write.parquet(ppath)
+    df = QUERIES["substitute_pairs"](spark, str(tmp_path))
+    rows2 = df.collect()
+    assert len(rows2) == 1
+    r = rows2[0]
+    assert (r.type_a, r.type_b) == ("X", "Y") and r.support_ab == 0
+    assert r.support_a == 20 and r.support_b == 20 and r.n_baskets == 40
+    compare(
+        df,
+        _conn_with({"lineitem": lpath, "part": ppath}),
+        ORACLE["substitute_pairs"],
+    )
+
+    # independent co-occurrence (every basket has both): dev = 0 and
+    # the universal-type witnesses exclude it -> zero rows
+    lpath2 = f"{tmp_path}/both/lineitem.parquet"
+    spark.createDataFrame(
+        [(ok, pk) for ok in range(6) for pk in (1, 2)],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(lpath2)
+    import shutil
+
+    shutil.copytree(ppath, f"{tmp_path}/both/part.parquet")
+    df2 = QUERIES["substitute_pairs"](spark, f"{tmp_path}/both")
+    assert df2.count() == 0
+    compare(
+        df2,
+        _conn_with({"lineitem": lpath2,
+                    "part": f"{tmp_path}/both/part.parquet"}),
+        ORACLE["substitute_pairs"],
+    )
+
+
+def test_brand_loyalty_switcher_vs_loyalist(spark, tmp_path):
+    import datetime
+
+    d = lambda k: datetime.datetime(2026, 1, 1) + datetime.timedelta(  # noqa: E731
+        days=k
+    )
+    opath = f"{tmp_path}/orders.parquet"
+    lpath = f"{tmp_path}/lineitem.parquet"
+    ppath = f"{tmp_path}/part.parquet"
+    # cust 1: A -> A -> A (two loyal transitions); cust 2: A -> B
+    # (one defection from A); cust 3: single order, no transition
+    spark.createDataFrame(
+        [(1, 1, d(0)), (2, 1, d(1)), (3, 1, d(2)),
+         (4, 2, d(0)), (5, 2, d(1)), (6, 3, d(0))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    ).write.parquet(opath)
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (5, 2), (6, 1)],
+        "l_orderkey long, l_partkey long",
+    ).write.parquet(lpath)
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_brand string"
+    ).write.parquet(ppath)
+    df = QUERIES["brand_loyalty_transition"](spark, str(tmp_path))
+    got = {r.brand: r for r in df.collect()}
+    assert got["A"].n_transitions == 3 and got["A"].n_retained == 2
+    assert got["A"].loyalty_permille == 666
+    assert "B" not in got  # B is never a transition SOURCE
+    compare(
+        df,
+        _conn_with({"orders": opath, "lineitem": lpath, "part": ppath}),
+        ORACLE["brand_loyalty_transition"],
+    )
