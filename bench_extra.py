@@ -81,6 +81,13 @@ def main() -> None:
         if name in names and not cached_store(SF_DIR, store, marker)[1]:
             QUERIES[name](spark, SF_DIR).collect()
 
+    # session warmup (untimed): first query in a session pays one-time
+    # codegen/shuffle/Arrow init (~3-5 s) — bench.py's crawl absorbs it
+    # there; absorb it here so rep-1 numbers are comparable
+    QUERIES["flagship_doc_stats"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, list[float]] = {}
     for name in names:
         spark.sparkContext.setJobDescription(f"profile: {name}")
@@ -97,9 +104,12 @@ def main() -> None:
         samples = []
         for _ in range(REPS):
             # fresh plan per rep: shared caches persist across reps (as
-            # in bench.py's serial run), but no result memoization
-            df = QUERIES[name](spark, SF_DIR)
+            # in bench.py's serial run), but no result memoization.
+            # The BUILD is inside the timed region: iterative queries
+            # (scc, kcore, sweeps) run their eager localCheckpoint
+            # loops at DataFrame-build time — bench.py times them too.
             t0 = time.monotonic()
+            df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.monotonic() - t0, 3))
         timings[name] = samples

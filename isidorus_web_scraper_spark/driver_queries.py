@@ -567,16 +567,24 @@ def result_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def crawl_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The frontier/seen sets stay tiny (the reachable set of seed 0 on
+    # the 2-out arithmetic graph), while `edges` is corpus-sized:
+    # broadcast the small sides so every round is a BroadcastHashJoin
+    # that only SCANS the cached edge list — the r5 shape let the
+    # planner sort-merge, shuffling the full edge frame once per round
+    # (3 exchanges of |E| rows for a 14-row answer).
     edges = _edges(spark, sf_dir)
     edges.persist()
     seen = spark.createDataFrame([(0, 0)], "url_id long, first_depth int")
     frontier = seen
     for depth in range(1, 4):
         frontier = (
-            frontier.join(edges, frontier.url_id == edges.src)
+            edges.join(
+                F.broadcast(frontier), edges.src == frontier.url_id
+            )
             .select(F.col("dst").alias("url_id"), F.lit(depth).alias("first_depth"))
             .distinct()
-            .join(seen.select("url_id"), "url_id", "left_anti")
+            .join(F.broadcast(seen.select("url_id")), "url_id", "left_anti")
         )
         seen = seen.unionAll(frontier)
     result = seen.groupBy("url_id").agg(F.min("first_depth").alias("first_depth"))
