@@ -807,7 +807,8 @@ class CrawlEngine:
         round / resume)."""
         t0 = time.monotonic()
         cfg = self.config
-        frontier = self.wh.read("frontier", {"round": round_no})
+        with self._timed("frontier read (plan)"):
+            frontier = self.wh.read("frontier", {"round": round_no})
         if urls_in is None:
             urls_in = frontier.count()
         if cfg.frontier_priority == "indegree":
@@ -885,6 +886,7 @@ class CrawlEngine:
             from ..operators.politeness import allocate_global_budget
 
             pol = allocate_global_budget(frontier, cfg.global_budget, pol)
+        _t_plan = time.monotonic()
         parts = self._round_parallelism(urls_in)
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         max_par = cfg.max_parallelism or self.spark.sparkContext.defaultParallelism
@@ -1506,15 +1508,22 @@ class CrawlEngine:
                     f"        [claims count] {time.monotonic() - t:.2f}s",
                     flush=True,
                 )
+            # output sizing off the just-counted n (guide §6): these
+            # writes read the materialized new_urls cache, so coalesce
+            # costs no parallelism on the compute side
+            parts_n = max(1, -(-n // (1 << 17)))
             with ThreadPoolExecutor(max_workers=2) as p2:
                 fs = [
                     p2.submit(
-                        self.wh.append, "seen", seen_new, {"round": round_no + 1}
+                        self.wh.append,
+                        "seen",
+                        seen_new.coalesce(parts_n),
+                        {"round": round_no + 1},
                     ),
                     p2.submit(
                         self.wh.append,
                         "frontier",
-                        next_frontier,
+                        next_frontier.coalesce(parts_n),
                         {"round": round_no + 1},
                     ),
                 ]
@@ -1596,8 +1605,48 @@ class CrawlEngine:
                 F.max("round").alias("round"),
             )
 
+        if cfg.debug_timing:
+            print(f"      [plan build] {time.monotonic() - _t_plan:.2f}s", flush=True)
+        # NOTE writer width: coalescing the parsed-derived writers to
+        # row-count-sized outputs was tried (guide §6) and reverted —
+        # a coalesced writer that wins the race to an unmaterialized
+        # cache block computes the fused fetch+parse for MANY blocks in
+        # ONE task, serializing the round's hottest stage (measured:
+        # the pages write became the wall's gate). The claim-chain's
+        # seen/frontier writes ARE coalesced: they run after new_urls
+        # is cache-materialized by the count, so sizing there is free.
         with self._timed("round fan-out (single wall)"):
             with ThreadPoolExecutor(max_workers=10) as pool:
+                # claims + stat aggregates submit FIRST: they scan the
+                # cache at full width, so the fused fetch+parse blocks
+                # materialize wide even though the writers are coalesced
+                claims_fut = pool.submit(_claim_chain)
+                parsed_fut = pool.submit(
+                    lambda: parsed.agg(
+                        F.sum(F.col("ok").cast("long")).alias("fetched"),
+                        # 301s are neither fetched nor errors — their
+                        # outcome is the target fetch, next round
+                        F.sum(
+                            ((~F.col("ok")) & F.col("location").isNull())
+                            .cast("long")
+                        ).alias("errors"),
+                        F.sum(
+                            F.when(F.col("ok"), F.size("links")).otherwise(
+                                F.lit(0)
+                            )
+                        ).alias("links"),
+                    ).first()
+                )
+                sched_fut = pool.submit(
+                    lambda: scheduled.agg(
+                        F.sum(
+                            (F.col("action") == ACTION_DEFER).cast("long")
+                        ).alias("deferred"),
+                        F.sum(
+                            (F.col("action") == ACTION_ROBOTS).cast("long")
+                        ).alias("robots"),
+                    ).first()
+                )
                 futs = [
                     pool.submit(_w, "fetch_log", fetch_log),
                     pool.submit(_w, "pages", pages),
@@ -1605,33 +1654,9 @@ class CrawlEngine:
                     pool.submit(_w, "images", images),
                     pool.submit(_w, "index_docs", index_docs),
                     pool.submit(_w, "media_store", media),
-                    pool.submit(_claim_chain),
-                    pool.submit(
-                        lambda: parsed.agg(
-                            F.sum(F.col("ok").cast("long")).alias("fetched"),
-                            # 301s are neither fetched nor errors — their
-                            # outcome is the target fetch, next round
-                            F.sum(
-                                ((~F.col("ok")) & F.col("location").isNull())
-                                .cast("long")
-                            ).alias("errors"),
-                            F.sum(
-                                F.when(F.col("ok"), F.size("links")).otherwise(
-                                    F.lit(0)
-                                )
-                            ).alias("links"),
-                        ).first()
-                    ),
-                    pool.submit(
-                        lambda: scheduled.agg(
-                            F.sum(
-                                (F.col("action") == ACTION_DEFER).cast("long")
-                            ).alias("deferred"),
-                            F.sum(
-                                (F.col("action") == ACTION_ROBOTS).cast("long")
-                            ).alias("robots"),
-                        ).first()
-                    ),
+                    claims_fut,
+                    parsed_fut,
+                    sched_fut,
                 ]
                 if metrics_parts is not None:
                     futs.append(pool.submit(_w, "metrics_parts", metrics_parts))
@@ -1702,29 +1727,33 @@ class CrawlEngine:
             robots_blocked=sched_agg["robots"] or 0,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
-        self.wh.append(
+        _t_m = time.monotonic()
+        # one driver-resident row: the pyarrow direct append skips a
+        # whole createDataFrame + parquet Spark job per round (~0.4 s
+        # measured — warehouse.append_rows docstring)
+        self.wh.append_rows(
             "metrics",
-            self.spark.createDataFrame(
-                [
-                    (
-                        -1,
-                        stats.round,
-                        stats.urls_in,
-                        stats.fetched,
-                        stats.fetch_errors,
-                        stats.links_extracted,
-                        stats.new_urls,
-                        stats.deferred,
-                        stats.robots_blocked,
-                        stats.wall_ms,
-                    )
-                ],
-                "scraping_id long, round int, urls_in long, fetched long, "
-                "fetch_errors long, links_extracted long, new_urls long, "
-                "deferred long, robots_blocked long, wall_ms long",
-            ),
+            [
+                (
+                    -1,
+                    stats.round,
+                    stats.urls_in,
+                    stats.fetched,
+                    stats.fetch_errors,
+                    stats.links_extracted,
+                    stats.new_urls,
+                    stats.deferred,
+                    stats.robots_blocked,
+                    stats.wall_ms,
+                )
+            ],
+            "scraping_id long, round int, urls_in long, fetched long, "
+            "fetch_errors long, links_extracted long, new_urls long, "
+            "deferred long, robots_blocked long, wall_ms long",
             {"round": round_no},
         )
+        if cfg.debug_timing:
+            print(f"      [metrics write] {time.monotonic() - _t_m:.2f}s", flush=True)
         scheduled.unpersist()
         parsed.unpersist()
         if cond_latest is not None:

@@ -437,3 +437,29 @@ def test_read_asof_refuses_rewritten_commits(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="no round bound"):
         wh2.read_asof("jobs", 99)
+
+
+def test_append_rows_driver_path_unions_with_spark_commits(spark, tmp_path):
+    """append_rows (driver-side pyarrow write — the per-round metrics
+    path) must produce commits that read back seamlessly alongside
+    Spark-written commits, with identical schema and round pruning."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ddl = (
+        "scraping_id long, round int, urls_in long, fetched long, "
+        "fetch_errors long, links_extracted long, new_urls long, "
+        "deferred long, robots_blocked long, wall_ms long"
+    )
+    wh.append(
+        "metrics",
+        spark.createDataFrame([(-1, 0, 5, 5, 0, 10, 4, 0, 0, 123)], ddl),
+        {"round": 0},
+    )
+    wh.append_rows(
+        "metrics", [(-1, 1, 4, 4, 0, 8, 0, 0, 0, 456)], ddl, {"round": 1}
+    )
+    allrows = wh.read("metrics")
+    assert allrows.schema == spark.createDataFrame([], ddl).schema
+    got = sorted((r.round, r.urls_in, r.wall_ms) for r in allrows.collect())
+    assert got == [(0, 5, 123), (1, 4, 456)]
+    only1 = wh.read("metrics", {"round": 1}).collect()
+    assert [(r.round, r.wall_ms) for r in only1] == [(1, 456)]
