@@ -310,24 +310,10 @@ def make_resolver(
     return resolve
 
 
-def page_html(
-    url: str,
-    n_hosts: int = 20,
-    links_out: int = 8,
-    big_page_every: int = 1000,
-    base: int = 64,
-    fatness: int = 8,
-) -> str | None:
-    """Render the synthetic page as raw HTML (the realistic-bench form:
-    the engine then runs the actual tokenizer UDF over it, like the
-    reference parses fetched bytes). ``fatness`` multiplies text volume
-    so page sizes land in the real-web 5–30 KB range."""
-    spans = page_spans(
-        url, n_hosts=n_hosts, links_out=links_out,
-        big_page_every=big_page_every, base=base,
-    )
-    if spans is None:
-        return None
+def _page_html_from_spans(url: str, spans: list[dict], fatness: int) -> str:
+    """Reference renderer: CPython ``random.Random`` draws (kept as the
+    byte-parity oracle for the vectorized path and as the fallback for
+    the measure-zero seeds the fast path cannot reproduce)."""
     rng = random.Random(_seed_for(url) ^ 0xBEEF)
     parts = ["<html><head><title>", url, "</title></head><body>"]
     for s in spans:
@@ -344,6 +330,93 @@ def page_html(
             parts.append("</a>")
         else:
             parts.append(f'<img src="{s["media_ref"]}"/>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+_WORDS_ARR = None  # lazy numpy mirror of _WORDS (import-light)
+_RS = None  # reused RandomState: construction is ~225us, re-seeding ~18us
+
+
+def page_html(
+    url: str,
+    n_hosts: int = 20,
+    links_out: int = 8,
+    big_page_every: int = 1000,
+    base: int = 64,
+    fatness: int = 8,
+) -> str | None:
+    """Render the synthetic page as raw HTML (the realistic-bench form:
+    the engine then runs the actual tokenizer UDF over it, like the
+    reference parses fetched bytes). ``fatness`` multiplies text volume
+    so page sizes land in the real-web 5–30 KB range.
+
+    BYTE-IDENTICAL fast path (r6): the renderer's rng only ever calls
+    ``choices(_WORDS, k)`` — i.e. ``floor(random()·n)`` per word — and
+    CPython's ``random.Random(seed)`` seeds MT19937 via init_by_array
+    over the 32-bit words of the seed, exactly what numpy's
+    ``RandomState(uint32-key-array)`` does for multi-word keys. All
+    draws for a page are therefore generated with ONE vectorized
+    ``random_sample`` + fancy index (~3x faster per page; this is the
+    crawl bench's hottest Python loop). Multi-word keys are guaranteed
+    for the sha256-derived 64-bit seeds except when seed < 2^32
+    (probability 2^-32 per URL), where numpy falls back to scalar
+    seeding with a DIFFERENT stream — those pages take the reference
+    renderer, so output is byte-identical always (pinned by
+    tests/test_corpus_fastpath.py)."""
+    spans = page_spans(
+        url, n_hosts=n_hosts, links_out=links_out,
+        big_page_every=big_page_every, base=base,
+    )
+    if spans is None:
+        return None
+    seed = _seed_for(url) ^ 0xBEEF
+    if seed < (1 << 32):  # 1-word init_by_array key: numpy diverges
+        return _page_html_from_spans(url, spans, fatness)
+    import numpy as np
+
+    global _WORDS_ARR, _RS
+    if _WORDS_ARR is None:
+        _WORDS_ARR = np.array(_WORDS)
+        _RS = np.random.RandomState()
+    key, s = [], seed
+    while s:
+        key.append(s & 0xFFFFFFFF)
+        s >>= 32
+    rs = _RS
+    # re-seeding a reused RandomState with the uint32 key array is the
+    # same init_by_array as constructing fresh (parity-pinned) at ~1/10
+    # the cost; Python workers are single-threaded per task, so module
+    # reuse is race-free
+    rs.seed(np.array(key, dtype=np.uint32))
+    n_text = sum(1 for sp in spans if sp["kind"] == "text")
+    n_link = sum(1 for sp in spans if sp["kind"] == "link")
+    total = n_text * fatness * 12 + n_link * 3
+    if total:
+        idx = (rs.random_sample(total) * float(len(_WORDS))).astype(np.int64)
+        words = _WORDS_ARR[idx].tolist()
+    else:
+        words = []
+    pos = 0
+    pad = 12 * fatness
+    parts = ["<html><head><title>", url, "</title></head><body>"]
+    for sp in spans:
+        if sp["kind"] == "text":
+            parts.append("<p>")
+            parts.append(sp["text"])
+            # one join per span: " s1w1..s1w12" + " s2w1.." concatenated
+            # is byte-equal to " " + all pad words space-joined
+            if pad:
+                parts.append(" " + " ".join(words[pos:pos + pad]))
+                pos += pad
+            parts.append("</p>")
+        elif sp["kind"] == "link":
+            parts.append(f'<a href="{sp["media_ref"]}">')
+            parts.append(" ".join(words[pos:pos + 3]))
+            pos += 3
+            parts.append("</a>")
+        else:
+            parts.append(f'<img src="{sp["media_ref"]}"/>')
     parts.append("</body></html>")
     return "".join(parts)
 
