@@ -206,6 +206,12 @@ class StreamingEWMA:
             self.counts[key] = self.counts.get(key, 0) + int(r.c)
             if self.last_day is None or int(r.d) > self.last_day:
                 self.last_day = int(r.d)
+        if self.last_day is None:
+            # empty first micro-batch (watermark advancement / no new
+            # data): nothing to prune yet — the old unguarded cutoff
+            # arithmetic raised TypeError and killed the stream
+            # (ADVICE r5)
+            return
         cutoff = self.last_day - self.window
         self.counts = {
             (t, d): c for (t, d), c in self.counts.items() if d > cutoff
@@ -213,15 +219,18 @@ class StreamingEWMA:
 
     def finalize(self) -> dict:
         """{event_type: (ewma_num_x2p29, n_events)} — the batch law:
-        day d in the trailing window weighs 2^(d - last_day + 29),
-        all integers (bit-identical to events_ewma_halflife)."""
+        day d in the trailing window weighs 2^(d - last_day + window-1),
+        all integers (bit-identical to events_ewma_halflife at the
+        default window=30, whose oracle fixes the exponent span 0..29;
+        deriving the offset from the window keeps any other window_days
+        consistent instead of shifting by a negative count — ADVICE r5)."""
         out: dict = {}
         if self.last_day is None:
             return out
         for (t, d), c in self.counts.items():
             if d <= self.last_day - self.window:
                 continue
-            di = d - self.last_day + 29
+            di = d - self.last_day + self.window - 1
             num, n = out.get(t, (0, 0))
             out[t] = (num + c * (1 << di), n + c)
         return out

@@ -815,3 +815,28 @@ def test_streaming_ewma_equals_batch_law(spark, sf_small, tmp_path):
         for r in QUERIES["events_ewma_halflife"](spark, sf_small).collect()
     }
     assert got == batch  # integer-exact, not merely close
+
+
+def test_streaming_ewma_empty_first_batch_and_window_offset(spark):
+    # ADVICE r5: (a) an empty FIRST micro-batch (watermark advancement)
+    # must not raise on the prune cutoff; (b) the finalize exponent
+    # offset derives from window_days, so non-default windows weigh
+    # today at 2^(window-1) instead of shifting by a negative count
+    from datetime import datetime
+
+    from isidorus_web_scraper_spark.streaming.sketches import StreamingEWMA
+
+    ew = StreamingEWMA()
+    empty = spark.createDataFrame([], "event_type string, ts timestamp_ntz")
+    ew.process(empty, 0)  # no rows yet: must be a no-op, not TypeError
+    assert ew.finalize() == {}
+
+    ew7 = StreamingEWMA(window_days=7)
+    df = spark.createDataFrame(
+        [("a", datetime(2026, 1, 10)), ("a", datetime(2026, 1, 9))],
+        "event_type string, ts timestamp_ntz",
+    )
+    ew7.process(df, 1)
+    out = ew7.finalize()
+    # last day weighs 2^(7-1), the day before 2^(7-2)
+    assert out["a"] == ((1 << 6) + (1 << 5), 2)
