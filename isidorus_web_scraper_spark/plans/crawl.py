@@ -144,6 +144,16 @@ class CrawlConfig:
     target_rows_per_fetch_task: int = 512
     max_parallelism: int | None = None
     bloom_driver_insert_max: int = 200_000
+    # bloom-prefilter APPLY gate: while the driver-known |seen| is below
+    # this, the claims anti-join runs plain (the Arrow flag pass + its
+    # cache + the two-branch union cost more than the small anti-join
+    # they route around); the sketch is still MAINTAINED every round,
+    # so crossing the threshold mid-crawl flips to the prefiltered path
+    # with a current sketch. Scale-adaptive by construction: at 10^6+
+    # seen rows the anti-join's seen-side scan/shuffle dominates and
+    # the prefilter pays for itself; the warehouse-sketch path (the
+    # 10^10 design) is not gated — its cogrouped apply IS its read path.
+    bloom_apply_min_seen: int = 1 << 20
     # staged-path scheduler, three equivalence-tested impls:
     # "vectorized" (mapInPandas carried-counter — DEFAULT: won the
     # interleaved table-corpus A/B 4/4 trials, BENCH §16), "window"
@@ -425,6 +435,10 @@ class CrawlEngine:
             )
         self.wh = Warehouse(self.spark, self.warehouse_root)
         self._bloom: BloomFilter | BucketedBloom | None = None
+        # driver-known |seen| estimate (exact: seeds + per-round n_new):
+        # gates the bloom-prefilter APPLY (config.bloom_apply_min_seen).
+        # None = unknown (bare run_round on a resumed engine) -> apply.
+        self._seen_est: int | None = None
         # robots steady-state gate (VERDICT r4 "what's wrong" #3): the
         # probed-host set rides the driver (bounded by DISTINCT HOSTS —
         # orders of magnitude below URLs; 10^7 hosts ≈ a few hundred MB,
@@ -508,6 +522,7 @@ class CrawlEngine:
         # both branches: run() builds/inits the sketch from `seen`,
         # which already includes the seeds.
         seed_hashes = frontier0.select(url_hash_col("url").alias("url_hash"))
+        self._seen_est = (self._seen_est or 0) + len(seeds)
         if self._use_wh_sketch:
             if self.wh.exists(SKETCH_TABLE):
                 # tagged r0-1 like the init commit: re-running round r0
@@ -1396,6 +1411,7 @@ class CrawlEngine:
             new_urls = definite_new.unionByName(checked).persist()
         elif (
             cfg.use_bloom
+            and self._apply_bloom_prefilter
             and cfg.bloom_apply == "cogrouped"
             and isinstance(self._bloom, (BucketedBloom, BucketedCuckoo))
         ):
@@ -1439,7 +1455,9 @@ class CrawlEngine:
                 seen,
                 ["scraping_id", "url"],
                 "url_hash",
-                self._bloom if cfg.use_bloom else None,
+                self._bloom
+                if cfg.use_bloom and self._apply_bloom_prefilter
+                else None,
                 persist_handles=to_unpersist,
             ).persist()
 
@@ -1501,34 +1519,42 @@ class CrawlEngine:
                     )
 
         def _claim_chain() -> int:
+            # n_new rides the seen WRITE as an Observation metric
+            # (seen_new is 1:1 with new_urls) instead of a separate
+            # count() job that serialized ahead of both writes: the
+            # writes themselves materialize the new_urls cache at full
+            # width (per-block cache locks make the concurrent first
+            # materialization safe — the same contract the parsed-cache
+            # writers rely on), so the chain is max(write, write), not
+            # count + max(write, write).
+            from pyspark.sql import Observation
+
             t = time.monotonic()
-            n = new_urls.count()  # materializes the cache once
-            if cfg.debug_timing:
-                print(
-                    f"        [claims count] {time.monotonic() - t:.2f}s",
-                    flush=True,
-                )
-            # output sizing off the just-counted n (guide §6): these
-            # writes read the materialized new_urls cache, so coalesce
-            # costs no parallelism on the compute side
-            parts_n = max(1, -(-n // (1 << 17)))
+            obs = Observation()
+            seen_obs = seen_new.observe(obs, F.count(F.lit(1)).alias("n"))
             with ThreadPoolExecutor(max_workers=2) as p2:
                 fs = [
                     p2.submit(
                         self.wh.append,
                         "seen",
-                        seen_new.coalesce(parts_n),
+                        seen_obs,
                         {"round": round_no + 1},
                     ),
                     p2.submit(
                         self.wh.append,
                         "frontier",
-                        next_frontier.coalesce(parts_n),
+                        next_frontier,
                         {"round": round_no + 1},
                     ),
                 ]
                 for f in fs:
                     f.result()
+            n = int(obs.get["n"])
+            if cfg.debug_timing:
+                print(
+                    f"        [claims chain] {time.monotonic() - t:.2f}s",
+                    flush=True,
+                )
             return n
 
         def _write_postings() -> None:
@@ -1701,6 +1727,8 @@ class CrawlEngine:
         n_new = results[6]
         parsed_agg = results[7]
         sched_agg = results[8]
+        if self._seen_est is not None:
+            self._seen_est += n_new
         n_retries = retry_fut.result() if retry_fut is not None else 0
         if host_fut is not None:
             self._next_round_hosts = host_fut.result()
@@ -1832,6 +1860,20 @@ class CrawlEngine:
             self._bloom.bits = np.bitwise_or(self._bloom.bits, add.bits)
 
     # ------------------------------------------- warehouse-persisted sketch
+    @property
+    def _apply_bloom_prefilter(self) -> bool:
+        """Whether the driver-sketch pre-filter should gate THIS round's
+        anti-join: yes once the driver-known |seen| reaches
+        ``bloom_apply_min_seen`` (or is unknown — bare ``run_round`` on
+        a resumed engine, where applying is the safe default). Below
+        the threshold the plain anti-join is cheaper than the Arrow
+        flag pass + cache + two-branch union; the sketch itself is
+        still maintained every round so the flip sees a current one."""
+        return (
+            self._seen_est is None
+            or self._seen_est >= self.config.bloom_apply_min_seen
+        )
+
     @property
     def _use_wh_sketch(self) -> bool:
         return self.config.use_bloom and self.config.sketch_store == "warehouse"

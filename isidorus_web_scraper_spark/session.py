@@ -69,6 +69,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §9/§3.1: let the planner pick shuffled-hash over
+        # sort-merge when its size conditions hold (skips both sorts),
+        # and let AQE rewrite SMJ→SHJ at runtime when every post-shuffle
+        # partition is under the threshold — size-checked, so the
+        # build-side-OOM risk SMJ guards against stays bounded on any
+        # cluster; neither knob is local-mode-specific
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
