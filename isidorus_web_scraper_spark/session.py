@@ -69,17 +69,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # guide §9/§3.1: let the planner pick shuffled-hash over
-        # sort-merge when its size conditions hold (skips both sorts),
-        # and let AQE rewrite SMJ→SHJ at runtime when every post-shuffle
-        # partition is under the threshold — size-checked, so the
-        # build-side-OOM risk SMJ guards against stays bounded on any
-        # cluster; neither knob is local-mode-specific
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            str(128 * 1024 * 1024),
-        )
+        # NOTE r6: spark.sql.join.preferSortMergeJoin=false (+ the AQE
+        # SMJ→SHJ rewrite threshold) was tried per guide §9 and REVERTED
+        # on an interleaved A/B: shuffled-hash was consistently 10-40%
+        # slower on this workload's join shapes (ppr 3.8→6.1 s, knn
+        # 2.3→3.7 s, hits 2.0→2.3 s) — per-partition hash-table builds
+        # beat the sorts only when partitions are large; here AQE's
+        # coalesced partitions are small and the sort is cheap.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
